@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group R — joins. Dimension sides are explicitly `broadcast()`-hinted;
+  * the fact-fact joins shuffle on their equi-keys (the right shape at
+  * 100 TB: shuffle keys are the join keys, AQE handles skew).
+  */
+object Joins extends QueryModule {
+
+  /** Tiny dims: broadcast hash join, zero shuffle. */
+  private val joinBroadcast = Q(
+    "r_join_broadcast",
+    Some("""SELECT r_name, n_name FROM nation JOIN region
+            ON n_regionkey = r_regionkey ORDER BY r_name, n_name"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val nation = t(spark, dir, "nation")
+      val region = broadcast(t(spark, dir, "region"))
+      nation.join(region, $"n_regionkey" === $"r_regionkey")
+        .select($"r_name", $"n_name")
+        .orderBy($"r_name", $"n_name")
+    })
+
+  /** TPC-H q3-shaped 3-way join + aggregate. customer is broadcast-able
+    * relative to lineitem⨝orders; revenue in exact DECIMAL. */
+  private val joinShuffle = Q(
+    "r_join_shuffle",
+    Some("""SELECT c_mktsegment,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+            CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+            count(*) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val li = t(spark, dir, "lineitem")
+      val ord = t(spark, dir, "orders")
+      val cust = broadcast(t(spark, dir, "customer"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          dbl(sum(money($"l_extendedprice") * (lit(1) - $"l_discount".cast("decimal(4,2)"))))
+            .as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"c_mktsegment")
+    })
+
+  /** LEFT SEMI — customers with at least one order (EXISTS). */
+  private val joinSemi = Q(
+    "r_join_semi",
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "customer")
+        .join(t(spark, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    })
+
+  /** LEFT ANTI — customers with no high-value (>400k) order (NOT EXISTS;
+    * anti-joining the unfiltered orders would be vacuously empty in this
+    * data — every customer has some order). */
+  private val joinAnti = Q(
+    "r_join_anti",
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+            ORDER BY c_custkey"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val bigOrders = t(spark, dir, "orders").where($"o_totalprice" > 400000)
+      t(spark, dir, "customer")
+        .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    })
+
+  /** Range (non-equi) self-join: pairs of events of the same user within
+    * 6 hours. The equi-key (user_id) carries the shuffle; the band
+    * predicate is a post-join filter. Time compared in whole milliseconds
+    * so sub-ms precision never flips a boundary between engines. */
+  private val joinRange = Q(
+    "r_join_range",
+    Some("""SELECT a.user_id, count(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 21600000
+            GROUP BY a.user_id ORDER BY a.user_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
+      val a = ev.as("a")
+      val b = ev.as("b")
+      a.join(b, $"a.user_id" === $"b.user_id" && $"a.event_id" < $"b.event_id" &&
+          abs($"a.ms" - $"b.ms") <= 21600000L)
+        .groupBy($"a.user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"a.user_id")
+    })
+
+  /** As-of join: for each purchase event, the latest signup event of the
+    * same user at or before the purchase. Equi-join on user_id + window
+    * pick of the max (ts, event_id) — the standard Spark shape (one
+    * shuffle on the key, then a per-order-key window). */
+  private val joinAsof = Q(
+    "r_join_asof",
+    Some("""SELECT p_event_id, user_id, s_event_id, s_ts_ms FROM (
+              SELECT p.event_id AS p_event_id, p.user_id AS user_id,
+                     s.event_id AS s_event_id, epoch_ms(s.ts) AS s_ts_ms,
+                     row_number() OVER (PARTITION BY p.event_id
+                       ORDER BY s.ts DESC NULLS LAST, s.event_id DESC NULLS LAST) AS rn
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+                ON s.user_id = p.user_id AND epoch_ms(s.ts) <= epoch_ms(p.ts)
+            ) WHERE rn = 1 ORDER BY p_event_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+      val p = ev.where($"event_type" === "purchase")
+        .select($"event_id".as("p_event_id"), $"user_id", unix_millis($"ts").as("p_ms"))
+      val s = ev.where($"event_type" === "signup")
+        .select($"event_id".as("s_event_id"), $"user_id".as("s_user_id"),
+          unix_millis($"ts").as("s_ts_ms"))
+      val w = Window.partitionBy($"p_event_id")
+        .orderBy($"s_ts_ms".desc_nulls_last, $"s_event_id".desc_nulls_last)
+      p.join(s, $"user_id" === $"s_user_id" && $"s_ts_ms" <= $"p_ms", "left")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"p_event_id", $"user_id", $"s_event_id", $"s_ts_ms")
+        .orderBy($"p_event_id")
+    })
+
+  override def all: Seq[Q] = Seq(joinBroadcast, joinShuffle, joinSemi,
+    joinAnti, joinRange, joinAsof)
+}

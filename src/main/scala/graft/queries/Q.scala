@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared query: Spark implementation + (optional) DuckDB oracle SQL.
+  *
+  * Determinism contract (SURVEY.md §7.4): every query ends in a total ORDER
+  * BY (incl. tiebreakers), money aggregates go through exact DECIMAL
+  * arithmetic and are cast to DOUBLE only at the end, and free-floating
+  * doubles are rounded to 4 decimals in BOTH engines.
+  */
+final case class Q(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+trait QueryModule {
+  def all: Seq[Q]
+
+  /** Load one of the driver parquet tables from the scale-factor dir.
+    *
+    * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 refuses to read natively; with the nanosAsLong legacy conf
+    * it arrives as a LONG of epoch-nanos, which we floor-truncate to
+    * microseconds — exactly what Spark's own ns→µs narrowing would do.
+    */
+  protected def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case None => df
+    }
+  }
+
+  /** Exact money arithmetic: the testdata stores 2-decimal prices as
+    * DOUBLE; casting to DECIMAL(18,2) recovers the exact decimal value in
+    * both Spark and DuckDB, so sums are order-independent and engines
+    * agree bit-for-bit after the final cast back to DOUBLE. */
+  protected def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  protected def dbl(c: Column): Column = c.cast("double")
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Group R — scans, hash aggregates, grouping sets, sort/top-k, set ops.
+  * All plans are declarative DataFrame code: Catalyst pushes the filters
+  * and projections into the parquet scan and does partial (map-side)
+  * aggregation before the single shuffle each aggregate needs.
+  */
+object Relational extends QueryModule {
+
+  /** TPC-H q6-shaped scan: filter + arithmetic projection. Predicates and
+    * the 4-column projection push down to the parquet reader. */
+  private val filterProject = Q(
+    "r_filter_project",
+    Some("""SELECT l_orderkey, l_linenumber,
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+            ORDER BY l_orderkey, l_linenumber"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .where($"l_shipdate" >= to_timestamp(lit("1996-01-01")) &&
+          $"l_shipdate" < to_timestamp(lit("1997-01-01")) &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .select($"l_orderkey", $"l_linenumber",
+          dbl(money($"l_extendedprice") * (lit(1) - $"l_discount".cast("decimal(4,2)")))
+            .as("revenue"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    })
+
+  /** TPC-H q1-shaped hash aggregate. Money sums via exact DECIMAL (order-
+    * independent across partitions); quantities are whole numbers so their
+    * double sums are exact too; averages derived as double divisions. */
+  private val aggHash = Q(
+    "r_agg_hash",
+    Some("""SELECT l_returnflag, l_linestatus,
+            CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc,
+            CAST(floor((sum(l_quantity) * 10000.0) / count(*)) AS BIGINT) AS avg_qty_x1e4,
+            count(*) AS n
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .where($"l_shipdate" <= to_timestamp(lit("2000-09-02")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").cast("double").as("sum_qty"),
+          dbl(sum(money($"l_extendedprice"))).as("sum_base"),
+          dbl(sum(money($"l_extendedprice") * (lit(1) - $"l_discount".cast("decimal(4,2)"))))
+            .as("sum_disc"),
+          floor((sum($"l_quantity") * 10000.0) / count(lit(1))).cast("long").as("avg_qty_x1e4"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    })
+
+  /** Distinct aggregate — expands to a two-phase distinct+agg plan. */
+  private val aggDistinct = Q(
+    "r_agg_distinct",
+    Some("""SELECT l_returnflag,
+            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+            CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct($"l_partkey").as("n_part"))
+        .orderBy($"l_returnflag")
+    })
+
+  /** ROLLUP over orders; NULL grouping slots folded to '(all)' so NULL
+    * ordering semantics never diverge between engines. */
+  private val aggRollup = Q(
+    "r_agg_rollup",
+    Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+            coalesce(o_orderpriority, '(all)') AS priority,
+            count(*) AS n,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dbl(sum(money($"o_totalprice"))).as("sum_price"))
+        .select(coalesce($"o_orderstatus", lit("(all)")).as("status"),
+          coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+          $"n", $"sum_price")
+        .orderBy($"status", $"priority")
+    })
+
+  /** CUBE over events on (event_type, year). */
+  private val aggCube = Q(
+    "r_agg_cube",
+    Some("""SELECT coalesce(event_type, '(all)') AS etype,
+            CAST(coalesce(year(ts), -1) AS BIGINT) AS yr,
+            count(*) AS n
+            FROM events GROUP BY CUBE (event_type, year(ts))
+            ORDER BY etype, yr"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "events")
+        .withColumn("y", year($"ts"))
+        .cube($"event_type", $"y")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce($"event_type", lit("(all)")).as("etype"),
+          coalesce($"y", lit(-1)).cast("long").as("yr"), $"n")
+        .orderBy($"etype", $"yr")
+    })
+
+  /** GROUPING SETS over events — expressed in SQL (the DataFrame API has
+    * no direct grouping-sets builder); still a single Catalyst plan. */
+  private val groupingSets = Q(
+    "r_grouping_sets",
+    Some("""SELECT coalesce(event_type, '(all)') AS etype,
+            CAST(coalesce(user_id, -1) AS BIGINT) AS uid,
+            count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())
+            ORDER BY etype, uid"""),
+    (spark, dir) => {
+      t(spark, dir, "events").createOrReplaceTempView("events")
+      spark.sql("""SELECT coalesce(event_type, '(all)') AS etype,
+        CAST(coalesce(user_id, -1) AS BIGINT) AS uid,
+        count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        ORDER BY etype, uid""")
+    })
+
+  /** Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    * per-partition top-20 then a tiny driver-side merge, no full sort. */
+  private val sortTopk = Q(
+    "r_sort_topk",
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+            FROM lineitem
+            ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 20"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice".as("price"))
+        .orderBy($"price".desc, $"l_orderkey", $"l_linenumber")
+        .limit(20)
+    })
+
+  /** UNION / INTERSECT / EXCEPT between order-customers and event-users. */
+  private val setOps = Q(
+    "r_set_ops",
+    Some("""WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+                 b AS (SELECT DISTINCT user_id AS k FROM events)
+            SELECT 'both' AS tag, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+            UNION ALL
+            SELECT 'only_events' AS tag, k FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+            UNION ALL
+            SELECT 'only_orders' AS tag, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+            ORDER BY tag, k"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val a = t(spark, dir, "orders").select($"o_custkey".as("k")).distinct()
+      val b = t(spark, dir, "events").select($"user_id".as("k")).distinct()
+      a.intersect(b).select(lit("both").as("tag"), $"k")
+        .unionAll(b.except(a).select(lit("only_events").as("tag"), $"k"))
+        .unionAll(a.except(b).select(lit("only_orders").as("tag"), $"k"))
+        .orderBy($"tag", $"k")
+    })
+
+  /** Approximate distinct (HyperLogLog++). No value oracle — approx result
+    * is engine-specific; correctness is covered by a ScalaTest tolerance
+    * check against exact counts. */
+  private val hllDistinct = Q(
+    "x_hll_distinct",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "events")
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id").as("approx_users"))
+        .orderBy($"event_type")
+    })
+
+  override def all: Seq[Q] = Seq(filterProject, aggHash, aggDistinct,
+    aggRollup, aggCube, groupingSets, sortTopk, setOps, hllDistinct)
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group X — large-scale training-data text pipeline operators over the
+  * `documents` table: dedup (exact + n-gram Jaccard), tokenization/top-k
+  * tokens, language-ID heuristic, quality scoring, token counting and
+  * document fingerprinting.
+  *
+  * Ratio outputs are emitted as scaled-floor basis points
+  * (`floor(x * 10000)` as BIGINT): both engines compute the same exact
+  * integer arithmetic + one double division, so results are bit-identical
+  * — immune to the Spark(HALF_UP) vs DuckDB(HALF_EVEN) rounding split.
+  */
+object TextOps extends QueryModule {
+
+  /** Exact dedup: keep the min-doc_id representative per identical text,
+    * then count survivors per lang. At 100 TB the window key would be
+    * sha2(text) (same grouping, hashes shuffle instead of full text). */
+  private val dedupExact = Q(
+    "x_dedup_exact",
+    Some("""SELECT lang, count(*) AS n_docs FROM (
+              SELECT lang, doc_id, min(doc_id) OVER (PARTITION BY text) AS keep
+              FROM documents)
+            WHERE doc_id = keep GROUP BY lang ORDER BY lang"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"text")
+      t(spark, dir, "documents")
+        .withColumn("keep", min($"doc_id").over(w))
+        .where($"doc_id" === $"keep")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang")
+    })
+
+  /** Near-dup detection by exact token-3-gram Jaccard, blocked by lang.
+    * This is the exact-verification stage; the MinHash/LSH candidate
+    * generation that replaces the O(n²) pair join at scale lives in
+    * graft.operators.MinHashDedup (x_dedup_minhash). */
+  private val dedupNgram = Q(
+    "x_dedup_ngram",
+    Some("""WITH s AS (
+              SELECT doc_id, lang,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+              FROM (SELECT doc_id, lang,
+                      list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(floor((len(list_intersect(a.sh, b.sh)) * 10000.0)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) AS jac_bp
+            FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(floor((len(list_intersect(a.sh, b.sh)) * 10000.0)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) >= 6000
+            ORDER BY a_id, b_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val sh = t(spark, dir, "documents")
+        .select($"doc_id", $"lang",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") >= 3)
+        .select($"doc_id", $"lang",
+          expr("""array_distinct(transform(sequence(0, size(toks) - 3),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))""").as("sh"))
+      val a = sh.select($"doc_id".as("a_id"), $"lang".as("a_lang"), $"sh".as("a_sh"))
+      val b = sh.select($"doc_id".as("b_id"), $"lang".as("b_lang"), $"sh".as("b_sh"))
+      a.join(b, $"a_lang" === $"b_lang" && $"a_id" < $"b_id")
+        .withColumn("inter", size(array_intersect($"a_sh", $"b_sh")))
+        .withColumn("jac_bp",
+          floor(($"inter" * 10000.0) / (size($"a_sh") + size($"b_sh") - $"inter"))
+            .cast("long"))
+        .where($"jac_bp" >= 6000)
+        .select($"a_id", $"b_id", $"jac_bp")
+        .orderBy($"a_id", $"b_id")
+    })
+
+  /** Tokenize + top-10 tokens per lang (mirrors the reference's
+    * textanalysis.keyphrases fixture, test common.clj:23-27). */
+  private val textAnalysis = Q(
+    "x_text_analysis",
+    Some("""WITH tok AS (SELECT lang,
+                unnest(list_filter(string_split_regex(lower(text), ' +'),
+                  x -> x <> '')) AS token
+              FROM documents),
+            c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token)
+            SELECT lang, token, n, rk FROM (
+              SELECT lang, token, n, CAST(row_number() OVER (PARTITION BY lang
+                ORDER BY n DESC, token) AS BIGINT) AS rk FROM c)
+            WHERE rk <= 10 ORDER BY lang, rk"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"n".desc, $"token")
+      t(spark, dir, "documents")
+        .select($"lang",
+          explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .groupBy($"lang", $"token")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where($"rk" <= 10)
+        .select($"lang", $"token", $"n", $"rk")
+        .orderBy($"lang", $"rk")
+    })
+
+  /** Language-ID heuristic: stop-word hit ratio (n-gram heuristic family).
+    * Pure per-row arithmetic → embarrassingly parallel at any scale. */
+  private val langId = Q(
+    "x_lang_id",
+    Some("""WITH f AS (SELECT doc_id, lang,
+              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id, lang,
+              CAST(floor((len(list_filter(toks,
+                  x -> x IN ('the', 'and', 'of', 'a', 'in', 'to', 'is'))) * 10000.0)
+                / len(toks)) AS BIGINT) AS stop_bp,
+              CASE WHEN len(list_filter(toks,
+                  x -> x IN ('the', 'and', 'of', 'a', 'in', 'to', 'is'))) * 10000.0
+                / len(toks) >= 300 THEN 'en' ELSE 'other' END AS pred_lang
+            FROM f WHERE len(toks) > 0 ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .select($"doc_id", $"lang",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") > 0)
+        .withColumn("hits", size(expr(
+          "filter(toks, x -> x IN ('the', 'and', 'of', 'a', 'in', 'to', 'is'))")))
+        .select($"doc_id", $"lang",
+          floor(($"hits" * 10000.0) / size($"toks")).cast("long").as("stop_bp"),
+          when(($"hits" * 10000.0) / size($"toks") >= 300, "en").otherwise("other")
+            .as("pred_lang"))
+        .orderBy($"doc_id")
+    })
+
+  /** Quality scoring: token count, alpha-character ratio, composite score
+    * (length/punct/stopword-style signals, all exact int arithmetic). */
+  private val qualityScore = Q(
+    "x_quality_score",
+    Some("""WITH f AS (SELECT doc_id,
+              len(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS n_toks,
+              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+              length(text) AS n_chars
+              FROM documents WHERE length(text) > 0)
+            SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+              CAST(floor((alpha_chars * 10000.0) / n_chars) AS BIGINT) AS alpha_bp,
+              CAST(floor((least(n_toks, 100) * alpha_chars * 10000.0)
+                / (100.0 * n_chars)) AS BIGINT) AS quality_bp
+            FROM f ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .where(length($"text") > 0)
+        .select($"doc_id",
+          size(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("n_toks_i"),
+          length(regexp_replace($"text", "[^A-Za-z]", "")).as("alpha_chars"),
+          length($"text").as("n_chars"))
+        .select($"doc_id", $"n_toks_i".cast("long").as("n_toks"),
+          floor(($"alpha_chars" * 10000.0) / $"n_chars").cast("long").as("alpha_bp"),
+          floor((least($"n_toks_i", lit(100)) * $"alpha_chars" * 10000.0)
+            / (lit(100.0) * $"n_chars")).cast("long").as("quality_bp"))
+        .orderBy($"doc_id")
+    })
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single punctuation). */
+  private val tokenCount = Q(
+    "x_token_count",
+    Some("""SELECT doc_id,
+              CAST(len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))
+                AS BIGINT) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1))
+                AS BIGINT) AS bpe_tokens
+            FROM documents ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .select($"doc_id",
+          size(expr("filter(split(text, ' +'), x -> x != '')")).cast("long")
+            .as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)"))
+            .cast("long").as("bpe_tokens"))
+        .orderBy($"doc_id")
+    })
+
+  /** Document fingerprinting: 31-polynomial rolling hash mod 1e9+7 over
+    * the character stream — identical left-fold in both engines. */
+  private val fingerprint = Q(
+    "x_fingerprint",
+    Some("""SELECT doc_id,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(text) + 1),
+                    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+            FROM documents WHERE length(text) > 0 ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .where(length($"text") > 0)
+        .select($"doc_id",
+          expr("""aggregate(transform(sequence(1, length(text)),
+                    i -> ascii(substring(text, i, 1))),
+                  0L, (acc, c) -> (acc * 31 + c) % 1000000007)""").as("fp"))
+        .orderBy($"doc_id")
+    })
+
+  override def all: Seq[Q] = Seq(dedupExact, dedupNgram, textAnalysis,
+    langId, qualityScore, tokenCount, fingerprint)
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group X — similarity search over the `embeddings` table
+  * (Array[Float] → Array[Double]).
+  *
+  * Cosine similarity is computed as the SAME strict left-fold in Spark
+  * (`aggregate(zip_with(...))`) and DuckDB (`list_reduce`), so the double
+  * results are bit-identical and rankings/floors agree exactly. The
+  * brute-force cross join is the sf-scale baseline; the IVF variant
+  * (x_ann_ivf) is the 100 TB path: candidates are pruned to one centroid
+  * bucket, so the expensive distance pass touches |cluster| rows, not N.
+  */
+object VectorOps extends QueryModule {
+
+  /** Spark: strict left-to-right dot product of two double arrays. */
+  private def dotCol(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  /** DuckDB: the same strict left-fold (NOT list_inner_product, whose
+    * accumulation order is unspecified). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+        (acc, x) -> acc + x)"""
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** Shared Spark-side prep: embeddings as double arrays + precomputed
+    * L2 norm (one pass, reused across every pair). */
+  private def emb(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    t(spark, dir, "embeddings")
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(dotCol("v", "v")))
+  }
+
+  /** Top-5 cosine neighbours for 5 probe vectors. The probe side is tiny
+    * → broadcast; the big side streams once. */
+  private val simTopk = Q(
+    "x_sim_topk",
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             p AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 5),
+             s AS (SELECT p_id, vec_id, ${cosSql("pv", "v")} AS sim
+                   FROM p CROSS JOIN e WHERE vec_id <> p_id)
+             SELECT p_id, rk, vec_id, CAST(floor(sim * 10000.0) AS BIGINT) AS sim_bp
+             FROM (SELECT p_id, vec_id, sim, CAST(row_number() OVER (
+                     PARTITION BY p_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+                   FROM s)
+             WHERE rk <= 5 ORDER BY p_id, rk"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = emb(spark, dir)
+      val p = broadcast(e.where($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm")))
+      val w = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
+      p.join(e, $"vec_id" =!= $"p_id")
+        .withColumn("sim", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where($"rk" <= 5)
+        .select($"p_id", $"rk", $"vec_id",
+          floor($"sim" * 10000.0).cast("long").as("sim_bp"))
+        .orderBy($"p_id", $"rk")
+    })
+
+  /** Embedding-cosine near-duplicate pairs (cos >= 0.45). */
+  private val embedNeardup = Q(
+    "x_embed_neardup",
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(floor(${cosSql("a.v", "b.v")} * 10000.0) AS BIGINT) AS cos_bp
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE ${cosSql("a.v", "b.v")} >= 0.45
+             ORDER BY a_id, b_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = emb(spark, dir)
+      val a = e.select($"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("a_nrm"))
+      val b = e.select($"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("b_nrm"))
+      a.join(b, $"a_id" < $"b_id")
+        .withColumn("cos", dotCol("av", "bv") / ($"a_nrm" * $"b_nrm"))
+        .where($"cos" >= 0.45)
+        .select($"a_id", $"b_id", floor($"cos" * 10000.0).cast("long").as("cos_bp"))
+        .orderBy($"a_id", $"b_id")
+    })
+
+  /** IVF-style ANN: every vector is assigned to its nearest centroid
+    * (deterministic seed set: vec_id % 50 == 0); a probe searches only
+    * its own centroid's bucket. This is the scale path — the full-N
+    * distance pass of x_sim_topk becomes |bucket|-sized. */
+  private val annIvf = Q(
+    "x_ann_ivf",
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+             asg AS (SELECT vec_id, c_id FROM (
+                 SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+                 FROM e CROSS JOIN c) WHERE rn = 1),
+             p AS (SELECT e.vec_id AS p_id, e.v AS pv, asg.c_id AS p_c
+                   FROM e JOIN asg ON e.vec_id = asg.vec_id WHERE e.vec_id < 5),
+             cand AS (SELECT p.p_id, e.vec_id, ${cosSql("p.pv", "e.v")} AS sim
+                      FROM p JOIN asg ON asg.c_id = p.p_c
+                      JOIN e ON e.vec_id = asg.vec_id
+                      WHERE e.vec_id <> p.p_id)
+             SELECT p_id, rk, vec_id, CAST(floor(sim * 10000.0) AS BIGINT) AS sim_bp
+             FROM (SELECT p_id, vec_id, sim, CAST(row_number() OVER (
+                     PARTITION BY p_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+                   FROM cand)
+             WHERE rk <= 5 ORDER BY p_id, rk"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = emb(spark, dir)
+      val c = broadcast(e.where($"vec_id" % 50 === 0)
+        .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("c_nrm")))
+      val wAsg = Window.partitionBy($"vec_id")
+        .orderBy(($"cos_c").desc, $"c_id")
+      val asg = e.join(c, lit(true))
+        .withColumn("cos_c", dotCol("v", "cv") / ($"nrm" * $"c_nrm"))
+        .withColumn("rn", row_number().over(wAsg))
+        .where($"rn" === 1)
+        .select($"vec_id", $"v", $"nrm", $"c_id")
+      val p = broadcast(asg.where($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm"),
+          $"c_id".as("p_c")))
+      val wRk = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
+      p.join(asg, $"c_id" === $"p_c" && $"vec_id" =!= $"p_id")
+        .withColumn("sim", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
+        .withColumn("rk", row_number().over(wRk).cast("long"))
+        .where($"rk" <= 5)
+        .select($"p_id", $"rk", $"vec_id",
+          floor($"sim" * 10000.0).cast("long").as("sim_bp"))
+        .orderBy($"p_id", $"rk")
+    })
+
+  override def all: Seq[Q] = Seq(simTopk, embedNeardup, annIvf)
+}
