@@ -1,0 +1,146 @@
+package graft.eventstore
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** A projection = photon's generic fold `state ← f(state, event)` with an
+  * initial value, run per stream (reference streams.clj:241-274 register,
+  * 125-161 fold step). `stream = None` folds every stream separately;
+  * photon's "one projection over one stream" is the single-group case.
+  */
+trait Fold[S] extends Serializable {
+  def name: String
+  def initial: S
+  def step(state: S, e: Event): S
+}
+
+/** Descriptor row — the queryable "running query" record (SURVEY.md §1.3:
+  * projection-name, stream-name, current-value, processed, status,
+  * last-error; reference streams.clj:216-232, doc/schemas.md:97-123). */
+final case class ProjRow[S](
+    projection_name: String,
+    stream_name: String,
+    value: S,
+    processed: Long,
+    status: String,
+    last_error: Option[String])
+
+object Projections {
+
+  /** Ordered per-stream fold — faithful to the reference's guarantee that
+    * a projection sees its stream's events one at a time in order-id order
+    * (streams.clj:147-161). Spark shape: one shuffle on stream_name, an
+    * in-partition sort by (stream_name, order_id), then a streaming fold
+    * over each run of equal stream — parallel ACROSS streams (like the
+    * reference's worker pool is parallel across projections,
+    * streams.clj:410-420), sequential within one, which is forced by
+    * arbitrary non-commutative `step`.
+    *
+    * Failure capture mirrors streams.clj:90-97: the first exception stops
+    * that stream's fold, keeps the last good state and records
+    * status=failed + the error text.
+    */
+  def runOrdered[S](events: Dataset[Event], fold: Fold[S])(
+      implicit enc: Encoder[ProjRow[S]]): Dataset[ProjRow[S]] = {
+    events
+      .repartition(col("stream_name"))
+      .sortWithinPartitions("stream_name", "order_id")
+      .mapPartitions { it =>
+        val out = mutable.ArrayBuffer.empty[ProjRow[S]]
+        var cur: String = null
+        var state: S = fold.initial
+        var n = 0L
+        var err: Option[String] = None
+        def flush(): Unit = if (cur != null) {
+          out += ProjRow(fold.name, cur, state, n,
+            if (err.isDefined) "failed" else "finished", err)
+        }
+        it.foreach { e =>
+          if (e.stream_name != cur) {
+            flush(); cur = e.stream_name; state = fold.initial; n = 0L; err = None
+          }
+          if (err.isEmpty) {
+            try { state = fold.step(state, e); n += 1 }
+            catch { case NonFatal(ex) =>
+              err = Some(s"${ex.getClass.getName}: ${ex.getMessage}")
+            }
+          }
+        }
+        flush()
+        out.iterator
+      }
+  }
+
+  /** Commutative/mergeable folds get the fully-parallel path: a typed
+    * Aggregator usable with groupByKey or as a registered UDAF — partial
+    * (map-side) aggregation, no in-partition sort. This is the 100 TB
+    * shape; SURVEY.md §7.4 documents the constraint vs. arbitrary folds. */
+  def aggregator[S: Encoder](
+      init: S, stepFn: (S, Event) => S, mergeFn: (S, S) => S): Aggregator[Event, S, S] =
+    new Aggregator[Event, S, S] {
+      override def zero: S = init
+      override def reduce(b: S, a: Event): S = stepFn(b, a)
+      override def merge(b1: S, b2: S): S = mergeFn(b1, b2)
+      override def finish(r: S): S = r
+      override def bufferEncoder: Encoder[S] = implicitly[Encoder[S]]
+      override def outputEncoder: Encoder[S] = implicitly[Encoder[S]]
+    }
+}
+
+/** The projection registry (reference streams.clj:276-286 register/
+  * unregister + core.clj:102-107: defaults are protected from deletion;
+  * re-registering an existing name replaces it and re-folds history —
+  * observable as full reprocessing, test projections.clj:159-182).
+  */
+final class ProjectionCatalog {
+  private val folds = mutable.LinkedHashMap.empty[String, Fold[_]]
+  private val protectedNames = mutable.Set.empty[String]
+
+  ProjectionCatalog.defaults.foreach { f => folds(f.name) = f; protectedNames += f.name }
+
+  def register(f: Fold[_]): Unit = folds(f.name) = f // replace-if-exists
+  def unregister(name: String): Boolean =
+    if (protectedNames(name)) false
+    else folds.remove(name).isDefined
+  def get(name: String): Option[Fold[_]] = folds.get(name)
+  def names: Seq[String] = folds.keys.toSeq
+  def isProtected(name: String): Boolean = protectedNames(name)
+}
+
+object ProjectionCatalog {
+  /** Built-ins mirroring default_projs.clj: `__streams__` (per-stream
+    * totals, :8-26) and `__security-state__`-style latest-per-key
+    * (:28-39). */
+  def defaults: Seq[Fold[_]] = Seq(CountFold("__streams__"), LatestFold("__security-state__"))
+}
+
+/** `(fn [a b] (inc a))` — the count fold from the reference's tests
+  * (projections.clj:71-78). */
+final case class CountFold(name: String) extends Fold[Long] {
+  override def initial: Long = 0L
+  override def step(state: Long, e: Event): Long = state + 1
+}
+
+/** Latest event payload per local_id — the `__security-state__` keyed
+  * upsert pattern (default_projs.clj:28-39): fold maintains
+  * {key → latest payload}. */
+final case class LatestFold(name: String) extends Fold[Map[String, String]] {
+  override def initial: Map[String, String] = Map.empty
+  override def step(state: Map[String, String], e: Event): Map[String, String] =
+    state.updated(e.local_id, e.payload)
+}
+
+/** Sum of a numeric JSON payload field (commutative example). */
+final case class SumFold(name: String, field: String) extends Fold[Double] {
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+  override def initial: Double = 0.0
+  override def step(state: Double, e: Event): Double = {
+    val v = mapper.readTree(e.payload).path(field)
+    if (v.isNumber) state + v.asDouble() else state
+  }
+}

@@ -1,0 +1,74 @@
+package graft.eventstore
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Replay = reads over the event log (reference streams.clj:340-405).
+  *
+  * Cold scan (O1), stream filter (O4), from-timestamp (O5), limit (O6),
+  * point lookup (O14), distinct streams (O13), delete-stream (O15).
+  * The hot/hot-cold live paths are in graft.streaming.HotCold.
+  */
+object Replay {
+
+  val AllStreams = "__all__"
+
+  /** Open the log. `__all__` is just the unfiltered log — stream_name is
+    * an ordinary (partition) column, exactly SURVEY.md §1.6. */
+  def open(spark: SparkSession, logDir: String): DataFrame =
+    spark.read.parquet(logDir)
+
+  def typed(spark: SparkSession, logDir: String): Dataset[Event] = {
+    import spark.implicits._
+    // partitionBy writes stream_name last; restore canonical column order
+    open(spark, logDir)
+      .select("stream_name", "order_id", "event_time", "service_id",
+        "local_id", "schema_version", "payload", "provenance")
+      .as[Event]
+  }
+
+  /** Bounded cold replay: stream + from-ts + limit, totally ordered by
+    * order_id (reference streams.clj:340-366: walks db/lazy-events from
+    * `from`, applies `limit`, then closes). Filters prune parquet
+    * partitions (stream) and row groups (event_time min/max). */
+  def cold(
+      log: DataFrame,
+      stream: String = AllStreams,
+      fromMs: Long = 0L,
+      limit: Option[Int] = None): DataFrame = {
+    val byStream =
+      if (stream == AllStreams) log
+      else log.where(col("stream_name") === stream)
+    val scanned = byStream
+      .where(unix_millis(col("event_time")) >= fromMs)
+      .orderBy("order_id")
+    limit.fold(scanned)(scanned.limit)
+  }
+
+  /** Point lookup by (stream, order_id) (reference streams.clj:322). */
+  def pointGet(log: DataFrame, stream: String, orderId: Long): DataFrame =
+    log.where(col("stream_name") === stream && col("order_id") === orderId)
+
+  /** Boot catalog: distinct stream names (reference streams.clj:163-165).
+    * With the partitioned layout this is metadata-only at scale. */
+  def distinctStreams(log: DataFrame): DataFrame =
+    log.select("stream_name").distinct().orderBy("stream_name")
+
+  /** Per-stream totals — the `__streams__` catalog view (O25). */
+  def streamsCatalog(log: DataFrame): DataFrame =
+    log.groupBy("stream_name")
+      .agg(count(lit(1)).as("total_events"),
+        min("order_id").as("min_order_id"),
+        max("order_id").as("max_order_id"))
+      .orderBy("stream_name")
+
+  /** Delete a stream (reference api.clj:131-147 loops scan-and-delete
+    * until empty; with a stream-partitioned log it is one partition-dir
+    * drop — O(1) instead of O(n)). */
+  def deleteStream(spark: SparkSession, logDir: String, stream: String): Boolean = {
+    val p = new Path(s"$logDir/stream_name=$stream")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+}

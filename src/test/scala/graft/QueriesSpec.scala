@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + semantic checks over the declared query surface at sf0.001.
+  * (Exact value parity vs DuckDB is the driver's oracle gate; here we
+  * assert the invariants that gate can't see — approx tolerances and the
+  * non-oracle queries.) */
+class QueriesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every declared query runs and the oracle-less ones return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      if (!SparkEntry.oracleSql.contains(name))
+        assert(n > 0, s"non-oracle query $name returned no rows (untestable)")
+    }
+  }
+
+  test("entry() (driver smoke) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("x_hll_distinct within 15% of exact distinct counts") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("x_hll_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.15, s"$k: approx=$a exact=$n")
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.eventstore
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Mirrors the reference's ingest/replay invariants:
+  * stamping (integration_test.clj:31-33), replay counts (:42-64),
+  * cold-replay determinism (stream_test.clj:77-81, 97-101).
+  */
+class IngestReplaySpec extends AnyFunSuite with SparkTestBase {
+
+  private val T0 = 1700000000000L
+
+  test("stamp: event_time = ingest ms, order_id = 1000*ms + seq, unique and monotone") {
+    val stamped = Ingest.stamp(rawEvents(20), T0).orderBy("order_id").collect()
+    assert(stamped.length == 20)
+    val oids = stamped.map(_.getAs[Long]("order_id"))
+    assert(oids.distinct.length == 20)
+    assert(oids.sorted.sameElements(oids))
+    assert(oids.forall(o => o >= T0 * 1000 && o < (T0 + 1) * 1000))
+    val ts = stamped.map(_.getAs[java.sql.Timestamp]("event_time").getTime)
+    assert(ts.forall(_ == T0))
+  }
+
+  test("stamp: batches beyond the 1000/ms ceiling overflow into later ms (no collisions)") {
+    val stamped = Ingest.stamp(rawEvents(2500), T0)
+    import spark.implicits._
+    assert(stamped.select("order_id").distinct().count() == 2500)
+    val msSpread = stamped.select((unix_millis($"event_time") - T0).as("d"))
+      .agg(min($"d"), max($"d")).as[(Long, Long)].head()
+    assert(msSpread == ((0L, 2L))) // 2500 events = ms 0,1,2
+  }
+
+  test("validate: null required field is rejected, not stored") {
+    import spark.implicits._
+    val raw = rawEvents(4).withColumn("service_id",
+      when($"local_id" === "loc-0", lit(null)).otherwise($"service_id"))
+    val (ok, bad) = Ingest.validate(raw)
+    assert(ok.count() == 3 && bad.count() == 1)
+  }
+
+  test("cold replay: determinism, counts, from/limit, point lookup") {
+    val log = tmpDir("log")
+    Ingest.ingest(rawEvents(4), log, T0)
+    Ingest.ingest(rawEvents(9).where(col("local_id") =!= "loc-0"), log, T0 + 5000)
+    val df = Replay.open(spark, log)
+
+    assert(Replay.cold(df).count() == 12) // 4 + 8
+    val r1 = Replay.cold(df, "s1").collect().map(_.getAs[Long]("order_id"))
+    val r2 = Replay.cold(df, "s1").collect().map(_.getAs[Long]("order_id"))
+    assert(r1.sameElements(r2)) // determinism: same replay twice
+    assert(r1.sorted.sameElements(r1)) // total order by order_id
+
+    assert(Replay.cold(df, fromMs = T0 + 5000).count() == 8)
+    assert(Replay.cold(df, limit = Some(5)).count() == 5)
+
+    val oid = r1.head
+    assert(Replay.pointGet(df, "s1", oid).count() == 1)
+    assert(Replay.distinctStreams(df).collect().map(_.getString(0)).toSeq == Seq("s1", "s2"))
+  }
+
+  test("streams catalog counts per stream; delete-stream drops its partition") {
+    val log = tmpDir("log")
+    Ingest.ingest(rawEvents(10), log, T0)
+    val cat = Replay.streamsCatalog(Replay.open(spark, log)).collect()
+    assert(cat.map(r => r.getString(0) -> r.getLong(1)).toMap == Map("s1" -> 5L, "s2" -> 5L))
+    assert(Replay.deleteStream(spark, log, "s2"))
+    assert(Replay.open(spark, log).select("stream_name").distinct().count() == 1)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.eventstore
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+
+/** Mirrors the reference's projection invariants (projections.clj):
+  * fold count == event count (:100-105), latest-per-key state, failure
+  * capture (streams.clj:90-97), replace-and-refold (:159-182), protected
+  * defaults (:150-154).
+  */
+class ProjectionSpec extends AnyFunSuite with SparkTestBase {
+
+  private val T0 = 1700000000000L
+
+  private def logOf(n: Int): org.apache.spark.sql.Dataset[Event] = {
+    val log = tmpDir("plog")
+    Ingest.ingest(rawEvents(n), log, T0)
+    Replay.typed(spark, log)
+  }
+
+  test("count fold == count(*) per stream (the (fn [a b] (inc a)) projection)") {
+    import spark.implicits._
+    val ev = logOf(101)
+    val folded = Projections.runOrdered(ev, CountFold("c")).collect()
+      .map(r => r.stream_name -> r.value).toMap
+    val sql = ev.groupBy("stream_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded == sql)
+    assert(folded.values.sum == 101L)
+  }
+
+  test("latest-per-key fold == window row_number=1 (security-state pattern)") {
+    import spark.implicits._
+    val ev = logOf(60)
+    val folded = Projections.runOrdered(ev, LatestFold("l")).collect()
+    folded.foreach { r =>
+      val expected = ev.where($"stream_name" === r.stream_name)
+        .orderBy($"order_id".desc).limit(1).collect().head
+      assert(r.value(expected.local_id) == expected.payload)
+      assert(r.status == "finished")
+    }
+  }
+
+  test("sum fold over JSON payload field == SQL sum") {
+    import spark.implicits._
+    val ev = logOf(40)
+    val folded = Projections.runOrdered(ev, SumFold("s", "v")).collect()
+      .map(r => r.stream_name -> r.value).toMap
+    val sql = ev
+      .withColumn("v", get_json_object($"payload", "$.v").cast("double"))
+      .groupBy("stream_name").agg(sum($"v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(folded == sql)
+  }
+
+  test("failing fold: state frozen at last good value, status=failed, error captured") {
+    import spark.implicits._
+    val boom = new Fold[Long] {
+      val name = "boom"
+      val initial = 0L
+      def step(s: Long, e: Event): Long =
+        if (s == 3) throw new IllegalStateException("kaboom") else s + 1
+    }
+    val ev = logOf(20)
+    val res = Projections.runOrdered(ev, boom).collect()
+    res.foreach { r =>
+      assert(r.status == "failed")
+      assert(r.value == 3L)
+      assert(r.last_error.exists(_.contains("kaboom")))
+    }
+  }
+
+  test("catalog: replace-if-exists, protected defaults, re-fold gives same result") {
+    val cat = new ProjectionCatalog
+    assert(cat.names.contains("__streams__"))
+    assert(!cat.unregister("__streams__")) // protected (core.clj:102-107)
+    cat.register(CountFold("mine"))
+    cat.register(CountFold("mine")) // replace, no error
+    assert(cat.unregister("mine"))
+    assert(cat.get("mine").isEmpty)
+
+    // re-registration re-folds full history → identical descriptor
+    import spark.implicits._
+    val ev = logOf(30)
+    val a = Projections.runOrdered(ev, CountFold("r")).collect().sortBy(_.stream_name).toSeq
+    val b = Projections.runOrdered(ev, CountFold("r")).collect().sortBy(_.stream_name).toSeq
+    assert(a == b)
+  }
+
+  test("property: count fold == count(*) for random event batches (ScalaCheck gen)") {
+    import spark.implicits._
+    // deterministic ScalaCheck sampling (no scalatestplus bridge offline)
+    val sizes = Iterator.iterate(Seed(42L))(_.next).take(5)
+      .map(s => Gen.choose(1, 120).pureApply(Gen.Parameters.default, s)).toList
+    sizes.foreach { n =>
+      val ev = logOf(n)
+      val folded = Projections.runOrdered(ev, CountFold("p")).collect().map(_.value).sum
+      assert(folded == n.toLong, s"n=$n")
+    }
+  }
+
+  test("commutative aggregator path (udaf) agrees with ordered fold for counts") {
+    import spark.implicits._
+    val ev = logOf(50)
+    val agg = Projections.aggregator[Long](0L, (s, _) => s + 1, _ + _)
+    val viaAgg = ev.groupByKey(_.stream_name).agg(agg.toColumn.name("n")).collect().toMap
+    val viaFold = Projections.runOrdered(ev, CountFold("c")).collect()
+      .map(r => r.stream_name -> r.value).toMap
+    assert(viaAgg == viaFold)
+  }
+}

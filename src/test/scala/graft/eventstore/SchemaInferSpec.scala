@@ -1,0 +1,53 @@
+package graft.eventstore
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Mirrors schema_test.clj:38-71: versioned vs unversioned inference,
+  * per-field type/required/count. */
+class SchemaInferSpec extends AnyFunSuite with SparkTestBase {
+
+  private val T0 = 1700000000000L
+
+  test("infers field types per (stream, schema_version); required = in every sample") {
+    import spark.implicits._
+    val raw = (0 until 12).map { i =>
+      val payload =
+        if (i % 2 == 0) s"""{"name": "n$i", "count": $i, "nested": {"flag": true}}"""
+        else s"""{"name": "n$i", "ratio": $i.5}"""
+      ("s", "svc", s"l$i", if (i < 6) "0.0.1" else "0.0.2", payload)
+    }.toDF("stream_name", "service_id", "local_id", "schema_version", "payload")
+      .withColumn("provenance",
+        org.apache.spark.sql.functions.lit(null)
+          .cast("struct<service_id:string,local_id:string,relationship:string>"))
+    val log = tmpDir("silog")
+    Ingest.append(Ingest.stamp(raw, T0), log)
+
+    val inferred = SchemaInfer.infer(spark, Replay.typed(spark, log)).collect()
+    val byVer = inferred.groupBy(_.schema_version)
+    assert(byVer.keySet == Set("0.0.1", "0.0.2"))
+
+    val v1 = byVer("0.0.1").map(f => f.field -> f).toMap
+    assert(v1("name").ftype == "string")
+    assert(v1("count").ftype == "integer")
+    assert(v1("ratio").ftype == "double")
+    assert(v1("nested.flag").ftype == "boolean")
+    assert(v1("name").required) // in every event
+    assert(!v1("count").required) // only in even events
+    assert(v1.values.forall(_.total == 6))
+  }
+
+  test("sampling: first 10 per group fully inferred, then ~2% — sampled <= processed") {
+    import spark.implicits._
+    val raw = rawEvents(800)
+    val log = tmpDir("silog2")
+    Ingest.append(Ingest.stamp(raw, T0), log)
+    val inferred = SchemaInfer.infer(spark, Replay.typed(spark, log)).collect()
+    inferred.groupBy(_.stream_name).foreach { case (_, fs) =>
+      val f = fs.head
+      assert(f.total == 400)
+      assert(f.sampled >= 10 && f.sampled < 100) // 10 head + ~2% of remainder
+    }
+  }
+}

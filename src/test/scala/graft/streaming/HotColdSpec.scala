@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.eventstore.{Ingest, Replay}
+
+/** Streaming semantics (reference streams.clj:368-405 hot/hot-cold):
+  * hot-cold replays history then tails — here via the file source with a
+  * checkpoint, so the reference's best-effort switchover becomes
+  * exactly-once (SURVEY.md §4.4 upgrade). */
+class HotColdSpec extends AnyFunSuite with SparkTestBase {
+
+  private val T0 = 1700000000000L
+
+  test("hot-cold: history replayed once, appended events picked up exactly once") {
+    val log = tmpDir("hclog")
+    val ckpt = tmpDir("hcckpt")
+    Ingest.ingest(rawEvents(10), log, T0)
+
+    def runOnce(name: String): Unit = {
+      val q = HotCold.countProjection(HotCold.hotCold(spark, log))
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    runOnce("hc1")
+    val first = spark.table("hc1").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == Map("s1" -> 5L, "s2" -> 5L))
+
+    // cold part done; now "live" appends arrive and the same checkpointed
+    // query (a new incarnation = the hot tail) sees ONLY the new files
+    Ingest.ingest(rawEvents(6), log, T0 + 60000)
+    runOnce("hc2")
+    val second = spark.table("hc2").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(second == Map("s1" -> 8L, "s2" -> 8L)) // complete-mode state resumed, +3/+3
+  }
+
+  test("windowed streaming counts equal the batch twin") {
+    val log = tmpDir("wlog")
+    Ingest.ingest(rawEvents(50), log, T0)
+
+    val q = HotCold.windowedCounts(HotCold.hotCold(spark, log), "1 hour", "10 minutes")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("wc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("wc")
+      .select(unix_millis(col("window.start")).as("ws"), col("stream_name"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Replay.open(spark, log)
+      .groupBy(window(col("event_time"), "1 hour").as("w"), col("stream_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("ws"), col("stream_name"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("hot: only events at/after subscribe time are delivered") {
+    val log = tmpDir("hlog")
+    Ingest.ingest(rawEvents(10), log, T0)
+    Ingest.ingest(rawEvents(4), log, T0 + 60000)
+
+    val q = HotCold.hot(spark, log, subscribeAtMs = T0 + 60000)
+      .groupBy(col("stream_name")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("hot1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("hot1").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s1" -> 2L, "s2" -> 2L))
+  }
+
+  test("stats listener records processed rows per query (O23)") {
+    val log = tmpDir("slog")
+    Ingest.ingest(rawEvents(20), log, T0)
+    val listener = StatsListener.install(spark)
+    try {
+      val q = HotCold.countProjection(HotCold.hotCold(spark, log))
+        .writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName("statq")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      // listener events are async; give the bus a moment
+      val deadline = System.currentTimeMillis() + 10000
+      var snap = listener.snapshot
+      while (!snap.exists(s => s.name == "statq" && s.processed == 20L) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); snap = listener.snapshot
+      }
+      assert(snap.exists(s => s.name == "statq" && s.processed == 20L))
+    } finally spark.streams.removeListener(listener)
+  }
+}
