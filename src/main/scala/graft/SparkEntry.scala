@@ -10,7 +10,7 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(PhotonOps, Relational, Joins, Windows, Scalars, TextOps, VectorOps)
+    Seq(PhotonOps, Relational, Joins, Windows, Scalars, TextOps, VectorOps, ScaleOps)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -1,0 +1,92 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multimodal column handling: media as opaque `binary` + typed metadata,
+  * processed in batches via mapPartitions (the JVM analogue of a
+  * batch-shaped Pandas UDF: the codec amortizes its setup across a batch,
+  * rows stream through without driver involvement).
+  *
+  * The actual byte→pixels/samples decode is a STUB (`FakeCodec`): the
+  * image/audio libraries are not in this container, so decode is a
+  * clearly-marked deterministic fake — but the Spark-side plumbing
+  * (schema, batch shape, partitioning, feature extraction contract) is
+  * real and tested, and a real codec drops into `FakeCodec.decode`
+  * unchanged.
+  */
+final case class MediaRow(
+    media_id: Long,
+    kind: String, // "image" | "audio" | "video" | "text"
+    media: Array[Byte], // opaque encoded payload
+    width: Int,
+    height: Int)
+
+final case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    n_bytes: Long,
+    checksum: Long,
+    width: Int,
+    height: Int,
+    feat: Array[Float]) // fixed-dim feature vector from the decoded media
+
+/** STUB standing in for a real codec (jpeg/png/ffmpeg decode). Everything
+  * here is a deterministic function of the bytes so tests and oracles can
+  * pin it down. */
+object FakeCodec {
+  val FeatureDim = 8
+
+  /** Polynomial rolling checksum over the raw bytes (matches the
+    * char-level oracle for ASCII payloads). */
+  def checksum(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31 + (bytes(i) & 0xFF)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  /** "Decode + embed": per-dimension byte-stride means, scaled. A real
+    * implementation decodes pixels/samples and runs a feature extractor;
+    * the signature is the contract. */
+  def decode(row: MediaRow): MediaFeatures = {
+    val bytes = row.media
+    val feat = new Array[Float](FeatureDim)
+    var d = 0
+    while (d < FeatureDim) {
+      var s = 0L
+      var i = d
+      while (i < bytes.length) { s += (bytes(i) & 0xFF); i += FeatureDim }
+      val n = math.max(1, (bytes.length + FeatureDim - 1 - d) / FeatureDim)
+      feat(d) = s.toFloat / n / 255f
+      d += 1
+    }
+    MediaFeatures(row.media_id, row.kind, bytes.length.toLong, checksum(bytes),
+      row.width, row.height, feat)
+  }
+}
+
+object MediaPipeline {
+
+  val BatchSize = 64
+
+  /** Batched decode/feature-extract. Narrow (no shuffle): each partition
+    * streams its rows through the codec in BatchSize groups. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // batch shape: group rows so a real codec could process a batch at
+      // once (GPU/native call), then flatten back to a row iterator
+      it.grouped(BatchSize).flatMap { batch => batch.map(FakeCodec.decode) }
+    }
+  }
+
+  /** Frame/sample selection: keep every `stride`-th media row per kind —
+    * the "frame-sample" stage of a video pipeline, expressible as a pure
+    * filter (no shuffle). */
+  def sample(media: Dataset[MediaRow], stride: Long): Dataset[MediaRow] =
+    media.filter(_.media_id % stride == 0)
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection — the 100 TB path for what
+  * x_dedup_ngram does with an O(n²) pair join.
+  *
+  * Pipeline (all narrow until the single band-bucket shuffle):
+  *   tokens → 3-gram shingles → 64-bit shingle hashes (xxhash64)
+  *   → K minhashes under affine permutations h_j(x) = (a_j·x + b_j) mod p
+  *   → B bands of R rows; band key = hash of the band's signature slice
+  *   → explode bands, shuffle once on (band, key), self-join per bucket
+  *   → exact-Jaccard verification of candidates (no false positives).
+  *
+  * Identical shingle sets collide in every band, so pairs with Jaccard 1.0
+  * are found with certainty; near-1 pairs with probability
+  * 1-(1-s^R)^B (s=0.8, R=4, B=8 → ~0.986).
+  */
+object MinHashDedup {
+
+  val NumHashes = 32
+  val Bands = 8
+  val Rows = 4 // NumHashes / Bands
+
+  /** tokens column (array<string>) → distinct 3-gram shingle hashes. */
+  def shingleHashes(tokens: Column): Column =
+    array_distinct(expr(
+      s"""transform(sequence(0, size(${tokens.toString}) - 3),
+          i -> xxhash64(concat_ws(' ', ${tokens.toString}[i],
+            ${tokens.toString}[i+1], ${tokens.toString}[i+2])))"""))
+
+  /** Signature column: array of NumHashes minhash values. The hash
+    * family is xxhash64 re-keyed by the hash index (j mixed into the
+    * input), which avoids 64-bit modular arithmetic — Spark 4 runs ANSI
+    * mode, where wrap-around multiply/add throws. */
+  def signature(shingles: String): Column = {
+    val mins = (0 until NumHashes).map { j =>
+      expr(s"array_min(transform($shingles, x -> xxhash64(x, $j)))")
+    }
+    array(mins: _*)
+  }
+
+  /** doc df (idCol, tokens array) → verified near-dup pairs
+    * (a_id, b_id, jac_bp) with exact Jaccard >= threshold. */
+  def nearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      jaccardBp: Int = 6000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val sh = docs
+      .select(col(idCol).as("id"), col(tokensCol).as("toks"))
+      .where(size($"toks") >= 3)
+      .select($"id", shingleHashes($"toks").as("sh"))
+      .where(size($"sh") > 0)
+      .withColumn("sig", signature("sh"))
+
+    // band key: one 64-bit hash of the band's R signature entries
+    val banded = sh
+      .select($"id", $"sh", posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> " +
+          s"xxhash64(b, ${(0 until Rows).map(r => s"sig[b * $Rows + $r]").mkString(", ")}))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+
+    val a = banded.select($"band".as("a_band"), $"bkey".as("a_bkey"),
+      $"id".as("a_id"), $"sh".as("a_sh"))
+    val b = banded.select($"band".as("b_band"), $"bkey".as("b_bkey"),
+      $"id".as("b_id"), $"sh".as("b_sh"))
+
+    val candidates = a.join(b,
+        $"a_band" === $"b_band" && $"a_bkey" === $"b_bkey" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"a_sh", $"b_sh")
+      .dropDuplicates("a_id", "b_id") // same pair may collide in >1 band
+
+    candidates
+      .withColumn("inter", size(array_intersect($"a_sh", $"b_sh")))
+      .withColumn("jac_bp",
+        floor(($"inter" * 10000.0) / (size($"a_sh") + size($"b_sh") - $"inter"))
+          .cast("long"))
+      .where($"jac_bp" >= jaccardBp)
+      .select($"a_id", $"b_id", $"jac_bp")
+      .orderBy($"a_id", $"b_id")
+  }
+}

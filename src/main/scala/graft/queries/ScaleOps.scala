@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{MediaPipeline, MediaRow}
+import graft.operators.{MinHashDedup, SimHashDedup}
+
+/** Group X — the scale-path operators: MinHash+LSH and SimHash near-dup
+  * (the 100 TB replacements for the O(n²) exact pair join of
+  * x_dedup_ngram) and the multimodal binary pipeline.
+  *
+  * x_dedup_minhash / x_dedup_simhash are probabilistic candidate
+  * generators → no SQL oracle; their invariants (exact-verified output,
+  * guaranteed recall classes, agreement with the brute-force pairs) are
+  * pinned by OperatorsSpec. x_multimodal_meta IS oracle-checked: the stub
+  * codec is a deterministic function of the bytes.
+  */
+object ScaleOps extends QueryModule {
+
+  private def docTokens(spark: SparkSession, dir: String) =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+
+  /** MinHash/LSH candidates, exact-Jaccard verified (same output contract
+    * as x_dedup_ngram; one band-bucket shuffle instead of an O(n²) join). */
+  private val dedupMinhash = Q(
+    "x_dedup_minhash",
+    None,
+    (spark, dir) =>
+      MinHashDedup.nearDuplicates(docTokens(spark, dir), "doc_id", "toks"))
+
+  /** SimHash 4×16-bit banding, Hamming ≤ 3. */
+  private val dedupSimhash = Q(
+    "x_dedup_simhash",
+    None,
+    (spark, dir) =>
+      SimHashDedup.nearDuplicates(docTokens(spark, dir), "doc_id", "toks"))
+
+  /** Multimodal plumbing: documents as opaque binary media through the
+    * batched mapPartitions decode (stubbed codec, deterministic), output
+    * byte length + rolling checksum — oracle-checkable because the test
+    * corpus is ASCII (byte stream == character stream). */
+  private val multimodalMeta = Q(
+    "x_multimodal_meta",
+    Some("""SELECT doc_id,
+              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+              list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, length(text) + 1),
+                    i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
+            FROM documents WHERE length(text) > 0 ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val media = t(spark, dir, "documents")
+        .where(length($"text") > 0)
+        .select($"doc_id".as("media_id"), lit("text").as("kind"),
+          $"text".cast("binary").as("media"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[MediaRow]
+      MediaPipeline.extractFeatures(media)
+        .toDF()
+        .select($"media_id".as("doc_id"), $"n_bytes", $"checksum")
+        .orderBy($"doc_id")
+    })
+
+  override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta)
+}

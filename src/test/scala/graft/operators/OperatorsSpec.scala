@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.SimHash
+import graft.multimodal.{FakeCodec, MediaPipeline, MediaRow}
+
+/** Invariants for the probabilistic dedup operators (no SQL oracle) and
+  * the multimodal pipeline. */
+class OperatorsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docTokens = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("lang"),
+      expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+
+  /** Brute-force exact 3-gram-Jaccard pairs (un-blocked ground truth). */
+  private def exactPairs(minBp: Long): Set[(Long, Long)] = {
+    val sh = docTokens
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))""").as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jac_bp", floor(col("inter") * 10000.0 /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter"))).cast("long"))
+      .where(col("jac_bp") >= minBp)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash: every reported pair is exact-verified; identical sets always found") {
+    val got = MinHashDedup.nearDuplicates(docTokens, "doc_id", "toks")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactPairs(6000)
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    // jac == 1.0 pairs collide in every band → recall 1.0 guaranteed
+    val identical = exactPairs(10000)
+    assert(identical.subsetOf(got), s"missed identical pairs: ${identical -- got}")
+    assert(got.nonEmpty)
+  }
+
+  test("simhash expression: codegen path == kernel; identical token sets → distance 0") {
+    import spark.implicits._
+    SimHash.register(spark)
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("a", "b", "c")),
+      (3L, Seq("x", "y", "z", "w"))).toDF("id", "toks")
+    val sigs = df.selectExpr("id", "simhash64(toks) AS s").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(SimHash.hamming(sigs(1L), sigs(3L)) > 10)
+  }
+
+  test("simhash dedup finds the identical-token-set pairs with hamming 0") {
+    val got = SimHashDedup.nearDuplicates(docTokens, "doc_id", "toks")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // token-3-gram-identical pairs have identical token sequences → sig equal
+    val identical = exactPairs(10000)
+    identical.foreach { p =>
+      assert(got.get(p).exists(_ <= 3), s"pair $p missing or too distant")
+    }
+  }
+
+  test("multimodal: batched decode preserves rows, features deterministic, stub wired") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      MediaRow(i.toLong, "image", Array.fill(i % 97 + 1)((i % 251).toByte), i % 640, i % 480)
+    }
+    val ds = spark.createDataset(rows).repartition(4)
+    val feats = MediaPipeline.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(feats.length == 200)
+    feats.foreach { f =>
+      val orig = rows(f.media_id.toInt)
+      assert(f.n_bytes == orig.media.length.toLong)
+      assert(f.checksum == FakeCodec.checksum(orig.media))
+      assert(f.feat.length == FakeCodec.FeatureDim)
+    }
+    // frame sampling keeps every stride-th row
+    assert(MediaPipeline.sample(ds, 10L).count() == 20)
+  }
+}
