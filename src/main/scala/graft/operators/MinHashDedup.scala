@@ -23,23 +23,17 @@ object MinHashDedup {
   val Bands = 8
   val Rows = 4 // NumHashes / Bands
 
-  /** tokens column (array<string>) → distinct 3-gram shingle hashes. */
+  /** tokens column (array<string>) → distinct 3-gram shingle hashes —
+    * the codegen kernel (graft.functions.Shingles), not HOFs: Spark's
+    * higher-order functions force the whole projection into interpreted
+    * eval (~20× slower measured on this stage). */
   def shingleHashes(tokens: Column): Column =
-    array_distinct(expr(
-      s"""transform(sequence(0, size(${tokens.toString}) - 3),
-          i -> xxhash64(concat_ws(' ', ${tokens.toString}[i],
-            ${tokens.toString}[i+1], ${tokens.toString}[i+2])))"""))
+    expr(s"shingle_hashes(${tokens.toString}, 3)")
 
-  /** Signature column: array of NumHashes minhash values. The hash
-    * family is xxhash64 re-keyed by the hash index (j mixed into the
-    * input), which avoids 64-bit modular arithmetic — Spark 4 runs ANSI
-    * mode, where wrap-around multiply/add throws. */
-  def signature(shingles: String): Column = {
-    val mins = (0 until NumHashes).map { j =>
-      expr(s"array_min(transform($shingles, x -> xxhash64(x, $j)))")
-    }
-    array(mins: _*)
-  }
+  /** Signature column: array of NumHashes minhash values in one kernel
+    * pass (splitmix64 re-keyed per hash index). */
+  def signature(shingles: String): Column =
+    expr(s"minhash_sig($shingles, $NumHashes)")
 
   /** doc df (idCol, tokens array) → verified near-dup pairs
     * (a_id, b_id, jac_bp) with exact Jaccard >= threshold. */
@@ -50,13 +44,21 @@ object MinHashDedup {
       jaccardBp: Int = 6000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-
-    val sh = docs
+    graft.functions.Shingles.register(spark)
+    // barrier: materialize the (HOF-computed, interpreted) token arrays
+    // once and spread rows across cores; the shingle+signature projection
+    // above it is pure codegen kernels
+    val toks = docs
       .select(col(idCol).as("id"), col(tokensCol).as("toks"))
       .where(size($"toks") >= 3)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val sh = toks
       .select($"id", shingleHashes($"toks").as("sh"))
       .where(size($"sh") > 0)
       .withColumn("sig", signature("sh"))
+      // barrier: keep the banding HOF below from pulling sh/sig aliases
+      // into its per-band lambda (re-evaluating the kernels per band)
+      .repartition(spark.sparkContext.defaultParallelism)
 
     // band key: one 64-bit hash of the band's R signature entries
     val banded = sh

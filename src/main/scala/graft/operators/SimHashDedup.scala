@@ -28,10 +28,13 @@ object SimHashDedup {
     import spark.implicits._
     SimHash.register(spark)
 
+    // barrier AFTER the signature: stop the banding lambda below from
+    // inlining the sig alias and recomputing simhash per band chunk
     val sigs = docs
       .select(col(idCol).as("id"), col(tokensCol).as("toks"))
       .where(size(col("toks")) > 0)
       .withColumn("sig", expr("simhash64(toks)"))
+      .repartition(spark.sparkContext.defaultParallelism)
 
     val banded = sigs.select($"id", $"sig",
       posexplode(expr(s"transform(sequence(0, ${Chunks - 1}), " +

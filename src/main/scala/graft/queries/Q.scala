@@ -43,4 +43,12 @@ trait QueryModule {
   protected def money(c: Column): Column = c.cast(DecimalType(18, 2))
 
   protected def dbl(c: Column): Column = c.cast("double")
+
+  /** Materialization barrier: a round-robin exchange that stops
+    * CollapseProject from inlining an expensive array-expression alias
+    * into downstream per-element lambda references (which would turn an
+    * O(n) tokenize into O(n²) per row — measured 10× on the dedup
+    * pipelines). Also spreads small single-file tables across cores. */
+  protected def barrier(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -19,9 +19,9 @@ import graft.operators.{MinHashDedup, SimHashDedup}
 object ScaleOps extends QueryModule {
 
   private def docTokens(spark: SparkSession, dir: String) =
-    t(spark, dir, "documents")
+    barrier(t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks")))
 
   /** MinHash/LSH candidates, exact-Jaccard verified (same output contract
     * as x_dedup_ngram; one band-bucket shuffle instead of an O(n²) join). */

