@@ -1,0 +1,38 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump the formatted physical plan of every declared query (or one) for
+  * plan auditing: pushed filters, pruned schemas, join strategies,
+  * whole-stage-codegen spans.
+  * sbt "runMain graft.tools.Explain [out.txt] [queryName]" */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/plans.txt")
+    val only = args.drop(1).headOption
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_ == q._1))
+      .foreach { case (name, fn) =>
+        sb.append(s"\n\n=================== $name ===================\n")
+        try {
+          val df = fn(spark, sfDir)
+          sb.append(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        } catch { case e: Throwable => sb.append(s"ERROR: $e\n") }
+      }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"[explain] wrote $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.eventstore.{CountFold, Event, Fold}
+
+/** Live arbitrary-fold projections: state carried across micro-batches,
+  * in-order folding, failure capture (reference projections.clj live
+  * update tests :46-66, error capture streams.clj:90-97). */
+class StatefulProjectionSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ev(stream: String, oid: Long, payload: String = "{}"): Event =
+    Event(stream, oid, new java.sql.Timestamp(oid / 1000), "svc", s"l$oid", "1", payload)
+
+  test("count projection folds across micro-batches with state-store resume") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StatefulProjection.run(mem.toDS(), CountFold("live"))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("live_counts")
+      .start()
+    try {
+      mem.addData(ev("a", 1), ev("a", 2), ev("b", 3))
+      q.processAllAvailable()
+      mem.addData(ev("a", 4), ev("b", 5), ev("b", 6))
+      q.processAllAvailable()
+      // update mode: last row per stream is the live descriptor value
+      val last = spark.table("live_counts").collect()
+        .map(r => (r.getString(1), r.getLong(2))) // stream_name, value
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last == Map("a" -> 3L, "b" -> 3L))
+    } finally q.stop()
+  }
+
+  test("non-commutative fold sees events in order_id order within a batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // state = concatenation of order ids: order-sensitive
+    val concatFold = new Fold[String] {
+      val name = "concat"
+      val initial = ""
+      def step(s: String, e: Event): String = s + e.order_id + ","
+    }
+    val mem = MemoryStream[Event]
+    val q = StatefulProjection.run(mem.toDS(), concatFold)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("live_concat")
+      .start()
+    try {
+      mem.addData(ev("a", 30), ev("a", 10), ev("a", 20)) // out of order in batch
+      q.processAllAvailable()
+      val v = spark.table("live_concat").collect().map(_.getString(2)).head
+      assert(v == "10,20,30,")
+    } finally q.stop()
+  }
+
+  test("failing fold freezes state, reports failed, stream keeps running") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val boom = new Fold[Long] {
+      val name = "boom"
+      val initial = 0L
+      def step(s: Long, e: Event): Long =
+        if (e.payload == "bad") throw new IllegalStateException("kaboom") else s + 1
+    }
+    val mem = MemoryStream[Event]
+    val q = StatefulProjection.run(mem.toDS(), boom)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("live_boom")
+      .start()
+    try {
+      mem.addData(ev("a", 1), ev("a", 2), ev("a", 3, "bad"), ev("a", 4))
+      q.processAllAvailable()
+      val r = spark.table("live_boom").collect().last
+      assert(r.getLong(2) == 2L) // frozen at last good state
+      assert(r.getString(4) == "failed")
+      assert(r.getString(5) != null && r.getString(5).contains("kaboom"))
+    } finally q.stop()
+  }
+}
