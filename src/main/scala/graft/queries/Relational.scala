@@ -188,6 +188,79 @@ object Relational extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** PIVOT: event counts per user fanned out to one column per stream
+    * type (explicit value list → stable schema at any scale). Oracle via
+    * conditional aggregation (DuckDB's PIVOT is DDL-flavored). */
+  private val pivot = Q(
+    "r_pivot",
+    Some("""SELECT user_id,
+            count(*) FILTER (WHERE event_type = 'click') AS click,
+            count(*) FILTER (WHERE event_type = 'error') AS error,
+            count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+            count(*) FILTER (WHERE event_type = 'signup') AS signup,
+            count(*) FILTER (WHERE event_type = 'view') AS view
+            FROM events GROUP BY user_id ORDER BY user_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"user_id")
+    })
+
+  /** FULL OUTER join: per-key order counts vs event counts, keys from
+    * either side (nulls folded to 0 so NULL-ordering never diverges). */
+  private val joinFullOuter = Q(
+    "r_join_full_outer",
+    Some("""SELECT coalesce(o.k, e.k) AS k,
+            coalesce(o.n_orders, 0) AS n_orders,
+            coalesce(e.n_events, 0) AS n_events
+            FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1) o
+            FULL OUTER JOIN
+                 (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1) e
+            ON o.k = e.k ORDER BY k"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val o = t(spark, dir, "orders").groupBy($"o_custkey".as("ok"))
+        .agg(count(lit(1)).as("n_orders"))
+      val e = t(spark, dir, "events").groupBy($"user_id".as("ek"))
+        .agg(count(lit(1)).as("n_events"))
+      o.join(e, $"ok" === $"ek", "full_outer")
+        .select(coalesce($"ok", $"ek").as("k"),
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          coalesce($"n_events", lit(0L)).as("n_events"))
+        .orderBy($"k")
+    })
+
+  /** Conditional scalar coverage: CASE/WHEN, coalesce, nullif,
+    * least/greatest over orders. */
+  private val scalarConditional = Q(
+    "r_scalar_conditional",
+    Some("""SELECT o_orderkey,
+            CASE WHEN o_totalprice > 300000 THEN 'high'
+                 WHEN o_totalprice > 100000 THEN 'mid'
+                 ELSE 'low' END AS bucket,
+            coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_folded,
+            least(o_totalprice, 250000.0) AS capped,
+            greatest(CAST(year(o_orderdate) AS BIGINT), 1996) AS yr_floor
+            FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "orders")
+        .where($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey",
+          when($"o_totalprice" > 300000, "high")
+            .when($"o_totalprice" > 100000, "mid")
+            .otherwise("low").as("bucket"),
+          coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("status_folded"),
+          least($"o_totalprice", lit(250000.0)).as("capped"),
+          greatest(year($"o_orderdate").cast("long"), lit(1996L)).as("yr_floor"))
+        .orderBy($"o_orderkey")
+    })
+
   override def all: Seq[Q] = Seq(filterProject, aggHash, aggDistinct,
-    aggRollup, aggCube, groupingSets, sortTopk, setOps, hllDistinct)
+    aggRollup, aggCube, groupingSets, sortTopk, setOps, hllDistinct,
+    pivot, joinFullOuter, scalarConditional)
 }
