@@ -60,13 +60,16 @@ object MinHashDedup {
       // into its per-band lambda (re-evaluating the kernels per band)
       .repartition(spark.sparkContext.defaultParallelism)
 
-    // band key: one 64-bit hash of the band's R signature entries
+    // band key: one 64-bit hash of the band's R signature entries.
+    // persisted: both legs of the candidate self-join read it — without
+    // the cache each leg re-runs the whole shingle+signature pipeline
     val banded = sh
       .select($"id", $"sh", posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> " +
           s"xxhash64(b, ${(0 until Rows).map(r => s"sig[b * $Rows + $r]").mkString(", ")}))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
+      .persist()
 
     val a = banded.select($"band".as("a_band"), $"bkey".as("a_bkey"),
       $"id".as("a_id"), $"sh".as("a_sh"))

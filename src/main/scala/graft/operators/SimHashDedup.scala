@@ -41,6 +41,7 @@ object SimHashDedup {
         s"b -> shiftrightunsigned(sig, b * 16) & 65535)")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "chunk")
+      .persist() // both self-join legs read this
 
     val a = banded.select($"band".as("a_band"), $"chunk".as("a_chunk"),
       $"id".as("a_id"), $"sig".as("a_sig"))

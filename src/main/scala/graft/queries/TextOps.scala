@@ -81,6 +81,7 @@ object TextOps extends QueryModule {
         .withColumn("sz", size($"sh"))
         .where($"sz" > 0))
       val post = sh.select($"doc_id", $"lang", $"sz", explode($"sh").as("s"))
+        .persist() // both self-join legs read the postings
       val a = post.select($"s", $"lang".as("a_lang"), $"doc_id".as("a_id"), $"sz".as("a_sz"))
       val b = post.select($"s".as("s2"), $"lang".as("b_lang"), $"doc_id".as("b_id"), $"sz".as("b_sz"))
       a.join(b, $"s" === $"s2" && $"a_lang" === $"b_lang" && $"a_id" < $"b_id")
