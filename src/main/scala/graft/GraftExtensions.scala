@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Session extension installing graft's native functions, for use via
+  * `spark.sql.extensions=graft.GraftExtensions` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * This is the idiomatic packaging for a Spark-native library: the
+  * engine's custom expressions become ordinary SQL functions in every
+  * session, no per-query registration. (No custom LogicalPlan/Strategy
+  * is injected — see graft.plans for why none is needed.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, clazz: Class[_], usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", classOf[SimHash64],
+        "simhash64(tokens) - 64-bit SimHash of an array<string>"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", classOf[VecDotExpr],
+        "vec_dot(a, b) - strict left-fold dot product of two array<double>"),
+      (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", classOf[ShingleHashesExpr],
+        "shingle_hashes(tokens, k) - sorted distinct k-gram shingle hashes"),
+      (exprs: Seq[Expression]) => ShingleHashesExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", classOf[MinHashSigExpr],
+        "minhash_sig(shingles, num) - MinHash signature of array<long>"),
+      (exprs: Seq[Expression]) => MinHashSigExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("poly_hash"),
+      info("poly_hash", classOf[PolyHashExpr],
+        "poly_hash(str) - 31-polynomial rolling hash mod 1e9+7 over UTF-8 bytes"),
+      (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)))
+
+  /** Imperative registration into an existing session (equivalent to the
+    * extension path; used by the query modules). */
+  def registerAll(spark: SparkSession): Unit = {
+    SimHash.register(spark)
+    VecDot.register(spark)
+    Shingles.register(spark)
+    PolyHash.register(spark)
+  }
+}
