@@ -140,6 +140,36 @@ object Joins extends QueryModule {
         .orderBy($"p_event_id")
     })
 
+  /** TPC-H q5-shaped 4-way join touching every dimension depth:
+    * lineitem ⨝ supplier ⨝ nation ⨝ region, revenue per region. The
+    * three dim tables broadcast (supplier included — it stays millions
+    * of times smaller than lineitem at any sf); lineitem never shuffles.
+    */
+  private val joinMulti = Q(
+    "r_join_multi",
+    Some("""SELECT r_name, n_name,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+            count(*) AS n_lines
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .join(broadcast(t(spark, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t(spark, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          dbl(sum(money($"l_extendedprice") * (lit(1) - $"l_discount".cast("decimal(4,2)"))))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"r_name", $"n_name")
+    })
+
   override def all: Seq[Q] = Seq(joinBroadcast, joinShuffle, joinSemi,
-    joinAnti, joinRange, joinAsof)
+    joinAnti, joinRange, joinAsof, joinMulti)
 }

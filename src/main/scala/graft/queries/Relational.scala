@@ -260,7 +260,30 @@ object Relational extends QueryModule {
         .orderBy($"o_orderkey")
     })
 
+  /** Exact interpolated percentiles (Spark `percentile` and DuckDB
+    * `quantile_cont` share the (n-1)p interpolation rule; inputs are
+    * whole-number quantities so the interpolation arithmetic is exact). */
+  private val aggPercentile = Q(
+    "r_agg_percentile",
+    Some("""SELECT l_returnflag,
+            round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+            round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+            round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+            round(quantile_cont(l_quantity, 0.9), 4) AS p90
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"))
+        .orderBy($"l_returnflag")
+    })
+
   override def all: Seq[Q] = Seq(filterProject, aggHash, aggDistinct,
     aggRollup, aggCube, groupingSets, sortTopk, setOps, hllDistinct,
-    pivot, joinFullOuter, scalarConditional)
+    pivot, joinFullOuter, scalarConditional, aggPercentile)
 }
