@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane LSH for approximate nearest neighbours — the
+  * LSH-bucketed complement to the IVF path (x_ann_ivf): a vector's
+  * bucket is the sign pattern of its dot products with `Bits` fixed
+  * hyperplanes. Vectors within a small angle land in the same bucket
+  * with probability (1 - θ/π)^Bits; a probe searches only its bucket.
+  *
+  * Hyperplanes are DETERMINISTIC (splitmix64 of (plane, dim) mapped to
+  * [-1, 1]) — reproducible across runs/JVMs, no rand(). At 100 TB the
+  * bucket column is the shuffle/partition key; the expensive exact
+  * cosine pass runs per bucket.
+  */
+object HyperplaneLSH {
+
+  /** Default signature width. Tune to data density: buckets ≈ 2^bits,
+    * so pick bits ≈ log2(N / desired-bucket-size); the test corpus (500
+    * near-orthogonal vectors) wants small buckets counts. Multi-probe
+    * (flipping low-margin bits) is the standard recall lever at scale. */
+  val Bits = 4
+
+  private def mix(z0: Long): Long = {
+    var z = z0 * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** plane j, dimension d → uniform [-1, 1]. */
+  def planes(dim: Int, bits: Int = Bits): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (j, d) =>
+      mix(j.toLong * 1048576 + d).toDouble / Long.MaxValue
+    }
+
+  /** Bucket id column from a double-array column (vec_dot must be
+    * registered; strict left-fold keeps signatures deterministic). */
+  def bucket(vCol: String, dim: Int, bits: Int = Bits): Column = {
+    val ps = planes(dim, bits)
+    (0 until bits).map { j =>
+      val lits = ps(j).mkString("array(", "D, ", "D)")
+      when(expr(s"vec_dot($vCol, $lits)") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** For each probe (id ∈ probeIds), the top-k exact-cosine neighbours
+    * within the probe's LSH bucket. `emb` needs (vec_id, v: array<double>,
+    * nrm: double). */
+  def searchTopK(
+      emb: DataFrame,
+      dim: Int,
+      probeIds: Seq[Long],
+      k: Int,
+      bits: Int = Bits): DataFrame = {
+    import emb.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val withBucket = emb.withColumn("bkt", bucket("v", dim, bits))
+      .persist() // probe side and candidate side both read it
+    val probes = broadcast(withBucket
+      .where($"vec_id".isin(probeIds: _*))
+      .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm"),
+        $"bkt".as("p_bkt")))
+    val w = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
+    probes.join(withBucket, $"bkt" === $"p_bkt" && $"vec_id" =!= $"p_id")
+      .withColumn("sim", expr("vec_dot(pv, v)") / ($"p_nrm" * $"nrm"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= k)
+      .select($"p_id", $"rk", $"vec_id", floor($"sim" * 10000.0).cast("long").as("sim_bp"))
+      .orderBy($"p_id", $"rk")
+  }
+}

@@ -140,5 +140,17 @@ object VectorOps extends QueryModule {
         .orderBy($"p_id", $"rk")
     })
 
-  override def all: Seq[Q] = Seq(simTopk, embedNeardup, annIvf)
+  /** LSH-bucketed ANN (random hyperplanes) — rows-only: bucket
+    * membership is hash-geometry-dependent; VectorOpsSpec pins the
+    * invariants (sims exact, candidates share the probe's bucket). */
+  private val annLsh = Q(
+    "x_ann_lsh",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      graft.operators.HyperplaneLSH.searchTopK(
+        emb(spark, dir), dim = 64, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+    })
+
+  override def all: Seq[Q] = Seq(simTopk, embedNeardup, annIvf, annLsh)
 }

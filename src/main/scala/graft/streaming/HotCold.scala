@@ -74,6 +74,17 @@ object HotCold {
       .groupBy(window(col("event_time"), window_), col("stream_name"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup on the client idempotency key: events with
+    * the same (service_id, local_id) are one logical event (the
+    * reference's required ingest identity fields, doc/schemas.md:19-43).
+    * dropDuplicatesWithinWatermark keeps per-key state only until the
+    * watermark passes — bounded state at any scale, unlike an unbounded
+    * dropDuplicates. */
+  def dedupStream(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("service_id", "local_id")
+
   /** Start a projection query into an in-memory sink (tests/local); in
     * production the same writer targets a real sink with a checkpoint. */
   def startMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =

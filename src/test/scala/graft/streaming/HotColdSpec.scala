@@ -80,6 +80,27 @@ class HotColdSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("s1" -> 2L, "s2" -> 2L))
   }
 
+  test("streaming dedup: same (service_id, local_id) delivered once within watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(oid: Long, local: String) = graft.eventstore.Event(
+      "s", oid, new java.sql.Timestamp(1700000000000L + oid), "svc", local, "1", "{}")
+    val mem = MemoryStream[graft.eventstore.Event]
+    val q = HotCold.dedupStream(mem.toDS().toDF(), "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup1")
+      .start()
+    try {
+      mem.addData(ev(1, "a"), ev(2, "a"), ev(3, "b")) // dup "a" in batch
+      q.processAllAvailable()
+      mem.addData(ev(4, "a"), ev(5, "c")) // dup "a" across batches
+      q.processAllAvailable()
+      val locals = spark.table("dedup1").collect().map(_.getAs[String]("local_id")).sorted
+      assert(locals.sameElements(Array("a", "b", "c")))
+    } finally q.stop()
+  }
+
   test("stats listener records processed rows per query (O23)") {
     val log = tmpDir("slog")
     Ingest.ingest(rawEvents(20), log, T0)
