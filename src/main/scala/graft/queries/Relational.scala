@@ -283,7 +283,24 @@ object Relational extends QueryModule {
         .orderBy($"l_returnflag")
     })
 
+  /** Sketch-family quantiles: approx_percentile (mergeable sketch, one
+    * pass, bounded memory — the 100 TB path where exact percentile's
+    * per-group value buffer won't fit). No oracle (approximate);
+    * QueriesSpec bounds it against the exact quantiles. */
+  private val approxQuantile = Q(
+    "x_approx_quantile",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("p95"))
+        .orderBy($"l_returnflag")
+    })
+
   override def all: Seq[Q] = Seq(filterProject, aggHash, aggDistinct,
     aggRollup, aggCube, groupingSets, sortTopk, setOps, hllDistinct,
-    pivot, joinFullOuter, scalarConditional, aggPercentile)
+    pivot, joinFullOuter, scalarConditional, aggPercentile, approxQuantile)
 }

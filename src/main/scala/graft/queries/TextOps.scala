@@ -57,41 +57,79 @@ object TextOps extends QueryModule {
             WHERE CAST(floor((len(list_intersect(a.sh, b.sh)) * 10000.0)
                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) >= 6000
             ORDER BY a_id, b_id"""),
+    (spark, dir) => ngramPairs(spark, dir).orderBy(col("a_id"), col("b_id")))
+
+  /** Inverted-index (posting-list) similarity join: explode shingles,
+    * self-join postings on the shingle hash, count common shingles per
+    * pair, derive Jaccard from |A∩B| and the per-doc set sizes. Only
+    * pairs sharing ≥1 shingle are ever materialized (any pair above the
+    * 0.6 threshold shares shingles, so output is identical to the
+    * all-pairs definition) — cost ∝ Σ df(shingle)², not n² docs. This is
+    * the scale shape; MinHashDedup further bounds the frequent-shingle
+    * blowup (x_dedup_minhash).
+    */
+  private def ngramPairs(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    graft.functions.Shingles.register(spark)
+    val toks = barrier(t(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+      .where(size($"toks") >= 3))
+    // shingle hashing via the codegen kernel (HOF shingling drops the
+    // projection to interpreted eval); hashes are engine-internal — the
+    // oracle compares exact string sets, and 64-bit collisions are
+    // vanishing at this cardinality
+    val sh = barrier(toks
+      .select($"doc_id", $"lang", expr("shingle_hashes(toks, 3)").as("sh"))
+      .withColumn("sz", size($"sh"))
+      .where($"sz" > 0))
+    val post = sh.select($"doc_id", $"lang", $"sz", explode($"sh").as("s"))
+      .persist() // both self-join legs read the postings
+    val a = post.select($"s", $"lang".as("a_lang"), $"doc_id".as("a_id"), $"sz".as("a_sz"))
+    val b = post.select($"s".as("s2"), $"lang".as("b_lang"), $"doc_id".as("b_id"), $"sz".as("b_sz"))
+    a.join(b, $"s" === $"s2" && $"a_lang" === $"b_lang" && $"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id", $"a_sz", $"b_sz")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac_bp",
+        floor(($"inter" * 10000.0) / ($"a_sz" + $"b_sz" - $"inter")).cast("long"))
+      .where($"jac_bp" >= 6000)
+      .select($"a_id", $"b_id", $"jac_bp")
+  }
+
+  /** Duplicate-cluster assignment: near-dup pairs → connected components
+    * → each doc labeled with its cluster's min doc_id (the canonical
+    * representative a dedup pipeline keeps). Oracle: recursive-CTE
+    * transitive closure + min — exact match with the iterative
+    * min-label-propagation operator. */
+  private val dedupClusters = Q(
+    "x_dedup_clusters",
+    Some("""WITH RECURSIVE
+            s AS (SELECT doc_id, lang,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+              FROM (SELECT doc_id, lang,
+                      list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE CAST(floor((len(list_intersect(a.sh, b.sh)) * 10000.0)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) >= 6000),
+            edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                      UNION SELECT b_id, a_id FROM pairs),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src)
+            SELECT id AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY id ORDER BY doc_id"""),
     (spark, dir) => {
-      // Inverted-index (posting-list) similarity join: explode shingles,
-      // self-join postings on the shingle hash, count common shingles per
-      // pair, derive Jaccard from |A∩B| and the per-doc set sizes. Only
-      // pairs sharing ≥1 shingle are ever materialized (any pair above
-      // the 0.6 threshold shares shingles, so output is identical to the
-      // all-pairs definition) — cost ∝ Σ df(shingle)², not n² docs. This
-      // is the scale shape; MinHashDedup further bounds the frequent-
-      // shingle blowup (x_dedup_minhash).
       import spark.implicits._
-      graft.functions.Shingles.register(spark)
-      val toks = barrier(t(spark, dir, "documents")
-        .select($"doc_id", $"lang",
-          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
-        .where(size($"toks") >= 3))
-      // shingle hashing via the codegen kernel (HOF shingling drops the
-      // projection to interpreted eval); hashes are engine-internal —
-      // the oracle compares exact string sets, and 64-bit collisions are
-      // vanishing at this cardinality
-      val sh = barrier(toks
-        .select($"doc_id", $"lang", expr("shingle_hashes(toks, 3)").as("sh"))
-        .withColumn("sz", size($"sh"))
-        .where($"sz" > 0))
-      val post = sh.select($"doc_id", $"lang", $"sz", explode($"sh").as("s"))
-        .persist() // both self-join legs read the postings
-      val a = post.select($"s", $"lang".as("a_lang"), $"doc_id".as("a_id"), $"sz".as("a_sz"))
-      val b = post.select($"s".as("s2"), $"lang".as("b_lang"), $"doc_id".as("b_id"), $"sz".as("b_sz"))
-      a.join(b, $"s" === $"s2" && $"a_lang" === $"b_lang" && $"a_id" < $"b_id")
-        .groupBy($"a_id", $"b_id", $"a_sz", $"b_sz")
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jac_bp",
-          floor(($"inter" * 10000.0) / ($"a_sz" + $"b_sz" - $"inter")).cast("long"))
-        .where($"jac_bp" >= 6000)
-        .select($"a_id", $"b_id", $"jac_bp")
-        .orderBy($"a_id", $"b_id")
+      graft.operators.ConnectedComponents
+        .components(ngramPairs(spark, dir), "a_id", "b_id")
+        .select($"id".as("doc_id"), $"cluster_id")
+        .orderBy($"doc_id")
     })
 
   /** Tokenize + top-10 tokens per lang (mirrors the reference's
@@ -225,6 +263,6 @@ object TextOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
-  override def all: Seq[Q] = Seq(dedupExact, dedupNgram, textAnalysis,
-    langId, qualityScore, tokenCount, fingerprint)
+  override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
+    textAnalysis, langId, qualityScore, tokenCount, fingerprint)
 }

@@ -24,6 +24,22 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("x_approx_quantile within 5% of exact quantiles") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("x_approx_quantile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (e50, e95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - e50) / e50 <= 0.05, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 <= 0.05, s"$k p95: $a95 vs $e95")
+    }
+  }
+
   test("x_hll_distinct within 15% of exact distinct counts") {
     import spark.implicits._
     val approx = SparkEntry.queries("x_hll_distinct")(spark, sf)
