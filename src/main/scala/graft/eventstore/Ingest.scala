@@ -57,9 +57,18 @@ object Ingest {
   /** Append a stamped batch to the log, partitioned by stream so stream
     * filters prune at the file level (the columnar analogue of the
     * reference's per-stream `db/lazy-events` pushdown, streams.clj:325-327).
+    *
+    * `byDate = true` adds an `event_date` partition level below the
+    * stream — the 100 TB layout (SCALING.md): one stream's years of
+    * history aren't a single giant directory, and `from`-bounded cold
+    * scans prune whole days before reading a footer.
     */
-  def append(stamped: DataFrame, logDir: String): Unit =
-    stamped.write.mode("append").partitionBy("stream_name").parquet(logDir)
+  def append(stamped: DataFrame, logDir: String, byDate: Boolean = false): Unit =
+    if (byDate)
+      stamped.withColumn("event_date", to_date(col("event_time")))
+        .write.mode("append").partitionBy("stream_name", "event_date").parquet(logDir)
+    else
+      stamped.write.mode("append").partitionBy("stream_name").parquet(logDir)
 
   /** validate → stamp → append in one call; returns the invalid rows. */
   def ingest(raw: DataFrame, logDir: String, ingestTimeMs: Long): DataFrame = {

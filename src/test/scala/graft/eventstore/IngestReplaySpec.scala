@@ -61,6 +61,37 @@ class IngestReplaySpec extends AnyFunSuite with SparkTestBase {
     assert(Replay.distinctStreams(df).collect().map(_.getString(0)).toSeq == Seq("s1", "s2"))
   }
 
+  test("date-partitioned layout: stream/date dirs, replay unchanged") {
+    val log = tmpDir("dlog")
+    Ingest.append(Ingest.stamp(rawEvents(10), T0), log, byDate = true)
+    val dayMs = 86400000L
+    Ingest.append(Ingest.stamp(rawEvents(6), T0 + dayMs), log, byDate = true)
+    val s1 = new java.io.File(s"$log/stream_name=s1")
+    assert(s1.listFiles().map(_.getName).count(_.startsWith("event_date=")) == 2)
+    val df = Replay.open(spark, log)
+    assert(Replay.cold(df, "s1").count() == 8)
+    assert(Replay.cold(df, "s1", fromMs = T0 + dayMs).count() == 3)
+  }
+
+  test("compaction: many micro-batch files → few sorted files, same rows") {
+    val log = tmpDir("clog")
+    // 10 "micro-batches" → ≥10 files in s1's partition
+    (0 until 10).foreach { i =>
+      Ingest.ingest(rawEvents(20, Seq("s1")), log, T0 + i * 1000)
+    }
+    val part = new java.io.File(s"$log/stream_name=s1")
+    val before = part.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 10)
+    val before200 = Replay.cold(Replay.open(spark, log), "s1")
+      .collect().map(_.getAs[Long]("order_id"))
+
+    val after = Replay.compactStream(spark, log, "s1", targetRows = 1000000L)
+    assert(after == 1)
+    val after200 = Replay.cold(Replay.open(spark, log), "s1")
+      .collect().map(_.getAs[Long]("order_id"))
+    assert(after200.sameElements(before200)) // identical replay post-compaction
+  }
+
   test("streams catalog counts per stream; delete-stream drops its partition") {
     val log = tmpDir("log")
     Ingest.ingest(rawEvents(10), log, T0)
