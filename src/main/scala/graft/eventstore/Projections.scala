@@ -20,14 +20,24 @@ trait Fold[S] extends Serializable {
 
 /** Descriptor row — the queryable "running query" record (SURVEY.md §1.3:
   * projection-name, stream-name, current-value, processed, status,
-  * last-error; reference streams.clj:216-232, doc/schemas.md:97-123). */
+  * last-error, avg-time, mem-used; reference streams.clj:216-232,
+  * doc/schemas.md:97-123).
+  *
+  * `avg_step_us` mirrors the reference's `avg-time` (ms/event,
+  * streams.clj:105-106) at µs resolution; `state_bytes` mirrors
+  * `mem-used` (serialized state size, nippy byte-counting at
+  * streams.clj:108-123) using the state's UTF-8 rendering as the size
+  * proxy — same monotonic signal, no serializer round-trip per update.
+  */
 final case class ProjRow[S](
     projection_name: String,
     stream_name: String,
     value: S,
     processed: Long,
     status: String,
-    last_error: Option[String])
+    last_error: Option[String],
+    avg_step_us: Double = 0.0,
+    state_bytes: Long = 0L)
 
 object Projections {
 
@@ -54,20 +64,27 @@ object Projections {
         var cur: String = null
         var state: S = fold.initial
         var n = 0L
+        var ns = 0L
         var err: Option[String] = None
         def flush(): Unit = if (cur != null) {
+          val bytes = Option(state).map(_.toString.getBytes("UTF-8").length.toLong)
+            .getOrElse(0L)
           out += ProjRow(fold.name, cur, state, n,
-            if (err.isDefined) "failed" else "finished", err)
+            if (err.isDefined) "failed" else "finished", err,
+            if (n > 0) ns / 1000.0 / n else 0.0, bytes)
         }
         it.foreach { e =>
           if (e.stream_name != cur) {
-            flush(); cur = e.stream_name; state = fold.initial; n = 0L; err = None
+            flush(); cur = e.stream_name; state = fold.initial; n = 0L; ns = 0L
+            err = None
           }
           if (err.isEmpty) {
+            val t0 = System.nanoTime()
             try { state = fold.step(state, e); n += 1 }
             catch { case NonFatal(ex) =>
               err = Some(s"${ex.getClass.getName}: ${ex.getMessage}")
             }
+            ns += System.nanoTime() - t0
           }
         }
         flush()

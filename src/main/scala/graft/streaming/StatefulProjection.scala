@@ -21,7 +21,8 @@ import graft.eventstore.{Event, Fold, ProjRow}
   */
 object StatefulProjection {
 
-  final case class ProjState[S](value: S, processed: Long, error: Option[String])
+  final case class ProjState[S](
+      value: S, processed: Long, error: Option[String], stepNs: Long = 0L)
 
   /** Product-encoded state (S concrete at the call site; with
     * `import spark.implicits._` the ProjState encoder derives). */
@@ -51,20 +52,26 @@ object StatefulProjection {
           val prev = state.getOption.getOrElse(ProjState(fold.initial, 0L, None))
           var s = prev.value
           var n = prev.processed
+          var ns = prev.stepNs
           var err = prev.error
           // in-batch replay order = order_id order (the reference's
           // single-threaded in-order guarantee)
           it.toArray.sortBy(_.order_id).foreach { e =>
             if (err.isEmpty) {
+              val t0 = System.nanoTime()
               try { s = fold.step(s, e); n += 1 }
               catch { case ex if scala.util.control.NonFatal(ex) =>
                 err = Some(s"${ex.getClass.getName}: ${ex.getMessage}")
               }
+              ns += System.nanoTime() - t0
             }
           }
-          state.update(ProjState(s, n, err))
+          state.update(ProjState(s, n, err, ns))
+          val bytes = Option(s).map(_.toString.getBytes("UTF-8").length.toLong)
+            .getOrElse(0L)
           Iterator.single(ProjRow(fold.name, stream, s, n,
-            if (err.isDefined) "failed" else "running", err))
+            if (err.isDefined) "failed" else "running", err,
+            if (n > 0) ns / 1000.0 / n else 0.0, bytes))
       }
   }
 }

@@ -84,11 +84,18 @@ class ProjectionSpec extends AnyFunSuite with SparkTestBase {
     assert(cat.get("mine").isEmpty)
 
     // re-registration re-folds full history → identical descriptor
+    // (modulo the wall-clock stats fields, which are measurements)
     import spark.implicits._
     val ev = logOf(30)
-    val a = Projections.runOrdered(ev, CountFold("r")).collect().sortBy(_.stream_name).toSeq
-    val b = Projections.runOrdered(ev, CountFold("r")).collect().sortBy(_.stream_name).toSeq
+    def stable(rows: Array[ProjRow[Long]]) = rows
+      .map(r => (r.stream_name, r.value, r.processed, r.status, r.last_error))
+      .sortBy(_._1).toSeq
+    val a = stable(Projections.runOrdered(ev, CountFold("r")).collect())
+    val b = stable(Projections.runOrdered(ev, CountFold("r")).collect())
     assert(a == b)
+    // the stats fields themselves are populated
+    val rows = Projections.runOrdered(ev, CountFold("r")).collect()
+    assert(rows.forall(r => r.avg_step_us >= 0.0 && r.state_bytes > 0))
   }
 
   test("property: count fold == count(*) for random event batches (ScalaCheck gen)") {

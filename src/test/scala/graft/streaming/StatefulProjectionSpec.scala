@@ -90,6 +90,26 @@ class StatefulProjectionSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("projection sink maintains a queryable descriptor table (O10 point reads)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmpDir("ptable") + "/state"
+    val ckpt = tmpDir("pckpt")
+    val mem = MemoryStream[Event]
+    val q = ProjectionSink.start(mem.toDS(), CountFold("live"), table, ckpt)
+    try {
+      mem.addData(ev("a", 1), ev("b", 2))
+      q.processAllAvailable()
+      mem.addData(ev("a", 3), ev("a", 4))
+      q.processAllAvailable()
+      val all = ProjectionSink.latest(spark, table).collect()
+        .map(r => r.getAs[String]("stream_name") -> r.getAs[Long]("value")).toMap
+      assert(all == Map("a" -> 3L, "b" -> 1L))
+      assert(ProjectionSink.value(spark, table, "a").contains(3L))
+      assert(ProjectionSink.value(spark, table, "nope").isEmpty)
+    } finally q.stop()
+  }
+
   test("failing fold freezes state, reports failed, stream keeps running") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
