@@ -263,6 +263,36 @@ object TextOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
+  /** Fuzzy (edit-distance) dedup over part names, blocked by the first
+    * word so the pair space is per-block, not n² — the third dedup
+    * family next to set-similarity (jaccard) and bit-signature
+    * (simhash). levenshtein has identical integer semantics in both
+    * engines, so this one IS oracle-checkable. */
+  private val dedupFuzzy = Q(
+    "x_dedup_fuzzy",
+    Some("""WITH p AS (SELECT p_partkey, p_name,
+                         string_split(p_name, ' ')[1] AS blk
+                       FROM part)
+            SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+              AND a.p_name <> b.p_name
+            ORDER BY a_key, b_key"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val p = t(spark, dir, "part")
+        .select($"p_partkey", $"p_name",
+          split($"p_name", " ").getItem(0).as("blk"))
+      val a = p.select($"p_partkey".as("a_key"), $"p_name".as("a_name"), $"blk".as("a_blk"))
+      val b = p.select($"p_partkey".as("b_key"), $"p_name".as("b_name"), $"blk".as("b_blk"))
+      a.join(b, $"a_blk" === $"b_blk" && $"a_key" < $"b_key")
+        .where(levenshtein($"a_name", $"b_name") <= 3 && $"a_name" =!= $"b_name")
+        .select($"a_key", $"b_key",
+          levenshtein($"a_name", $"b_name").cast("long").as("dist"))
+        .orderBy($"a_key", $"b_key")
+    })
+
   override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
-    textAnalysis, langId, qualityScore, tokenCount, fingerprint)
+    dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint)
 }

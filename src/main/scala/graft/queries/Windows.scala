@@ -129,6 +129,31 @@ object Windows extends QueryModule {
         .orderBy($"user_id", $"session_start_s")
     })
 
+  /** ntile + first/last value over per-user event values. first/last
+    * use the full-partition frame and value-ordering with an event_id
+    * tiebreaker so both engines agree on ties. */
+  private val windowNtile = Q(
+    "r_window_ntile",
+    Some("""SELECT user_id, event_id,
+            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+            first_value(event_id) OVER w AS cheapest_event,
+            last_value(event_id) OVER (PARTITION BY user_id ORDER BY value, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_event
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+            ORDER BY user_id, event_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"value", $"event_id")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(spark, dir, "events")
+        .select($"user_id", $"event_id",
+          ntile(4).over(w).cast("long").as("quartile"),
+          first($"event_id").over(w).as("cheapest_event"),
+          last($"event_id").over(wFull).as("priciest_event"))
+        .orderBy($"user_id", $"event_id")
+    })
+
   override def all: Seq[Q] = Seq(windowRank, windowFrame, windowLag,
-    streamTumbling, streamSession)
+    streamTumbling, streamSession, windowNtile)
 }
