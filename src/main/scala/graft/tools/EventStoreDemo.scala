@@ -59,6 +59,12 @@ object EventStoreDemo {
     println(s"   imported as: $imported")
     Replay.streamsCatalog(Replay.open(spark, log)).show(false)
 
+    println("== compaction: micro-batch files → sorted files per stream")
+    val before = new java.io.File(s"$log/stream_name=orders")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val after = Replay.compactStream(spark, log, "orders")
+    println(s"   orders: $before files -> $after")
+
     println("== hot-cold streaming projection (AvailableNow over the log)")
     val stats = StatsListener.install(spark)
     val q = HotCold.countProjection(HotCold.hotCold(spark, log))
@@ -71,6 +77,18 @@ object EventStoreDemo {
     spark.table("demo_proj").orderBy("stream_name").show(false)
     Thread.sleep(1000)
     println(s"   stats: ${stats.snapshot.mkString("; ")}")
+
+    println("== live stateful projection → queryable descriptor table (O10)")
+    val q2 = graft.streaming.ProjectionSink.start(
+      HotCold.typed(HotCold.hotCold(spark, log)), CountFold("live_counts"),
+      s"$base/proj_table", s"$base/ckpt2")
+    // AvailableNow semantics via manual drain: process what's there
+    Thread.sleep(100)
+    q2.processAllAvailable()
+    q2.stop()
+    graft.streaming.ProjectionSink.latest(spark, s"$base/proj_table").show(false)
+    println("   point read clicks = " +
+      graft.streaming.ProjectionSink.value(spark, s"$base/proj_table", "clicks"))
 
     spark.stop()
   }
