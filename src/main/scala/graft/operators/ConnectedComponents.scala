@@ -21,13 +21,49 @@ object ConnectedComponents {
 
   val MaxRounds = 50
 
+  /** Below this edge count the graph fits comfortably on the driver and
+    * union-find beats paying multi-second distributed-round latency per
+    * iteration (measured ~3-5 s/round in fixed job overhead for a
+    * hundred-edge dedup graph). Above it, the iterative join path runs.
+    * Same result either way (min id per component). */
+  val DriverEdgeLimit = 1000000L
+
   /** edges(srcCol, dstCol) — undirected. Returns (id, cluster_id). */
   def components(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val undirected = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val pairs = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    if (pairs.count() <= DriverEdgeLimit) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val out = nodes.map(n => (n, find(n))).toSeq
+      pairs.unpersist()
+      return spark.createDataset(out).toDF("id", "cluster_id")
+    }
+    distributedComponents(pairs)
+  }
+
+  /** The scale path: iterative min-label propagation over joins. */
+  private def distributedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    val undirected = pairs.select($"src", $"dst")
+      .unionAll(pairs.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
       .persist()
 
