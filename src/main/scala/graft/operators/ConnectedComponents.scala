@@ -34,8 +34,11 @@ object ConnectedComponents {
     import spark.implicits._
 
     val pairs = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).persist()
-    if (pairs.count() <= DriverEdgeLimit) {
+      col(dstCol).cast("long").as("dst"))
+    // one probing action: grab up to limit+1 edges; if they all fit, the
+    // graph is driver-sized and union-find needs no further jobs
+    val probe = pairs.limit(DriverEdgeLimit.toInt + 1).collect()
+    if (probe.length <= DriverEdgeLimit) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -44,17 +47,16 @@ object ConnectedComponents {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      pairs.collect().foreach { row =>
+      probe.foreach { row =>
         val (a, b) = (row.getLong(0), row.getLong(1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val nodes = pairs.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val nodes = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
       val out = nodes.map(n => (n, find(n))).toSeq
-      pairs.unpersist()
       return spark.createDataset(out).toDF("id", "cluster_id")
     }
-    distributedComponents(pairs)
+    distributedComponents(pairs.persist())
   }
 
   /** The scale path: iterative min-label propagation over joins. */
