@@ -45,7 +45,11 @@ object GraftFunctions {
     (FunctionIdentifier("poly_hash"),
       info("poly_hash", classOf[PolyHashExpr],
         "poly_hash(str) - 31-polynomial rolling hash mod 1e9+7 over UTF-8 bytes"),
-      (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)))
+      (exprs: Seq[Expression]) => PolyHashExpr(exprs.head)),
+    (FunctionIdentifier("infer_schema"),
+      info("infer_schema", classOf[InferSchemaAgg],
+        "infer_schema(payload) - sampled statistical JSON schema inference aggregate"),
+      (exprs: Seq[Expression]) => InferSchemaAgg(exprs.head).toAggregateExpression()))
 
   /** Imperative registration into an existing session (equivalent to the
     * extension path; used by the query modules). */
@@ -54,5 +58,6 @@ object GraftFunctions {
     VecDot.register(spark)
     Shingles.register(spark)
     PolyHash.register(spark)
+    InferSchemaAgg.register(spark)
   }
 }

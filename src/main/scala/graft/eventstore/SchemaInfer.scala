@@ -62,26 +62,32 @@ object SchemaInfer {
   private def sampled(payload: String): Boolean =
     math.floorMod(scala.util.hashing.MurmurHash3.stringHash(payload), 100) < SamplePercent
 
+  /** One payload into the buffer (shared by the typed Aggregator and
+    * the catalyst InferSchemaAgg). */
+  def reduceBuf(b: Buf, payload: String): Buf = {
+    val take = b.sampled < FullInferenceHead || sampled(payload)
+    if (!take) b.copy(processed = b.processed + 1)
+    else {
+      val merged = fieldsOf(payload).foldLeft(b.fields) { case (m, (f, t)) =>
+        val prev = m.getOrElse(f, FieldStat(t, 0L))
+        m.updated(f, FieldStat(if (prev.count == 0) t else prev.ftype, prev.count + 1))
+      }
+      Buf(b.processed + 1, b.sampled + 1, merged)
+    }
+  }
+
+  def mergeBuf(a: Buf, b: Buf): Buf = Buf(
+    a.processed + b.processed,
+    a.sampled + b.sampled,
+    b.fields.foldLeft(a.fields) { case (m, (f, s)) =>
+      val prev = m.getOrElse(f, FieldStat(s.ftype, 0L))
+      m.updated(f, FieldStat(prev.ftype, prev.count + s.count))
+    })
+
   val agg: Aggregator[String, Buf, Buf] = new Aggregator[String, Buf, Buf] {
     override def zero: Buf = Buf(0L, 0L, Map.empty)
-    override def reduce(b: Buf, payload: String): Buf = {
-      val take = b.sampled < FullInferenceHead || sampled(payload)
-      if (!take) b.copy(processed = b.processed + 1)
-      else {
-        val merged = fieldsOf(payload).foldLeft(b.fields) { case (m, (f, t)) =>
-          val prev = m.getOrElse(f, FieldStat(t, 0L))
-          m.updated(f, FieldStat(if (prev.count == 0) t else prev.ftype, prev.count + 1))
-        }
-        Buf(b.processed + 1, b.sampled + 1, merged)
-      }
-    }
-    override def merge(a: Buf, b: Buf): Buf = Buf(
-      a.processed + b.processed,
-      a.sampled + b.sampled,
-      b.fields.foldLeft(a.fields) { case (m, (f, s)) =>
-        val prev = m.getOrElse(f, FieldStat(s.ftype, 0L))
-        m.updated(f, FieldStat(prev.ftype, prev.count + s.count))
-      })
+    override def reduce(b: Buf, payload: String): Buf = reduceBuf(b, payload)
+    override def merge(a: Buf, b: Buf): Buf = mergeBuf(a, b)
     override def finish(r: Buf): Buf = r
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]

@@ -38,6 +38,38 @@ class SchemaInferSpec extends AnyFunSuite with SparkTestBase {
     assert(v1.values.forall(_.total == 6))
   }
 
+  test("infer_schema SQL aggregate (TypedImperativeAggregate) agrees with the typed path") {
+    import spark.implicits._
+    graft.functions.InferSchemaAgg.register(spark)
+    val raw = rawEvents(120)
+    val log = tmpDir("silog3")
+    Ingest.append(Ingest.stamp(raw, T0), log)
+    Replay.typed(spark, log).toDF().createOrReplaceTempView("si_events")
+
+    val sqlRows = spark.sql(
+      """SELECT stream_name, infer_schema(payload) AS s
+         FROM si_events GROUP BY stream_name""").collect()
+      .map { r =>
+        val s = r.getStruct(1)
+        val fmap: Map[String, (String, Long)] =
+          s.getMap[String, org.apache.spark.sql.Row](2).map {
+            case (k, v) => k -> ((v.getString(0), v.getLong(1)))
+          }.toMap
+        r.getString(0) -> ((s.getLong(0), s.getLong(1), fmap))
+      }.toMap
+
+    val typedRows = SchemaInfer.infer(spark, Replay.typed(spark, log)).collect()
+      .groupBy(_.stream_name)
+    typedRows.foreach { case (stream, fields) =>
+      val (p, smp, fmap) = sqlRows(stream)
+      assert(p == fields.head.total)
+      assert(smp == fields.head.sampled)
+      fields.foreach { f =>
+        assert(fmap(f.field) == ((f.ftype, f.count)), s"$stream/${f.field}")
+      }
+    }
+  }
+
   test("sampling: first 10 per group fully inferred, then ~2% — sampled <= processed") {
     import spark.implicits._
     val raw = rawEvents(800)
