@@ -17,7 +17,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // run queries on a small thread pool: Spark schedules concurrent
     // jobs fine, and most of these queries are tiny-stage-latency-bound,
-    // so 4-way overlap cuts the gate's wall time ~4x
+    // so 4-way overlap cuts the gate's wall time ~4x. The dedup
+    // operators persist() small self-join inputs that outlive their
+    // query; at the gate's sf these are KBs and persist() defaults to
+    // MEMORY_AND_DISK (evicts, never OOMs), so no clearCache between
+    // queries — it would thrash the queries still in flight.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
     val tasks = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

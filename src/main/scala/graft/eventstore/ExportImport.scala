@@ -39,13 +39,21 @@ object ExportImport {
         .collect().map(_.getString(0)).toSet
     }
     val name = findName(existing, wantedName)
+    // keep the exported order_id as the re-stamping sequence: the
+    // imported stream replays in the ORIGINAL event order (the reference
+    // re-stamps in sequence too, api.clj:168-186) — a lexicographic
+    // re-sort would corrupt non-commutative projection replay
     val raw = spark.read.json(inDir)
       .withColumn("stream_name", lit(name))
-      .select(col("stream_name"), col("service_id"), col("local_id"),
+      .select(col("order_id").as("_orig_order"),
+        col("stream_name"), col("service_id"), col("local_id"),
         col("schema_version"), col("payload"),
         lit(null).cast("struct<service_id:string,local_id:string,relationship:string>")
           .as("provenance"))
-    Ingest.append(Ingest.stamp(raw, ingestTimeMs), logDir)
+    Ingest.append(
+      Ingest.stamp(raw, ingestTimeMs, orderCols = Seq("_orig_order"))
+        .drop("_orig_order"),
+      logDir)
     name
   }
 }

@@ -43,9 +43,19 @@ object Ingest {
     * bounded by the trigger interval, so this stays small. A fully
     * shuffle-free alternative (partition_id-prefixed sequence) would
     * break the reference's dense `1000*ms + seq` encoding.
+    *
+    * `orderCols` defines the in-batch sequence; the default includes
+    * `payload` as the final tiebreaker so the sort is total (two events
+    * sharing the identity columns but differing in payload must stamp
+    * deterministically). Callers that know the original order (e.g.
+    * import re-stamping) pass their own ordering column.
     */
-  def stamp(raw: DataFrame, ingestTimeMs: Long): DataFrame = {
-    val w = Window.orderBy("stream_name", "service_id", "local_id")
+  def stamp(
+      raw: DataFrame,
+      ingestTimeMs: Long,
+      orderCols: Seq[String] =
+        Seq("stream_name", "service_id", "local_id", "payload")): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
     raw
       .withColumn("seq", row_number().over(w).cast("long") - 1L)
       .withColumn("event_time_ms", lit(ingestTimeMs) + expr("seq DIV 1000"))

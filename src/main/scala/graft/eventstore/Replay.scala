@@ -84,8 +84,17 @@ object Replay {
     df.repartitionByRange(files, col("order_id"))
       .sortWithinPartitions("order_id")
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(part, true)
-    require(fs.rename(tmp, part), s"rename $tmp -> $part failed")
+    // two renames, never delete-then-rename: a crash between steps
+    // leaves either the original or the compacted copy addressable —
+    // the stream is recoverable at every point
+    val old = new Path(s"$logDir/.compact_old_$stream")
+    fs.delete(old, true) // clear any leftover from a prior crash
+    require(fs.rename(part, old), s"rename $part -> $old failed")
+    if (!fs.rename(tmp, part)) {
+      fs.rename(old, part) // roll back
+      throw new IllegalStateException(s"rename $tmp -> $part failed; rolled back")
+    }
+    fs.delete(old, true)
     fs.listStatus(part).count(_.getPath.getName.endsWith(".parquet"))
   }
 

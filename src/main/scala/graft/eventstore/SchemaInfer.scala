@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   *
   * Spark shape: a typed Aggregator (commutative, mergeable — partial
   * aggregation works) whose buffer is {field → (type, count)} plus an
-  * exact processed count. Sampling is DETERMINISTIC (first 10 by local
-  * sample count, then a payload-hash 2% Bernoulli) so results are
-  * reproducible — the reference uses `rand`, SURVEY.md §4.2 calls out the
-  * deterministic replacement.
+  * exact processed count. The 2% Bernoulli draw is a DETERMINISTIC
+  * payload hash (the reference uses `rand`; SURVEY.md §4.2 calls out the
+  * replacement); the first-10 head rule is per partial buffer, so
+  * repartitioning can over-sample the head (never under-sample — each
+  * group always has ≥ FullInferenceHead samples when big enough), and
+  * the inferred field set/types are partition-independent for payloads
+  * caught by the hash rule.
   */
 object SchemaInfer {
 

@@ -20,11 +20,13 @@ import graft.eventstore.SchemaInfer
   *   SELECT stream, infer_schema(payload) FROM log GROUP BY stream
   *
   * → map<field, struct<ftype, count>> plus exact processed/sampled
-  * totals. The buffer is mergeable (partial aggregation works; the
-  * sampling decision is a deterministic per-payload hash, so merge
-  * order doesn't change which payloads were sampled). This is the
-  * catalyst-level packaging of graft.eventstore.SchemaInfer's logic —
-  * same Buf type, same sampling rule (SURVEY.md §7.3).
+  * totals. The buffer is mergeable (partial aggregation works): the 2%
+  * draw is a deterministic per-payload hash, while the first-10 head
+  * rule applies per PARTIAL buffer — so partitioning can only
+  * OVER-sample the head (≥10 per group in total), never under-sample,
+  * and `processed` stays exact. This is the catalyst-level packaging of
+  * graft.eventstore.SchemaInfer's logic — same Buf type, same sampling
+  * rule (SURVEY.md §7.3).
   */
 case class InferSchemaAgg(
     child: Expression,

@@ -29,19 +29,10 @@ object Shingles {
     var t = 0
     while (t < k) {
       if (t > 0) { h ^= ' '.toLong; h *= 0x100000001B3L }
-      val s = arr.getUTF8String(start + t)
-      val bytes = s.getBytes
-      var i = 0
-      while (i < bytes.length) {
-        h ^= (bytes(i) & 0xFFL)
-        h *= 0x100000001B3L
-        i += 1
-      }
+      h = Hashing.fnv1a(arr.getUTF8String(start + t).getBytes, h)
       t += 1
     }
-    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
-    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
-    h ^ (h >>> 31)
+    Hashing.finalizeMix(h)
   }
 
   /** Distinct sorted k-gram shingle hashes of a token array. */
@@ -72,10 +63,7 @@ object Shingles {
       val x = sh.getLong(i)
       var j = 0
       while (j < num) {
-        var z = x + (j + 1) * 0x9E3779B97F4A7C15L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z ^= (z >>> 31)
+        val z = Hashing.finalizeMix(x + (j + 1) * Hashing.Golden)
         if (z < mins(j)) mins(j) = z
         j += 1
       }
@@ -148,16 +136,7 @@ case class MinHashSigExpr(left: Expression, right: Expression)
   * aggregate(transform(sequence(...))) fold (identical result for ASCII
   * text, where bytes == character codes; the corpus is ASCII). */
 object PolyHash {
-  def compute(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var acc = 0L
-    var i = 0
-    while (i < bytes.length) {
-      acc = (acc * 31 + (bytes(i) & 0xFF)) % 1000000007L
-      i += 1
-    }
-    acc
-  }
+  def compute(s: UTF8String): Long = Hashing.poly31(s.getBytes)
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -19,21 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   */
 object SimHash {
 
-  /** FNV-1a over UTF-8 bytes + splitmix64 avalanche — self-contained,
-    * deterministic across JVMs. */
-  def hash64(bytes: Array[Byte]): Long = {
-    var h = 0xCBF29CE484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xFFL)
-      h *= 0x100000001B3L
-      i += 1
-    }
-    // avalanche (splitmix64 finalizer)
-    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
-    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
-    h ^ (h >>> 31)
-  }
+  /** FNV-1a over UTF-8 bytes + splitmix64 avalanche (shared kernels in
+    * [[Hashing]]) — deterministic across JVMs. */
+  def hash64(bytes: Array[Byte]): Long =
+    Hashing.finalizeMix(Hashing.fnv1a(bytes))
 
   /** Static kernel shared by interpreted eval and generated code. */
   def compute(arr: ArrayData): Long = {

@@ -37,16 +37,8 @@ object FakeCodec {
   val FeatureDim = 8
 
   /** Polynomial rolling checksum over the raw bytes (matches the
-    * char-level oracle for ASCII payloads). */
-  def checksum(bytes: Array[Byte]): Long = {
-    var acc = 0L
-    var i = 0
-    while (i < bytes.length) {
-      acc = (acc * 31 + (bytes(i) & 0xFF)) % 1000000007L
-      i += 1
-    }
-    acc
-  }
+    * char-level oracle for ASCII payloads; shared kernel). */
+  def checksum(bytes: Array[Byte]): Long = graft.functions.Hashing.poly31(bytes)
 
   /** "Decode + embed": per-dimension byte-stride means, scaled. A real
     * implementation decodes pixels/samples and runs a feature extractor;

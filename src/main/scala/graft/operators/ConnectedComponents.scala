@@ -92,6 +92,12 @@ object ConnectedComponents {
       round += 1
     }
     undirected.unpersist()
+    // fail loud: silently stopping mid-propagation would return wrong
+    // cluster ids for any chain longer than MaxRounds
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $MaxRounds rounds " +
+        "(graph diameter too large — raise MaxRounds or use " +
+        "large-star/small-star rounds)")
     labels.select($"id", $"lbl".as("cluster_id"))
   }
 }

@@ -22,12 +22,7 @@ object HyperplaneLSH {
     * (flipping low-margin bits) is the standard recall lever at scale. */
   val Bits = 4
 
-  private def mix(z0: Long): Long = {
-    var z = z0 * 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = graft.functions.Hashing.mix64(z0)
 
   /** plane j, dimension d → uniform [-1, 1]. */
   def planes(dim: Int, bits: Int = Bits): Array[Array[Double]] =

@@ -36,21 +36,30 @@ object ProjectionSink {
       .foreachBatch { (batch: Dataset[ProjRow[S]], batchId: Long) =>
         val spark = batch.sparkSession
         val next = batch.toDF()
+        val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // explicit existence check — a catch-all here would treat any
+        // transient read failure as "first batch" and silently drop
+        // every stream not present in this batch
         val merged =
-          try {
+          if (!fs.exists(tablePath)) next
+          else {
             val prev = spark.read.parquet(tableDir)
             // latest descriptor per stream wins (this batch > previous)
             prev.join(next.select("stream_name"), Seq("stream_name"), "left_anti")
               .unionByName(next)
-          } catch { case _: Exception => next } // first batch: no table yet
-        val tmp = s"$tableDir.tmp_$batchId"
-        merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-        val fs = new org.apache.hadoop.fs.Path(tableDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
-        val ok = fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(tableDir))
-        require(ok, s"descriptor table swap failed: $tmp -> $tableDir")
+          }
+        val tmp = new org.apache.hadoop.fs.Path(s"$tableDir.tmp_$batchId")
+        merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        // rename old aside, swap, drop old — recoverable at every step
+        val old = new org.apache.hadoop.fs.Path(s"$tableDir.old")
+        fs.delete(old, true)
+        if (fs.exists(tablePath)) require(fs.rename(tablePath, old),
+          s"rename $tablePath -> $old failed")
+        require(fs.rename(tmp, tablePath),
+          s"descriptor table swap failed: $tmp -> $tableDir")
+        fs.delete(old, true)
+        ()
       }
       .start()
   }

@@ -22,16 +22,23 @@ final class StatsListener extends StreamingQueryListener {
       status: String)
 
   private val stats = mutable.Map.empty[String, QueryStats]
+  private val idToName = mutable.Map.empty[java.util.UUID, String]
+
+  private def nameOf(name: String, id: java.util.UUID): String =
+    Option(name).getOrElse(id.toString)
 
   def snapshot: Seq[QueryStats] = stats.synchronized(stats.values.toSeq.sortBy(_.name))
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = stats.synchronized {
-    stats(event.name) = QueryStats(event.name, 0L, 0L, 0.0, "running")
+    val name = nameOf(event.name, event.id)
+    idToName(event.id) = name
+    stats(name) = QueryStats(name, 0L, 0L, 0.0, "running")
   }
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = stats.synchronized {
     val p = event.progress
-    val name = Option(p.name).getOrElse(p.id.toString)
+    val name = nameOf(p.name, p.id)
+    idToName(p.id) = name
     val prev = stats.getOrElse(name, QueryStats(name, 0L, 0L, 0.0, "running"))
     val rows = p.numInputRows
     val ms = Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)
@@ -43,9 +50,11 @@ final class StatsListener extends StreamingQueryListener {
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = stats.synchronized {
-    // terminated events carry only ids, not names: mark running entries
+    // attribute termination to THE terminated query via the id→name map
     val status = if (event.exception.isDefined) "failed" else "finished"
-    stats.mapValuesInPlace { (_, v) => if (v.status == "running") v.copy(status = status) else v }
+    idToName.get(event.id).foreach { name =>
+      stats.get(name).foreach(v => stats(name) = v.copy(status = status))
+    }
   }
 }
 
