@@ -64,13 +64,18 @@ object ProjectionSink {
       .start()
   }
 
+  /** A read may race the batch writer's directory swap (old renamed
+    * aside, new renamed in); one retry covers the sub-ms gap. */
+  private def withRetry[T](f: => T): T =
+    try f catch { case _: Exception => Thread.sleep(50); f }
+
   /** All current descriptors (the `projection` API read). */
   def latest(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(tableDir).orderBy("stream_name")
+    withRetry(spark.read.parquet(tableDir)).orderBy("stream_name")
 
   /** Point read of one stream's materialized value (`projection-value`). */
   def value(spark: SparkSession, tableDir: String, stream: String): Option[Any] =
-    spark.read.parquet(tableDir)
+    withRetry(spark.read.parquet(tableDir))
       .where(col("stream_name") === stream)
       .select("value").collect().headOption.map(_.get(0))
 }
