@@ -134,6 +134,27 @@ object PhotonOps extends QueryModule {
         .orderBy($"event_id")
     })
 
+  /** Payload promotion (SURVEY.md §1.6): parse the schema-less JSON
+    * payload into a typed struct with from_json and aggregate on the
+    * promoted field — the "hot field" pattern that keeps ingest
+    * schema-free while giving queries typed columns. */
+  private val payloadPromote = Q(
+    "p_payload_promote",
+    Some("""SELECT event_type,
+            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+            CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+            FROM events GROUP BY event_type ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "events")
+        .withColumn("p", from_json($"props",
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+        .groupBy($"event_type")
+        .agg(sum($"p.k").cast("long").as("sum_k"),
+          count($"p.k").as("n_with_k"))
+        .orderBy($"event_type")
+    })
+
   override def all: Seq[Q] = Seq(coldScan, pointLookup, streamsCatalog,
-    latestState, foldCount, distinctStreams, jsonPayload)
+    latestState, foldCount, distinctStreams, jsonPayload, payloadPromote)
 }

@@ -101,6 +101,41 @@ class HotColdSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream join: events join within a watermarked time interval") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(oid: Long, stream: String, local: String, tMs: Long) = graft.eventstore.Event(
+      stream, oid, new java.sql.Timestamp(tMs), "svc", local, "1", "{}")
+    val t0 = 1700000000000L
+    val purchases = MemoryStream[graft.eventstore.Event]
+    val signups = MemoryStream[graft.eventstore.Event]
+
+    val p = purchases.toDS().toDF()
+      .select($"local_id".as("p_user"), $"event_time".as("p_time"))
+      .withWatermark("p_time", "10 minutes")
+    val s = signups.toDS().toDF()
+      .select($"local_id".as("s_user"), $"event_time".as("s_time"))
+      .withWatermark("s_time", "10 minutes")
+
+    // purchase matches a signup of the same user within the prior hour
+    val joined = p.join(s, expr(
+      "p_user = s_user AND p_time >= s_time AND p_time <= s_time + INTERVAL 1 HOUR"))
+
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj").start()
+    try {
+      signups.addData(ev(1, "signup", "u1", t0), ev(2, "signup", "u2", t0))
+      purchases.addData(
+        ev(3, "purchase", "u1", t0 + 600000), // 10 min later → joins
+        ev(4, "purchase", "u2", t0 + 7200000), // 2 h later → outside interval
+        ev(5, "purchase", "u3", t0 + 300000)) // no signup → no join
+      q.processAllAvailable()
+      val users = spark.table("ssj").collect().map(_.getAs[String]("p_user")).sorted
+      assert(users.sameElements(Array("u1")))
+    } finally q.stop()
+  }
+
   test("stats listener records processed rows per query (O23)") {
     val log = tmpDir("slog")
     Ingest.ingest(rawEvents(20), log, T0)
