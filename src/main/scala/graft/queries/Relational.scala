@@ -300,7 +300,23 @@ object Relational extends QueryModule {
         .orderBy($"l_returnflag")
     })
 
+  /** Scalar subquery: orders above the global average price. Catalyst
+    * plans the subquery as its own aggregate, then a literal broadcast
+    * into the filter — one pass over the fact table plus one tiny agg. */
+  private val subqueryScalar = Q(
+    "r_subquery_scalar",
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+            ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      t(spark, dir, "orders").createOrReplaceTempView("orders")
+      spark.sql("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey""")
+    })
+
   override def all: Seq[Q] = Seq(filterProject, aggHash, aggDistinct,
     aggRollup, aggCube, groupingSets, sortTopk, setOps, hllDistinct,
-    pivot, joinFullOuter, scalarConditional, aggPercentile, approxQuantile)
+    pivot, joinFullOuter, scalarConditional, aggPercentile, approxQuantile,
+    subqueryScalar)
 }
