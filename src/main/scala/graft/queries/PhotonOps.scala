@@ -141,8 +141,8 @@ object PhotonOps extends QueryModule {
   private val payloadPromote = Q(
     "p_payload_promote",
     Some("""SELECT event_type,
-            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-            CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+            CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+            CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k
             FROM events GROUP BY event_type ORDER BY event_type"""),
     (spark, dir) => {
       import spark.implicits._

@@ -306,12 +306,19 @@ object Relational extends QueryModule {
   private val subqueryScalar = Q(
     "r_subquery_scalar",
     Some("""SELECT o_orderkey, o_totalprice FROM orders
-            WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+            WHERE o_totalprice > 1.5 * (
+              SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*) FROM orders)
             ORDER BY o_orderkey"""),
     (spark, dir) => {
+      // threshold from the exact DECIMAL sum (determinism contract:
+      // a raw double avg differs in the last ulps between engines and
+      // partition orders, so rows near the cut could flip)
       t(spark, dir, "orders").createOrReplaceTempView("orders")
       spark.sql("""SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) FROM orders)
         ORDER BY o_orderkey""")
     })
 

@@ -36,46 +36,82 @@ object ProjectionSink {
       .foreachBatch { (batch: Dataset[ProjRow[S]], batchId: Long) =>
         val spark = batch.sparkSession
         val next = batch.toDF()
-        val tablePath = new org.apache.hadoop.fs.Path(tableDir)
-        val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // explicit existence check — a catch-all here would treat any
-        // transient read failure as "first batch" and silently drop
-        // every stream not present in this batch
-        val merged =
-          if (!fs.exists(tablePath)) next
-          else {
-            val prev = spark.read.parquet(tableDir)
+        val base = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // versioned snapshots + a pointer file: readers resolve _LATEST
+        // and read an immutable version dir, so there is NO swap window
+        // — the previous version stays intact until after the pointer
+        // moves. (An in-place directory swap raced readers between
+        // file-listing and file-reading.)
+        val merged = currentVersion(spark, tableDir) match {
+          case None => next
+          case Some(prevDir) =>
+            val prev = spark.read.parquet(prevDir)
             // latest descriptor per stream wins (this batch > previous)
             prev.join(next.select("stream_name"), Seq("stream_name"), "left_anti")
               .unionByName(next)
-          }
-        val tmp = new org.apache.hadoop.fs.Path(s"$tableDir.tmp_$batchId")
-        merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        // rename old aside, swap, drop old — recoverable at every step
-        val old = new org.apache.hadoop.fs.Path(s"$tableDir.old")
-        fs.delete(old, true)
-        if (fs.exists(tablePath)) require(fs.rename(tablePath, old),
-          s"rename $tablePath -> $old failed")
-        require(fs.rename(tmp, tablePath),
-          s"descriptor table swap failed: $tmp -> $tableDir")
-        fs.delete(old, true)
+        }
+        val vDir = new org.apache.hadoop.fs.Path(base, f"v$batchId%020d")
+        merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(vDir.toString)
+        // atomically move the pointer: write tmp, rename over _LATEST
+        val ptrTmp = new org.apache.hadoop.fs.Path(base, s"._LATEST.$batchId")
+        val out = fs.create(ptrTmp, true)
+        out.write(vDir.getName.getBytes("UTF-8")); out.close()
+        fs.delete(new org.apache.hadoop.fs.Path(base, "_LATEST"), false)
+        require(fs.rename(ptrTmp, new org.apache.hadoop.fs.Path(base, "_LATEST")),
+          s"pointer update failed for $vDir")
+        // prune all but the two newest versions (current + one grace)
+        val versions = fs.listStatus(base).map(_.getPath)
+          .filter(_.getName.startsWith("v")).sortBy(_.getName)
+        versions.dropRight(2).foreach(fs.delete(_, true))
         ()
       }
       .start()
   }
 
-  /** A read may race the batch writer's directory swap (old renamed
-    * aside, new renamed in); one retry covers the sub-ms gap. */
-  private def withRetry[T](f: => T): T =
-    try f catch { case _: Exception => Thread.sleep(50); f }
+  /** Resolve the current snapshot dir via the pointer; None before the
+    * first batch commits. */
+  private def currentVersion(spark: SparkSession, tableDir: String): Option[String] = {
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(base, "_LATEST")
+    if (!fs.exists(ptr)) None
+    else {
+      val len = fs.getFileStatus(ptr).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(ptr)
+      in.readFully(0, buf)
+      in.close()
+      Some(new org.apache.hadoop.fs.Path(base, new String(buf, "UTF-8").trim).toString)
+    }
+  }
 
-  /** All current descriptors (the `projection` API read). */
+  /** One narrow retry: a reader that resolved the pointer just before a
+    * prune can lose its (grace-period) version dir; re-resolving gets
+    * the fresh snapshot. Only the file-missing case retries — real
+    * errors surface immediately. */
+  private def readLatest(spark: SparkSession, tableDir: String): Option[DataFrame] = {
+    def attempt(): Option[DataFrame] =
+      currentVersion(spark, tableDir).map { dir =>
+        val df = spark.read.parquet(dir)
+        df.count() // force the read inside the guarded region
+        df
+      }
+    try attempt()
+    catch { case _: java.io.FileNotFoundException => attempt() }
+  }
+
+  /** All current descriptors (the `projection` API read); empty frame
+    * before the first batch commits. */
   def latest(spark: SparkSession, tableDir: String): DataFrame =
-    withRetry(spark.read.parquet(tableDir)).orderBy("stream_name")
+    readLatest(spark, tableDir)
+      .map(_.orderBy("stream_name"))
+      .getOrElse(spark.emptyDataFrame)
 
   /** Point read of one stream's materialized value (`projection-value`). */
   def value(spark: SparkSession, tableDir: String, stream: String): Option[Any] =
-    withRetry(spark.read.parquet(tableDir))
-      .where(col("stream_name") === stream)
-      .select("value").collect().headOption.map(_.get(0))
+    readLatest(spark, tableDir).flatMap { df =>
+      df.where(col("stream_name") === stream)
+        .select("value").collect().headOption.map(_.get(0))
+    }
 }
