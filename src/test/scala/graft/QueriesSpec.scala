@@ -24,6 +24,17 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("driver contract: every oracle key names a query; names are unique and well-formed") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    assert(qs.forall(_.matches("[a-z0-9_]+")), "query ids must be snake_case")
+    // every oracle is syntactically complete enough to end in an ORDER BY
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
+    }
+  }
+
   test("x_approx_quantile within 5% of exact quantiles") {
     import spark.implicits._
     val approx = SparkEntry.queries("x_approx_quantile")(spark, sf)
