@@ -68,7 +68,18 @@ object Replay {
     * ~17k files per stream — scan planning and open() costs dominate.
     * Rewrite the partition into files of ~targetRows each (sorted by
     * order_id so min-max stats stay tight for cold-scan pruning), then
-    * swap directories. Returns the new file count. */
+    * swap directories. A date-bucketed stream (Ingest.append byDate=true:
+    * `event_date=` dirs under the stream) is re-written WITH
+    * partitionBy(event_date), preserving the layout — flattening it
+    * would leave mixed partition schemes under the log root and break
+    * whole-log partition discovery. Returns the new file count.
+    *
+    * Concurrency contract: SINGLE WRITER, no concurrent readers of this
+    * stream during the swap — between the two renames the stream's
+    * partition is briefly absent, so a concurrent reader would observe
+    * an empty stream (correct reads resume after the swap; no data is
+    * ever lost). Run compaction in the ingest's maintenance window, and
+    * call [[recoverCompaction]] at open time to heal a crashed swap. */
   def compactStream(
       spark: SparkSession,
       logDir: String,
@@ -76,19 +87,30 @@ object Replay {
       targetRows: Long = 5000000L): Int = {
     val part = new Path(s"$logDir/stream_name=$stream")
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, logDir, stream) // heal any crashed prior swap
     require(fs.exists(part), s"no such stream partition: $part")
+    val byDate = fs.listStatus(part)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
     val df = spark.read.parquet(part.toString)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
     val tmp = new Path(s"$logDir/.compact_tmp_$stream")
-    df.repartitionByRange(files, col("order_id"))
-      .sortWithinPartitions("order_id")
-      .write.mode("overwrite").parquet(tmp.toString)
+    if (byDate)
+      // event_date surfaces as a discovered partition column; write it
+      // back as a partition level (partitionBy drops it from the data
+      // files), range-clustered so a task writes few date dirs
+      df.repartitionByRange(files, col("event_date"), col("order_id"))
+        .sortWithinPartitions("event_date", "order_id")
+        .write.mode("overwrite").partitionBy("event_date").parquet(tmp.toString)
+    else
+      df.repartitionByRange(files, col("order_id"))
+        .sortWithinPartitions("order_id")
+        .write.mode("overwrite").parquet(tmp.toString)
     // two renames, never delete-then-rename: a crash between steps
     // leaves either the original or the compacted copy addressable —
-    // the stream is recoverable at every point
+    // the stream is recoverable at every point (see recoverCompaction)
     val old = new Path(s"$logDir/.compact_old_$stream")
-    fs.delete(old, true) // clear any leftover from a prior crash
+    fs.delete(old, true) // clear leftover from a prior COMPLETED swap
     require(fs.rename(part, old), s"rename $part -> $old failed")
     if (!fs.rename(tmp, part)) {
       fs.rename(old, part) // roll back
@@ -96,6 +118,22 @@ object Replay {
     }
     fs.delete(old, true)
     fs.listStatus(part).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Open-time recovery for a compaction swap that crashed between
+    * renames: if the stream partition is missing but its .compact_old
+    * backup exists, restore the backup (and drop the half-written tmp).
+    * Idempotent; no-op when the partition is healthy. Returns true if a
+    * restore happened. */
+  def recoverCompaction(spark: SparkSession, logDir: String, stream: String): Boolean = {
+    val part = new Path(s"$logDir/stream_name=$stream")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"$logDir/.compact_old_$stream")
+    if (!fs.exists(part) && fs.exists(old)) {
+      require(fs.rename(old, part), s"recovery rename $old -> $part failed")
+      fs.delete(new Path(s"$logDir/.compact_tmp_$stream"), true)
+      true
+    } else false
   }
 
   /** Delete a stream (reference api.clj:131-147 loops scan-and-delete

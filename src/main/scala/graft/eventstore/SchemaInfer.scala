@@ -65,6 +65,19 @@ object SchemaInfer {
   private def sampled(payload: String): Boolean =
     math.floorMod(scala.util.hashing.MurmurHash3.stringHash(payload), 100) < SamplePercent
 
+  /** Order-independent type resolution: a commutative/associative join
+    * on a widening lattice, so the inferred type cannot depend on
+    * partitioning or partial-merge order (a first-seen rule flickers
+    * run-to-run for mixed-type fields). `null` is the bottom (a JSON
+    * null carries no type evidence); integer widens to double; any other
+    * disagreement is reported as `mixed` (the top). */
+  private[eventstore] def widen(a: String, b: String): String =
+    if (a == b) a
+    else if (a == "null") b
+    else if (b == "null") a
+    else if ((a == "integer" && b == "double") || (a == "double" && b == "integer")) "double"
+    else "mixed"
+
   /** One payload into the buffer (shared by the typed Aggregator and
     * the catalyst InferSchemaAgg). */
   def reduceBuf(b: Buf, payload: String): Buf = {
@@ -73,7 +86,7 @@ object SchemaInfer {
     else {
       val merged = fieldsOf(payload).foldLeft(b.fields) { case (m, (f, t)) =>
         val prev = m.getOrElse(f, FieldStat(t, 0L))
-        m.updated(f, FieldStat(if (prev.count == 0) t else prev.ftype, prev.count + 1))
+        m.updated(f, FieldStat(widen(prev.ftype, t), prev.count + 1))
       }
       Buf(b.processed + 1, b.sampled + 1, merged)
     }
@@ -84,7 +97,7 @@ object SchemaInfer {
     a.sampled + b.sampled,
     b.fields.foldLeft(a.fields) { case (m, (f, s)) =>
       val prev = m.getOrElse(f, FieldStat(s.ftype, 0L))
-      m.updated(f, FieldStat(prev.ftype, prev.count + s.count))
+      m.updated(f, FieldStat(widen(prev.ftype, s.ftype), prev.count + s.count))
     })
 
   val agg: Aggregator[String, Buf, Buf] = new Aggregator[String, Buf, Buf] {

@@ -35,10 +35,16 @@ object ConnectedComponents {
 
     val pairs = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    // one probing action: grab up to limit+1 edges; if they all fit, the
-    // graph is driver-sized and union-find needs no further jobs
-    val probe = pairs.limit(DriverEdgeLimit.toInt + 1).collect()
-    if (probe.length <= DriverEdgeLimit) {
+      // both the size probe and the chosen path re-read the edge set;
+      // without the cache the upstream pair pipeline runs twice
+      .persist()
+    // size probe WITHOUT row transfer: count the limited frame — rows
+    // stay on the executors; only when the graph is confirmed
+    // driver-sized does collect() ship it (the prior limit(N+1).collect()
+    // shipped up to 1M rows just to discard them on the distributed path)
+    val probeCount = pairs.limit(DriverEdgeLimit.toInt + 1).count()
+    if (probeCount <= DriverEdgeLimit) {
+      val probe = pairs.collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -54,9 +60,14 @@ object ConnectedComponents {
       }
       val nodes = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
       val out = nodes.map(n => (n, find(n))).toSeq
+      pairs.unpersist()
       return spark.createDataset(out).toDF("id", "cluster_id")
     }
-    distributedComponents(pairs.persist())
+    // labels come back materialized (localCheckpoint), so the edge cache
+    // can be released as soon as the propagation finishes
+    val out = distributedComponents(pairs)
+    pairs.unpersist()
+    out
   }
 
   /** The scale path: iterative min-label propagation over joins. */
@@ -76,14 +87,18 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (!converged && round < MaxRounds) {
-      // min label over the closed neighbourhood
+      // min label over the closed neighbourhood. localCheckpoint cuts
+      // the lineage each round: without it round k's plan nests all
+      // k-1 prior joins, so analysis/optimization time (and any
+      // recompute on executor loss... acceptable: labels are cheap to
+      // rebuild from the persisted edge set) grows per round
       val next = undirected
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "dst_lbl"), "dst")
         .groupBy($"src".as("id"))
         .agg(min($"dst_lbl").as("nbr_lbl"))
         .join(labels, "id")
         .select($"id", least($"lbl", $"nbr_lbl").as("lbl"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .where($"lbl" =!= $"old").limit(1).count()
       labels.unpersist()

@@ -22,13 +22,10 @@ object HyperplaneLSH {
     * (flipping low-margin bits) is the standard recall lever at scale. */
   val Bits = 4
 
-  private def mix(z0: Long): Long = graft.functions.Hashing.mix64(z0)
-
-  /** plane j, dimension d → uniform [-1, 1]. */
+  /** plane j, dimension d → uniform [-1, 1] (shared generator — see
+    * graft.functions.Hyperplanes). */
   def planes(dim: Int, bits: Int = Bits): Array[Array[Double]] =
-    Array.tabulate(bits, dim) { (j, d) =>
-      mix(j.toLong * 1048576 + d).toDouble / Long.MaxValue
-    }
+    graft.functions.Hyperplanes.planes(dim, bits)
 
   /** Bucket id column from a double-array column (vec_dot must be
     * registered; strict left-fold keeps signatures deterministic). */

@@ -71,7 +71,13 @@ object VectorOps extends QueryModule {
         .orderBy($"p_id", $"rk")
     })
 
-  /** Embedding-cosine near-duplicate pairs (cos >= 0.45). */
+  /** Embedding-cosine near-duplicate pairs (cos >= 0.45).
+    *
+    * Spark side runs banded-LSH candidate generation + exact verify
+    * (graft.operators.EmbedNearDup) — no O(n²) pair materialization; the
+    * oracle KEEPS the brute-force all-pairs SQL as the definition of
+    * correctness, so the hash-match doubles as the recall proof
+    * (VectorOpsSpec additionally dual-runs both Spark paths). */
   private val embedNeardup = Q(
     "x_embed_neardup",
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -82,12 +88,7 @@ object VectorOps extends QueryModule {
              ORDER BY a_id, b_id"""),
     (spark, dir) => {
       import spark.implicits._
-      val e = emb(spark, dir)
-      val a = e.select($"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("a_nrm"))
-      val b = e.select($"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("b_nrm"))
-      a.join(b, $"a_id" < $"b_id")
-        .withColumn("cos", dotCol("av", "bv") / ($"a_nrm" * $"b_nrm"))
-        .where($"cos" >= 0.45)
+      graft.operators.EmbedNearDup.pairs(emb(spark, dir), threshold = 0.45)
         .select($"a_id", $"b_id", floor($"cos" * 10000.0).cast("long").as("cos_bp"))
         .orderBy($"a_id", $"b_id")
     })

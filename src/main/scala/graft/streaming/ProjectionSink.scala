@@ -53,13 +53,18 @@ object ProjectionSink {
         }
         val vDir = new org.apache.hadoop.fs.Path(base, f"v$batchId%020d")
         merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(vDir.toString)
-        // atomically move the pointer: write tmp, rename over _LATEST
+        // atomically move the pointer: write tmp, then rename OVER the
+        // existing _LATEST in one operation (Options.Rename.OVERWRITE via
+        // FileContext). Delete-then-rename would leave a window where the
+        // pointer does not exist and readers see an empty table.
         val ptrTmp = new org.apache.hadoop.fs.Path(base, s"._LATEST.$batchId")
         val out = fs.create(ptrTmp, true)
         out.write(vDir.getName.getBytes("UTF-8")); out.close()
-        fs.delete(new org.apache.hadoop.fs.Path(base, "_LATEST"), false)
-        require(fs.rename(ptrTmp, new org.apache.hadoop.fs.Path(base, "_LATEST")),
-          s"pointer update failed for $vDir")
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.makeQualified(base).toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(fs.makeQualified(ptrTmp), fs.makeQualified(
+          new org.apache.hadoop.fs.Path(base, "_LATEST")),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         // prune all but the two newest versions (current + one grace)
         val versions = fs.listStatus(base).map(_.getPath)
           .filter(_.getName.startsWith("v")).sortBy(_.getName)
@@ -89,13 +94,19 @@ object ProjectionSink {
   /** One narrow retry: a reader that resolved the pointer just before a
     * prune can lose its (grace-period) version dir; re-resolving gets
     * the fresh snapshot. Only the file-missing case retries — real
-    * errors surface immediately. */
+    * errors surface immediately. The snapshot is MATERIALIZED inside the
+    * guarded region (the descriptor table is catalog-sized — one row per
+    * stream) and returned as a local frame, so the caller's later
+    * orderBy/collect cannot re-scan a version dir the pruner has since
+    * removed. A missing pointer is not retried: with the overwrite
+    * rename above there is no pointer-swap window, so None genuinely
+    * means "no batch committed yet". */
   private def readLatest(spark: SparkSession, tableDir: String): Option[DataFrame] = {
     def attempt(): Option[DataFrame] =
       currentVersion(spark, tableDir).map { dir =>
         val df = spark.read.parquet(dir)
-        df.count() // force the read inside the guarded region
-        df
+        val rows = df.collect() // force the read inside the guarded region
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
       }
     try attempt()
     catch { case _: java.io.FileNotFoundException => attempt() }

@@ -92,6 +92,48 @@ class IngestReplaySpec extends AnyFunSuite with SparkTestBase {
     assert(after200.sameElements(before200)) // identical replay post-compaction
   }
 
+  test("compaction preserves a date-bucketed layout (no mixed partition schemes)") {
+    val log = tmpDir("cdlog")
+    val dayMs = 86400000L
+    (0 until 4).foreach { i =>
+      Ingest.append(Ingest.stamp(rawEvents(20, Seq("s1")), T0 + i * dayMs), log,
+        byDate = true)
+    }
+    val before = Replay.cold(Replay.open(spark, log), "s1")
+      .collect().map(_.getAs[Long]("order_id"))
+
+    Replay.compactStream(spark, log, "s1", targetRows = 1000000L)
+    // event_date dirs survive the rewrite — whole-log partition
+    // discovery still sees one consistent (stream_name, event_date) scheme
+    val part = new java.io.File(s"$log/stream_name=s1")
+    assert(part.listFiles().map(_.getName).count(_.startsWith("event_date=")) == 4)
+    assert(part.listFiles().count(_.getName.endsWith(".parquet")) == 0)
+    val after = Replay.cold(Replay.open(spark, log), "s1")
+      .collect().map(_.getAs[Long]("order_id"))
+    assert(after.sameElements(before))
+    // and the date-pruned scan still works
+    assert(Replay.cold(Replay.open(spark, log), "s1", fromMs = T0 + 3 * dayMs)
+      .count() == 20)
+  }
+
+  test("compaction crash between renames is healed at open time") {
+    val log = tmpDir("crlog")
+    Ingest.ingest(rawEvents(20, Seq("s1")), log, T0)
+    val before = Replay.cold(Replay.open(spark, log), "s1")
+      .collect().map(_.getAs[Long]("order_id"))
+    // simulate the crash window: partition renamed away, tmp half-written
+    val part = new java.io.File(s"$log/stream_name=s1")
+    val old = new java.io.File(s"$log/.compact_old_s1")
+    assert(part.renameTo(old))
+    new java.io.File(s"$log/.compact_tmp_s1").mkdirs()
+    assert(Replay.recoverCompaction(spark, log, "s1"))
+    assert(!old.exists() && part.exists())
+    val after = Replay.cold(Replay.open(spark, log), "s1")
+      .collect().map(_.getAs[Long]("order_id"))
+    assert(after.sameElements(before))
+    assert(!Replay.recoverCompaction(spark, log, "s1")) // idempotent no-op
+  }
+
   test("streams catalog counts per stream; delete-stream drops its partition") {
     val log = tmpDir("log")
     Ingest.ingest(rawEvents(10), log, T0)

@@ -70,6 +70,42 @@ class SchemaInferSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mixed-type fields resolve order-independently via the widening lattice") {
+    // join is commutative + associative → result independent of
+    // partitioning / partial-merge order
+    val types = Seq("string", "integer", "double", "boolean", "array", "object", "null")
+    for (a <- types; b <- types) {
+      assert(SchemaInfer.widen(a, b) == SchemaInfer.widen(b, a), s"comm $a $b")
+      for (c <- types)
+        assert(SchemaInfer.widen(SchemaInfer.widen(a, b), c) ==
+          SchemaInfer.widen(a, SchemaInfer.widen(b, c)), s"assoc $a $b $c")
+    }
+    assert(SchemaInfer.widen("integer", "double") == "double")
+    assert(SchemaInfer.widen("null", "boolean") == "boolean")
+    assert(SchemaInfer.widen("string", "integer") == "mixed")
+
+    // end-to-end: a field that is integer in half the payloads and string
+    // in the other half must infer identically for any partitioning
+    import spark.implicits._
+    def inferWith(parts: Int): Map[String, String] = {
+      val raw = (0 until 8).map { i =>
+        val v = if (i % 2 == 0) i.toString else "\"s" + i + "\""
+        ("m", "svc", s"l$i", "1", s"""{"x": $v}""")
+      }.toDF("stream_name", "service_id", "local_id", "schema_version", "payload")
+        .withColumn("provenance",
+          org.apache.spark.sql.functions.lit(null)
+            .cast("struct<service_id:string,local_id:string,relationship:string>"))
+        .repartition(parts)
+      val log = tmpDir(s"silog_mixed$parts")
+      Ingest.append(Ingest.stamp(raw, T0), log)
+      SchemaInfer.infer(spark, Replay.typed(spark, log)).collect()
+        .map(f => f.field -> f.ftype).toMap
+    }
+    val one = inferWith(1)
+    assert(one("x") == "mixed")
+    assert(inferWith(7) == one)
+  }
+
   test("sampling: first 10 per group fully inferred, then ~2% — sampled <= processed") {
     import spark.implicits._
     val raw = rawEvents(800)

@@ -12,13 +12,15 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def emb = {
+  private def embAt(dir: String) = {
     VecDot.register(spark)
-    spark.read.parquet(s"$sf/embeddings.parquet")
+    spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .repartition(4)
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
   }
+
+  private def emb = embAt(sf)
 
   test("lsh ann: results exact within bucket, sims correct, deterministic") {
     val e = emb
@@ -45,6 +47,48 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     // deterministic across runs
     val out2 = HyperplaneLSH.searchTopK(e, 64, Seq(0L, 1L, 2L), 5).collect()
     assert(out.map(_.toString).sameElements(out2.map(_.toString)))
+  }
+
+  test("embed near-dup: banded-LSH candidates reproduce brute force exactly") {
+    // full-recall proof on the driver corpora: the bucketed pipeline's
+    // verified output must equal the all-pairs definition pair-for-pair
+    // (same ids AND same floor-bp scores) — this is the contract that
+    // lets x_embed_neardup keep its brute-force DuckDB oracle
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = embAt(dir)
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("a_nrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("b_nrm"))
+      val brute = a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos", expr("vec_dot(av, bv)") / (col("a_nrm") * col("b_nrm")))
+        .where(col("cos") >= 0.45)
+        .select(col("a_id"), col("b_id"),
+          floor(col("cos") * 10000.0).cast("long").as("cos_bp"))
+        .collect().map(_.toString).sorted
+      val bucketed = EmbedNearDup.pairs(e, threshold = 0.45)
+        .select(col("a_id"), col("b_id"),
+          floor(col("cos") * 10000.0).cast("long").as("cos_bp"))
+        .collect().map(_.toString).sorted
+      assert(brute.nonEmpty, s"$dir: brute-force found no pairs (bad fixture)")
+      assert(bucketed.sameElements(brute),
+        s"$dir: bucketed ${bucketed.length} pairs vs brute ${brute.length}")
+    }
+  }
+
+  test("embed near-dup: every true pair collides in multiple bands (recall margin)") {
+    // margin guard: if a plane-set or banding change ever drops the
+    // min collision count to 1, recall is one unlucky band from breaking
+    val e = embAt("/root/testdata/sf0.01")
+    graft.functions.Hyperplanes.register(spark)
+    val sigs = e.select(col("vec_id"), expr(
+      s"hyperplane_sig(v, ${EmbedNearDup.BitsPerBand}, ${EmbedNearDup.Bands})").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val truePairs = EmbedNearDup.pairs(e, threshold = 0.45)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(truePairs.nonEmpty)
+    val minHits = truePairs.map { case (x, y) =>
+      sigs(x).zip(sigs(y)).count { case (p, q) => p == q }
+    }.min
+    assert(minHits >= 2, s"recall margin eroded: min band collisions = $minHits")
   }
 
   test("lsh planes are reproducible and bounded") {
