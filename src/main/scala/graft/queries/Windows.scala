@@ -101,16 +101,18 @@ object Windows extends QueryModule {
     * session aggregation. Timestamps are floored to whole seconds in BOTH
     * engines so the gap boundary can never be flipped by sub-second
     * precision differences. Oracle is the classic gaps-and-islands SQL
-    * (DuckDB has no session_window builtin). A session breaks when the
-    * gap is >= 30 min (Spark sessions merge only on strict overlap of
-    * [t, t+gap) intervals). */
+    * (DuckDB has no session_window builtin). A session breaks only when
+    * the gap EXCEEDS 30 min: Spark's session intervals [t, t+gap) merge
+    * on the touch point too — an event at exactly last+gap extends the
+    * session (verified against the one exact-1800s gap in the sf0.1
+    * corpus, where `>=` split what Spark merged). */
   private val streamSession = Q(
     "r_stream_session",
     Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_s
                        FROM events),
             g AS (SELECT user_id, event_id, ts_s,
                     CASE WHEN lag(ts_s) OVER w IS NULL
-                           OR ts_s - lag(ts_s) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+                           OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
             s AS (SELECT user_id, ts_s,
                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
