@@ -64,6 +64,48 @@ object Ingest {
       .drop("seq", "event_time_ms")
   }
 
+  /** Shuffle-free stamping for high-rate ingest: per-partition sequence
+    * ranges instead of the default's single-partition global sort.
+    *
+    * Encoding: `order_id = ingestTimeMs * 2^20 + (partition_id *
+    * capacity + local_rownum)` — each input partition owns a disjoint
+    * range of the 2^20 per-batch sequence space, so stamping is one
+    * narrow projection over the existing partitioning (ZERO exchanges;
+    * IngestReplaySpec pins the plan). Documented deviations from the
+    * reference's dense `1000*ms + seq` (SURVEY.md §4.4 ceiling upgrade):
+    * order_ids are sparse (unfilled range gaps), cross-partition order
+    * within one batch is partition order rather than arrival order, and
+    * the `order_id DIV 1000 = event_time_ms` relation becomes
+    * `DIV 2^20`. Within a partition order_ids stay monotone; across
+    * batches they stay monotone in ingest time; total replay order is
+    * still a total order. A log must use ONE stamping scheme throughout
+    * — don't mix stamp() and stampPartitioned() in the same log.
+    *
+    * Determinism: local_rownum comes from the input's partition layout
+    * (monotonically_increasing_id), so re-stamping the SAME source (same
+    * files, same partitioning — the import/replay case) yields identical
+    * order_ids. Overflowing a partition's `capacity` (or the 2^20 batch
+    * space) raises rather than colliding.
+    */
+  def stampPartitioned(
+      raw: DataFrame,
+      ingestTimeMs: Long,
+      capacityPerPartition: Int = 1 << 14): DataFrame = {
+    val seqSpace = 1L << 20
+    val mid = monotonically_increasing_id() // (partition_id << 33) | local_rownum
+    val pid = shiftrightunsigned(mid, 33)
+    val rownum = mid.bitwiseAND(lit((1L << 33) - 1))
+    val seq = pid * capacityPerPartition + rownum
+    raw
+      .withColumn("seq",
+        when(rownum < capacityPerPartition && seq < seqSpace, seq)
+          .otherwise(raise_error(concat(lit("stampPartitioned sequence overflow: "),
+            pid, lit("*"), lit(capacityPerPartition), lit("+"), rownum))))
+      .withColumn("event_time", timestamp_millis(lit(ingestTimeMs)))
+      .withColumn("order_id", lit(ingestTimeMs) * seqSpace + col("seq"))
+      .drop("seq")
+  }
+
   /** Append a stamped batch to the log, partitioned by stream so stream
     * filters prune at the file level (the columnar analogue of the
     * reference's per-stream `db/lazy-events` pushdown, streams.clj:325-327).
@@ -72,18 +114,57 @@ object Ingest {
     * stream — the 100 TB layout (SCALING.md): one stream's years of
     * history aren't a single giant directory, and `from`-bounded cold
     * scans prune whole days before reading a footer.
+    *
+    * `hotDir` dual-writes the batch to a small rolling HOT TOPIC dir —
+    * the reference's publish-to-live-subscribers + persist fan-out
+    * (streams.clj:305-307), minus its publish-before-store wrinkle: the
+    * log write commits FIRST, so a hot subscriber can never observe an
+    * event that isn't durable. Hot subscriptions (HotCold.hot) tail the
+    * topic instead of the log, so their cost is the topic's retention
+    * window ([[pruneHotTopic]]), not the log history.
     */
-  def append(stamped: DataFrame, logDir: String, byDate: Boolean = false): Unit =
+  def append(
+      stamped: DataFrame,
+      logDir: String,
+      byDate: Boolean = false,
+      hotDir: Option[String] = None): Unit = {
+    // the stamping plan contains a sort; cache it so a dual-write stamps
+    // once (and both sinks see identical order_ids)
+    hotDir.foreach(_ => stamped.persist())
     if (byDate)
       stamped.withColumn("event_date", to_date(col("event_time")))
         .write.mode("append").partitionBy("stream_name", "event_date").parquet(logDir)
     else
       stamped.write.mode("append").partitionBy("stream_name").parquet(logDir)
+    hotDir.foreach { d =>
+      stamped.write.mode("append").parquet(d) // unpartitioned: topic is small
+      stamped.unpersist()
+    }
+  }
+
+  /** Drop hot-topic files older than `retainMs` (by modification time).
+    * Run from the ingest maintenance loop. Already-delivered files may
+    * be deleted freely (subscriber checkpoints track them by path); the
+    * retention window must exceed the slowest subscriber's catch-up lag
+    * plus the event_time filter's subscribe race window. */
+  def pruneHotTopic(spark: SparkSession, hotDir: String, retainMs: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(hotDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    val cutoff = System.currentTimeMillis() - retainMs
+    val old = fs.listStatus(p).filter(s => s.isFile && s.getModificationTime < cutoff)
+    old.foreach(s => fs.delete(s.getPath, false))
+    old.length
+  }
 
   /** validate → stamp → append in one call; returns the invalid rows. */
-  def ingest(raw: DataFrame, logDir: String, ingestTimeMs: Long): DataFrame = {
+  def ingest(
+      raw: DataFrame,
+      logDir: String,
+      ingestTimeMs: Long,
+      hotDir: Option[String] = None): DataFrame = {
     val (ok, bad) = validate(raw)
-    append(stamp(ok, ingestTimeMs), logDir)
+    append(stamp(ok, ingestTimeMs), logDir, hotDir = hotDir)
     bad
   }
 }

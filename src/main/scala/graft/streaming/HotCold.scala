@@ -16,11 +16,20 @@ import graft.eventstore.Event
   *                best-effort switchover gap (sliding-buffer drops, §3.3.6)
   *                becomes checkpointed exactly-once. Deliberate upgrade
   *                (SURVEY.md §4.4).
-  *  - hot       → same source, restricted to events ingested from "now":
-  *                the file source has no latest-offsets knob, so hot =
-  *                hot-cold + event_time >= subscription time (equivalent
-  *                observable behavior: only events appended after
-  *                subscribe are delivered).
+  *  - hot       → a tail of the HOT TOPIC: ingest dual-writes each
+  *                stamped batch to the log AND a small rolling topic dir
+  *                (exactly the reference's publish-to-subscribers +
+  *                persist fan-out, streams.clj:305-307), and hot
+  *                subscriptions stream from the topic — so a live-only
+  *                subscribe lists the retention window (minutes of
+  *                files), never the 100 TB log history. The event_time
+  *                >= subscribe-time predicate keeps delivery exact for
+  *                retained pre-subscribe events.
+  *
+  * (A checkpoint-seeding alternative — pre-committing the log's listing
+  * so the file source skips history — was rejected: a seeded committed
+  * batch makes any STATEFUL consumer fail state recovery, and an
+  * uncommitted seed still replays history into batch 0.)
   */
 object HotCold {
 
@@ -40,17 +49,30 @@ object HotCold {
       StructField("local_id", StringType),
       StructField("relationship", StringType))))))
 
-  def hotCold(spark: SparkSession, logDir: String, stream: String = "__all__"): DataFrame = {
-    val src = spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", 32) // bound per-microbatch work
-      .parquet(logDir)
+  private def source(
+      spark: SparkSession,
+      logDir: String,
+      stream: String,
+      maxFilesPerTrigger: Option[Int] = Some(32)): DataFrame = {
+    var reader = spark.readStream.schema(eventSchema)
+    // bound per-microbatch work on the tailing path; the listing
+    // snapshot wants one batch instead
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val src = reader.parquet(logDir)
     if (stream == "__all__") src else src.where(col("stream_name") === stream)
   }
 
-  def hot(spark: SparkSession, logDir: String, stream: String = "__all__",
+  def hotCold(spark: SparkSession, logDir: String, stream: String = "__all__"): DataFrame =
+    source(spark, logDir, stream)
+
+  /** Live-only tail (reference "hot", streams.clj:399-405) over the hot
+    * topic dir maintained by Ingest (`hotDir`): the subscribe cost is
+    * the topic's retention window, independent of log history size.
+    * Retention (Ingest.pruneHotTopic) must exceed the slowest
+    * subscriber's catch-up lag. */
+  def hot(spark: SparkSession, hotTopicDir: String, stream: String = "__all__",
       subscribeAtMs: Long): DataFrame =
-    hotCold(spark, logDir, stream)
+    source(spark, hotTopicDir, stream)
       .where(unix_millis(col("event_time")) >= subscribeAtMs)
 
   def typed(df: DataFrame): Dataset[Event] = {

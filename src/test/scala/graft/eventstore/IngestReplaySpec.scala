@@ -33,6 +33,34 @@ class IngestReplaySpec extends AnyFunSuite with SparkTestBase {
     assert(msSpread == ((0L, 2L))) // 2500 events = ms 0,1,2
   }
 
+  test("partitioned stamping: zero exchanges, unique, per-partition monotone, re-stamp deterministic") {
+    // stable multi-partition source: same files → same partition layout
+    val dir = tmpDir("pstampsrc")
+    rawEvents(300).repartition(8).write.mode("overwrite").parquet(dir)
+    val raw = spark.read.parquet(dir)
+
+    val stamped = Ingest.stampPartitioned(raw, T0)
+    // shuffle-free: the whole stamping plan must contain no Exchange
+    val plan = stamped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stamping shuffled:\n$plan")
+
+    val rows = stamped.select("order_id", "local_id", "stream_name").collect()
+    val oids = rows.map(_.getLong(0))
+    assert(oids.length == 300 && oids.distinct.length == 300) // unique
+    // encoding: order_id DIV 2^20 recovers the ingest ms for every event
+    assert(oids.forall(_ >> 20 == T0))
+    // per-partition monotonicity: within one partition range, sequence
+    // values increase in row order (ranges are disjoint by construction)
+    val byPartition = oids.map(o => o & ((1L << 20) - 1)).groupBy(_ / (1 << 14))
+    byPartition.values.foreach(seqs => assert(seqs.sorted.sameElements(seqs)))
+    assert(byPartition.size > 1) // the source really was multi-partition
+
+    // determinism: re-stamping the same source yields identical stamps
+    val again = Ingest.stampPartitioned(spark.read.parquet(dir), T0)
+      .select("order_id", "local_id", "stream_name").collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("validate: null required field is rejected, not stored") {
     import spark.implicits._
     val raw = rawEvents(4).withColumn("service_id",

@@ -66,10 +66,13 @@ class HotColdSpec extends AnyFunSuite with SparkTestBase {
 
   test("hot: only events at/after subscribe time are delivered") {
     val log = tmpDir("hlog")
-    Ingest.ingest(rawEvents(10), log, T0)
-    Ingest.ingest(rawEvents(4), log, T0 + 60000)
+    val topic = tmpDir("htopic")
+    // both batches land in the topic's retention window; the event_time
+    // predicate alone must hide the pre-subscribe ones
+    Ingest.ingest(rawEvents(10), log, T0, hotDir = Some(topic))
+    Ingest.ingest(rawEvents(4), log, T0 + 60000, hotDir = Some(topic))
 
-    val q = HotCold.hot(spark, log, subscribeAtMs = T0 + 60000)
+    val q = HotCold.hot(spark, topic, subscribeAtMs = T0 + 60000)
       .groupBy(col("stream_name")).agg(count(lit(1)).as("n"))
       .writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName("hot1")
@@ -78,6 +81,36 @@ class HotColdSpec extends AnyFunSuite with SparkTestBase {
     q.awaitTermination(60000)
     val got = spark.table("hot1").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("s1" -> 2L, "s2" -> 2L))
+  }
+
+  test("hot subscribe never reads log history (topic tail + retention prune)") {
+    val log = tmpDir("hblog")
+    val topic = tmpDir("hbtopic")
+    // history: dual-written, then aged out of the topic's retention
+    Ingest.ingest(rawEvents(10), log, T0, hotDir = Some(topic))
+    Thread.sleep(1200)
+    assert(Ingest.pruneHotTopic(spark, topic, retainMs = 1000) >= 1)
+    // live appends after subscribe
+    Ingest.ingest(rawEvents(4), log, T0 + 60000, hotDir = Some(topic))
+
+    val q = HotCold.hot(spark, topic, subscribeAtMs = T0 + 60000)
+      .groupBy(col("stream_name")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("hotb")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    // observable semantics unchanged: only post-subscribe events
+    val got = spark.table("hotb").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s1" -> 2L, "s2" -> 2L))
+    // and the INPUT was bounded: the 10 historical events stayed in the
+    // log; the subscribe only read the topic's 4 live ones (the old
+    // hot-over-log path replayed all 14 and filtered after the fact)
+    val inputRows = q.recentProgress.map(_.numInputRows).sum
+    assert(inputRows == 4L, s"log history was read: $inputRows input rows")
+    // the full history is still in the cold log
+    assert(Replay.cold(Replay.open(spark, log)).count() == 14)
   }
 
   test("streaming dedup: same (service_id, local_id) delivered once within watermark") {
