@@ -49,7 +49,21 @@ object GraftFunctions {
     (FunctionIdentifier("infer_schema"),
       info("infer_schema", classOf[InferSchemaAgg],
         "infer_schema(payload) - sampled statistical JSON schema inference aggregate"),
-      (exprs: Seq[Expression]) => InferSchemaAgg(exprs.head).toAggregateExpression()))
+      (exprs: Seq[Expression]) => InferSchemaAgg(exprs.head).toAggregateExpression()),
+    (FunctionIdentifier("hyperplane_sig"),
+      info("hyperplane_sig", classOf[HyperplaneSig],
+        "hyperplane_sig(v, bitsPerBand, bands) - banded LSH sign signature of array<double>"),
+      (exprs: Seq[Expression]) => HyperplaneSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("ws_token_count"),
+      info("ws_token_count", classOf[WsTokenCountExpr],
+        "ws_token_count(str) - count of maximal non-space runs"),
+      (exprs: Seq[Expression]) => WsTokenCountExpr(exprs.head)),
+    (FunctionIdentifier("bpe_token_count"),
+      info("bpe_token_count", classOf[BpeTokenCountExpr],
+        "bpe_token_count(str) - count of letter runs | digit runs | other non-space bytes"),
+      (exprs: Seq[Expression]) => BpeTokenCountExpr(exprs.head)))
 
   /** Imperative registration into an existing session (equivalent to the
     * extension path; used by the query modules). */
@@ -59,5 +73,7 @@ object GraftFunctions {
     Shingles.register(spark)
     PolyHash.register(spark)
     InferSchemaAgg.register(spark)
+    Hyperplanes.register(spark)
+    TokenCounts.register(spark)
   }
 }

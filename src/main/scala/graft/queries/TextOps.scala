@@ -221,7 +221,11 @@ object TextOps extends QueryModule {
     })
 
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
-    * (letter runs | digit runs | single punctuation). */
+    * (letter runs | digit runs | single punctuation). The oracle keeps
+    * the regex definition; the Spark side runs the single-pass byte-scan
+    * kernels (graft.functions.TokenCounts) — the regex projection was
+    * the whole-bench top cost (~7 s at sf0.1) and split/filter HOFs
+    * dropped the projection out of codegen. */
   private val tokenCount = Q(
     "x_token_count",
     Some("""SELECT doc_id,
@@ -232,12 +236,11 @@ object TextOps extends QueryModule {
             FROM documents ORDER BY doc_id"""),
     (spark, dir) => {
       import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
       t(spark, dir, "documents")
         .select($"doc_id",
-          size(expr("filter(split(text, ' +'), x -> x != '')")).cast("long")
-            .as("ws_tokens"),
-          size(expr("regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)"))
-            .cast("long").as("bpe_tokens"))
+          expr("ws_token_count(text)").as("ws_tokens"),
+          expr("bpe_token_count(text)").as("bpe_tokens"))
         .orderBy($"doc_id")
     })
 
