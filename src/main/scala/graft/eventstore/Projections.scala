@@ -7,15 +7,40 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
+/** Anything registrable in the [[ProjectionCatalog]]. */
+trait NamedProjection extends Serializable {
+  def name: String
+}
+
 /** A projection = photon's generic fold `state ← f(state, event)` with an
   * initial value, run per stream (reference streams.clj:241-274 register,
   * 125-161 fold step). `stream = None` folds every stream separately;
   * photon's "one projection over one stream" is the single-group case.
   */
-trait Fold[S] extends Serializable {
-  def name: String
+trait Fold[S] extends NamedProjection {
   def initial: S
   def step(state: S, e: Event): S
+}
+
+/** A projection registered AT RUNTIME from a SQL aggregate-expression
+  * string — the safe middle ground for the reference's runtime
+  * registration UX (api.clj:20-26: clients POST fold source at runtime;
+  * deviation §7.6 rules out code eval): the string goes through
+  * `expr()`/Catalyst, which covers the folds photon users actually write
+  * (count / sum / min / max / latest-by-order, e.g.
+  * `"max_by(payload, order_id)"`) and runs as a PARALLEL mergeable
+  * aggregate rather than a sequential fold — the 100 TB shape.
+  * Order-sensitive non-commutative folds still need a compiled [[Fold]]
+  * (SURVEY.md §7.4 documents the constraint).
+  *
+  * The expression is parsed at construction, so syntactically invalid
+  * source is rejected at the registration edge — mirroring the
+  * reference's compile step (exec.clj:16-24). Analysis errors (unknown
+  * column/function) surface on first run, loudly.
+  */
+final case class SqlFold(name: String, aggSql: String) extends NamedProjection {
+  // parse = registration-time validation (functions.expr defers parsing)
+  org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(aggSql)
 }
 
 /** Descriptor row — the queryable "running query" record (SURVEY.md §1.3:
@@ -92,6 +117,19 @@ object Projections {
       }
   }
 
+  /** Run a runtime-registered SQL-expression fold: one hash aggregate
+    * per stream (partial aggregation, no sort), descriptor-shaped
+    * output. The same agg expression drops into a streaming
+    * `groupBy(stream_name).agg(...)` for the live path when it is
+    * streaming-compatible. */
+  def runSql(events: Dataset[Event], f: SqlFold): DataFrame =
+    events.toDF()
+      .groupBy(col("stream_name"))
+      .agg(expr(f.aggSql).as("value"), count(lit(1)).as("processed"))
+      .select(lit(f.name).as("projection_name"), col("stream_name"),
+        col("value"), col("processed"), lit("finished").as("status"),
+        lit(null).cast("string").as("last_error"))
+
   /** Commutative/mergeable folds get the fully-parallel path: a typed
     * Aggregator usable with groupByKey or as a registered UDAF — partial
     * (map-side) aggregation, no in-partition sort. This is the 100 TB
@@ -114,16 +152,16 @@ object Projections {
   * observable as full reprocessing, test projections.clj:159-182).
   */
 final class ProjectionCatalog {
-  private val folds = mutable.LinkedHashMap.empty[String, Fold[_]]
+  private val folds = mutable.LinkedHashMap.empty[String, NamedProjection]
   private val protectedNames = mutable.Set.empty[String]
 
   ProjectionCatalog.defaults.foreach { f => folds(f.name) = f; protectedNames += f.name }
 
-  def register(f: Fold[_]): Unit = folds(f.name) = f // replace-if-exists
+  def register(f: NamedProjection): Unit = folds(f.name) = f // replace-if-exists
   def unregister(name: String): Boolean =
     if (protectedNames(name)) false
     else folds.remove(name).isDefined
-  def get(name: String): Option[Fold[_]] = folds.get(name)
+  def get(name: String): Option[NamedProjection] = folds.get(name)
   def names: Seq[String] = folds.keys.toSeq
   def isProtected(name: String): Boolean = protectedNames(name)
 }

@@ -98,6 +98,52 @@ class ProjectionSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(r => r.avg_step_us >= 0.0 && r.state_bytes > 0))
   }
 
+  test("runtime-registered SQL-expression folds: no recompile, no code eval") {
+    import spark.implicits._
+    val cat = new ProjectionCatalog
+
+    // syntactically invalid source is rejected at the registration edge
+    // (the reference compiles fold source at register time, exec.clj)
+    intercept[Exception] { SqlFold("bad", "sum((") }
+
+    // register from strings at runtime
+    cat.register(SqlFold("v_sum",
+      "sum(cast(get_json_object(payload, '$.v') as double))"))
+    cat.register(SqlFold("latest_payload", "max_by(payload, order_id)"))
+    assert(cat.get("v_sum").isDefined)
+    assert(!cat.unregister("__streams__")) // protected defaults intact
+
+    val ev = logOf(40)
+    val vSum = Projections.runSql(ev,
+      cat.get("v_sum").get.asInstanceOf[SqlFold]).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val wantSum = ev
+      .withColumn("v", get_json_object($"payload", "$.v").cast("double"))
+      .groupBy("stream_name").agg(sum($"v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(vSum == wantSum)
+
+    // the latest-per-stream expression fold matches the ordered replay
+    val latest = Projections.runSql(ev,
+      cat.get("latest_payload").get.asInstanceOf[SqlFold]).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    latest.foreach { case (stream, payload) =>
+      val expected = ev.where($"stream_name" === stream)
+        .orderBy($"order_id".desc).limit(1).collect().head
+      assert(payload == expected.payload, stream)
+    }
+
+    // descriptor shape: name, status, processed are populated
+    val rows = Projections.runSql(ev, SqlFold("n", "count(1)")).collect()
+    assert(rows.forall(r => r.getString(0) == "n" && r.getString(4) == "finished"))
+    assert(rows.map(_.getLong(3)).sum == 40L)
+
+    // replace-if-exists works across kinds (compiled fold → SQL fold)
+    cat.register(CountFold("dual"))
+    cat.register(SqlFold("dual", "count(1)"))
+    assert(cat.get("dual").get.isInstanceOf[SqlFold])
+  }
+
   test("property: count fold == count(*) for random event batches (ScalaCheck gen)") {
     import spark.implicits._
     // deterministic ScalaCheck sampling (no scalatestplus bridge offline)

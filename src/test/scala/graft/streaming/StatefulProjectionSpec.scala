@@ -68,6 +68,48 @@ class StatefulProjectionSpec extends AnyFunSuite with SparkTestBase {
     } finally q2.stop()
   }
 
+  test("state resumes across restarts under the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateStores.useRocksDB(spark)
+    try {
+      val ckpt = tmpDir("rocksckpt")
+      val mem = MemoryStream[Event]
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      def start() = StatefulProjection.run(mem.toDS(), CountFold("rk"))
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.eventstore.ProjRow[Long]],
+            _: Long) =>
+          batch.collect().foreach(r => seen.add(r.value))
+        }
+        .start()
+
+      val q1 = start()
+      try {
+        mem.addData(ev("a", 1), ev("a", 2))
+        q1.processAllAvailable()
+        // the query really ran on RocksDB, not the heap default: the
+        // checkpoint holds changelog/snapshot files, no HDFS-provider
+        // .delta files
+        val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map[String](_.getFileName.toString)
+          .collect(java.util.stream.Collectors.toList[String])
+        assert(!stateFiles.isEmpty)
+        assert(stateFiles.stream().noneMatch(_.endsWith(".delta")),
+          s"HDFS provider files present: $stateFiles")
+      } finally q1.stop()
+
+      val q2 = start()
+      try {
+        mem.addData(ev("a", 3))
+        q2.processAllAvailable()
+        assert(seen.contains(3L), s"state not resumed under RocksDB: $seen")
+      } finally q2.stop()
+    } finally StateStores.useDefault(spark)
+  }
+
   test("non-commutative fold sees events in order_id order within a batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
