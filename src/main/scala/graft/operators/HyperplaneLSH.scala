@@ -38,23 +38,35 @@ object HyperplaneLSH {
   }
 
   /** For each probe (id ∈ probeIds), the top-k exact-cosine neighbours
-    * within the probe's LSH bucket. `emb` needs (vec_id, v: array<double>,
-    * nrm: double). */
+    * within the probe's LSH bucket(s). `emb` needs (vec_id,
+    * v: array<double>, nrm: double).
+    *
+    * `hamming` is the multi-probe radius: besides its own bucket, a
+    * probe searches every bucket whose sign pattern differs in ≤ hamming
+    * bits — the standard recall lever (a near neighbour that fell on the
+    * wrong side of one hyperplane is one bit-flip away). Radius 1 turns
+    * 1 bucket into bits+1 buckets: candidate volume grows ~(bits+1)×,
+    * recall jumps accordingly (VectorOpsSpec measures it against the
+    * brute-force ground truth). Radius 0 = classic single-bucket probe. */
   def searchTopK(
       emb: DataFrame,
       dim: Int,
       probeIds: Seq[Long],
       k: Int,
-      bits: Int = Bits): DataFrame = {
+      bits: Int = Bits,
+      hamming: Int = 0): DataFrame = {
     import emb.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
 
     val withBucket = emb.withColumn("bkt", bucket("v", dim, bits))
       .persist() // probe side and candidate side both read it
+    // all XOR masks within the probe radius (mask 0 = own bucket);
+    // distinct masks → distinct buckets → no candidate is seen twice
+    val masks = (0 until (1 << bits)).filter(m => java.lang.Integer.bitCount(m) <= hamming)
     val probes = broadcast(withBucket
       .where($"vec_id".isin(probeIds: _*))
       .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm"),
-        $"bkt".as("p_bkt")))
+        explode(array(masks.map(m => $"bkt".bitwiseXOR(lit(m.toLong))): _*)).as("p_bkt")))
     val w = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
     probes.join(withBucket, $"bkt" === $"p_bkt" && $"vec_id" =!= $"p_id")
       .withColumn("sim", expr("vec_dot(pv, v)") / ($"p_nrm" * $"nrm"))

@@ -141,16 +141,21 @@ object VectorOps extends QueryModule {
         .orderBy($"p_id", $"rk")
     })
 
-  /** LSH-bucketed ANN (random hyperplanes) — rows-only: bucket
-    * membership is hash-geometry-dependent; VectorOpsSpec pins the
-    * invariants (sims exact, candidates share the probe's bucket). */
+  /** LSH-bucketed ANN (random hyperplanes), multi-probe radius 1: a
+    * probe scans its own bucket plus every bucket one sign-flip away —
+    * the recall lever for neighbours that fell on the wrong side of one
+    * hyperplane. Rows-only: bucket membership is hash-geometry-
+    * dependent; VectorOpsSpec pins the invariants (sims exact,
+    * candidates within hamming 1 of the probe's bucket, measured recall
+    * ≥ the single-probe variant). */
   private val annLsh = Q(
     "x_ann_lsh",
     None,
     (spark, dir) => {
       import spark.implicits._
       graft.operators.HyperplaneLSH.searchTopK(
-        emb(spark, dir), dim = 64, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        emb(spark, dir), dim = 64, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+        hamming = 1)
     })
 
   override def all: Seq[Q] = Seq(simTopk, embedNeardup, annIvf, annLsh)

@@ -40,13 +40,50 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
       var i = 0
       while (i < 64) { dot += pv(i) * cv(i); i += 1 }
       assert(math.floor(dot / (pn * cn) * 10000.0).toLong == simBp, s"probe $p cand $cand")
-      assert(buckets(p) == buckets(cand), "candidate outside probe bucket")
+      assert(buckets(p) == buckets(cand), "candidate outside probe bucket (hamming 0)")
       assert(rk >= 1 && rk <= 5)
     }
 
     // deterministic across runs
     val out2 = HyperplaneLSH.searchTopK(e, 64, Seq(0L, 1L, 2L), 5).collect()
     assert(out.map(_.toString).sameElements(out2.map(_.toString)))
+  }
+
+  test("ANN recall: multi-probe LSH and k-means IVF beat their single-probe/seeded baselines") {
+    import org.apache.spark.sql.Row
+    val e = emb.persist()
+    val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+
+    // ground truth: brute-force exact top-5 (the x_sim_topk definition)
+    def pairSet(rows: Array[Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = pairSet(graft.SparkEntry.queries("x_sim_topk")(spark, sf).collect())
+    assert(truth.size == 25)
+    def recall(found: Set[(Long, Long)]): Double =
+      truth.intersect(found).size.toDouble / truth.size
+
+    // LSH: hamming-1 multi-probe recalls at least what single-probe does
+    val single = recall(pairSet(
+      HyperplaneLSH.searchTopK(e, 64, probeIds, 5, hamming = 0).collect()))
+    val multi = recall(pairSet(
+      HyperplaneLSH.searchTopK(e, 64, probeIds, 5, hamming = 1).collect()))
+    assert(multi >= single, s"multi-probe $multi < single-probe $single")
+    assert(multi > 0.0)
+
+    // IVF: k-means centroids + nProbe=2 recall at least the seeded
+    // 1-probe variant (the x_ann_ivf oracle-parity query)
+    val seeded = recall(pairSet(
+      graft.SparkEntry.queries("x_ann_ivf")(spark, sf).collect()))
+    val cents = KMeansIVF.train(e, k = 10, iters = 3)
+    val kmeans = recall(pairSet(
+      KMeansIVF.searchTopK(e, cents, probeIds, 5, nProbe = 2).collect()))
+    assert(kmeans >= seeded, s"k-means IVF $kmeans < seeded IVF $seeded")
+    assert(kmeans > 0.0)
+
+    // determinism: training twice gives identical centroids
+    val cents2 = KMeansIVF.train(e, k = 10, iters = 3)
+    assert(cents.map(_._2.toSeq) sameElements cents2.map(_._2.toSeq))
+    e.unpersist()
   }
 
   test("embed near-dup: banded-LSH candidates reproduce brute force exactly") {
