@@ -122,6 +122,15 @@ object Ingest {
     * event that isn't durable. Hot subscriptions (HotCold.hot) tail the
     * topic instead of the log, so their cost is the topic's retention
     * window ([[pruneHotTopic]]), not the log history.
+    *
+    * Crash semantics of the dual write: hot delivery is AT-MOST-ONCE
+    * across ingest crashes — a crash after the log commit but before the
+    * topic write leaves a durable event that hot subscribers never see
+    * (the converse cannot happen: nothing reaches the topic before the
+    * log). The log stays the source of truth; run [[reconcileHotTopic]]
+    * from the ingest maintenance loop to re-publish any such gap within
+    * the retention window, or have subscribers needing completeness do a
+    * hot-cold read (HotCold.hotCold) instead of tailing the topic alone.
     */
   def append(
       stamped: DataFrame,
@@ -155,6 +164,39 @@ object Ingest {
     val old = fs.listStatus(p).filter(s => s.isFile && s.getModificationTime < cutoff)
     old.foreach(s => fs.delete(s.getPath, false))
     old.length
+  }
+
+  /** Re-publish log events missing from the hot topic (the at-most-once
+    * gap [[append]] documents: a crash between the log commit and the
+    * topic write). Window-bounded: only log events with `event_time >=
+    * sinceMs` are considered — pass the topic retention cutoff, so the
+    * scan prunes to the recent slice (row-group min/max on event_time;
+    * day-level dirs with byDate). Anti-join on order_id (unique) makes
+    * the operation idempotent; run it from the same single-writer
+    * maintenance loop as [[pruneHotTopic]] so it never races an ingest.
+    * Returns the number of re-published events. */
+  def reconcileHotTopic(
+      spark: SparkSession,
+      logDir: String,
+      hotDir: String,
+      sinceMs: Long): Long = {
+    val hotPath = new org.apache.hadoop.fs.Path(hotDir)
+    val fs = hotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recent = spark.read.parquet(logDir)
+      .where(unix_millis(col("event_time")) >= sinceMs)
+    val missing = (if (fs.exists(hotPath) && fs.listStatus(hotPath).exists(_.isFile))
+        recent.join(spark.read.parquet(hotDir).select("order_id"), Seq("order_id"),
+          "left_anti")
+      else recent)
+      // topic files carry the canonical column order, not the log's
+      // partition-column-last layout
+      .select("stream_name", "order_id", "event_time", "service_id",
+        "local_id", "schema_version", "payload", "provenance")
+      .persist()
+    val n = missing.count()
+    if (n > 0) missing.write.mode("append").parquet(hotDir)
+    missing.unpersist()
+    n
   }
 
   /** validate → stamp → append in one call; returns the invalid rows. */

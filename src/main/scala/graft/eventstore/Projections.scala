@@ -33,14 +33,81 @@ trait Fold[S] extends NamedProjection {
   * Order-sensitive non-commutative folds still need a compiled [[Fold]]
   * (SURVEY.md §7.4 documents the constraint).
   *
-  * The expression is parsed at construction, so syntactically invalid
-  * source is rejected at the registration edge — mirroring the
-  * reference's compile step (exec.clj:16-24). Analysis errors (unknown
-  * column/function) surface on first run, loudly.
+  * The expression is parsed AND vetted at construction, so syntactically
+  * invalid or unsafe source is rejected at the registration edge —
+  * mirroring the reference's compile step (exec.clj:16-24). Fold source
+  * arrives from untrusted clients in the reference's POST-registration
+  * API, and Catalyst exposes side-effecting escape hatches
+  * (`java_method`/`reflect` invoke arbitrary static methods), so every
+  * function called by the expression must be on [[SqlFold.Allowed]] and
+  * subqueries are rejected outright. Analysis errors (unknown column)
+  * still surface on first run, loudly.
   */
 final case class SqlFold(name: String, aggSql: String) extends NamedProjection {
   // parse = registration-time validation (functions.expr defers parsing)
-  org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(aggSql)
+  {
+    val parsed =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(aggSql)
+    val called = parsed.collect {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        f.nameParts.mkString(".").toLowerCase(java.util.Locale.ROOT)
+    }
+    val illegal = called.filterNot(SqlFold.Allowed).distinct
+    if (illegal.nonEmpty) throw new IllegalArgumentException(
+      s"SqlFold '$name' calls functions outside the runtime-registration " +
+        s"allowlist: ${illegal.mkString(", ")} (source: $aggSql)")
+    if (parsed.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      throw new IllegalArgumentException(
+        s"SqlFold '$name' must be a pure aggregate expression; subqueries " +
+          s"are not allowed (source: $aggSql)")
+  }
+}
+
+object SqlFold {
+  /** Functions a runtime-registered fold may call: the mergeable
+    * aggregates photon folds are built from, plus pure scalar plumbing
+    * (arithmetic, conditionals, strings, dates, json accessors). No
+    * reflection (`java_method`/`reflect`/`call_method_via_reflection`),
+    * no I/O (`input_file_name`), no nondeterminism (`rand`/`uuid`), no
+    * env probes (`current_user`/`current_database`) — anything off-list
+    * is rejected at registration, not discovered in production. */
+  val Allowed: Set[String] = Set(
+    // aggregates
+    "count", "sum", "min", "max", "avg", "mean", "first", "last", "any_value",
+    "min_by", "max_by", "count_if", "bool_and", "bool_or", "every", "any", "some",
+    "collect_list", "collect_set", "approx_count_distinct", "hll_sketch_agg",
+    "percentile", "percentile_approx", "approx_percentile", "median", "mode",
+    "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop", "var_samp",
+    "skewness", "kurtosis", "corr", "covar_pop", "covar_samp",
+    "bit_and", "bit_or", "bit_xor", "bitmap_construct_agg",
+    // conditionals / null handling
+    "coalesce", "nullif", "if", "ifnull", "nvl", "nvl2", "least", "greatest",
+    // arithmetic
+    "abs", "round", "bround", "floor", "ceil", "ceiling", "sqrt", "cbrt",
+    "pow", "power", "exp", "expm1", "ln", "log", "log2", "log10", "sign",
+    "mod", "pmod", "try_divide", "try_add", "try_multiply", "try_subtract",
+    // strings
+    "concat", "concat_ws", "substring", "substr", "length", "char_length",
+    "lower", "upper", "trim", "ltrim", "rtrim", "lpad", "rpad", "split",
+    "regexp_extract", "regexp_replace", "regexp_like", "rlike", "like",
+    "replace", "translate", "instr", "locate", "position", "left", "right",
+    "format_number", "format_string",
+    // json (payloads are json strings)
+    "get_json_object", "json_tuple", "from_json", "to_json", "json_array_length",
+    "json_object_keys", "schema_of_json",
+    // arrays / maps / structs built from the row itself
+    "struct", "named_struct", "array", "map", "map_from_entries", "element_at",
+    "size", "cardinality", "array_contains", "array_distinct", "array_max",
+    "array_min", "sort_array", "slice", "flatten", "arrays_zip",
+    // dates
+    "to_timestamp", "to_date", "unix_timestamp", "from_unixtime", "date_trunc",
+    "trunc", "year", "quarter", "month", "day", "dayofmonth", "dayofweek",
+    "dayofyear", "weekofyear", "hour", "minute", "second", "datediff",
+    "date_add", "date_sub", "add_months", "months_between", "last_day",
+    "unix_millis", "unix_micros", "timestamp_millis", "timestamp_micros",
+    // hashing (content fingerprints are a legit fold)
+    "hash", "xxhash64", "md5", "sha1", "sha2", "crc32")
 }
 
 /** Descriptor row — the queryable "running query" record (SURVEY.md §1.3:

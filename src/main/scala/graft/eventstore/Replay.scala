@@ -117,7 +117,11 @@ object Replay {
       throw new IllegalStateException(s"rename $tmp -> $part failed; rolled back")
     }
     fs.delete(old, true)
-    fs.listStatus(part).count(_.getPath.getName.endsWith(".parquet"))
+    // recursive: byDate layouts keep their files under event_date= subdirs
+    val it = fs.listFiles(part, true)
+    var count = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) count += 1
+    count
   }
 
   /** Open-time recovery for a compaction swap that crashed between

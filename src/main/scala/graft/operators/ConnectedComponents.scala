@@ -28,7 +28,15 @@ object ConnectedComponents {
     * Same result either way (min id per component). */
   val DriverEdgeLimit = 1000000L
 
-  /** edges(srcCol, dstCol) — undirected. Returns (id, cluster_id). */
+  /** edges(srcCol, dstCol) — undirected. Returns (id, cluster_id).
+    *
+    * Cache contract: all intermediates this operator persists are
+    * unpersisted before it returns. On the distributed path the RETURNED
+    * frame is backed by one localCheckpoint (one row per node — the
+    * result itself, lineage already cut); its blocks are released by the
+    * ContextCleaner when the frame is garbage-collected. The driver path
+    * (graphs ≤ [[DriverEdgeLimit]]) returns a plain local relation and
+    * leaves nothing cached. */
   def components(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

@@ -51,12 +51,18 @@ object EmbedNearDup {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.functions.Hyperplanes.register(spark)
-    // persisted: both legs of the per-bucket self-join read the postings
-    // — without the cache each leg recomputes bands×r dot products/row
+    // Both legs of the per-bucket self-join read the postings. Instead of
+    // persist() (which leaks cached blocks into long-lived sessions and
+    // couldn't hold a 100 TB posting set anyway), repartition on the join
+    // key: the two legs canonicalize to the SAME exchange, so Spark plans
+    // a ReusedExchange — the bands×r dot products run once as the map
+    // side of ONE shuffle, both legs read its (disk-backed, evictable)
+    // shuffle files, and the join itself needs no further exchange
+    // because the data already arrives clustered on (band, bkey).
     val post = emb
       .select($"vec_id", posexplode(expr(s"hyperplane_sig(v, $bitsPerBand, $bands)")))
       .toDF("vec_id", "band", "bkey")
-      .persist()
+      .repartition($"band", $"bkey")
     val a = post.select($"band".as("a_band"), $"bkey".as("a_bkey"), $"vec_id".as("a_id"))
     val b = post.select($"band".as("b_band"), $"bkey".as("b_bkey"), $"vec_id".as("b_id"))
     a.join(b, $"a_band" === $"b_band" && $"a_bkey" === $"b_bkey" && $"a_id" < $"b_id")

@@ -58,8 +58,11 @@ object HyperplaneLSH {
     import emb.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
 
+    // no cache: the probe leg re-reads `emb` with the vec_id filter
+    // pushed to the scan (a handful of rows), and the candidate leg
+    // streams the corpus exactly once — recomputing `bits` dot products
+    // for the probe rows costs less than managing cached blocks
     val withBucket = emb.withColumn("bkt", bucket("v", dim, bits))
-      .persist() // probe side and candidate side both read it
     // all XOR masks within the probe radius (mask 0 = own bucket);
     // distinct masks → distinct buckets → no candidate is seen twice
     val masks = (0 until (1 << bits)).filter(m => java.lang.Integer.bitCount(m) <= hamming)

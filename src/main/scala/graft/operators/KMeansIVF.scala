@@ -63,19 +63,18 @@ object KMeansIVF {
     cents
   }
 
-  /** Tag every vector with its nearest centroid (cosine, ties by cid). */
+  /** Tag every vector with its nearest centroid (cosine, ties by cid).
+    *
+    * Broadcast-argmin kernel (graft.functions.Centroids): the k×dim
+    * centroid matrix rides into the expression as a plan reference
+    * object and every row computes its argmax-cosine in one tight loop —
+    * a narrow map with ZERO exchange, replacing the k×N cross-join +
+    * window that replicated the whole corpus k× through a shuffle.
+    * Centroids here are unit vectors; the kernel divides by their true
+    * (≈1.0) norms — same argmax, same cid-ascending tie rule. */
   def assign(emb: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val centsDf = broadcast(spark.createDataset(
-      cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }).toDF("cid", "cv"))
-    val wAsg = Window.partitionBy($"vec_id").orderBy($"cos_c".desc, $"cid")
-    emb.join(centsDf, lit(true))
-      // centroids are unit vectors → cosine = dot / |v|
-      .withColumn("cos_c", expr("vec_dot(v, cv)") / $"nrm")
-      .withColumn("rn", row_number().over(wAsg))
-      .where($"rn" === 1)
-      .drop("rn", "cos_c", "cv")
+    graft.functions.Centroids.register(emb.sparkSession, cents.toSeq)
+    emb.withColumn("cid", expr("nearest_centroid(v, nrm)"))
   }
 
   /** Top-k exact-cosine neighbours for each probe, scanning the nProbe
@@ -88,20 +87,18 @@ object KMeansIVF {
       nProbe: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val indexed = assign(emb, cents).persist() // probe and candidate legs
+    // serving path may reuse saved centroids without ever calling train()
+    graft.functions.VecDot.register(spark)
+    val indexed = assign(emb, cents) // registers nearest_centroid(s) too
 
-    // per probe: its nProbe nearest centroids
-    val centsDf = broadcast(spark.createDataset(
-      cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }).toDF("p_cid", "cv"))
-    val wProbe = Window.partitionBy($"p_id").orderBy($"cos_c".desc, $"p_cid")
+    // Per probe: its nProbe nearest centroids via the kernel's top-n
+    // variant — no cache needed for the two `indexed` legs: the probe
+    // leg is isin-filtered at the scan and the assignment itself is now
+    // a narrow map, so recomputing it costs less than managing a cache.
     val probes = broadcast(indexed
       .where($"vec_id".isin(probeIds: _*))
       .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm"))
-      .join(centsDf, lit(true))
-      .withColumn("cos_c", expr("vec_dot(pv, cv)") / $"p_nrm")
-      .withColumn("pn", row_number().over(wProbe))
-      .where($"pn" <= nProbe)
-      .select($"p_id", $"pv", $"p_nrm", $"p_cid"))
+      .withColumn("p_cid", explode(expr(s"nearest_centroids(pv, p_nrm, $nProbe)"))))
 
     val w = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
     probes.join(indexed, $"cid" === $"p_cid" && $"vec_id" =!= $"p_id")

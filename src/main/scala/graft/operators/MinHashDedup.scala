@@ -61,15 +61,19 @@ object MinHashDedup {
       .repartition(spark.sparkContext.defaultParallelism)
 
     // band key: one 64-bit hash of the band's R signature entries.
-    // persisted: both legs of the candidate self-join read it — without
-    // the cache each leg re-runs the whole shingle+signature pipeline
+    // Both legs of the candidate self-join read this — rather than
+    // persist() (cached blocks leak into long-lived sessions; a 100 TB
+    // posting set wouldn't fit anyway), repartition on the join key so
+    // the legs share ONE ReusedExchange: the shingle+signature pipeline
+    // runs once as the map side of a single shuffle and the self-join
+    // reads its shuffle files, already clustered on (band, bkey).
     val banded = sh
       .select($"id", $"sh", posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> " +
           s"xxhash64(b, ${(0 until Rows).map(r => s"sig[b * $Rows + $r]").mkString(", ")}))")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
-      .persist()
+      .repartition($"band", $"bkey")
 
     val a = banded.select($"band".as("a_band"), $"bkey".as("a_bkey"),
       $"id".as("a_id"), $"sh".as("a_sh"))

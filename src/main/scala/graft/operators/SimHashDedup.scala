@@ -41,7 +41,10 @@ object SimHashDedup {
         s"b -> shiftrightunsigned(sig, b * 16) & 65535)")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "chunk")
-      .persist() // both self-join legs read this
+      // both self-join legs read this: repartition on the join key so
+      // they share ONE ReusedExchange (shuffle files, not cached blocks
+      // — nothing to unpersist, and the join arrives pre-clustered)
+      .repartition($"band", $"chunk")
 
     val a = banded.select($"band".as("a_band"), $"chunk".as("a_chunk"),
       $"id".as("a_id"), $"sig".as("a_sig"))

@@ -84,7 +84,10 @@ object TextOps extends QueryModule {
       .withColumn("sz", size($"sh"))
       .where($"sz" > 0))
     val post = sh.select($"doc_id", $"lang", $"sz", explode($"sh").as("s"))
-      .persist() // both self-join legs read the postings
+      // both self-join legs read the postings: repartition on the join
+      // key so they share ONE ReusedExchange — the shingle pipeline runs
+      // once as the map side of a single shuffle, no cached blocks leak
+      .repartition($"s", $"lang")
     val a = post.select($"s", $"lang".as("a_lang"), $"doc_id".as("a_id"), $"sz".as("a_sz"))
     val b = post.select($"s".as("s2"), $"lang".as("b_lang"), $"doc_id".as("b_id"), $"sz".as("b_sz"))
     a.join(b, $"s" === $"s2" && $"a_lang" === $"b_lang" && $"a_id" < $"b_id")

