@@ -21,33 +21,81 @@ import org.apache.spark.sql.functions._
   * are examined, never their values. A pair at angle θ shares some band
   * with probability 1-(1-p^r)^bands, p = 1-θ/π.
   *
-  * Parameter calibration (measured on the driver testdata, dim=64):
-  * threshold 0.45 → θ≈63°, p≈0.648 — near LSH's no-gain regime, so full
-  * recall needs r=3, bands=32 (every true pair at sf0.001/0.01/0.1
-  * collides in ≥3 bands; pinned by VectorOpsSpec's dual-run against
-  * brute force). At that operating point candidates ≈ 95-98% of all
-  * pairs — the win on THIS corpus is the plan shape, not volume: no
-  * O(n²) row materialization, shuffles keyed by (band, key) and pair id,
-  * all joins equi-joins AQE can re-plan. At realistic near-dup
-  * thresholds (cos ≥ 0.8, p ≥ 0.80) the same operator prunes hard:
-  * p^r=0.51, per-bucket volume collapses, and bands can drop to 16.
+  * Parameters are THRESHOLD-DERIVED ([[calibrate]]): the widest AND
+  * (bits per band) whose recall requirement at the threshold fits under
+  * the band budget. The declared 0.45 query (θ≈63°, p≈0.648 — LSH's
+  * no-gain regime) calibrates to r=3/bands=32, where full recall holds
+  * on every driver corpus (pinned by VectorOpsSpec's dual-run) but
+  * candidates ≈ 95-98% of all pairs — at that operating point the win is
+  * the plan shape, not volume: no O(n²) row materialization, shuffles
+  * keyed by (band, key) and pair id, all joins equi-joins AQE can
+  * re-plan. At realistic near-dup thresholds the same operator prunes
+  * hard: 0.8 calibrates to r=7/bands=32, cutting the near-orthogonal
+  * test corpus's candidate fraction to ~24% (floor ≈ bands·2^-r for
+  * cos≈0 pairs), with dual-run recall against brute force spec-pinned.
+  * The `maxBucket` guard fails loudly if a degenerate bucket would drag
+  * the candidate join back toward n².
   */
 object EmbedNearDup {
 
-  /** Bits per band (bucket count per band = 2^r). */
-  val BitsPerBand = 3
+  /** OR-width cap: postings volume is n×bands, so bands is the linear
+    * cost knob; 32 keeps it modest while giving [[calibrate]] enough
+    * OR-room to hold the recall target down to threshold ≈ 0.45. */
+  val MaxBands = 32
 
-  /** OR-amplification width: full recall at the declared 0.45 threshold
-    * on the test corpus with margin (min band-collisions per true pair
-    * = 3 at sf0.1). */
-  val Bands = 32
+  /** Derive (bitsPerBand, bands) from the requested cosine threshold:
+    * the WIDEST AND (most pruning per band — candidate volume for a
+    * random near-orthogonal pair falls as bands·2^-r) whose OR-width
+    * requirement for a pair AT the threshold still fits under
+    * [[MaxBands]] at `recallTarget`. All `MaxBands` bands are then used,
+    * so actual recall carries margin beyond the target (a pair at
+    * threshold needs ceil(ln(1-R)/ln(1-p^r)) bands; we give it 32).
+    *
+    * Reproduces the empirically-proven 0.45 operating point exactly —
+    * calibrate(0.45) = (3, 32), the calibration VectorOpsSpec dual-run
+    * verifies as full-recall on every driver corpus — and at realistic
+    * near-dup thresholds widens the AND: calibrate(0.8) = (7, 32), which
+    * on the near-orthogonal test corpus cuts candidates from ~98% of all
+    * pairs to ~24% (floor: a cos≈0 pair collides per band with
+    * probability 2^-r; union bound 32/2^7). Pinned by VectorOpsSpec. */
+  def calibrate(threshold: Double, recallTarget: Double = 0.999): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
+    val p = 1.0 - math.acos(threshold) / math.Pi // P[one hyperplane agrees]
+    val fits = (1 to 24).takeWhile { r =>
+      val pr = math.pow(p, r)
+      math.ceil(math.log(1.0 - recallTarget) / math.log1p(-pr)) <= MaxBands
+    }
+    require(fits.nonEmpty, s"no (r, bands<=$MaxBands) meets recall " +
+      s"$recallTarget at threshold $threshold — raise MaxBands")
+    (fits.last, MaxBands)
+  }
+
+  /** Bits per band (bucket count per band = 2^r) at the declared 0.45
+    * query threshold. */
+  val BitsPerBand: Int = calibrate(0.45)._1
+
+  /** OR-amplification width at the declared 0.45 query threshold: full
+    * recall on the test corpus with margin (min band-collisions per true
+    * pair = 3 at sf0.1). */
+  val Bands: Int = calibrate(0.45)._2
 
   /** LSH candidate pairs: vectors sharing ≥1 band bucket, each pair once.
-    * `emb` needs (vec_id, v: array<double>). */
+    * `emb` needs (vec_id, v: array<double>).
+    *
+    * `maxBucket`: loud skew guard — when set, a pre-pass counts postings
+    * per (band, bucket) and THROWS if any bucket exceeds the bound,
+    * naming the worst offender. A bucket of size s emits s(s-1)/2
+    * candidate rows, so one degenerate bucket (mass duplication, a
+    * zero-vector pileup, a threshold far below the corpus's similarity
+    * floor) silently turns the equi-join back into n² work; the guard
+    * converts that into an immediate, diagnosable failure. The pre-pass
+    * is one partial-aggregated pass over the postings — cheap relative
+    * to the join it protects. */
   def candidatePairs(
       emb: DataFrame,
       bitsPerBand: Int = BitsPerBand,
-      bands: Int = Bands): DataFrame = {
+      bands: Int = Bands,
+      maxBucket: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.functions.Hyperplanes.register(spark)
@@ -63,6 +111,18 @@ object EmbedNearDup {
       .select($"vec_id", posexplode(expr(s"hyperplane_sig(v, $bitsPerBand, $bands)")))
       .toDF("vec_id", "band", "bkey")
       .repartition($"band", $"bkey")
+    maxBucket.foreach { bound =>
+      val worst = post.groupBy($"band", $"bkey").count()
+        .where($"count" > bound).orderBy($"count".desc).limit(1).collect()
+      worst.headOption.foreach { w =>
+        throw new IllegalStateException(
+          s"embed-neardup bucket guard: band=${w.get(0)} bucket=${w.get(1)} holds " +
+            s"${w.getLong(2)} vectors (bound $bound) — ~${w.getLong(2) * (w.getLong(2) - 1) / 2} " +
+            "candidate pairs from one bucket. The corpus is degenerate at this " +
+            "calibration (mass duplicates or threshold below the corpus " +
+            "similarity floor); dedup exact duplicates first or raise the threshold.")
+      }
+    }
     val a = post.select($"band".as("a_band"), $"bkey".as("a_bkey"), $"vec_id".as("a_id"))
     val b = post.select($"band".as("b_band"), $"bkey".as("b_bkey"), $"vec_id".as("b_id"))
     a.join(b, $"a_band" === $"b_band" && $"a_bkey" === $"b_bkey" && $"a_id" < $"b_id")
@@ -72,17 +132,26 @@ object EmbedNearDup {
 
   /** Verified near-dup pairs (a_id, b_id, cos), cos ≥ threshold — output
     * identical to the brute-force all-pairs definition whenever recall
-    * holds (VectorOpsSpec dual-runs both on the test corpus).
-    * `emb` needs (vec_id, v: array<double>, nrm: double). */
+    * holds (VectorOpsSpec dual-runs both on the test corpus, at the
+    * declared 0.45 and at the realistic 0.8 operating point).
+    * `emb` needs (vec_id, v: array<double>, nrm: double).
+    *
+    * (bitsPerBand, bands) default to [[calibrate]](threshold) — pass
+    * them explicitly only to pin a calibration across corpora. */
   def pairs(
       emb: DataFrame,
       threshold: Double,
-      bitsPerBand: Int = BitsPerBand,
-      bands: Int = Bands): DataFrame = {
+      bitsPerBand: Int = -1,
+      bands: Int = -1,
+      maxBucket: Option[Long] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.functions.VecDot.register(spark)
-    val cand = candidatePairs(emb.select($"vec_id", $"v"), bitsPerBand, bands)
+    val (r, b) = calibrate(threshold)
+    val cand = candidatePairs(emb.select($"vec_id", $"v"),
+      if (bitsPerBand > 0) bitsPerBand else r,
+      if (bands > 0) bands else b,
+      maxBucket)
     // re-attach vectors by id: equi-joins (broadcast at sf scale, shuffle
     // at 100 TB) — candidates stay narrow through the dedup shuffle
     val ea = emb.select($"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("a_nrm"))

@@ -162,5 +162,22 @@ object VectorOps extends QueryModule {
         hamming = 1)
     })
 
-  override def all: Seq[Q] = Seq(simTopk, embedNeardup, annIvf, annLsh)
+  /** IVF with k-means-TRAINED centroids (graft.operators.KMeansIVF) —
+    * the quality upgrade over x_ann_ivf's seeded centroids, searched
+    * with nProbe=2. Rows-only: Lloyd's iteration is deterministic but
+    * not SQL-expressible in one oracle query; VectorOpsSpec pins the
+    * invariants (exact sims, determinism, measured recall ≥ the seeded
+    * variant). */
+  private val annIvfKmeans = Q(
+    "x_ann_ivf_kmeans",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val e = emb(spark, dir)
+      val cents = graft.operators.KMeansIVF.train(e, k = 10, iters = 3)
+      graft.operators.KMeansIVF.searchTopK(
+        e, cents, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, nProbe = 2)
+    })
+
+  override def all: Seq[Q] = Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans)
 }

@@ -74,13 +74,14 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     // 1-probe variant (the x_ann_ivf oracle-parity query)
     val seeded = recall(pairSet(
       graft.SparkEntry.queries("x_ann_ivf")(spark, sf).collect()))
-    val cents = KMeansIVF.train(e, k = 10, iters = 3)
+    // the DECLARED k-means query (train k=10 iters=3, nProbe=2)
     val kmeans = recall(pairSet(
-      KMeansIVF.searchTopK(e, cents, probeIds, 5, nProbe = 2).collect()))
+      graft.SparkEntry.queries("x_ann_ivf_kmeans")(spark, sf).collect()))
     assert(kmeans >= seeded, s"k-means IVF $kmeans < seeded IVF $seeded")
     assert(kmeans > 0.0)
 
     // determinism: training twice gives identical centroids
+    val cents = KMeansIVF.train(e, k = 10, iters = 3)
     val cents2 = KMeansIVF.train(e, k = 10, iters = 3)
     assert(cents.map(_._2.toSeq) sameElements cents2.map(_._2.toSeq))
     e.unpersist()
@@ -126,6 +127,86 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
       sigs(x).zip(sigs(y)).count { case (p, q) => p == q }
     }.min
     assert(minHits >= 2, s"recall margin eroded: min band collisions = $minHits")
+  }
+
+  test("calibration: threshold-derived (r, bands) pins the proven operating points") {
+    // 0.45 must reproduce the calibration the oracle hash-match was
+    // proven at; 0.8 must widen the AND (more pruning per band)
+    assert(EmbedNearDup.calibrate(0.45) == (3, 32))
+    assert(EmbedNearDup.calibrate(0.8) == (7, 32))
+    assert(EmbedNearDup.calibrate(0.9)._1 > EmbedNearDup.calibrate(0.8)._1)
+    intercept[IllegalArgumentException] { EmbedNearDup.calibrate(0.0) }
+  }
+
+  test("embed near-dup at 0.8: candidates << all pairs, dual-run recall exact") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the driver corpora hold no pairs at cos >= 0.8, so plant
+    // deterministic near-duplicates: v' = v + 0.4*u (u from a fixed
+    // plane), cos(v, v') ~ 0.93 for near-orthogonal u
+    val base = embAt(sf).select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val u = HyperplaneLSH.planes(64, 4)(3)
+    val un = { val n = math.sqrt(u.map(x => x * x).sum); u.map(_ / n) }
+    val dups = base.take(20).map { case (id, v) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      (id + 100000L, v.zipWithIndex.map { case (x, d) => x + 0.4 * nrm * un(d) })
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize((base ++ dups).toSeq.map {
+        case (id, v) => Row(id, v.toSeq) }, 4), schema)
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+
+    // dual run: bucketed output == brute-force definition, pair for pair
+    val a = all.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("a_nrm"))
+    val b = all.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("b_nrm"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", expr("vec_dot(av, bv)") / (col("a_nrm") * col("b_nrm")))
+      .where(col("cos") >= 0.8)
+      .select(col("a_id"), col("b_id"), floor(col("cos") * 10000.0).cast("long"))
+      .collect().map(_.toString).sorted
+    val bucketed = EmbedNearDup.pairs(all, threshold = 0.8)
+      .select(col("a_id"), col("b_id"), floor(col("cos") * 10000.0).cast("long"))
+      .collect().map(_.toString).sorted
+    assert(brute.length >= 20, s"fixture too weak: ${brute.length} true pairs")
+    assert(bucketed.sameElements(brute),
+      s"bucketed ${bucketed.length} pairs vs brute ${brute.length}")
+
+    // and the 0.8 calibration actually prunes: candidate volume is a
+    // small fraction of all pairs (the 0.45 calibration admits ~98%)
+    val n = all.count()
+    val allPairs = n * (n - 1) / 2.0
+    val (r08, b08) = EmbedNearDup.calibrate(0.8)
+    val cand08 = EmbedNearDup.candidatePairs(
+      all.select(col("vec_id"), col("v")), r08, b08).count()
+    assert(cand08 / allPairs < 0.5,
+      f"0.8 calibration admits ${cand08 / allPairs}%.2f of all pairs")
+    val cand045 = EmbedNearDup.candidatePairs(
+      all.select(col("vec_id"), col("v")), 3, 32).count()
+    assert(cand08 < cand045 / 2,
+      s"wider AND should prune: $cand08 vs $cand045 at the 0.45 calibration")
+  }
+
+  test("bucket guard fails loudly on a degenerate corpus") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 200 copies of one vector: every band has one bucket holding all of
+    // them — exactly the mass-duplication pathology the guard names
+    val v = Array.tabulate(64)(d => math.sin(d + 1.0))
+    val schema = StructType(Seq(StructField("vec_id", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val degenerate = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 200L).map(i => Row(i, v.toSeq)), 4), schema)
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val ex = intercept[IllegalStateException] {
+      EmbedNearDup.pairs(degenerate, threshold = 0.8, maxBucket = Some(50L)).count()
+    }
+    assert(ex.getMessage.contains("bucket guard") && ex.getMessage.contains("200"))
+    // the same guard stays silent on a healthy corpus
+    assert(EmbedNearDup.pairs(embAt(sf), threshold = 0.45,
+      maxBucket = Some(1000L)).count() >= 0)
   }
 
   test("lsh planes are reproducible and bounded") {
