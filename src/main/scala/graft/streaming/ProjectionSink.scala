@@ -3,8 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
 
-import graft.eventstore.{Event, Fold, ProjRow}
+import graft.eventstore.{Event, Fold, ProjRow, SqlFold}
 
 /** The queryable projection-value surface (reference O10: `projection` /
   * `projection-value` point reads of the materialized state,
@@ -21,12 +22,15 @@ object ProjectionSink {
 
   /** Start the live projection, maintaining `tableDir` as the current
     * descriptor snapshot (overwritten per batch with the merged latest
-    * values). */
+    * values). `updatesDir`, when set, additionally APPENDS each batch's
+    * updated descriptors (tagged with batch_id) — the delta channel
+    * [[subscribe]] tails. */
   def start[S](
       events: Dataset[Event],
       fold: Fold[S],
       tableDir: String,
-      checkpointDir: String)(
+      checkpointDir: String,
+      updatesDir: Option[String] = None)(
       implicit stateEnc: Encoder[StatefulProjection.ProjState[S]],
       rowEnc: Encoder[ProjRow[S]]): StreamingQuery = {
     StatefulProjection.run(events, fold)
@@ -34,45 +38,125 @@ object ProjectionSink {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[ProjRow[S]], batchId: Long) =>
-        val spark = batch.sparkSession
-        val next = batch.toDF()
-        val base = new org.apache.hadoop.fs.Path(tableDir)
-        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // versioned snapshots + a pointer file: readers resolve _LATEST
-        // and read an immutable version dir, so there is NO swap window
-        // — the previous version stays intact until after the pointer
-        // moves. (An in-place directory swap raced readers between
-        // file-listing and file-reading.)
-        val merged = currentVersion(spark, tableDir) match {
-          case None => next
-          case Some(prevDir) =>
-            val prev = spark.read.parquet(prevDir)
-            // latest descriptor per stream wins (this batch > previous)
-            prev.join(next.select("stream_name"), Seq("stream_name"), "left_anti")
-              .unionByName(next)
-        }
-        val vDir = new org.apache.hadoop.fs.Path(base, f"v$batchId%020d")
-        merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(vDir.toString)
-        // atomically move the pointer: write tmp, then rename OVER the
-        // existing _LATEST in one operation (Options.Rename.OVERWRITE via
-        // FileContext). Delete-then-rename would leave a window where the
-        // pointer does not exist and readers see an empty table.
-        val ptrTmp = new org.apache.hadoop.fs.Path(base, s"._LATEST.$batchId")
-        val out = fs.create(ptrTmp, true)
-        out.write(vDir.getName.getBytes("UTF-8")); out.close()
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          fs.makeQualified(base).toUri, spark.sparkContext.hadoopConfiguration)
-        fc.rename(fs.makeQualified(ptrTmp), fs.makeQualified(
-          new org.apache.hadoop.fs.Path(base, "_LATEST")),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        // prune all but the two newest versions (current + one grace)
-        val versions = fs.listStatus(base).map(_.getPath)
-          .filter(_.getName.startsWith("v")).sortBy(_.getName)
-        versions.dropRight(2).foreach(fs.delete(_, true))
-        ()
+        writeBatch(batch.toDF(), fold.name, tableDir, batchId, updatesDir)
       }
       .start()
   }
+
+  /** A runtime-registered SQL fold on the LIVE path: the same agg
+    * expression [[graft.eventstore.Projections.runSql]] runs in batch
+    * drops into a streaming `groupBy(stream_name).agg(...)` in update
+    * mode, maintaining the identical descriptor snapshot/updates layout
+    * as [[start]]. State is one agg buffer per stream (bounded by the
+    * stream catalog, not history); the checkpoint makes restarts resume,
+    * so a re-registered fold continues rather than re-folding. */
+  def startSql(
+      events: DataFrame,
+      fold: SqlFold,
+      tableDir: String,
+      checkpointDir: String,
+      updatesDir: Option[String] = None): StreamingQuery = {
+    events
+      .groupBy(col("stream_name"))
+      .agg(expr(fold.aggSql).as("value"), count(lit(1)).as("processed"))
+      .select(lit(fold.name).as("projection_name"), col("stream_name"),
+        col("value"), col("processed"), lit("running").as("status"),
+        lit(null).cast("string").as("last_error"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, fold.name, tableDir, batchId, updatesDir)
+      }
+      .start()
+  }
+
+  /** Per-batch descriptor write: merge into the versioned snapshot (point
+    * reads) and append to the delta channel (subscriptions). foreachBatch
+    * is at-least-once on retry — the snapshot merge is idempotent
+    * (latest-per-stream) and [[subscribe]]'s max_by(batch_id) conflation
+    * makes duplicate appends invisible to latest-value consumers. */
+  private def writeBatch(
+      next: DataFrame,
+      projection: String,
+      tableDir: String,
+      batchId: Long,
+      updatesDir: Option[String]): Unit = {
+    val spark = next.sparkSession
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // each projection owns a subdir of the updates channel: concurrent
+    // live projections never contend on one output-commit _temporary
+    // dir, and a subscriber's listing prunes to its projection
+    updatesDir.foreach { d =>
+      next.withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$d/$projection")
+    }
+    // versioned snapshots + a pointer file: readers resolve _LATEST
+    // and read an immutable version dir, so there is NO swap window
+    // — the previous version stays intact until after the pointer
+    // moves. (An in-place directory swap raced readers between
+    // file-listing and file-reading.)
+    val merged = (currentVersion(spark, tableDir) match {
+      case None => next
+      case Some(prevDir) =>
+        val prev = spark.read.parquet(prevDir)
+        // latest descriptor per stream wins (this batch > previous);
+        // the using-join moves its key column first, so re-select the
+        // canonical descriptor order afterwards
+        prev.join(next.select("stream_name"), Seq("stream_name"), "left_anti")
+          .unionByName(next)
+    }).select(next.columns.map(col): _*)
+    val vDir = new org.apache.hadoop.fs.Path(base, f"v$batchId%020d")
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(vDir.toString)
+    // atomically move the pointer: write tmp, then rename OVER the
+    // existing _LATEST in one operation (Options.Rename.OVERWRITE via
+    // FileContext). Delete-then-rename would leave a window where the
+    // pointer does not exist and readers see an empty table.
+    val ptrTmp = new org.apache.hadoop.fs.Path(base, s"._LATEST.$batchId")
+    val out = fs.create(ptrTmp, true)
+    out.write(vDir.getName.getBytes("UTF-8")); out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(base).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(ptrTmp), fs.makeQualified(
+      new org.apache.hadoop.fs.Path(base, "_LATEST")),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // prune all but the two newest versions (current + one grace)
+    val versions = fs.listStatus(base).map(_.getPath)
+      .filter(_.getName.startsWith("v")).sortBy(_.getName)
+    versions.dropRight(2).foreach(fs.delete(_, true))
+    ()
+  }
+
+  /** Subscribe to ONE projection's live values — the reference's
+    * `projection/<name>` channel (streams.clj:182-200, muon.clj:91-103):
+    * a latest-value-conflated stream of that projection's descriptors,
+    * blind to every other projection sharing the updates channel.
+    *
+    * Shape: tail the delta channel, filter to the projection, conflate
+    * to the latest descriptor per stream (max_by over batch_id — update
+    * mode emits a row only when a stream's value actually changed).
+    * Conflation state is one descriptor per stream — catalog-sized.
+    * Run with OutputMode.Update. */
+  def subscribe(
+      spark: SparkSession,
+      updatesDir: String,
+      projection: String,
+      schema: StructType): DataFrame = {
+    val upd = spark.readStream.schema(schema).parquet(s"$updatesDir/$projection")
+      .where(col("projection_name") === projection) // belt to the subdir's braces
+    val all = struct(upd.columns.map(col): _*)
+    upd.groupBy(col("stream_name").as("sn"))
+      .agg(max_by(all, col("batch_id")).as("d"))
+      .select(col("d.*"))
+  }
+
+  /** Schema-inferring convenience: valid once the projection's first
+    * update batch has landed (streaming file sources need a declared
+    * schema). */
+  def subscribe(spark: SparkSession, updatesDir: String, projection: String): DataFrame =
+    subscribe(spark, updatesDir, projection,
+      spark.read.parquet(s"$updatesDir/$projection").schema)
 
   /** Resolve the current snapshot dir via the pointer; None before the
     * first batch commits. */

@@ -152,6 +152,76 @@ class StatefulProjectionSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("runtime-registered SQL fold runs live with checkpoint resume (startSql)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmpDir("sqltable") + "/state"
+    val ckpt = tmpDir("sqlckpt")
+    val fold = graft.eventstore.SqlFold("v_sum",
+      "sum(cast(get_json_object(payload, '$.v') as bigint))")
+    val mem = MemoryStream[Event]
+    def start() = ProjectionSink.startSql(mem.toDS().toDF(), fold, table, ckpt)
+
+    val q1 = start()
+    try {
+      mem.addData(ev("a", 1, """{"v": 10}"""), ev("a", 2, """{"v": 5}"""),
+        ev("b", 3, """{"v": 7}"""))
+      q1.processAllAvailable()
+      assert(ProjectionSink.value(spark, table, "a").contains(15L))
+    } finally q1.stop()
+
+    // new incarnation, same checkpoint: the streaming agg state resumes —
+    // the fold continues from 15, it does not re-fold history
+    val q2 = start()
+    try {
+      mem.addData(ev("a", 4, """{"v": 3}"""))
+      q2.processAllAvailable()
+      assert(ProjectionSink.value(spark, table, "a").contains(18L))
+      assert(ProjectionSink.value(spark, table, "b").contains(7L))
+      val rows = ProjectionSink.latest(spark, table).collect()
+      val names = rows.map(_.getString(0)).distinct
+      assert(names.sameElements(Array("v_sum")),
+        s"names=${names.mkString("|")} rows=${rows.mkString("; ")}")
+    } finally q2.stop()
+  }
+
+  test("projection/<name> subscription sees its own updates only, latest-conflated") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val updates = tmpDir("pupd") + "/updates"
+    val memA = MemoryStream[Event]
+    val memB = MemoryStream[Event]
+    // two projections share one updates channel
+    val qA = ProjectionSink.start(memA.toDS(), CountFold("proj_a"),
+      tmpDir("pta") + "/state", tmpDir("pca"), Some(updates))
+    val qB = ProjectionSink.start(memB.toDS(), CountFold("proj_b"),
+      tmpDir("ptb") + "/state", tmpDir("pcb"), Some(updates))
+    try {
+      memA.addData(ev("s1", 1), ev("s1", 2))
+      memB.addData(ev("s1", 3), ev("s2", 4))
+      qA.processAllAvailable(); qB.processAllAvailable()
+
+      def readSub(): Map[String, Long] = {
+        val sub = ProjectionSink.subscribe(spark, updates, "proj_a")
+        val qn = s"sub_${System.nanoTime()}"
+        val sq = HotCold.startMemorySink(sub, qn, OutputMode.Update())
+        try {
+          sq.processAllAvailable()
+          spark.table(qn).collect()
+            .map(r => (r.getAs[String]("stream_name"), r.getAs[Long]("value")))
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+        } finally sq.stop()
+      }
+      // only proj_a's descriptors, conflated to the latest value
+      assert(readSub() == Map("s1" -> 2L))
+
+      // another ingest batch: the subscriber observes the updated value
+      memA.addData(ev("s1", 5), ev("s2", 6))
+      qA.processAllAvailable()
+      assert(readSub() == Map("s1" -> 3L, "s2" -> 1L))
+    } finally { qA.stop(); qB.stop() }
+  }
+
   test("failing fold freezes state, reports failed, stream keeps running") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
