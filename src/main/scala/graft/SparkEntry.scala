@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(PhotonOps, Relational, Joins, Windows, Scalars, TextOps, VectorOps, ScaleOps)
+    Seq(PhotonOps, Relational, Joins, Windows, Scalars, TextOps, VectorOps,
+      ScaleOps, PipelineOps)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -72,13 +72,65 @@ object Shingles {
     new GenericArrayData(mins)
   }
 
+  /** Count of the single most frequent k-gram (with multiplicity — no
+    * dedup): hash every shingle, sort, longest equal run. One pass per
+    * row, no shuffle — the repetition-ratio quality signal computes
+    * per-document with zero data movement. Hashes are engine-internal
+    * (the oracle counts exact string k-grams; a 64-bit collision merging
+    * two runs is vanishing at document cardinalities). */
+  def topCount(tokens: ArrayData, k: Int): Long = {
+    val n = tokens.numElements() - k + 1
+    if (n <= 0) return 0L
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = shingleHash(tokens, i, k); i += 1 }
+    Arrays.sort(hs)
+    var best = 1L
+    var run = 1L
+    var r = 1
+    while (r < n) {
+      if (hs(r) == hs(r - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      r += 1
+    }
+    best
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("shingle_hashes",
       exprs => ShingleHashesExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSigExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_top_count",
+      exprs => NgramTopCountExpr(exprs(0), exprs(1)), "scala_udf")
   }
+}
+
+/** ngram_top_count(tokens array<string>, k int) → long: multiplicity of
+  * the most frequent k-gram in the token stream. */
+case class NgramTopCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ngram_top_count needs (array<string>, int), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(toks: Any, k: Any): Any =
+    Shingles.topCount(toks.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.functions.Shingles.topCount($t, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "ngram_top_count"
 }
 
 /** shingle_hashes(tokens array<string>, k int) → array<long>. */

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group X — training-data curation stages beyond dedup/quality basics:
+  * benchmark decontamination, deterministic stratified sampling,
+  * repetition-based quality filtering, and the composed filter chain a
+  * real corpus pipeline runs end-to-end.
+  *
+  * Scale notes (100 TB): decontamination is a broadcast join against the
+  * (tiny) benchmark n-gram set — the corpus never shuffles; sampling is
+  * a pure scan+filter with an arithmetic hash (no rand(), rerunnable);
+  * repetition is a per-row codegen kernel (zero movement); the filter
+  * chain's only exchange is the exact-dedup window on text (at 100 TB
+  * the window key becomes sha2(text) — same grouping, hashes shuffle
+  * instead of full text).
+  */
+object PipelineOps extends QueryModule {
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥1 token
+    * 5-gram with the held-out benchmark set (source = src0). The
+    * benchmark n-gram table is orders of magnitude smaller than the
+    * corpus, so the membership probe broadcasts — the big side stays
+    * where it is, and only matched (doc, ngram) pairs reach the final
+    * per-doc count. Photon has no analogue; this is the standard n-gram
+    * overlap decontamination used for LLM training corpora. */
+  private val decontaminate = Q(
+    "x_decontaminate",
+    Some("""WITH f AS (SELECT doc_id, source,
+              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+              FROM documents),
+            s AS (SELECT doc_id, source,
+              list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1)),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
+              FROM f WHERE len(toks) >= 5),
+            bench AS (SELECT DISTINCT unnest(sh) AS ng FROM s WHERE source = 'src0'),
+            cand AS (SELECT doc_id, source, unnest(sh) AS ng FROM s WHERE source <> 'src0')
+            SELECT c.doc_id, c.source, CAST(count(DISTINCT c.ng) AS BIGINT) AS n_shared
+            FROM cand c JOIN bench b ON c.ng = b.ng
+            GROUP BY c.doc_id, c.source ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.Shingles.register(spark)
+      val sh = barrier(t(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") >= 5))
+        .select($"doc_id", $"source", expr("shingle_hashes(toks, 5)").as("sh"))
+      val bench = sh.where($"source" === "src0")
+        .select(explode($"sh").as("ng")).distinct()
+      sh.where($"source" =!= "src0")
+        .select($"doc_id", $"source", explode($"sh").as("ng"))
+        .join(broadcast(bench), "ng")
+        .groupBy($"doc_id", $"source")
+        .agg(count_distinct($"ng").as("n_shared"))
+        .orderBy($"doc_id")
+    })
+
+  /** Deterministic stratified sampling: per-source keep rates via an
+    * arithmetic hash of the stable doc_id (multiplicative hash mod a
+    * prime, then a 0-99 bucket) — identical integer arithmetic in both
+    * engines, no rand(), so the sample is reproducible across reruns,
+    * engines and cluster sizes. Scan + filter only: the predicate pushes
+    * to the reader, nothing shuffles at any corpus size. */
+  private val sampleStratified = Q(
+    "x_sample_stratified",
+    Some("""SELECT doc_id, source,
+              CAST((doc_id * 2654435761) % 1000003 % 100 AS BIGINT) AS bucket
+            FROM documents
+            WHERE (doc_id * 2654435761) % 1000003 % 100 <
+              CASE source WHEN 'src0' THEN 90 WHEN 'src1' THEN 60
+                          WHEN 'src2' THEN 30 ELSE 10 END
+            ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val bucket = (($"doc_id" * lit(2654435761L)) % 1000003 % 100)
+      val rate = when($"source" === "src0", 90)
+        .when($"source" === "src1", 60)
+        .when($"source" === "src2", 30)
+        .otherwise(10)
+      t(spark, dir, "documents")
+        .where(bucket < rate)
+        .select($"doc_id", $"source", bucket.cast("long").as("bucket"))
+        .orderBy($"doc_id")
+    })
+
+  /** Repetition-ratio quality signal (the "most frequent 2-gram covers
+    * X% of the document" filter from published corpus-quality recipes):
+    * per-row codegen kernel (ngram_top_count) — sort-and-run-length over
+    * shingle hashes in one pass, no explode, no shuffle. The oracle
+    * counts exact string 2-grams via group-by; same multiplicities. */
+  private val repetition = Q(
+    "x_repetition",
+    Some("""WITH f AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+              FROM documents),
+            g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> concat_ws(' ', toks[i], toks[i+1]))) AS ng
+              FROM f WHERE len(toks) >= 2),
+            c AS (SELECT doc_id, ng, count(*) AS n FROM g GROUP BY doc_id, ng),
+            m AS (SELECT doc_id, max(n) AS mx, sum(n) AS tot FROM c GROUP BY doc_id)
+            SELECT doc_id, CAST(floor(mx * 10000.0 / tot) AS BIGINT) AS rep_bp,
+              CASE WHEN mx * 10000.0 / tot >= 600 THEN 'repetitive' ELSE 'ok' END AS verdict
+            FROM m ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.Shingles.register(spark)
+      barrier(t(spark, dir, "documents")
+        .select($"doc_id",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") >= 2))
+        .select($"doc_id",
+          expr("ngram_top_count(toks, 2)").as("mx"),
+          (size($"toks") - 1).cast("long").as("tot"))
+        .select($"doc_id",
+          floor(($"mx" * 10000.0) / $"tot").cast("long").as("rep_bp"),
+          when(($"mx" * 10000.0) / $"tot" >= 600, "repetitive").otherwise("ok")
+            .as("verdict"))
+        .orderBy($"doc_id")
+    })
+
+  /** The composed curation chain: length window + alpha ratio + stop-word
+    * language gate + exact-dedup survivor, reported as per-source pass
+    * rates — the shape of a production corpus filter, where per-source
+    * yield drives mixing decisions. All signals are per-row; the one
+    * exchange is the dedup window. */
+  private val filterChain = Q(
+    "x_filter_chain",
+    Some("""WITH f AS (SELECT doc_id, source,
+              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks,
+              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+              length(text) AS nc,
+              min(doc_id) OVER (PARTITION BY text) AS keep
+              FROM documents WHERE length(text) > 0)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN len(toks) BETWEEN 20 AND 1000
+                AND alpha * 10000.0 / nc >= 5000
+                AND len(list_filter(toks,
+                  x -> x IN ('the','and','of','a','in','to','is'))) * 10000.0
+                  / len(toks) >= 300
+                AND doc_id = keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              CAST(floor(sum(CASE WHEN len(toks) BETWEEN 20 AND 1000
+                AND alpha * 10000.0 / nc >= 5000
+                AND len(list_filter(toks,
+                  x -> x IN ('the','and','of','a','in','to','is'))) * 10000.0
+                  / len(toks) >= 300
+                AND doc_id = keep THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT)
+                AS pass_bp
+            FROM f GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"text")
+      val base = barrier(t(spark, dir, "documents")
+        .where(length($"text") > 0)
+        .withColumn("keep", min($"doc_id").over(w))
+        .select($"doc_id", $"source", $"keep",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"),
+          length(regexp_replace($"text", "[^A-Za-z]", "")).as("alpha"),
+          length($"text").as("nc")))
+      val pass = size($"toks").between(20, 1000) &&
+        ($"alpha" * 10000.0) / $"nc" >= 5000 &&
+        (size(expr("filter(toks, x -> x IN ('the','and','of','a','in','to','is'))"))
+          * 10000.0) / size($"toks") >= 300 &&
+        $"doc_id" === $"keep"
+      base
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(pass, 1).otherwise(0)).as("n_pass_i"))
+        .select($"source", $"n_docs",
+          $"n_pass_i".cast("long").as("n_pass"),
+          floor(($"n_pass_i" * 10000.0) / $"n_docs").cast("long").as("pass_bp"))
+        .orderBy($"source")
+    })
+
+  override def all: Seq[Q] =
+    Seq(decontaminate, sampleStratified, repetition, filterChain)
+}

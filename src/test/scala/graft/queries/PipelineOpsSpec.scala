@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Invariants for the corpus-curation stages the oracle can't see:
+  * plan shapes (what survives 100 TB) and cross-run determinism. */
+class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("x_decontaminate: benchmark probe broadcasts; corpus side never sort-merges") {
+    val phys = run("x_decontaminate").queryExecution.executedPlan
+    val smj = phys.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"benchmark join fell back to SMJ:\n$phys")
+    val p = run("x_decontaminate").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+    // the benchmark source itself never appears in the output
+    val rows = run("x_decontaminate").collect()
+    assert(rows.forall(_.getString(1) != "src0"))
+    assert(rows.forall(_.getLong(2) >= 1))
+  }
+
+  test("x_sample_stratified: narrow scan+filter (no join/window, only the final sort moves data)") {
+    val phys = run("x_sample_stratified").queryExecution.executedPlan
+    assert(phys.collect { case w: WindowExec => w }.isEmpty)
+    val shuffles = phys.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"sampling should not shuffle beyond the output sort:\n$phys")
+    // deterministic: the arithmetic hash gives identical samples across runs
+    val a = run("x_sample_stratified").collect().map(_.getLong(0))
+    val b = run("x_sample_stratified").collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    // per-source rates honored: every bucket is below its source's rate
+    val rates = Map("src0" -> 90L, "src1" -> 60L, "src2" -> 30L)
+    run("x_sample_stratified").collect().foreach { r =>
+      val limit = rates.getOrElse(r.getString(1), 10L)
+      assert(r.getLong(2) < limit, s"${r.getString(1)} bucket ${r.getLong(2)} >= $limit")
+    }
+  }
+
+  test("x_repetition: per-row kernel — no join, no window, bp bounded, verdict consistent") {
+    val phys = run("x_repetition").queryExecution.executedPlan
+    assert(phys.collect { case w: WindowExec => w }.isEmpty)
+    val p = run("x_repetition").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ngram_top_count"), s"repetition kernel missing:\n$p")
+    run("x_repetition").collect().foreach { r =>
+      val bp = r.getLong(1)
+      assert(bp >= 0 && bp <= 10000)
+      assert((r.getString(2) == "repetitive") == (bp >= 600))
+    }
+  }
+
+  test("x_filter_chain: per-source accounting sums to the corpus") {
+    val rows = run("x_filter_chain").collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      spark.read.parquet(s"$sf/documents.parquet")
+        .where(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")) > 0).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+    }
+  }
+}
