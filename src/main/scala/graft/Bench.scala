@@ -43,15 +43,21 @@ object Bench {
     }
     // failed queries are self-describing in the JSON (value -1 + a
     // `failed` list), not just a stderr line a JSON consumer never sees
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map { case (k, c, w, ok) =>
-      "\"" + k + "\":" + (if (ok) math.min(c, w) else -1) }.mkString("{", ",", "}")
+      "\"" + k + "\":" + (if (ok) f3(math.min(c, w)) else "-1") }.mkString("{", ",", "}")
     val qsCold = results.map { case (k, c, _, ok) =>
-      "\"" + k + "\":" + (if (ok) c else -1) }.mkString("{", ",", "}")
+      "\"" + k + "\":" + (if (ok) f3(c) else "-1") }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, c, w, true) => math.min(c, w) }.sum
     val totalCold = results.collect { case (_, c, _, true) => c }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"total_cold":$totalCold,"failed":$failed,"sf":"$sfDir"}""")
+    // The consumer keeps only the last ~2KB of stdout, so the detail line
+    // (cold reps) goes FIRST and the compact headline line goes LAST —
+    // 3-decimal values keep the headline under the tail window even with
+    // sbt's trailing "[success]" line after it.
+    println(s"""{"metric":"total_cold","value":${f3(totalCold)},"unit":"sec","queries_cold":$qsCold}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
