@@ -23,40 +23,73 @@ import org.apache.spark.sql.functions._
 object KMeansIVF {
 
   /** Train k centroids (unit-normalized, cosine geometry). Returns
-    * (cid, vector) pairs. `emb` needs (vec_id, v: array<double>, nrm). */
-  def train(emb: DataFrame, k: Int, iters: Int = 5): Array[(Int, Array[Double])] = {
+    * (cid, vector) pairs. `emb` needs (vec_id, v: array<double>, nrm).
+    *
+    * Trains on a BOUNDED deterministic sample (standard IVF practice —
+    * faiss/ScaNN train coarse quantizers on ~10-50k sampled vectors):
+    * one narrow TakeOrdered pass pulls `sampleMax` hash-ordered rows to
+    * the driver, then Lloyd's iteration runs driver-local over k×dim×
+    * sample flops. Training cost is independent of corpus size — the previous
+    * version ran 2 distributed jobs per iteration, one of which shuffled
+    * N×dim exploded rows to average element-wise (the same replicate-
+    * through-a-shuffle defect the assignment stage had pre-round-3).
+    *
+    * Determinism: the sample is ordered by (xxhash64(vec_id), vec_id) —
+    * a fixed pseudo-random permutation, no rand(); init = the k lowest
+    * vec_ids of the sample; assignment ties break by ascending cid. */
+  def train(
+      emb: DataFrame,
+      k: Int,
+      iters: Int = 5,
+      sampleMax: Int = 20000): Array[(Int, Array[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.functions.VecDot.register(spark)
 
-    // deterministic init: the k lowest vec_ids, unit-normalized
-    var cents: Array[(Int, Array[Double])] = emb.orderBy("vec_id").limit(k)
-      .select($"v", $"nrm").collect()
-      .zipWithIndex
-      .map { case (r, i) =>
-        val v = r.getSeq[Double](0).toArray
-        val n = r.getDouble(1)
-        i -> v.map(_ / n)
-      }
+    // (vec_id, raw vector, norm) sample — hash order ≈ uniform, and a
+    // TakeOrdered top-N never shuffles the corpus
+    val sample: Array[(Long, Array[Double], Double)] = emb
+      .orderBy(xxhash64($"vec_id"), $"vec_id")
+      .limit(sampleMax)
+      .select($"vec_id", $"v", $"nrm")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
 
+    // deterministic init: the k lowest vec_ids of the sample, unit-normalized
+    var cents: Array[(Int, Array[Double])] = sample
+      .sortBy(_._1).take(k).zipWithIndex
+      .map { case ((_, v, n), i) => i -> (if (n == 0) v else v.map(_ / n)) }
+
+    val dim = if (sample.isEmpty) 0 else sample.head._2.length
     for (_ <- 1 to iters) {
-      val assigned = assign(emb, cents)
-      // element-wise mean per centroid: explode to (cid, pos, x), one
-      // aggregate, k×dim result rows — driver-sized
-      val sums = assigned
-        .select($"cid", posexplode($"v"))
-        .groupBy($"cid", $"pos")
-        .agg(avg($"col").as("m"))
-        .collect()
-      val byCid = sums.groupBy(_.getInt(0))
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Long](k)
+      sample.foreach { case (_, v, nrm) =>
+        // argmax cosine == argmax dot for fixed v (centroids are unit);
+        // strict > keeps the ascending-cid tie rule
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cv = cents(c)._2
+          var d = 0.0
+          var i = 0
+          while (i < dim) { d += v(i) * cv(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        val _ = nrm // norm cancels in the argmax; mean uses raw vectors
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        cnt(best) += 1
+      }
       cents = cents.map { case (cid, old) =>
-        byCid.get(cid) match {
-          case None => (cid, old) // empty cluster keeps its centroid
-          case Some(rows) =>
-            val mean = new Array[Double](old.length)
-            rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2))
-            val n = math.sqrt(mean.map(x => x * x).sum)
-            (cid, if (n == 0) old else mean.map(_ / n))
+        if (cnt(cid) == 0) (cid, old) // empty cluster keeps its centroid
+        else {
+          val mean = sums(cid).map(_ / cnt(cid))
+          val n = math.sqrt(mean.map(x => x * x).sum)
+          (cid, if (n == 0) old else mean.map(_ / n))
         }
       }
     }
