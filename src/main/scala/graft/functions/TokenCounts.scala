@@ -60,13 +60,77 @@ object TokenCounts {
     n
   }
 
+  /** Stop-word hits: number of whitespace tokens that case-insensitively
+    * equal one of the seven x_lang_id stop words — the same result as
+    * `len(list_filter(string_split_regex(lower(s),' +'), x -> x IN
+    * ('the','and','of','a','in','to','is')))` without materializing the
+    * token array (ASCII case fold, same caveat as the other kernels). */
+  private val StopWords: Array[Array[Byte]] =
+    Array("the", "and", "of", "a", "in", "to", "is").map(_.getBytes)
+
+  def stopTokens(s: UTF8String): Long = {
+    val b = s.getBytes
+    var n = 0L
+    var i = 0
+    while (i < b.length) {
+      if (b(i) != ' ') {
+        var j = i
+        while (j < b.length && b(j) != ' ') j += 1
+        val len = j - i
+        var w = 0
+        var hit = false
+        while (!hit && w < StopWords.length) {
+          val sw = StopWords(w)
+          if (sw.length == len) {
+            var k = 0
+            var eq = true
+            while (eq && k < len) {
+              var c = b(i + k)
+              if (c >= 'A' && c <= 'Z') c = (c + 32).toByte
+              if (c != sw(k)) eq = false
+              k += 1
+            }
+            hit = eq
+          }
+          w += 1
+        }
+        if (hit) n += 1
+        i = j
+      } else i += 1
+    }
+    n
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("ws_token_count",
       exprs => WsTokenCountExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("bpe_token_count",
       exprs => BpeTokenCountExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("stop_token_count",
+      exprs => StopTokenCountExpr(exprs.head), "scala_udf")
   }
+}
+
+case class StopTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"stop_token_count needs string, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenCounts.stopTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenCounts.stopTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StopTokenCountExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "stop_token_count"
 }
 
 case class WsTokenCountExpr(child: Expression) extends UnaryExpression {

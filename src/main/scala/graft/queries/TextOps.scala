@@ -179,17 +179,19 @@ object TextOps extends QueryModule {
             FROM f WHERE len(toks) > 0 ORDER BY doc_id"""),
     (spark, dir) => {
       import spark.implicits._
-      // barrier: toks is referenced ~6× downstream; without it the
-      // tokenization alias is inlined and re-evaluated at every site
-      barrier(t(spark, dir, "documents")
+      // byte-scan kernels (ws_token_count / stop_token_count): no token
+      // array, no HOFs — the whole query is one codegen projection.
+      // Scalar aliases (nt/hits) are cheap to re-evaluate if inlined, so
+      // no barrier needed either.
+      graft.functions.TokenCounts.register(spark)
+      t(spark, dir, "documents")
         .select($"doc_id", $"lang",
-          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
-        .where(size($"toks") > 0))
-        .withColumn("hits", size(expr(
-          "filter(toks, x -> x IN ('the', 'and', 'of', 'a', 'in', 'to', 'is'))")))
+          expr("ws_token_count(text)").as("nt"),
+          expr("stop_token_count(text)").as("hits"))
+        .where($"nt" > 0)
         .select($"doc_id", $"lang",
-          floor(($"hits" * 10000.0) / size($"toks")).cast("long").as("stop_bp"),
-          when(($"hits" * 10000.0) / size($"toks") >= 300, "en").otherwise("other")
+          floor(($"hits" * 10000.0) / $"nt").cast("long").as("stop_bp"),
+          when(($"hits" * 10000.0) / $"nt" >= 300, "en").otherwise("other")
             .as("pred_lang"))
         .orderBy($"doc_id")
     })
