@@ -174,6 +174,107 @@ object PipelineOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Domain mixing: per-source token inventory → sampling rates against
+    * a token budget (30 % of the corpus, uniform across the 20 sources).
+    * The mixture-weights stage of a training-data pipeline: output is
+    * source-cardinality (driver-sized at any corpus scale), cost is one
+    * partial-agg shuffle over (source) plus a broadcast of the 1-row
+    * total. Token counting rides the bpe_token_count codegen kernel. */
+  private val tokenBudget = Q(
+    "x_token_budget",
+    Some("""WITH tok AS (SELECT source,
+              len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS n_tok
+              FROM documents),
+            agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY source),
+            tot AS (SELECT sum(n_tokens) AS all_tokens FROM agg)
+            SELECT source, n_docs, n_tokens,
+              CAST(floor(n_tokens * 10000.0 / all_tokens) AS BIGINT) AS share_bp,
+              CAST(floor(least(1.0, (all_tokens * 0.3 / 20.0) / n_tokens) * 10000.0)
+                AS BIGINT) AS keep_bp
+            FROM agg, tot ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      val agg = t(spark, dir, "documents")
+        .select($"source", expr("bpe_token_count(text)").as("n_tok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      val tot = agg.agg(sum($"n_tokens").as("all_tokens"))
+      agg.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"n_tokens",
+          floor(($"n_tokens" * 10000.0) / $"all_tokens").cast("long").as("share_bp"),
+          floor(least(lit(1.0), (($"all_tokens" * 0.3) / 20.0) / $"n_tokens") * 10000.0)
+            .cast("long").as("keep_bp"))
+        .orderBy($"source")
+    })
+
+  /** Quality-aware dedup: near-dup clusters (n-gram Jaccard pairs →
+    * connected components) keep the HIGHEST-quality member instead of
+    * the lowest id — the canonical-selection policy a curation pipeline
+    * actually wants. Composes the posting-list similarity join, the
+    * min-label-propagation components, the quality signal, and one
+    * window keyed by cluster (clusters are shallow, the window is
+    * bucket-local). Oracle: recursive-CTE closure + the same argmax. */
+  private val dedupKeepBest = Q(
+    "x_dedup_keepbest",
+    Some("""WITH RECURSIVE
+            s AS (SELECT doc_id, lang,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+              FROM (SELECT doc_id, lang,
+                      list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE CAST(floor((len(list_intersect(a.sh, b.sh)) * 10000.0)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) >= 6000),
+            edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                      UNION SELECT b_id, a_id FROM pairs),
+            reach(id, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+            clus AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+            q AS (SELECT doc_id,
+                CAST(floor((least(len(list_filter(string_split_regex(lower(text), ' +'),
+                    x -> x <> '')), 100)
+                  * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 10000.0)
+                  / (100.0 * length(text))) AS BIGINT) AS quality_bp
+              FROM documents WHERE length(text) > 0)
+            SELECT cluster_id, keep_id, n_members, best_quality_bp FROM (
+              SELECT c.cluster_id, q.doc_id AS keep_id, q.quality_bp AS best_quality_bp,
+                CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members,
+                row_number() OVER (PARTITION BY c.cluster_id
+                  ORDER BY q.quality_bp DESC, q.doc_id) AS rn
+              FROM clus c JOIN q ON c.doc_id = q.doc_id)
+            WHERE rn = 1 ORDER BY cluster_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val clus = graft.operators.ConnectedComponents
+        .components(TextOps.ngramPairs(spark, dir), "a_id", "b_id")
+        .select($"id".as("doc_id"), $"cluster_id")
+      // same quality_bp expression as x_quality_score (oracle parity)
+      val q = t(spark, dir, "documents")
+        .where(length($"text") > 0)
+        .select($"doc_id",
+          floor((least(size(expr("filter(split(lower(text), ' +'), x -> x != '')")),
+            lit(100)) * length(regexp_replace($"text", "[^A-Za-z]", "")) * 10000.0)
+            / (lit(100.0) * length($"text"))).cast("long").as("quality_bp"))
+      val wC = Window.partitionBy($"cluster_id")
+      val wR = Window.partitionBy($"cluster_id").orderBy($"quality_bp".desc, $"doc_id")
+      clus.join(q, "doc_id")
+        .withColumn("n_members", count(lit(1)).over(wC).cast("long"))
+        .withColumn("rn", row_number().over(wR))
+        .where($"rn" === 1)
+        .select($"cluster_id", $"doc_id".as("keep_id"), $"n_members",
+          $"quality_bp".as("best_quality_bp"))
+        .orderBy($"cluster_id")
+    })
+
   override def all: Seq[Q] =
-    Seq(decontaminate, sampleStratified, repetition, filterChain)
+    Seq(decontaminate, sampleStratified, repetition, filterChain,
+      tokenBudget, dedupKeepBest)
 }

@@ -68,7 +68,7 @@ object TextOps extends QueryModule {
     * the scale shape; MinHashDedup further bounds the frequent-shingle
     * blowup (x_dedup_minhash).
     */
-  private def ngramPairs(spark: SparkSession, dir: String) = {
+  private[queries] def ngramPairs(spark: SparkSession, dir: String) = {
     import spark.implicits._
     graft.functions.Shingles.register(spark)
     val toks = barrier(t(spark, dir, "documents")

@@ -58,6 +58,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x_token_budget: shares sum to ~1, keep rates bounded, total driver-sized") {
+    val rows = run("x_token_budget").collect()
+    assert(rows.length == 20) // one row per source at any corpus size
+    val shareSum = rows.map(_.getLong(3)).sum
+    assert(shareSum >= 10000 - 20 && shareSum <= 10000, s"share sum $shareSum")
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000)
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("x_dedup_keepbest: one keeper per cluster, member counts match x_dedup_clusters") {
+    val best = run("x_dedup_keepbest").collect()
+    assert(best.map(_.getLong(0)).distinct.length == best.length)
+    best.foreach(r => assert(r.getLong(2) >= 2)) // components only hold paired docs
+    val clusters = run("x_dedup_clusters").collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    best.foreach { r =>
+      assert(clusters(r.getLong(0)) == r.getLong(2),
+        s"cluster ${r.getLong(0)} member count mismatch")
+      // the keeper is a member of its own cluster
+      assert(clusters.contains(r.getLong(0)))
+    }
+  }
+
   test("x_filter_chain: per-source accounting sums to the corpus") {
     val rows = run("x_filter_chain").collect()
     assert(rows.map(_.getLong(1)).sum ==
