@@ -64,6 +64,54 @@ final case class SqlFold(name: String, aggSql: String) extends NamedProjection {
   }
 }
 
+/** An ORDER-SENSITIVE projection registered at runtime from SQL
+  * expression strings — closes the deviation-§7.6 gap SqlFold left
+  * open (non-commutative folds needed compiled Scala). The fold runs
+  * as a Catalyst `aggregate` HOF over each stream's events collected
+  * into an order_id-sorted struct array:
+  *
+  *   aggregate(evs, <initSql>, (acc, x) -> <stepSql>)
+  *
+  * `stepSql` references the accumulator as `acc` and the current
+  * event's columns as `x.order_id`, `x.payload`, … — e.g.
+  * `"if(get_json_object(x.payload, '$.v') > acc.hi, named_struct('hi',
+  * ...), acc)"` or `"concat(acc, x.local_id)"`. Sequential semantics
+  * are exactly the reference's one-event-at-a-time contract
+  * (streams.clj:147-161); parallelism is across streams, like
+  * [[Projections.runOrdered]].
+  *
+  * Scale bound, stated loudly: the per-stream event array materializes
+  * in one aggregation buffer, so a single stream must fit in executor
+  * memory. That is inherent to running an ARBITRARY runtime-registered
+  * sequential fold in one pass; streams beyond memory keep the
+  * compiled [[Fold]] path (which streams through an iterator) or a
+  * mergeable [[SqlFold]].
+  *
+  * Both expression strings are parsed and allowlist-vetted at
+  * registration exactly like [[SqlFold]] (no reflection escape
+  * hatches, no subqueries).
+  */
+final case class OrderedSqlFold(name: String, initSql: String, stepSql: String)
+    extends NamedProjection {
+  Seq("init" -> initSql, "step" -> stepSql).foreach { case (which, src) =>
+    val parsed =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(src)
+    val called = parsed.collect {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        f.nameParts.mkString(".").toLowerCase(java.util.Locale.ROOT)
+    }
+    val illegal = called.filterNot(SqlFold.Allowed).distinct
+    if (illegal.nonEmpty) throw new IllegalArgumentException(
+      s"OrderedSqlFold '$name' $which calls functions outside the " +
+        s"runtime-registration allowlist: ${illegal.mkString(", ")} (source: $src)")
+    if (parsed.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      throw new IllegalArgumentException(
+        s"OrderedSqlFold '$name' $which must be a pure expression; subqueries " +
+          s"are not allowed (source: $src)")
+  }
+}
+
 object SqlFold {
   /** Functions a runtime-registered fold may call: the mergeable
     * aggregates photon folds are built from, plus pure scalar plumbing
@@ -196,6 +244,27 @@ object Projections {
       .select(lit(f.name).as("projection_name"), col("stream_name"),
         col("value"), col("processed"), lit("finished").as("status"),
         lit(null).cast("string").as("last_error"))
+
+  /** Run a runtime-registered ORDER-SENSITIVE SQL fold (see
+    * [[OrderedSqlFold]]): per stream, collect events into an
+    * order_id-sorted struct array and left-fold it with the Catalyst
+    * `aggregate` HOF — one shuffle keyed by stream, sequential within
+    * a stream (forced by non-commutativity), parallel across streams.
+    * order_id leads the struct so array_sort's lexicographic order is
+    * exactly replay order (order_ids are unique per stream). */
+  def runOrderedSql(events: Dataset[Event], f: OrderedSqlFold): DataFrame = {
+    events.toDF()
+      .groupBy(col("stream_name"))
+      .agg(
+        array_sort(collect_list(struct(
+          col("order_id"), col("event_time"), col("service_id"),
+          col("local_id"), col("schema_version"), col("payload")))).as("evs"),
+        count(lit(1)).as("processed"))
+      .select(lit(f.name).as("projection_name"), col("stream_name"),
+        expr(s"aggregate(evs, ${f.initSql}, (acc, x) -> ${f.stepSql})").as("value"),
+        col("processed"), lit("finished").as("status"),
+        lit(null).cast("string").as("last_error"))
+  }
 
   /** Commutative/mergeable folds get the fully-parallel path: a typed
     * Aggregator usable with groupByKey or as a registered UDAF — partial

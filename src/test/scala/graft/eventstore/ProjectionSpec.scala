@@ -144,6 +144,37 @@ class ProjectionSpec extends AnyFunSuite with SparkTestBase {
     assert(cat.get("dual").get.isInstanceOf[SqlFold])
   }
 
+  test("order-sensitive runtime SQL fold: concat journal == compiled ordered fold") {
+    import spark.implicits._
+    val ev = logOf(60)
+
+    // non-commutative step: append each event's local_id in replay order
+    val f = OrderedSqlFold("journal", "''", "concat(acc, x.local_id, ';')")
+    val got = Projections.runOrderedSql(ev, f).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+
+    // ground truth via the compiled sequential fold
+    val want = Projections.runOrdered(ev, JournalFold("j")).collect()
+      .map(r => r.stream_name -> r.value).toMap
+    assert(got == want)
+
+    // processed counts match the stream sizes
+    val counts = Projections.runOrderedSql(ev, f).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    val sql = ev.groupBy("stream_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == sql)
+
+    // registration-edge vetting: same allowlist as SqlFold, both exprs
+    intercept[IllegalArgumentException] {
+      OrderedSqlFold("evil", "''", "java_method('java.lang.System', 'getenv')")
+    }
+    intercept[IllegalArgumentException] {
+      OrderedSqlFold("evil2", "reflect('java.util.UUID', 'randomUUID')", "acc")
+    }
+    intercept[Exception] { OrderedSqlFold("bad", "''", "concat((") }
+  }
+
   test("SqlFold rejects reflection/side-effecting/off-allowlist source at registration") {
     // the injection surface of runtime registration: Catalyst exposes
     // arbitrary static-method invocation — must die at the edge
@@ -184,4 +215,11 @@ class ProjectionSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.stream_name -> r.value).toMap
     assert(viaAgg == viaFold)
   }
+}
+
+/** Non-commutative ground-truth fold for the OrderedSqlFold test (file
+  * scope: a method-local class would capture the unserializable suite). */
+final case class JournalFold(name: String) extends Fold[String] {
+  override def initial: String = ""
+  override def step(state: String, e: Event): String = state + e.local_id + ";"
 }
