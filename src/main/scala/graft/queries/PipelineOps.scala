@@ -274,7 +274,91 @@ object PipelineOps extends QueryModule {
         .orderBy($"cluster_id")
     })
 
+  /** The end-to-end curation yield: what a source contributes to the
+    * training corpus after EVERY cheap gate runs — quality chain
+    * (length/alpha/stopword), exact-dedup survivorship, benchmark
+    * exclusion (src0 itself never ships) and decontamination. Output is
+    * per-source doc/token yield — the number a pipeline operator
+    * actually watches. One pass computes all per-row signals via the
+    * byte-scan kernels; the dedup window and the broadcast
+    * contamination probe are the only data movement (near-dup cluster
+    * removal is the separately-declared x_dedup_keepbest stage; this
+    * composition keeps to the bounded-cost gates). */
+  private val curationE2e = Q(
+    "x_curation_e2e",
+    Some("""WITH f AS (SELECT doc_id, source, text,
+              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks,
+              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+              length(text) AS nc,
+              len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS n_tok,
+              min(doc_id) OVER (PARTITION BY text) AS keep
+              FROM documents WHERE length(text) > 0),
+            s AS (SELECT doc_id, source,
+              list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1)),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
+              FROM f WHERE len(toks) >= 5),
+            bench AS (SELECT DISTINCT unnest(sh) AS ng FROM s WHERE source = 'src0'),
+            contaminated AS (SELECT DISTINCT c.doc_id
+              FROM (SELECT doc_id, unnest(sh) AS ng FROM s WHERE source <> 'src0') c
+              JOIN bench b ON c.ng = b.ng),
+            gated AS (SELECT f.*,
+              (len(toks) BETWEEN 20 AND 1000
+                AND alpha * 10000.0 / nc >= 5000
+                AND len(list_filter(toks,
+                  x -> x IN ('the','and','of','a','in','to','is'))) * 10000.0
+                  / len(toks) >= 300
+                AND doc_id = keep
+                AND f.source <> 'src0'
+                AND f.doc_id NOT IN (SELECT doc_id FROM contaminated)) AS pass
+              FROM f)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+              CAST(sum(CASE WHEN pass THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+              CAST(floor(sum(CASE WHEN pass THEN 1 ELSE 0 END) * 10000.0 / count(*))
+                AS BIGINT) AS yield_bp
+            FROM gated GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      graft.functions.Shingles.register(spark)
+      val w = Window.partitionBy($"text")
+      val base = barrier(t(spark, dir, "documents")
+        .where(length($"text") > 0)
+        .withColumn("keep", min($"doc_id").over(w))
+        .select($"doc_id", $"source", $"keep", $"text",
+          expr("ws_token_count(text)").as("nt"),
+          expr("stop_token_count(text)").as("hits"),
+          expr("bpe_token_count(text)").as("n_tok"),
+          length(regexp_replace($"text", "[^A-Za-z]", "")).as("alpha"),
+          length($"text").as("nc")))
+      val sh = base.where($"nt" >= 5)
+        .select($"doc_id", $"source",
+          expr("shingle_hashes(filter(split(lower(text), ' +'), x -> x != ''), 5)")
+            .as("sh"))
+      val benchNg = sh.where($"source" === "src0")
+        .select(explode($"sh").as("ng")).distinct()
+      val contaminated = sh.where($"source" =!= "src0")
+        .select($"doc_id", explode($"sh").as("ng"))
+        .join(broadcast(benchNg), "ng")
+        .select($"doc_id").distinct()
+        .withColumn("contam", lit(true))
+      val pass = $"nt".between(20, 1000) &&
+        ($"alpha" * 10000.0) / $"nc" >= 5000 &&
+        ($"hits" * 10000.0) / $"nt" >= 300 &&
+        $"doc_id" === $"keep" &&
+        $"source" =!= "src0" &&
+        $"contam".isNull
+      base.join(contaminated, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(pass, 1).otherwise(0)).cast("long").as("kept_docs"),
+          sum(when(pass, $"n_tok").otherwise(0L)).cast("long").as("kept_tokens"),
+          floor((sum(when(pass, 1).otherwise(0)) * 10000.0) / count(lit(1)))
+            .cast("long").as("yield_bp"))
+        .orderBy($"source")
+    })
+
   override def all: Seq[Q] =
     Seq(decontaminate, sampleStratified, repetition, filterChain,
-      tokenBudget, dedupKeepBest)
+      tokenBudget, dedupKeepBest, curationE2e)
 }

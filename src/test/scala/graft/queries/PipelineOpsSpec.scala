@@ -83,6 +83,19 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x_curation_e2e: benchmark source yields zero; yields never exceed the filter chain") {
+    val e2e = run("x_curation_e2e").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(e2e("src0") == ((0L, 0L))) // the benchmark set never ships
+    // e2e stacks dedup+contamination on top of the chain gates, so
+    // per-source yield can only be <= the filter chain's pass count
+    val chain = run("x_filter_chain").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    e2e.foreach { case (src, (kept, _)) =>
+      if (src != "src0") assert(kept <= chain(src), s"$src kept $kept > chain")
+    }
+  }
+
   test("x_filter_chain: per-source accounting sums to the corpus") {
     val rows = run("x_filter_chain").collect()
     assert(rows.map(_.getLong(1)).sum ==
