@@ -358,7 +358,37 @@ object PipelineOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Output sharding: the write side of the pipeline — assign documents
+    * to 16 training shards by the same arithmetic hash family as the
+    * sampler (deterministic, uniform, rerunnable) and report per-shard
+    * doc/token/source balance. At 100 TB this is exactly
+    * `repartition(N, shard_expr)` feeding the writer — the hash is the
+    * partitioner, so the audit query and the physical layout agree by
+    * construction; balance skew here means dataloader skew later. */
+  private val shardAssign = Q(
+    "x_shard_assign",
+    Some("""WITH s AS (SELECT doc_id, source,
+              CAST((doc_id * 2654435761) % 1000003 % 16 AS BIGINT) AS shard,
+              len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS n_tok
+              FROM documents)
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM s GROUP BY shard ORDER BY shard"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      t(spark, dir, "documents")
+        .select(
+          (($"doc_id" * lit(2654435761L)) % 1000003 % 16).cast("long").as("shard"),
+          $"source", expr("bpe_token_count(text)").as("n_tok"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          count_distinct($"source").as("n_sources"))
+        .orderBy($"shard")
+    })
+
   override def all: Seq[Q] =
     Seq(decontaminate, sampleStratified, repetition, filterChain,
-      tokenBudget, dedupKeepBest, curationE2e)
+      tokenBudget, dedupKeepBest, curationE2e, shardAssign)
 }

@@ -96,6 +96,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x_shard_assign: every doc lands in exactly one of 16 shards, totals conserved") {
+    val rows = run("x_shard_assign").collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    // deterministic across runs (it's the writer partitioner)
+    val again = run("x_shard_assign").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("x_filter_chain: per-source accounting sums to the corpus") {
     val rows = run("x_filter_chain").collect()
     assert(rows.map(_.getLong(1)).sum ==
