@@ -63,7 +63,15 @@ object GraftFunctions {
     (FunctionIdentifier("bpe_token_count"),
       info("bpe_token_count", classOf[BpeTokenCountExpr],
         "bpe_token_count(str) - count of letter runs | digit runs | other non-space bytes"),
-      (exprs: Seq[Expression]) => BpeTokenCountExpr(exprs.head)))
+      (exprs: Seq[Expression]) => BpeTokenCountExpr(exprs.head)),
+    (FunctionIdentifier("stop_token_count"),
+      info("stop_token_count", classOf[StopTokenCountExpr],
+        "stop_token_count(str) - count of tokens case-insensitively in the stop-word set"),
+      (exprs: Seq[Expression]) => StopTokenCountExpr(exprs.head)),
+    (FunctionIdentifier("ngram_top_count"),
+      info("ngram_top_count", classOf[NgramTopCountExpr],
+        "ngram_top_count(tokens, k) - multiplicity of the most frequent k-gram"),
+      (exprs: Seq[Expression]) => NgramTopCountExpr(exprs(0), exprs(1))))
 
   /** Imperative registration into an existing session (equivalent to the
     * extension path; used by the query modules). */

@@ -23,12 +23,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
                   vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
                   size(shingle_hashes(array('a','b','c','d'), 3)) AS n,
                   size(minhash_sig(array(1L, 2L, 3L), 32)) AS m,
-                  poly_hash('abc') AS p""").collect().head
+                  poly_hash('abc') AS p,
+                  ws_token_count(' a  b c ') AS w,
+                  stop_token_count('The cat is ON a mat') AS st,
+                  ngram_top_count(array('a','b','a','b','c'), 2) AS tc""")
+        .collect().head
       assert(row.getDouble(1) == 11.0)
       assert(row.getInt(2) == 2)
       assert(row.getInt(3) == 32)
       // ((0*31+97)*31+98)*31+99 = 97*961 + 98*31 + 99
       assert(row.getLong(4) == (97L * 961 + 98 * 31 + 99))
+      assert(row.getLong(5) == 3L)
+      assert(row.getLong(6) == 3L) // the, is, a
+      assert(row.getLong(7) == 2L) // "a b" occurs twice
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
