@@ -25,12 +25,28 @@ object ConfigLog {
 
   private val ServiceId = "graft-config"
 
-  private def payload(action: String, name: String, aggSql: Option[String]): String = {
+  /** One replayed config event. `foldSql` carries a [[SqlFold]] source;
+    * `initSql`/`stepSql` carry an [[OrderedSqlFold]]'s two expressions. */
+  final case class ConfigEvent(
+      action: String,
+      name: String,
+      foldSql: Option[String],
+      initSql: Option[String],
+      stepSql: Option[String])
+
+  private def payload(
+      action: String,
+      name: String,
+      aggSql: Option[String],
+      initSql: Option[String] = None,
+      stepSql: Option[String] = None): String = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = m.createObjectNode()
     node.put("action", action)
     node.put("name", name)
     aggSql.foreach(node.put("fold_sql", _))
+    initSql.foreach(node.put("init_sql", _))
+    stepSql.foreach(node.put("step_sql", _))
     m.writeValueAsString(node)
   }
 
@@ -52,9 +68,26 @@ object ConfigLog {
     Ingest.append(Ingest.stamp(raw, atMs), logDir)
   }
 
-  /** Replay `__config__` in order: (action, name, fold_sql) tuples.
-    * Empty when the log (or the stream) doesn't exist yet. */
-  def replay(spark: SparkSession, logDir: String): Seq[(String, String, Option[String])] = {
+  /** Append an ordered-fold registration (both expression strings). */
+  def appendOrdered(
+      spark: SparkSession,
+      logDir: String,
+      name: String,
+      initSql: String,
+      stepSql: String,
+      atMs: Long): Unit = {
+    import spark.implicits._
+    val raw = Seq((Stream, ServiceId, s"register_ordered:$name", "1",
+        payload("register_ordered", name, None, Some(initSql), Some(stepSql))))
+      .toDF("stream_name", "service_id", "local_id", "schema_version", "payload")
+      .withColumn("provenance",
+        lit(null).cast("struct<service_id:string,local_id:string,relationship:string>"))
+    Ingest.append(Ingest.stamp(raw, atMs), logDir)
+  }
+
+  /** Replay `__config__` in order. Empty when the log (or the stream)
+    * doesn't exist yet. */
+  def replay(spark: SparkSession, logDir: String): Seq[ConfigEvent] = {
     val part = new org.apache.hadoop.fs.Path(s"$logDir/stream_name=$Stream")
     val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(part)) return Seq.empty
@@ -63,9 +96,12 @@ object ConfigLog {
       .select(
         get_json_object(col("payload"), "$.action"),
         get_json_object(col("payload"), "$.name"),
-        get_json_object(col("payload"), "$.fold_sql"))
+        get_json_object(col("payload"), "$.fold_sql"),
+        get_json_object(col("payload"), "$.init_sql"),
+        get_json_object(col("payload"), "$.step_sql"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+      .map(r => ConfigEvent(r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)), Option(r.getString(4))))
       .toSeq
   }
 }
@@ -90,19 +126,31 @@ final class ConfigLogCatalog(
   // boot = fold the config stream (register replaces, unregister removes;
   // protected defaults refuse removal exactly as at runtime)
   ConfigLog.replay(spark, logDir).foreach {
-    case ("register", name, Some(sql)) =>
+    case ConfigLog.ConfigEvent("register", name, Some(sql), _, _) =>
       try catalog.register(SqlFold(name, sql))
       catch { case e: IllegalArgumentException =>
         System.err.println(s"[config] skipping replayed fold '$name': ${e.getMessage}")
       }
-    case ("unregister", name, _) => catalog.unregister(name)
-    case (other, name, _) =>
+    case ConfigLog.ConfigEvent("register_ordered", name, _, Some(init), Some(step)) =>
+      try catalog.register(OrderedSqlFold(name, init, step))
+      catch { case e: IllegalArgumentException =>
+        System.err.println(s"[config] skipping replayed ordered fold '$name': ${e.getMessage}")
+      }
+    case ConfigLog.ConfigEvent("unregister", name, _, _, _) => catalog.unregister(name)
+    case ConfigLog.ConfigEvent(other, name, _, _, _) =>
       System.err.println(s"[config] unknown config action '$other' for '$name' — skipped")
   }
 
   /** Register a runtime SQL fold: log first, then apply. */
   def register(f: SqlFold): Unit = {
     ConfigLog.append(spark, logDir, "register", f.name, Some(f.aggSql), clock())
+    catalog.register(f)
+  }
+
+  /** Register a runtime ordered fold: log first, then apply — the
+    * audit-log property covers both runtime-registrable kinds. */
+  def register(f: OrderedSqlFold): Unit = {
+    ConfigLog.appendOrdered(spark, logDir, f.name, f.initSql, f.stepSql, clock())
     catalog.register(f)
   }
 

@@ -65,6 +65,23 @@ class ConfigLogSpec extends AnyFunSuite with SparkTestBase {
     assert(new ConfigLogCatalog(spark, log).get("code_fold").isEmpty)
   }
 
+  test("ordered folds are event-sourced too: reboot restores them") {
+    val log = tmpDir("cfgord")
+    val cat = new ConfigLogCatalog(spark, log, clockFrom(T0))
+    cat.register(OrderedSqlFold("journal", "''", "concat(acc, x.local_id, ';')"))
+    val rebooted = new ConfigLogCatalog(spark, log, clockFrom(T0 + 10000))
+    val restored = rebooted.get("journal")
+    assert(restored.exists(_.isInstanceOf[OrderedSqlFold]))
+    assert(restored.get.asInstanceOf[OrderedSqlFold].stepSql
+      == "concat(acc, x.local_id, ';')")
+    // a forged historical ordered event that fails vetting is skipped
+    ConfigLog.appendOrdered(spark, log, "evil_ord",
+      "''", "java_method('java.lang.System', 'getenv')", T0 + 20000)
+    val again = new ConfigLogCatalog(spark, log, clockFrom(T0 + 30000))
+    assert(again.get("evil_ord").isEmpty)
+    assert(again.get("journal").isDefined)
+  }
+
   test("a replayed event that no longer passes vetting is skipped, not fatal") {
     val log = tmpDir("cfgbad")
     // forge a historical event whose source the allowlist rejects today
