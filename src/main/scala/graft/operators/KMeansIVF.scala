@@ -96,6 +96,29 @@ object KMeansIVF {
     cents
   }
 
+  /** Persist trained centroids as a tiny parquet table (cid, vector) —
+    * the train-once / serve-many IVF lifecycle: a serving session calls
+    * [[load]] + [[searchTopK]] without ever touching [[train]]. The
+    * table is k×dim doubles — driver-sized at any corpus scale. */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Int, Array[Double])], path: String): Unit = {
+    import spark.implicits._
+    cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "v")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load centroids saved by [[save]], cid-ascending. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .orderBy($"cid")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+  }
+
   /** Tag every vector with its nearest centroid (cosine, ties by cid).
     *
     * Broadcast-argmin kernel (graft.functions.Centroids): the k×dim

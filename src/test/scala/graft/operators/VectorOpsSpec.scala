@@ -209,6 +209,21 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
       maxBucket = Some(1000L)).count() >= 0)
   }
 
+  test("IVF centroid persistence: save/load roundtrip, search equals in-session result") {
+    val e = emb
+    val cents = KMeansIVF.train(e, k = 8, iters = 2)
+    val dir = tmpDir("ivfidx")
+    KMeansIVF.save(spark, cents, dir)
+    val loaded = KMeansIVF.load(spark, dir)
+    assert(loaded.map(_._1).sameElements(cents.map(_._1)))
+    assert(loaded.zip(cents).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    // the serving path (load + search, no train) returns the same rows
+    val probes = Seq(0L, 1L, 2L)
+    val a = KMeansIVF.searchTopK(e, cents, probes, k = 5).collect().map(_.toString)
+    val b = KMeansIVF.searchTopK(e, loaded, probes, k = 5).collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
   test("lsh planes are reproducible and bounded") {
     val a = HyperplaneLSH.planes(64).flatten[Double]
     val b = HyperplaneLSH.planes(64).flatten[Double]
