@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.eventstore.{Event, Fold, ProjRow, SqlFold}
+import graft.eventstore.{Event, Fold, OrderedSqlFold, ProjRow, SqlFold}
 
 /** The queryable projection-value surface (reference O10: `projection` /
   * `projection-value` point reads of the materialized state,
@@ -69,6 +69,78 @@ object ProjectionSink {
         writeBatch(batch, fold.name, tableDir, batchId, updatesDir)
       }
       .start()
+  }
+
+  /** Live ORDER-SENSITIVE runtime fold: each micro-batch's events are
+    * collected per stream into an order_id-sorted struct array and
+    * folded ON TOP of the prior snapshot value —
+    * `aggregate(evs, coalesce(prior_value, init), (acc, x) -> step)` —
+    * so state lives in the descriptor table itself, not the state
+    * store. Cross-batch ordering relies on ingest's monotone stamping
+    * (a stream's later events arrive in later batches), the same
+    * contract the compiled live path assumes.
+    *
+    * Retry safety: foreachBatch is at-least-once, so the prior state is
+    * read from the newest snapshot version whose batch id is STRICTLY
+    * BELOW the current one — a retried batch re-folds from the
+    * pre-batch version instead of double-applying (the version pruner's
+    * one-version grace window is exactly the retry window). */
+  def startOrderedSql(
+      events: DataFrame,
+      fold: OrderedSqlFold,
+      tableDir: String,
+      checkpointDir: String,
+      updatesDir: Option[String] = None): StreamingQuery = {
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val evs = batch
+          .groupBy(col("stream_name"))
+          .agg(
+            array_sort(collect_list(struct(
+              col("order_id"), col("event_time"), col("service_id"),
+              col("local_id"), col("schema_version"), col("payload")))).as("evs"),
+            count(lit(1)).as("batch_n"))
+        val descr = priorVersionBefore(spark, tableDir, batchId) match {
+          case None =>
+            evs.select(lit(fold.name).as("projection_name"), col("stream_name"),
+              expr(s"aggregate(evs, ${fold.initSql}, (acc, x) -> ${fold.stepSql})")
+                .as("value"),
+              col("batch_n").as("processed"), lit("running").as("status"),
+              lit(null).cast("string").as("last_error"))
+          case Some(prevDir) =>
+            val prior = spark.read.parquet(prevDir)
+              .select(col("stream_name"), col("value").as("prior_value"),
+                col("processed").as("prior_n"))
+            evs.join(prior, Seq("stream_name"), "left")
+              .select(lit(fold.name).as("projection_name"), col("stream_name"),
+                expr(s"aggregate(evs, coalesce(prior_value, ${fold.initSql}), " +
+                  s"(acc, x) -> ${fold.stepSql})").as("value"),
+                (coalesce(col("prior_n"), lit(0L)) + col("batch_n")).as("processed"),
+                lit("running").as("status"),
+                lit(null).cast("string").as("last_error"))
+        }
+        writeBatch(descr, fold.name, tableDir, batchId, updatesDir)
+      }
+      .start()
+  }
+
+  /** The newest snapshot version written by a batch id strictly below
+    * `batchId` (None before the first batch commits). */
+  private def priorVersionBefore(
+      spark: SparkSession, tableDir: String, batchId: Long): Option[String] = {
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return None
+    fs.listStatus(base).map(_.getPath.getName)
+      .filter(n => n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(n => (n.drop(1).toLong, n))
+      .filter(_._1 < batchId)
+      .sortBy(_._1)
+      .lastOption
+      .map(t => s"$tableDir/${t._2}")
   }
 
   /** Per-batch descriptor write: merge into the versioned snapshot (point

@@ -185,6 +185,39 @@ class StatefulProjectionSpec extends AnyFunSuite with SparkTestBase {
     } finally q2.stop()
   }
 
+  test("ordered SQL fold runs live: state carries across batches and restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmpDir("ordtable") + "/state"
+    val ckpt = tmpDir("ordckpt")
+    val fold = graft.eventstore.OrderedSqlFold(
+      "journal", "''", "concat(acc, x.local_id, ';')")
+    val mem = MemoryStream[Event]
+    def start() = ProjectionSink.startOrderedSql(mem.toDS().toDF(), fold, table, ckpt)
+
+    val q1 = start()
+    try {
+      // out-of-order within the batch: the sorted-array fold must apply 1 then 2
+      mem.addData(ev("a", 2), ev("a", 1), ev("b", 3))
+      q1.processAllAvailable()
+      assert(ProjectionSink.value(spark, table, "a").contains("l1;l2;"))
+      mem.addData(ev("a", 4))
+      q1.processAllAvailable()
+      assert(ProjectionSink.value(spark, table, "a").contains("l1;l2;l4;"))
+    } finally q1.stop()
+
+    // restart with the same checkpoint: the snapshot IS the state — the
+    // fold continues from it, it does not re-fold history
+    val q2 = start()
+    try {
+      mem.addData(ev("a", 5), ev("c", 6))
+      q2.processAllAvailable()
+      assert(ProjectionSink.value(spark, table, "a").contains("l1;l2;l4;l5;"))
+      assert(ProjectionSink.value(spark, table, "b").contains("l3;"))
+      assert(ProjectionSink.value(spark, table, "c").contains("l6;"))
+    } finally q2.stop()
+  }
+
   test("projection/<name> subscription sees its own updates only, latest-conflated") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
