@@ -47,7 +47,9 @@ object KMeansIVF {
     graft.functions.VecDot.register(spark)
 
     // (vec_id, raw vector, norm) sample — hash order ≈ uniform, and a
-    // TakeOrdered top-N never shuffles the corpus
+    // TakeOrdered top-N never shuffles the corpus. The norm is only
+    // needed for init normalization: within the per-row argmax the
+    // row's own norm is a constant factor and cancels.
     val sample: Array[(Long, Array[Double], Double)] = emb
       .orderBy(xxhash64($"vec_id"), $"vec_id")
       .limit(sampleMax)
@@ -64,7 +66,7 @@ object KMeansIVF {
     for (_ <- 1 to iters) {
       val sums = Array.fill(k)(new Array[Double](dim))
       val cnt = new Array[Long](k)
-      sample.foreach { case (_, v, nrm) =>
+      sample.foreach { case (_, v, _) =>
         // argmax cosine == argmax dot for fixed v (centroids are unit);
         // strict > keeps the ascending-cid tie rule
         var best = 0
@@ -78,7 +80,6 @@ object KMeansIVF {
           if (d > bestDot) { bestDot = d; best = c }
           c += 1
         }
-        val _ = nrm // norm cancels in the argmax; mean uses raw vectors
         val s = sums(best)
         var i = 0
         while (i < dim) { s(i) += v(i); i += 1 }
