@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output defaults to sbt's logger, which prefixes every
+// line with "[info] " — that prefix breaks any consumer doing a
+// line-wise JSON parse of Bench's stdout (BENCH_r01..r04 all show
+// parsed:null with the headline visible but "[info] "-prefixed).
+// StdoutOutput passes the child's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -137,6 +137,18 @@ final class ConfigLogCatalog(
         System.err.println(s"[config] skipping replayed ordered fold '$name': ${e.getMessage}")
       }
     case ConfigLog.ConfigEvent("unregister", name, _, _, _) => catalog.unregister(name)
+    // A KNOWN action with its SQL payload fields missing is a malformed
+    // event, not an unknown action — diagnose it as such (the catch-all
+    // below would misreport it and send whoever reads the log hunting
+    // for a nonexistent action kind).
+    case ConfigLog.ConfigEvent("register", name, None, _, _) =>
+      System.err.println(s"[config] malformed 'register' event for '$name': " +
+        "missing fold_sql payload field — skipped")
+    case ConfigLog.ConfigEvent("register_ordered", name, _, init, step) =>
+      val missing = Seq("init_sql" -> init, "step_sql" -> step)
+        .collect { case (f, None) => f }.mkString(", ")
+      System.err.println(s"[config] malformed 'register_ordered' event for " +
+        s"'$name': missing $missing payload field(s) — skipped")
     case ConfigLog.ConfigEvent(other, name, _, _, _) =>
       System.err.println(s"[config] unknown config action '$other' for '$name' — skipped")
   }

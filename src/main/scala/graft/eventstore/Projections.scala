@@ -93,22 +93,48 @@ final case class SqlFold(name: String, aggSql: String) extends NamedProjection {
   */
 final case class OrderedSqlFold(name: String, initSql: String, stepSql: String)
     extends NamedProjection {
-  Seq("init" -> initSql, "step" -> stepSql).foreach { case (which, src) =>
-    val parsed =
-      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(src)
-    val called = parsed.collect {
-      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
-        f.nameParts.mkString(".").toLowerCase(java.util.Locale.ROOT)
+  /** Canonical (comment-free) renderings of the vetted expressions —
+    * what actually gets interpolated into the `aggregate(evs, init,
+    * (acc, x) -> step)` template. Interpolating the RAW source would be
+    * wrong: a `--` line comment parses cleanly as a standalone
+    * expression yet comments out the template's closing parenthesis at
+    * use, so a fold that validated at registration would throw a
+    * ParseException on every batch. Re-rendering from the parsed tree
+    * (`Expression.sql`) strips comments by construction; a round-trip
+    * re-parse guards against any non-reparseable rendering. */
+  val (initCanonical, stepCanonical) = {
+    def vet(which: String, src: String): String = {
+      val parsed =
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(src)
+      val called = parsed.collect {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          f.nameParts.mkString(".").toLowerCase(java.util.Locale.ROOT)
+      }
+      val illegal = called.filterNot(SqlFold.Allowed).distinct
+      if (illegal.nonEmpty) throw new IllegalArgumentException(
+        s"OrderedSqlFold '$name' $which calls functions outside the " +
+          s"runtime-registration allowlist: ${illegal.mkString(", ")} (source: $src)")
+      if (parsed.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+        throw new IllegalArgumentException(
+          s"OrderedSqlFold '$name' $which must be a pure expression; subqueries " +
+            s"are not allowed (source: $src)")
+      val canonical =
+        try parsed.sql
+        catch { case NonFatal(ex) => throw new IllegalArgumentException(
+          s"OrderedSqlFold '$name' $which cannot be canonicalized " +
+            s"(${ex.getMessage}); simplify the expression (source: $src)")
+        }
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(canonical)
+      catch { case NonFatal(ex) => throw new IllegalArgumentException(
+        s"OrderedSqlFold '$name' $which canonical form does not re-parse " +
+          s"('$canonical': ${ex.getMessage}); simplify the expression " +
+          s"(source: $src)")
+      }
+      canonical
     }
-    val illegal = called.filterNot(SqlFold.Allowed).distinct
-    if (illegal.nonEmpty) throw new IllegalArgumentException(
-      s"OrderedSqlFold '$name' $which calls functions outside the " +
-        s"runtime-registration allowlist: ${illegal.mkString(", ")} (source: $src)")
-    if (parsed.exists(_.isInstanceOf[
-        org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
-      throw new IllegalArgumentException(
-        s"OrderedSqlFold '$name' $which must be a pure expression; subqueries " +
-          s"are not allowed (source: $src)")
+    (vet("init", initSql), vet("step", stepSql))
   }
 }
 
@@ -261,7 +287,8 @@ object Projections {
           col("local_id"), col("schema_version"), col("payload")))).as("evs"),
         count(lit(1)).as("processed"))
       .select(lit(f.name).as("projection_name"), col("stream_name"),
-        expr(s"aggregate(evs, ${f.initSql}, (acc, x) -> ${f.stepSql})").as("value"),
+        expr(s"aggregate(evs, ${f.initCanonical}, (acc, x) -> ${f.stepCanonical})")
+          .as("value"),
         col("processed"), lit("finished").as("status"),
         lit(null).cast("string").as("last_error"))
   }

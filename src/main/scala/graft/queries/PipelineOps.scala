@@ -63,19 +63,23 @@ object PipelineOps extends QueryModule {
     * prime, then a 0-99 bucket) — identical integer arithmetic in both
     * engines, no rand(), so the sample is reproducible across reruns,
     * engines and cluster sizes. Scan + filter only: the predicate pushes
-    * to the reader, nothing shuffles at any corpus size. */
+    * to the reader, nothing shuffles at any corpus size. doc_id is
+    * reduced mod the prime BEFORE the multiply so the product tops out
+    * at 1000002*2654435761 ≈ 2.7e15 — int64-safe for any doc_id (a raw
+    * doc_id*2654435761 overflows past doc_id ≈ 3.5e9: DuckDB errors,
+    * ANSI Spark throws, and the two would diverge exactly at scale). */
   private val sampleStratified = Q(
     "x_sample_stratified",
     Some("""SELECT doc_id, source,
-              CAST((doc_id * 2654435761) % 1000003 % 100 AS BIGINT) AS bucket
+              CAST(((doc_id % 1000003) * 2654435761) % 1000003 % 100 AS BIGINT) AS bucket
             FROM documents
-            WHERE (doc_id * 2654435761) % 1000003 % 100 <
+            WHERE ((doc_id % 1000003) * 2654435761) % 1000003 % 100 <
               CASE source WHEN 'src0' THEN 90 WHEN 'src1' THEN 60
                           WHEN 'src2' THEN 30 ELSE 10 END
             ORDER BY doc_id"""),
     (spark, dir) => {
       import spark.implicits._
-      val bucket = (($"doc_id" * lit(2654435761L)) % 1000003 % 100)
+      val bucket = ((($"doc_id" % 1000003) * lit(2654435761L)) % 1000003 % 100)
       val rate = when($"source" === "src0", 90)
         .when($"source" === "src1", 60)
         .when($"source" === "src2", 30)
@@ -364,11 +368,13 @@ object PipelineOps extends QueryModule {
     * doc/token/source balance. At 100 TB this is exactly
     * `repartition(N, shard_expr)` feeding the writer — the hash is the
     * partitioner, so the audit query and the physical layout agree by
-    * construction; balance skew here means dataloader skew later. */
+    * construction; balance skew here means dataloader skew later.
+    * Same mod-before-multiply reduction as the sampler: int64-safe for
+    * any doc_id, identical in both engines. */
   private val shardAssign = Q(
     "x_shard_assign",
     Some("""WITH s AS (SELECT doc_id, source,
-              CAST((doc_id * 2654435761) % 1000003 % 16 AS BIGINT) AS shard,
+              CAST(((doc_id % 1000003) * 2654435761) % 1000003 % 16 AS BIGINT) AS shard,
               len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS n_tok
               FROM documents)
             SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
@@ -380,7 +386,7 @@ object PipelineOps extends QueryModule {
       graft.functions.TokenCounts.register(spark)
       t(spark, dir, "documents")
         .select(
-          (($"doc_id" * lit(2654435761L)) % 1000003 % 16).cast("long").as("shard"),
+          ((($"doc_id" % 1000003) * lit(2654435761L)) % 1000003 % 16).cast("long").as("shard"),
           $"source", expr("bpe_token_count(text)").as("n_tok"))
         .groupBy($"shard")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),

@@ -106,8 +106,8 @@ object ProjectionSink {
         val descr = priorVersionBefore(spark, tableDir, batchId) match {
           case None =>
             evs.select(lit(fold.name).as("projection_name"), col("stream_name"),
-              expr(s"aggregate(evs, ${fold.initSql}, (acc, x) -> ${fold.stepSql})")
-                .as("value"),
+              expr(s"aggregate(evs, ${fold.initCanonical}, " +
+                s"(acc, x) -> ${fold.stepCanonical})").as("value"),
               col("batch_n").as("processed"), lit("running").as("status"),
               lit(null).cast("string").as("last_error"))
           case Some(prevDir) =>
@@ -116,8 +116,8 @@ object ProjectionSink {
                 col("processed").as("prior_n"))
             evs.join(prior, Seq("stream_name"), "left")
               .select(lit(fold.name).as("projection_name"), col("stream_name"),
-                expr(s"aggregate(evs, coalesce(prior_value, ${fold.initSql}), " +
-                  s"(acc, x) -> ${fold.stepSql})").as("value"),
+                expr(s"aggregate(evs, coalesce(prior_value, ${fold.initCanonical}), " +
+                  s"(acc, x) -> ${fold.stepCanonical})").as("value"),
                 (coalesce(col("prior_n"), lit(0L)) + col("batch_n")).as("processed"),
                 lit("running").as("status"),
                 lit(null).cast("string").as("last_error"))
@@ -133,14 +133,21 @@ object ProjectionSink {
       spark: SparkSession, tableDir: String, batchId: Long): Option[String] = {
     val base = new org.apache.hadoop.fs.Path(tableDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(base)) return None
-    fs.listStatus(base).map(_.getPath.getName)
-      .filter(n => n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(n => (n.drop(1).toLong, n))
+    versionIds(fs, base)
       .filter(_._1 < batchId)
       .sortBy(_._1)
       .lastOption
       .map(t => s"$tableDir/${t._2}")
+  }
+
+  /** (batch id, dir name) of every snapshot version under `base`. */
+  private def versionIds(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Array[(Long, String)] = {
+    if (!fs.exists(base)) return Array.empty
+    fs.listStatus(base).map(_.getPath.getName)
+      .filter(n => n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(n => (n.drop(1).toLong, n))
   }
 
   /** Per-batch descriptor write: merge into the versioned snapshot (point
@@ -157,6 +164,22 @@ object ProjectionSink {
     val spark = next.sparkSession
     val base = new org.apache.hadoop.fs.Path(tableDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Checkpoint/table mismatch guard: a fresh checkpoint restarts batch
+    // ids at 0; against a tableDir with existing (higher-numbered)
+    // versions, state would silently re-initialize (priorVersionBefore(0)
+    // = None) and the name-sorted pruner would then delete the
+    // just-written v0 while _LATEST points at it — a dangling pointer.
+    // Fail fast instead. Strictly `>` so a RETRY of the newest batch
+    // (same id, version dir possibly present from the failed attempt)
+    // still goes through — that overwrite is the documented retry path.
+    val newer = versionIds(fs, base).filter(_._1 > batchId).map(_._2).sorted
+    if (newer.nonEmpty) throw new IllegalStateException(
+      s"checkpoint/table mismatch for projection '$projection': " +
+        s"$tableDir already holds snapshot version(s) ${newer.mkString(", ")} " +
+        s"from batches NEWER than the current batch $batchId. The streaming " +
+        "checkpoint was reset (or belongs to a different run) while the " +
+        "descriptor table was kept. Resume with the original " +
+        "checkpointLocation, or point the query at a fresh tableDir.")
     // each projection owns a subdir of the updates channel: concurrent
     // live projections never contend on one output-commit _temporary
     // dir, and a subscriber's listing prunes to its projection

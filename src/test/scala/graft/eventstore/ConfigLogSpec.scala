@@ -82,6 +82,28 @@ class ConfigLogSpec extends AnyFunSuite with SparkTestBase {
     assert(again.get("journal").isDefined)
   }
 
+  test("a known action with missing payload fields is a malformed skip, not 'unknown action'") {
+    val log = tmpDir("cfgmal")
+    // forge events with the right action but a gutted payload (a buggy
+    // or truncated writer) — boot must skip them as malformed, keep
+    // replaying, and NOT misreport the action itself as unknown
+    ConfigLog.append(spark, log, "register", "half_reg", None, T0)
+    ConfigLog.append(spark, log, "register_ordered", "half_ord", None, T0 + 1000)
+    ConfigLog.append(spark, log, "register", "fine", Some("count(1)"), T0 + 2000)
+    val err = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(err, true, "UTF-8"))
+    val cat = try new ConfigLogCatalog(spark, log, clockFrom(T0 + 3000))
+    finally System.setErr(old)
+    assert(cat.get("half_reg").isEmpty)
+    assert(cat.get("half_ord").isEmpty)
+    assert(cat.get("fine").isDefined)
+    val diag = err.toString("UTF-8")
+    assert(diag.contains("malformed 'register' event for 'half_reg'"), diag)
+    assert(diag.contains("malformed 'register_ordered' event for 'half_ord'"), diag)
+    assert(!diag.contains("unknown config action 'register"), diag)
+  }
+
   test("a replayed event that no longer passes vetting is skipped, not fatal") {
     val log = tmpDir("cfgbad")
     // forge a historical event whose source the allowlist rejects today

@@ -175,6 +175,26 @@ class ProjectionSpec extends AnyFunSuite with SparkTestBase {
     intercept[Exception] { OrderedSqlFold("bad", "''", "concat((") }
   }
 
+  test("ordered fold with a '--' comment in its source still runs (canonical re-render)") {
+    import spark.implicits._
+    // a line comment parses cleanly standalone, but raw interpolation
+    // into `aggregate(evs, init, (acc, x) -> step)` would comment out
+    // the template's closing parens — every batch would ParseException.
+    // The canonical re-render strips it at registration.
+    val commented = OrderedSqlFold("journal_c",
+      "'' -- start empty",
+      "concat(acc, x.local_id, ';') -- audit trail")
+    assert(!commented.initCanonical.contains("--"))
+    assert(!commented.stepCanonical.contains("--"))
+    val ev = logOf(30)
+    val got = Projections.runOrderedSql(ev, commented).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    val want = Projections.runOrderedSql(
+      ev, OrderedSqlFold("journal", "''", "concat(acc, x.local_id, ';')"))
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(got == want)
+  }
+
   test("SqlFold rejects reflection/side-effecting/off-allowlist source at registration") {
     // the injection surface of runtime registration: Catalyst exposes
     // arbitrary static-method invocation — must die at the edge

@@ -45,6 +45,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sampler/shard hash family is int64-safe past doc_id 3.5e9 (100 TB id space)") {
+    // the raw doc_id*2654435761 product overflows int64 past doc_id
+    // ≈ 3.47e9 — ANSI Spark throws and DuckDB errors, so the cross-
+    // engine determinism contract would break exactly at scale. The
+    // mod-before-multiply form must evaluate cleanly out there.
+    val big = spark.range(5_000_000_000L, 5_000_001_000L).toDF("doc_id")
+    val buckets = big.selectExpr(
+      "((doc_id % 1000003) * 2654435761) % 1000003 % 100 AS bucket",
+      "((doc_id % 1000003) * 2654435761) % 1000003 % 16 AS shard")
+      .collect()
+    assert(buckets.length == 1000)
+    assert(buckets.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 100))
+    assert(buckets.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+  }
+
   test("x_repetition: per-row kernel — no join, no window, bp bounded, verdict consistent") {
     val phys = run("x_repetition").queryExecution.executedPlan
     assert(phys.collect { case w: WindowExec => w }.isEmpty)

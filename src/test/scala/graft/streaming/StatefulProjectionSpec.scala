@@ -218,6 +218,41 @@ class StatefulProjectionSpec extends AnyFunSuite with SparkTestBase {
     } finally q2.stop()
   }
 
+  test("fresh checkpoint against an existing descriptor table fails fast (no silent reset)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmpDir("mmtable") + "/state"
+    val fold = graft.eventstore.OrderedSqlFold(
+      "journal", "''", "concat(acc, x.local_id, ';')")
+    val mem = MemoryStream[Event]
+    val q1 = ProjectionSink.startOrderedSql(
+      mem.toDS().toDF(), fold, table, tmpDir("mmckpt1"))
+    try {
+      // three separate batches so the table holds versions v1,v2 (> 0)
+      mem.addData(ev("a", 1)); q1.processAllAvailable()
+      mem.addData(ev("a", 2)); q1.processAllAvailable()
+      mem.addData(ev("a", 3)); q1.processAllAvailable()
+      assert(ProjectionSink.value(spark, table, "a").contains("l1;l2;l3;"))
+    } finally q1.stop()
+
+    // a FRESH checkpoint resets batch ids to 0; against the kept table
+    // the old behavior silently re-initialized state AND the name-sorted
+    // pruner deleted the just-written v0 while _LATEST pointed at it —
+    // now it must fail fast instead
+    val mem2 = MemoryStream[Event]
+    val q2 = ProjectionSink.startOrderedSql(
+      mem2.toDS().toDF(), fold, table, tmpDir("mmckpt2"))
+    try {
+      mem2.addData(ev("a", 4))
+      val ex = intercept[Exception] { q2.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("checkpoint/table mismatch")), msgs(ex))
+      // the table survived untouched: pointer resolves, state intact
+      assert(ProjectionSink.value(spark, table, "a").contains("l1;l2;l3;"))
+    } finally q2.stop()
+  }
+
   test("projection/<name> subscription sees its own updates only, latest-conflated") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
