@@ -394,7 +394,160 @@ object PipelineOps extends QueryModule {
         .orderBy($"shard")
     })
 
+  /** Sequence packing (concat-and-chunk): the final pre-training step —
+    * documents are concatenated in deterministic (shard, doc_id) order
+    * and chunked into fixed 2048-token training sequences; a document
+    * whose span straddles a 2048 boundary is a "crossing" (its
+    * attention window sees two docs — the quantity packing policies
+    * trade off). The audit reports per shard: docs, tokens, sequences
+    * produced, boundary-crossing docs.
+    *
+    * Scale shape: the running offset is a window prefix-sum PARTITIONED
+    * BY SHARD — each shard's scan is independent, so parallelism is the
+    * shard count (pick shards ≈ cluster width at 100 TB), never a
+    * single global sort. Token counts come from the codegen byte-scan
+    * kernel; one shuffle on shard (the window), one map-side-combined
+    * agg on the same key — AQE coalesces the rest. */
+  private val packSequences = Q(
+    "x_pack_sequences",
+    Some("""WITH s AS (SELECT doc_id,
+              ((doc_id % 1000003) * 2654435761) % 1000003 % 16 AS shard,
+              len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS n_tok
+              FROM documents),
+            w AS (SELECT shard, n_tok,
+              COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+              FROM s)
+            SELECT CAST(shard AS BIGINT) AS shard,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              CAST(floor((sum(n_tok) + 2047) / 2048.0) AS BIGINT) AS n_seqs,
+              CAST(sum(CASE WHEN floor((strt + n_tok - 1) / 2048.0)
+                              > floor(strt / 2048.0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+            FROM w GROUP BY shard ORDER BY shard"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      val shard =
+        ((($"doc_id" % 1000003) * lit(2654435761L)) % 1000003 % 16).cast("long")
+      val w = Window.partitionBy($"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(spark, dir, "documents")
+        .select($"doc_id", shard.as("shard"),
+          expr("bpe_token_count(text)").as("n_tok"))
+        .withColumn("strt", coalesce(sum($"n_tok").over(w), lit(0L)))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("n_tokens"),
+          floor((sum($"n_tok") + 2047) / 2048.0).cast("long").as("n_seqs"),
+          sum(when(floor(($"strt" + $"n_tok" - 1) / 2048.0)
+                     > floor($"strt" / 2048.0), 1).otherwise(0))
+            .cast("long").as("n_crossing"))
+        .orderBy($"shard")
+    })
+
+  /** Quality-weighted sampling: the keep RATE depends on the document's
+    * quality tier (the same exact-integer quality_bp as
+    * x_quality_score), while the keep DECISION stays the deterministic
+    * arithmetic-hash bucket — so upsampling high-quality data is
+    * reproducible across engines, reruns and cluster sizes, and composes
+    * with the stratified sampler (same hash family, same bucket).
+    * high (≥6000 bp) keeps all, mid (≥3000) half, low 10%.
+    * Scan + per-row arithmetic + one map-side-combined agg; at 100 TB
+    * nothing but the 12-row summary ever moves. */
+  private val sampleQuality = Q(
+    "x_sample_quality",
+    Some("""WITH f AS (SELECT doc_id, source,
+              ((doc_id % 1000003) * 2654435761) % 1000003 % 100 AS bucket,
+              len(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) AS n_toks,
+              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+              length(text) AS n_chars
+              FROM documents WHERE length(text) > 0),
+            q AS (SELECT source, bucket,
+              CASE WHEN floor((least(n_toks, 100) * alpha_chars * 10000.0)
+                       / (100.0 * n_chars)) >= 6000 THEN 'high'
+                   WHEN floor((least(n_toks, 100) * alpha_chars * 10000.0)
+                       / (100.0 * n_chars)) >= 3000 THEN 'mid'
+                   ELSE 'low' END AS tier
+              FROM f)
+            SELECT source, tier, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN bucket <
+                CASE tier WHEN 'high' THEN 100 WHEN 'mid' THEN 50 ELSE 10 END
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM q GROUP BY source, tier ORDER BY source, tier"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      val bucket = (($"doc_id" % 1000003) * lit(2654435761L)) % 1000003 % 100
+      val qualityBp = floor((least(expr("ws_token_count(text)"), lit(100L))
+        * length(regexp_replace($"text", "[^A-Za-z]", "")) * 10000.0)
+        / (lit(100.0) * length($"text")))
+      val tier = when(qualityBp >= 6000, "high")
+        .when(qualityBp >= 3000, "mid").otherwise("low")
+      val rate = when($"tier" === "high", 100)
+        .when($"tier" === "mid", 50).otherwise(10)
+      t(spark, dir, "documents")
+        .where(length($"text") > 0)
+        .select($"source", bucket.as("bucket"), tier.as("tier"))
+        .groupBy($"source", $"tier")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"bucket" < rate, 1).otherwise(0)).cast("long").as("n_kept"))
+        .orderBy($"source", $"tier")
+    })
+
+  /** Column profiling — the data-quality observability every serious
+    * engine ships (null rates + exact cardinalities per column). ONE
+    * pass over the table computes every column's stats simultaneously
+    * (Spark plans multi-distinct via Expand — rows×columns, map-side
+    * partial, no per-column rescans), then `stack` unpivots to the tall
+    * (column, n_null, n_distinct) report. The oracle spells the same
+    * numbers as per-column UNION ALL — different plan, same answer.
+    * At 100 TB swap count_distinct for approx_count_distinct and the
+    * Expand collapses to one straight pass; exact is kept here because
+    * the oracle hash-checks it. */
+  private val statsProfile = Q(
+    "x_stats_profile",
+    Some("""SELECT col_name, n_rows, n_null, n_distinct FROM (
+              SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders
+              UNION ALL
+              SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+              UNION ALL
+              SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders)
+            ORDER BY col_name"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderpriority",
+        "o_orderstatus", "o_totalprice")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nn"),
+        count_distinct(col(c)).cast("long").as(s"${c}__nd")))
+      val allAggs = count(lit(1)).cast("long").as("n_rows") +: aggs
+      val one = t(spark, dir, "orders")
+        .agg(allAggs.head, allAggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', ${c}__nn, ${c}__nd").mkString(", ")
+      one.selectExpr("n_rows",
+          s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct)")
+        .select($"col_name", $"n_rows", $"n_null", $"n_distinct")
+        .orderBy($"col_name")
+    })
+
   override def all: Seq[Q] =
     Seq(decontaminate, sampleStratified, repetition, filterChain,
-      tokenBudget, dedupKeepBest, curationE2e, shardAssign)
+      tokenBudget, dedupKeepBest, curationE2e, shardAssign,
+      packSequences, sampleQuality, statsProfile)
 }

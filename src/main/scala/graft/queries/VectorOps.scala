@@ -179,5 +179,67 @@ object VectorOps extends QueryModule {
         e, cents, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, nProbe = 2)
     })
 
-  override def all: Seq[Q] = Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans)
+  /** Semantic (SemDeDup-style) deduplication: cluster the embedding
+    * space, then look for near-duplicate pairs ONLY within a cluster —
+    * the pairwise cost drops from O(n²) to Σ|cluster|², which is the
+    * published recipe for embedding dedup at corpus scale (cross-cluster
+    * near-dups are the accepted recall trade, bounded by cluster
+    * granularity). Per cluster: members, near-dup pairs (cos ≥ 0.45),
+    * and survivors under keep-lowest-id.
+    *
+    * Plan shape: centroid assignment is the broadcast argmin kernel
+    * (zero exchange), the pair search is an equi-join on c_id (AQE
+    * handles cluster-size skew), and only cluster summaries aggregate
+    * out. The oracle spells the identical assignment (window argmin) and
+    * all-pairs-within-cluster in SQL. */
+  private val semanticDedup = Q(
+    "x_semantic_dedup",
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+             asg AS (SELECT vec_id, c_id FROM (
+                 SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+                 FROM e CROSS JOIN c) WHERE rn = 1),
+             m AS (SELECT asg.c_id, asg.vec_id, e.v
+                   FROM asg JOIN e ON e.vec_id = asg.vec_id),
+             prs AS (SELECT a.c_id, a.vec_id AS a_id, b.vec_id AS b_id
+                     FROM m a JOIN m b
+                       ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+                     WHERE ${cosSql("a.v", "b.v")} >= 0.45)
+             SELECT CAST(g.c_id AS BIGINT) AS c_id,
+               CAST(g.n_members AS BIGINT) AS n_members,
+               CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(g.n_members - COALESCE(p.n_dupes, 0) AS BIGINT) AS n_kept
+             FROM (SELECT c_id, count(*) AS n_members FROM asg GROUP BY c_id) g
+             LEFT JOIN (SELECT c_id, count(*) AS n_pairs,
+                          count(DISTINCT b_id) AS n_dupes
+                        FROM prs GROUP BY c_id) p ON g.c_id = p.c_id
+             ORDER BY c_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = emb(spark, dir)
+      // same broadcast-argmin assignment as x_ann_ivf (bit-identical to
+      // the oracle's window: strict left-fold dot, cos DESC, c_id ASC)
+      val cents = e.where($"vec_id" % 50 === 0).select($"vec_id", $"v")
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toSeq
+      graft.functions.Centroids.register(spark, cents)
+      val m = e.withColumn("c_id", expr("nearest_centroid(v, nrm)"))
+      val a = m.select($"c_id", $"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("an"))
+      val b = m.select($"c_id", $"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"))
+      val prs = a.join(b, Seq("c_id")).where($"a_id" < $"b_id")
+        .where(dotCol("av", "bv") / ($"an" * $"bn") >= 0.45)
+        .groupBy($"c_id")
+        .agg(count(lit(1)).as("n_pairs"), count_distinct($"b_id").as("n_dupes"))
+      m.groupBy($"c_id").agg(count(lit(1)).as("n_members"))
+        .join(prs, Seq("c_id"), "left")
+        .select($"c_id".cast("long").as("c_id"),
+          $"n_members".cast("long").as("n_members"),
+          coalesce($"n_pairs", lit(0L)).cast("long").as("n_pairs"),
+          ($"n_members" - coalesce($"n_dupes", lit(0L))).cast("long").as("n_kept"))
+        .orderBy($"c_id")
+    })
+
+  override def all: Seq[Q] =
+    Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup)
 }

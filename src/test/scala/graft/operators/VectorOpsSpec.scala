@@ -224,6 +224,26 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("x_semantic_dedup: cluster-bounded pair search, accounting conserved") {
+    val df = graft.SparkEntry.queries("x_semantic_dedup")(spark, sf)
+    // the pair search must be an equi-join on c_id — Σ|cluster|² cost,
+    // never an all-pairs cartesian
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair search fell back to all-pairs:\n$p")
+    val rows = df.collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    // cluster memberships partition the corpus
+    assert(rows.map(_.getLong(1)).sum == nVecs)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1)) // kept <= members
+      if (r.getLong(2) == 0) assert(r.getLong(3) == r.getLong(1))
+    }
+    // within-cluster near-dup pairs are a subset of the brute-force set
+    val allPairs = graft.SparkEntry.queries("x_embed_neardup")(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum <= allPairs)
+  }
+
   test("lsh planes are reproducible and bounded") {
     val a = HyperplaneLSH.planes(64).flatten[Double]
     val b = HyperplaneLSH.planes(64).flatten[Double]

@@ -121,6 +121,62 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("x_pack_sequences: per-shard windows (no global sort), packing arithmetic consistent") {
+    // the prefix-sum window must be partitioned by shard — a global
+    // (empty-partition-spec) window is the single-task scale killer.
+    // (logical plan: AQE hides the physical operators pre-execution)
+    val lp = run("x_pack_sequences").queryExecution.optimizedPlan
+    val wins = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"found a globally-ordered window:\n$lp")
+    val rows = run("x_pack_sequences").collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (docs, toks, seqs, crossing) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(seqs == (toks + 2047) / 2048, s"shard ${r.getLong(0)}")
+      // a doc can cross at most (its span / budget) boundaries; crossing
+      // docs are a subset of docs
+      assert(crossing >= 0 && crossing <= docs)
+    }
+  }
+
+  test("x_sample_quality: high tier keeps everything, rates honored, deterministic") {
+    val rows = run("x_sample_quality").collect()
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    byKey.foreach { case ((src, tier), (n, kept)) =>
+      assert(kept <= n, s"$src/$tier")
+      if (tier == "high") assert(kept == n, s"high tier must keep all: $src")
+    }
+    // tiers partition the non-empty corpus
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .where(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) > 0).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    val again = run("x_sample_quality").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("x_stats_profile: one-pass profile matches direct per-column queries") {
+    val rows = run("x_stats_profile").collect()
+    assert(rows.length == 5)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val n = orders.count()
+    rows.foreach { r =>
+      val (cname, nRows, nNull, nDistinct) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nRows == n)
+      assert(nNull == orders.where(org.apache.spark.sql.functions.col(cname)
+        .isNull).count(), cname)
+      assert(nDistinct == orders.select(cname).distinct().count(), cname)
+    }
+  }
+
   test("x_filter_chain: per-source accounting sums to the corpus") {
     val rows = run("x_filter_chain").collect()
     assert(rows.map(_.getLong(1)).sum ==
