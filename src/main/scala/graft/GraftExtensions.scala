@@ -71,7 +71,11 @@ object GraftFunctions {
     (FunctionIdentifier("ngram_top_count"),
       info("ngram_top_count", classOf[NgramTopCountExpr],
         "ngram_top_count(tokens, k) - multiplicity of the most frequent k-gram"),
-      (exprs: Seq[Expression]) => NgramTopCountExpr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => NgramTopCountExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("sampled_fingerprints"),
+      info("sampled_fingerprints", classOf[SampledFingerprintsExpr],
+        "sampled_fingerprints(str) - sorted distinct 0-mod-p sampled 32-gram poly hashes"),
+      (exprs: Seq[Expression]) => SampledFingerprintsExpr(exprs.head)))
 
   /** Imperative registration into an existing session (equivalent to the
     * extension path; used by the query modules). */
@@ -83,5 +87,6 @@ object GraftFunctions {
     InferSchemaAgg.register(spark)
     Hyperplanes.register(spark)
     TokenCounts.register(spark)
+    SampledFingerprints.register(spark)
   }
 }

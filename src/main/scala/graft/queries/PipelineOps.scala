@@ -546,8 +546,40 @@ object PipelineOps extends QueryModule {
         .orderBy($"col_name")
     })
 
+  /** Token-length histogram — the corpus-shape report every curation
+    * run starts from (doc/token mass per power-of-two length band, per
+    * source). Bands are integer comparisons against fixed boundaries
+    * (16/32/64/128/256) — no log2 floats to disagree across engines.
+    * One kernel projection + one map-side-combined agg; the 100 TB cost
+    * is the scan itself. */
+  private val lengthHistogram = Q(
+    "x_length_histogram",
+    Some("""WITH s AS (SELECT source,
+              len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS n_tok
+              FROM documents)
+            SELECT source,
+              CAST(CASE WHEN n_tok < 16 THEN 0 WHEN n_tok < 32 THEN 1
+                        WHEN n_tok < 64 THEN 2 WHEN n_tok < 128 THEN 3
+                        WHEN n_tok < 256 THEN 4 ELSE 5 END AS BIGINT) AS band,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM s GROUP BY source, band ORDER BY source, band"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      val band = when($"n_tok" < 16, 0).when($"n_tok" < 32, 1)
+        .when($"n_tok" < 64, 2).when($"n_tok" < 128, 3)
+        .when($"n_tok" < 256, 4).otherwise(5).cast("long")
+      t(spark, dir, "documents")
+        .select($"source", expr("bpe_token_count(text)").as("n_tok"))
+        .groupBy($"source", band.as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").cast("long").as("n_tokens"))
+        .orderBy($"source", $"band")
+    })
+
   override def all: Seq[Q] =
     Seq(decontaminate, sampleStratified, repetition, filterChain,
       tokenBudget, dedupKeepBest, curationE2e, shardAssign,
-      packSequences, sampleQuality, statsProfile)
+      packSequences, sampleQuality, statsProfile, lengthHistogram)
 }

@@ -311,6 +311,58 @@ object TextOps extends QueryModule {
         .orderBy($"a_key", $"b_key")
     })
 
+  /** Selective-fingerprint dedup (Manber 0-mod-p sampling — see
+    * graft.functions.SampledFingerprints): each doc keeps a
+    * deterministic 1/4 sample of its 32-byte-gram poly-hashes; pairs
+    * sharing ≥2 sampled fingerprints share long verbatim spans. The
+    * fourth dedup family: exact (hash), set-similarity (jaccard/
+    * minhash), bit-signature (simhash), and now long-substring
+    * (fingerprint sampling) — the one that survives small global edits
+    * which dilute token Jaccard.
+    *
+    * Scale shape: same posting-list join as x_dedup_ngram — explode the
+    * (already 1/P-sampled) fingerprints, self-join postings on the
+    * hash, count per pair; cost ∝ Σ df(fp)², and a 32-byte gram's df is
+    * near-duplication evidence by construction, so postings stay thin.
+    * Fingerprinting itself is one O(n) rolling-hash byte pass per row
+    * in whole-stage codegen. */
+  private val dedupSampled = Q(
+    "x_dedup_sampled",
+    Some("""WITH f AS (SELECT doc_id,
+              list_sort(list_distinct(list_filter(
+                list_transform(range(1, greatest(length(text) - 31, 0) + 1),
+                  i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(i, i + 32),
+                           j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))),
+                         (a, x) -> (a * 31 + x) % 1000000007)),
+                h -> h % 4 = 0))) AS fps
+              FROM documents),
+            u AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+            prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                      count(*) AS n_shared
+                    FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT a_id, b_id, CAST(n_shared AS BIGINT) AS n_shared
+            FROM prs ORDER BY a_id, b_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.SampledFingerprints.register(spark)
+      // postings repartitioned on the join key: both self-join legs
+      // share one ReusedExchange (same shape as ngramPairs)
+      val post = barrier(t(spark, dir, "documents")
+        .select($"doc_id", explode(expr("sampled_fingerprints(text)")).as("fp")))
+        .repartition($"fp")
+      val a = post.select($"fp", $"doc_id".as("a_id"))
+      val b = post.select($"fp".as("fp2"), $"doc_id".as("b_id"))
+      a.join(b, $"fp" === $"fp2" && $"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .where($"n_shared" >= 2)
+        .select($"a_id", $"b_id", $"n_shared".cast("long").as("n_shared"))
+        .orderBy($"a_id", $"b_id")
+    })
+
   override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
-    dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint)
+    dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
+    dedupSampled)
 }

@@ -44,6 +44,44 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sampled_fingerprints: rolling hash == straight poly31 fold, 0-mod-p, sorted distinct") {
+    import graft.functions.{Hashing, SampledFingerprints}
+    graft.functions.SampledFingerprints.register(spark)
+    val docs = Seq(
+      "short", // < K bytes -> empty
+      "the quick brown fox jumps over the lazy dog again and again and again",
+      ("key agg row scan slow fast table value part " * 10).trim)
+    // Scala reference: straight (non-rolling) poly31 of every 32-gram
+    def ref(s: String): Array[Long] = {
+      val b = s.getBytes("UTF-8")
+      (0 to b.length - SampledFingerprints.K).map(i =>
+        Hashing.poly31(java.util.Arrays.copyOfRange(b, i, i + SampledFingerprints.K)))
+        .filter(_ % SampledFingerprints.P == 0).distinct.sorted.toArray
+    }
+    import spark.implicits._
+    val got = docs.toDF("text")
+      .selectExpr("sampled_fingerprints(text) AS fps")
+      .collect().map(_.getSeq[Long](0).toArray)
+    docs.zip(got).foreach { case (d, g) =>
+      assert(g.sameElements(ref(d)), s"doc '${d.take(20)}...'")
+      assert(g.forall(_ % SampledFingerprints.P == 0))
+      assert(g.sameElements(g.distinct.sorted))
+    }
+    assert(got.head.isEmpty) // sub-K doc has no grams
+  }
+
+  test("x_dedup_sampled: pair invariants and determinism") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x_dedup_sampled")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1)) // canonical pair order
+      assert(r.getLong(2) >= 2) // threshold honored
+    }
+    val again = SparkEntry.queries("x_dedup_sampled")(spark, sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("event source/sink: parquet, json and csv roundtrip the same events") {
     val log = tmpDir("srclog")
     Ingest.ingest(rawEvents(30), log, 1700000000000L)

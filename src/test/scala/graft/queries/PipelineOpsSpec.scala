@@ -177,6 +177,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x_length_histogram: bands partition the corpus, token mass conserved") {
+    val rows = run("x_length_histogram").collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    // token mass agrees with the shard audit's independent total
+    val shardTokens = run("x_shard_assign").collect().map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(3)).sum == shardTokens)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 5))
+  }
+
   test("x_filter_chain: per-source accounting sums to the corpus") {
     val rows = run("x_filter_chain").collect()
     assert(rows.map(_.getLong(1)).sum ==
