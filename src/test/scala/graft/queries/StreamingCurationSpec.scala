@@ -52,4 +52,136 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
         s"expected docs 1 and 5 to survive, got ${ids.mkString(",")}")
     } finally q.stop()
   }
+
+  test("streaming decontamination: stream-static anti-join against the benchmark n-gram set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.Shingles.register(spark)
+
+    // static side: the (tiny) benchmark 3-gram hash set — broadcast per
+    // micro-batch, exactly x_decontaminate's scale shape on a stream
+    val bench = Seq("the quick brown fox jumps").toDF("text")
+      .select(explode(expr(
+        "shingle_hashes(filter(split(lower(text), ' +'), x -> x != ''), 3)")).as("ng"))
+      .distinct()
+
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "text")
+      .select($"doc_id", explode(expr(
+        "shingle_hashes(filter(split(lower(text), ' +'), x -> x != ''), 3)")).as("ng"),
+        $"text")
+    // contaminated (doc, ngram) rows match the static set; left_anti on
+    // the exploded stream + dedup back to docs = the clean channel
+    val contaminatedIds = docs.join(broadcast(bench), Seq("ng"), "left_semi")
+      .select($"doc_id").dropDuplicates("doc_id")
+
+    val q = contaminatedIds.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("contam1").start()
+    try {
+      mem.addData(
+        (1L, "we saw the quick brown fox jumps high today"), // contaminated
+        (2L, "a completely unrelated document about tables")) // clean
+      q.processAllAvailable()
+      mem.addData(
+        (3L, "brown quick fox appears but shifted words never align"), // clean (no shared 3-gram)
+        (4L, "again the quick brown fox jumps into view")) // contaminated
+      q.processAllAvailable()
+      val flagged = spark.table("contam1").collect().map(_.getLong(0)).sorted
+      assert(flagged.sameElements(Array(1L, 4L)),
+        s"expected 1,4 flagged, got ${flagged.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("streaming quality-weighted sampling gates rows with batch-identical arithmetic") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.TokenCounts.register(spark)
+
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDS().toDF("doc_id", "text").where(length($"text") > 0)
+    // the x_sample_quality expressions verbatim — stateless, so the
+    // stream path IS the batch path
+    val bucket = (($"doc_id" % 1000003) * lit(2654435761L)) % 1000003 % 100
+    val qualityBp = floor((least(expr("ws_token_count(text)"), lit(100L))
+      * length(regexp_replace($"text", "[^A-Za-z]", "")) * 10000.0)
+      / (lit(100.0) * length($"text")))
+    val tier = when(qualityBp >= 6000, "high")
+      .when(qualityBp >= 3000, "mid").otherwise("low")
+    val rate = when(tier === "high", 100).when(tier === "mid", 50).otherwise(10)
+    val kept = docs.where(bucket < rate)
+      .select($"doc_id", tier.as("tier"))
+
+    val q = kept.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("qsample1").start()
+    try {
+      // high-quality text (all alpha, ~100 tokens — the least(n,100)
+      // length factor needs a real document, not a phrase) passes at
+      // any bucket; junk (punctuation => quality 0) needs bucket < 10
+      val highQ = ("plain alpha words all the way down here " * 13).trim
+      val junk = "!!!! ???? ;;;; :::: ++++ ==== %%%% ####"
+      mem.addData((1L, highQ), (2L, junk), (3L, highQ), (15L, junk))
+      q.processAllAvailable()
+      val out = spark.table("qsample1").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // every surviving high-quality doc is tier high; junk survives
+      // only if its hash bucket < 10 — recompute the rule locally
+      def bucketOf(id: Long) = ((id % 1000003L) * 2654435761L) % 1000003L % 100L
+      assert(out.filter(_._2 == "high").keySet ==
+        Set(1L, 3L).filter(id => bucketOf(id) < 100))
+      assert(out.filter(_._2 == "low").keySet ==
+        Set(2L, 15L).filter(id => bucketOf(id) < 10))
+    } finally q.stop()
+  }
+
+  test("streaming sequence packing matches the batch packer's per-shard accounting") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.TokenCounts.register(spark)
+    val sf = "/root/testdata/sf0.001"
+
+    // the same (shard, n_tok) derivation as x_pack_sequences, computed
+    // batch-side; the stream carries them pre-computed (ingest shape)
+    val prepared = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        ((($"doc_id" % 1000003) * lit(2654435761L)) % 1000003 % 16)
+          .cast("long").as("shard"),
+        expr("bpe_token_count(text)").as("n_tok"))
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.StreamingPack.pack(
+        mem.toDS().toDF("shard", "doc_id", "n_tok"), budget = 2048L)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("packed1").start()
+    try {
+      // two batches, split mid-corpus: state must carry offsets across
+      val (first, second) = prepared.splitAt(prepared.length / 2)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+
+      val streamed = spark.table("packed1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+      assert(streamed.length == prepared.length)
+      // per-shard accounting equals the batch query (same data, same
+      // budget): docs, tokens, boundary-crossing count
+      val batch = graft.SparkEntry.queries("x_pack_sequences")(spark, sf)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+      val byShard = streamed.groupBy(_._1)
+      byShard.foreach { case (shard, docs) =>
+        val (bDocs, bToks, bCross) = batch(shard)
+        assert(docs.length.toLong == bDocs, s"shard $shard docs")
+        assert(docs.map(_._3).sum == bToks, s"shard $shard tokens")
+        assert(docs.count(_._5).toLong == bCross, s"shard $shard crossings")
+        // seq ids are monotone in doc_id within a shard
+        val ordered = docs.sortBy(_._2).map(_._4)
+        assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+      }
+    } finally q.stop()
+  }
 }
