@@ -58,6 +58,56 @@ object PipelineOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
+  /** Sketch-accelerated decontamination — the same answer as
+    * x_decontaminate via a different scale path: when the benchmark
+    * n-gram set outgrows broadcast-hash-join comfort (a full eval-suite
+    * n-gram inventory at 100 TB), its BLOOM SKETCH still broadcasts
+    * (numBits/8 bytes, built distributed & mergeable). The corpus
+    * prefilters with a per-row membership test — no false negatives, so
+    * prefilter + exact-verify returns exactly the unfiltered answer;
+    * false positives only waste exact-join work on a sliver of rows.
+    * Oracle: identical SQL to x_decontaminate (the sketch is invisible
+    * in the result, which is the point). */
+  private val decontamBloom = Q(
+    "x_decontam_bloom",
+    Some("""WITH f AS (SELECT doc_id, source,
+              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+              FROM documents),
+            s AS (SELECT doc_id, source,
+              list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1)),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
+              FROM f WHERE len(toks) >= 5),
+            bench AS (SELECT DISTINCT unnest(sh) AS ng FROM s WHERE source = 'src0'),
+            cand AS (SELECT doc_id, source, unnest(sh) AS ng FROM s WHERE source <> 'src0')
+            SELECT c.doc_id, c.source, CAST(count(DISTINCT c.ng) AS BIGINT) AS n_shared
+            FROM cand c JOIN bench b ON c.ng = b.ng
+            GROUP BY c.doc_id, c.source ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.Shingles.register(spark)
+      graft.functions.BloomSketch.register(spark)
+      val sh = barrier(t(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") >= 5))
+        .select($"doc_id", $"source", expr("shingle_hashes(toks, 5)").as("sh"))
+      val bench = sh.where($"source" === "src0")
+        .select(explode($"sh").as("ng")).distinct()
+      // build the sketch DISTRIBUTED, then bind the (numBits/8-byte,
+      // corpus-size-independent) result as a constant predicate —
+      // might_contain requires a constant/scalar-subquery sketch
+      val bf = bench.agg(expr("bloom_agg(ng, 100000L, 800000L)").as("bf"))
+        .collect().head.getAs[Array[Byte]]("bf")
+      graft.functions.BloomSketch.registerSketch(spark, "bench_bloom", bf)
+      sh.where($"source" =!= "src0")
+        .select($"doc_id", $"source", explode($"sh").as("ng"))
+        .where(expr("bench_bloom(ng)")) // per-row codegen prefilter
+        .join(broadcast(bench), "ng") // exact verify on survivors
+        .groupBy($"doc_id", $"source")
+        .agg(count_distinct($"ng").as("n_shared"))
+        .orderBy($"doc_id")
+    })
+
   /** Deterministic stratified sampling: per-source keep rates via an
     * arithmetic hash of the stable doc_id (multiplicative hash mod a
     * prime, then a 0-99 bucket) — identical integer arithmetic in both
@@ -579,7 +629,7 @@ object PipelineOps extends QueryModule {
     })
 
   override def all: Seq[Q] =
-    Seq(decontaminate, sampleStratified, repetition, filterChain,
-      tokenBudget, dedupKeepBest, curationE2e, shardAssign,
+    Seq(decontaminate, decontamBloom, sampleStratified, repetition,
+      filterChain, tokenBudget, dedupKeepBest, curationE2e, shardAssign,
       packSequences, sampleQuality, statsProfile, lengthHistogram)
 }

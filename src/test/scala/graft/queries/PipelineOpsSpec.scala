@@ -28,6 +28,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_.getLong(2) >= 1))
   }
 
+  test("x_decontam_bloom: sketch prefilter returns exactly the unfiltered answer") {
+    // no false negatives => prefilter + exact-verify == exact join
+    val exact = run("x_decontaminate").collect().map(_.toString)
+    val sketched = run("x_decontam_bloom").collect().map(_.toString)
+    assert(sketched.sameElements(exact))
+    // and the sketch path is actually in the plan
+    val p = run("x_decontam_bloom").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
+  }
+
   test("x_sample_stratified: narrow scan+filter (no join/window, only the final sort moves data)") {
     val phys = run("x_sample_stratified").queryExecution.executedPlan
     assert(phys.collect { case w: WindowExec => w }.isEmpty)
