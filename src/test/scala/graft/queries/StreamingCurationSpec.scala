@@ -135,6 +135,46 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup detection matches batch MinHashDedup across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+      .where(size($"toks") >= 3)
+    // batch ground truth: the operator the queries surface ships
+    val batchPairs = graft.operators.MinHashDedup
+      .nearDuplicates(corpus, "doc_id", "toks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[String])]
+    val q = graft.streaming.StreamingNearDup.pairs(
+        mem.toDS().toDF("doc_id", "toks"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup1").start()
+    try {
+      // three batches: near-dup pairs must be found across splits too
+      val third = rows.length / 3
+      mem.addData(rows.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(rows.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(rows.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+      // conflate multi-band emissions, then compare sets exactly
+      val streamed = spark.table("neardup1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batchPairs,
+        s"streamed ${streamed.size} vs batch ${batchPairs.size}: " +
+          s"missing=${(batchPairs -- streamed).take(3)} " +
+          s"extra=${(streamed -- batchPairs).take(3)}")
+      assert(streamed.nonEmpty) // the corpus does contain near-dups
+    } finally q.stop()
+  }
+
   test("streaming sequence packing matches the batch packer's per-shard accounting") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
