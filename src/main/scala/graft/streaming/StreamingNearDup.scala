@@ -23,9 +23,18 @@ import graft.operators.MinHashDedup
   *
   * Scale: state per bucket is its members' shingle sets — the retained
   * corpus, sharded by (band, bucket) across executors (RocksDB state
-  * store at scale). Unbounded retention is a POLICY choice: production
-  * bounds it with a retention window (timeout-expired buckets) exactly
-  * like the reference bounds hot-topic history; `maxBucket` fails
+  * store at scale). Retention is a POLICY parameter: members older
+  * than `retention` (wall clock at insertion) are pruned whenever
+  * their bucket is next touched — a near-dup of a doc older than the
+  * window is deliberately not reported, exactly how the reference
+  * bounds hot-topic history. Lazy pruning deliberately avoids
+  * `GroupStateTimeout.ProcessingTimeTimeout`: that makes
+  * `shouldRunAnotherBatch` true unconditionally, so an idle stream
+  * busy-spins empty micro-batches just to fire timers (measured: a
+  * tight checkpoint-write loop). The cost is that a bucket never
+  * touched again retains its members — production pairs the policy
+  * with state-store-level TTL (RocksDB compaction filter) to reclaim
+  * that tail. `retention = None` keeps everything. `maxBucket` fails
   * loudly when a degenerate corpus (one giant bucket) would make
   * per-arrival work O(corpus) — same contract as EmbedNearDup's bucket
   * guard.
@@ -38,7 +47,8 @@ object StreamingNearDup {
   def pairs(
       docs: DataFrame,
       jaccardBp: Int = 6000,
-      maxBucket: Int = 10000): Dataset[Pair] = {
+      maxBucket: Int = 10000,
+      retention: Option[java.time.Duration] = None): Dataset[Pair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.Shingles.register(spark)
@@ -59,11 +69,18 @@ object StreamingNearDup {
 
     banded
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[List[(Long, Array[Long])], Pair](
+      .flatMapGroupsWithState[List[(Long, Long, Array[Long])], Pair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long])],
-         state: GroupState[List[(Long, Array[Long])]]) =>
+         state: GroupState[List[(Long, Long, Array[Long])]]) =>
+          val now = System.currentTimeMillis()
+          // lazy retention: prune members whose insertion fell out of
+          // the window before any comparison this batch
           var bucket = state.getOption.getOrElse(Nil)
+          retention.foreach { d =>
+            val cutoff = now - d.toMillis
+            bucket = bucket.filter(_._2 >= cutoff)
+          }
           val out = ArrayBuffer.empty[Pair]
           rows.toSeq.sortBy(_._3).foreach { case (_, _, id, shSeq) =>
             if (bucket.length >= maxBucket) throw new IllegalStateException(
@@ -71,7 +88,7 @@ object StreamingNearDup {
                 s"exceeded $maxBucket members — a degenerate corpus is " +
                 "hashing into one bucket; widen the bands or pre-filter.")
             val a = shSeq.toArray // sorted distinct (kernel contract)
-            bucket.foreach { case (pid, p) =>
+            bucket.foreach { case (pid, _, p) =>
               // merge-count the intersection of two sorted arrays
               var i = 0; var j = 0; var inter = 0
               while (i < a.length && j < p.length) {
@@ -84,9 +101,9 @@ object StreamingNearDup {
               if (jac >= jaccardBp && pid != id)
                 out += Pair(math.min(id, pid), math.max(id, pid), jac)
             }
-            bucket = (id, a) :: bucket
+            bucket = (id, now, a) :: bucket
           }
-          state.update(bucket)
+          if (bucket.isEmpty) state.remove() else state.update(bucket)
           out.iterator
       }
   }

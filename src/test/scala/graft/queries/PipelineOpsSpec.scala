@@ -198,6 +198,23 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 5))
   }
 
+  test("x_shard_assign audit matches a physical partitionBy(shard) write") {
+    import org.apache.spark.sql.functions._
+    // the audit's hash IS the writer partitioner: a partitioned write
+    // with the same expression must land exactly the audited counts
+    val out = tmpDir("shardwrite")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        (((col("doc_id") % 1000003) * lit(2654435761L)) % 1000003 % 16)
+          .cast("long").as("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val audit = run("x_shard_assign").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    audit.foreach { case (s, n) =>
+      assert(spark.read.parquet(s"$out/shard=$s").count() == n, s"shard $s")
+    }
+  }
+
   test("x_filter_chain: per-source accounting sums to the corpus") {
     val rows = run("x_filter_chain").collect()
     assert(rows.map(_.getLong(1)).sum ==

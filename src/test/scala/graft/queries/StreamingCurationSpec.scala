@@ -175,6 +175,34 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("near-dup retention window: idle buckets expire, old docs stop matching") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val doc = (1 to 12).map(i => s"tok$i") // one shingle set, jac 1.0 dup
+
+    val mem = MemoryStream[(Long, Seq[String])]
+    val q = graft.streaming.StreamingNearDup.pairs(
+        mem.toDS().toDF("doc_id", "toks"),
+        retention = Some(java.time.Duration.ofSeconds(2)))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup_ttl").start()
+    try {
+      mem.addData((1L, doc)); q.processAllAvailable()
+      Thread.sleep(3000) // doc 1's insertion falls out of the window
+      // (window >> micro-batch latency so docs 3/4 below stay inside)
+      // lazy pruning: touching the bucket drops the expired member
+      // BEFORE comparing, so the exact duplicate no longer matches
+      mem.addData((3L, doc)); q.processAllAvailable()
+      assert(spark.table("neardup_ttl").collect().isEmpty)
+      // but the stream keeps detecting WITHIN the window
+      mem.addData((4L, doc)); q.processAllAvailable()
+      val pairs = spark.table("neardup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct
+      assert(pairs.sameElements(Array((3L, 4L))))
+    } finally q.stop()
+  }
+
   test("streaming sequence packing matches the batch packer's per-shard accounting") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
