@@ -628,8 +628,58 @@ object PipelineOps extends QueryModule {
         .orderBy($"source", $"band")
     })
 
+  /** Context-window chunking — the other packing policy next to
+    * x_pack_sequences' concat-and-chunk: each document is split into
+    * 256-token chunks with stride 192 (64-token overlap, the sliding
+    * window used for long-doc training and retrieval indexing), and the
+    * audit reports per source: docs, chunks produced, and how full the
+    * final (ragged) chunks run. n_chunks = 1 + ceil((n_tok-256)/192)
+    * for n_tok > 256 — rendered as floor((n_tok-65)/192.0) so both
+    * engines evaluate the identical expression. Pure per-row integer
+    * arithmetic on the token-count kernel + one map-side-combined agg:
+    * at 100 TB the cost is the scan. */
+  private val chunkDocs = Q(
+    "x_chunk_docs",
+    Some("""WITH s AS (SELECT source,
+              len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS n_tok
+              FROM documents),
+            c AS (SELECT source, n_tok,
+              CASE WHEN n_tok = 0 THEN 0
+                   WHEN n_tok <= 256 THEN 1
+                   ELSE 1 + CAST(floor((n_tok - 65) / 192.0) AS BIGINT) END AS n_chunks
+              FROM s)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              CAST(floor(sum(CASE WHEN n_chunks = 0 THEN 0
+                  ELSE n_tok - (n_chunks - 1) * 192 END) * 10000.0
+                / (256.0 * greatest(sum(CASE WHEN n_chunks > 0 THEN 1 ELSE 0 END), 1)))
+                AS BIGINT) AS last_fill_bp
+            FROM c GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      val nChunks = when($"n_tok" === 0, 0L)
+        .when($"n_tok" <= 256, 1L)
+        .otherwise(lit(1L) + floor(($"n_tok" - 65) / 192.0).cast("long"))
+      t(spark, dir, "documents")
+        .select($"source", expr("bpe_token_count(text)").as("n_tok"))
+        .withColumn("n_chunks", nChunks)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chunks").cast("long").as("n_chunks"),
+          sum($"n_tok").cast("long").as("n_tokens"),
+          floor(sum(when($"n_chunks" === 0, 0L)
+              .otherwise($"n_tok" - ($"n_chunks" - 1) * 192)) * 10000.0
+            / (lit(256.0) * greatest(
+                sum(when($"n_chunks" > 0, 1).otherwise(0)), lit(1))))
+            .cast("long").as("last_fill_bp"))
+        .orderBy($"source")
+    })
+
   override def all: Seq[Q] =
     Seq(decontaminate, decontamBloom, sampleStratified, repetition,
       filterChain, tokenBudget, dedupKeepBest, curationE2e, shardAssign,
-      packSequences, sampleQuality, statsProfile, lengthHistogram)
+      packSequences, sampleQuality, statsProfile, lengthHistogram,
+      chunkDocs)
 }

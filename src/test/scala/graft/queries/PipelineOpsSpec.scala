@@ -188,6 +188,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x_chunk_docs: chunk arithmetic consistent, token mass conserved") {
+    val rows = run("x_chunk_docs").collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    // token mass agrees with the shard audit's independent total
+    val shardTokens = run("x_shard_assign").collect().map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(3)).sum == shardTokens)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0) // chunks
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000, "last_fill_bp")
+      // every non-empty doc yields at least one chunk
+      assert(r.getLong(2) <= r.getLong(3) || r.getLong(3) == 0)
+    }
+  }
+
   test("x_length_histogram: bands partition the corpus, token mass conserved") {
     val rows = run("x_length_histogram").collect()
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
