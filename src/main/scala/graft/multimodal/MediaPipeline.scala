@@ -40,6 +40,25 @@ object FakeCodec {
     * char-level oracle for ASCII payloads; shared kernel). */
   def checksum(bytes: Array[Byte]): Long = graft.functions.Hashing.poly31(bytes)
 
+  /** STUB resize: a real implementation decodes, scales the pixel grid
+    * and re-encodes; the stub derives the output bytes deterministically
+    * (every k-th byte, k = area ratio) so tests can pin byte counts and
+    * checksums. The signature — (row, targetW, targetH) → row with new
+    * dims + re-encoded payload — is the contract a real codec fills. */
+  def resize(row: MediaRow, targetW: Int, targetH: Int): MediaRow = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    val inArea = math.max(1L, row.width.toLong * row.height)
+    val outArea = targetW.toLong * targetH
+    // byte budget scales with the area ratio, floor 1 byte
+    val outLen = math.max(1L,
+      (row.media.length.toLong * outArea) / inArea).min(row.media.length).toInt
+    val stride = math.max(1, row.media.length / math.max(1, outLen))
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) { out(i) = row.media(math.min(i * stride, row.media.length - 1)); i += 1 }
+    row.copy(media = out, width = targetW, height = targetH)
+  }
+
   /** "Decode + embed": per-dimension byte-stride means, scaled. A real
     * implementation decodes pixels/samples and runs a feature extractor;
     * the signature is the contract. */
@@ -81,4 +100,15 @@ object MediaPipeline {
     * filter (no shuffle). */
   def sample(media: Dataset[MediaRow], stride: Long): Dataset[MediaRow] =
     media.filter(_.media_id % stride == 0)
+
+  /** Batched resize to a uniform target — the standard normalize-before-
+    * embed stage. Narrow like extractFeatures: rows stream through the
+    * codec per partition in BatchSize groups, no data movement. */
+  def resizeAll(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map(FakeCodec.resize(_, targetW, targetH)))
+    }
+  }
 }

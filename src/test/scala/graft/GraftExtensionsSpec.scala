@@ -70,6 +70,31 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.head.isEmpty) // sub-K doc has no grams
   }
 
+  test("property: sampled_fingerprints matches the reference fold on random ASCII docs") {
+    import org.scalacheck.{Gen, rng}
+    import graft.functions.{Hashing, SampledFingerprints}
+    graft.functions.SampledFingerprints.register(spark)
+    def ref(s: String): Array[Long] = {
+      val b = s.getBytes("UTF-8")
+      (0 to b.length - SampledFingerprints.K).map(i =>
+        Hashing.poly31(java.util.Arrays.copyOfRange(b, i, i + SampledFingerprints.K)))
+        .filter(_ % SampledFingerprints.P == 0).distinct.sorted.toArray
+    }
+    // deterministic ScalaCheck sampling (no scalatestplus bridge offline);
+    // printable ASCII incl. spaces, lengths straddling the K=32 boundary
+    val gen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.stringOfN(n, Gen.frequency(5 -> Gen.const(' '), 20 -> Gen.alphaNumChar)))
+    val docs = Iterator.iterate(rng.Seed(7L))(_.next).take(60)
+      .map(s => gen.pureApply(Gen.Parameters.default, s)).toList
+    import spark.implicits._
+    val got = docs.toDF("text")
+      .selectExpr("sampled_fingerprints(text) AS fps")
+      .collect().map(_.getSeq[Long](0).toArray)
+    docs.zip(got).foreach { case (d, g) =>
+      assert(g.sameElements(ref(d)), s"len=${d.length} doc='${d.take(40)}'")
+    }
+  }
+
   test("x_dedup_sampled: pair invariants and determinism") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("x_dedup_sampled")(spark, sf).collect()

@@ -86,4 +86,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // frame sampling keeps every stride-th row
     assert(MediaPipeline.sample(ds, 10L).count() == 20)
   }
+
+  test("multimodal: batched resize normalizes dims, shrinks payloads, stays narrow") {
+    import spark.implicits._
+    val rows = (1 until 100).map { i =>
+      MediaRow(i.toLong, "image", Array.fill(i * 10)((i % 251).toByte),
+        width = i * 4, height = i * 3)
+    }
+    val ds = spark.createDataset(rows).repartition(4)
+    val resized = MediaPipeline.resizeAll(ds, 64, 48).collect().sortBy(_.media_id)
+    assert(resized.length == rows.length)
+    resized.foreach { r =>
+      val orig = rows(r.media_id.toInt - 1)
+      assert(r.width == 64 && r.height == 48)
+      assert(r.media.length >= 1 && r.media.length <= orig.media.length)
+      // deterministic: same input -> same bytes
+      assert(java.util.Arrays.equals(r.media,
+        FakeCodec.resize(orig, 64, 48).media))
+    }
+    // narrow: no exchange in the resize stage
+    val plan = MediaPipeline.resizeAll(ds, 64, 48)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // resized media flows straight into the decode stage (the pipeline
+    // composes: sample -> resize -> extract)
+    val feats = MediaPipeline.extractFeatures(
+      MediaPipeline.resizeAll(MediaPipeline.sample(ds, 10L), 64, 48)).collect()
+    assert(feats.length == 9 && feats.forall(_.width == 64))
+  }
 }
