@@ -323,9 +323,16 @@ object TextOps extends QueryModule {
     * Scale shape: same posting-list join as x_dedup_ngram — explode the
     * (already 1/P-sampled) fingerprints, self-join postings on the
     * hash, count per pair; cost ∝ Σ df(fp)², and a 32-byte gram's df is
-    * near-duplication evidence by construction, so postings stay thin.
-    * Fingerprinting itself is one O(n) rolling-hash byte pass per row
-    * in whole-stage codegen. */
+    * near-duplication evidence by construction, so postings stay thin —
+    * EXCEPT boilerplate (license headers, templated footers), whose df
+    * grows with the corpus and would blow the join up quadratically.
+    * Fingerprints with df > 1000 are therefore excluded, in BOTH
+    * engines (declared semantics, not a silent Spark-side cap): a span
+    * shared by a thousand documents is boilerplate, not duplication
+    * evidence — the standard stop-gram rule. The df count rides the
+    * posting exchange as a window (data is already clustered by fp —
+    * no extra shuffle). Fingerprinting itself is one O(n) rolling-hash
+    * byte pass per row in whole-stage codegen. */
   private val dedupSampled = Q(
     "x_dedup_sampled",
     Some("""WITH f AS (SELECT doc_id,
@@ -337,7 +344,9 @@ object TextOps extends QueryModule {
                          (a, x) -> (a * 31 + x) % 1000000007)),
                 h -> h % 4 = 0))) AS fps
               FROM documents),
-            u AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+            u AS (SELECT doc_id, fp FROM (
+                    SELECT doc_id, unnest(fps) AS fp FROM f)
+                  QUALIFY count(*) OVER (PARTITION BY fp) <= 1000),
             prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                       count(*) AS n_shared
                     FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -347,11 +356,15 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       graft.functions.SampledFingerprints.register(spark)
-      // postings repartitioned on the join key: both self-join legs
-      // share one ReusedExchange (same shape as ngramPairs)
+      // postings repartitioned on the join key: the boilerplate-df
+      // window and both self-join legs all read ONE exchange
       val post = barrier(t(spark, dir, "documents")
         .select($"doc_id", explode(expr("sampled_fingerprints(text)")).as("fp")))
         .repartition($"fp")
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+        .where($"df" <= 1000)
+        .drop("df")
       val a = post.select($"fp", $"doc_id".as("a_id"))
       val b = post.select($"fp".as("fp2"), $"doc_id".as("b_id"))
       a.join(b, $"fp" === $"fp2" && $"a_id" < $"b_id")
