@@ -97,7 +97,17 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
 
   test("x_dedup_sampled: pair invariants and determinism") {
     val sf = "/root/testdata/sf0.001"
-    val rows = SparkEntry.queries("x_dedup_sampled")(spark, sf).collect()
+    val df = SparkEntry.queries("x_dedup_sampled")(spark, sf)
+    // plan shape: the boilerplate-df window rides the posting exchange
+    // (partitioned by fp, never a global window), and the pair search
+    // is an equi-join — no cartesian fallback
+    val lp = df.queryExecution.optimizedPlan
+    val wins = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty), s"$lp")
+    val pp = df.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct"), pp)
+    val rows = df.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1)) // canonical pair order
