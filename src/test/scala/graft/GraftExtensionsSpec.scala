@@ -26,7 +26,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
                   poly_hash('abc') AS p,
                   ws_token_count(' a  b c ') AS w,
                   stop_token_count('The cat is ON a mat') AS st,
-                  ngram_top_count(array('a','b','a','b','c'), 2) AS tc""")
+                  ngram_top_count(array('a','b','a','b','c'), 2) AS tc,
+                  size(sampled_fingerprints(repeat('xy', 40))) AS sf""")
         .collect().head
       assert(row.getDouble(1) == 11.0)
       assert(row.getInt(2) == 2)
@@ -36,6 +37,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       assert(row.getLong(5) == 3L)
       assert(row.getLong(6) == 3L) // the, is, a
       assert(row.getLong(7) == 2L) // "a b" occurs twice
+      assert(row.getInt(8) >= 0) // kernel installed via injectFunction
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
