@@ -546,6 +546,39 @@ object PipelineOps extends QueryModule {
         .orderBy($"source", $"tier")
     })
 
+  /** Deterministic fixed-size reservoir per group: exactly k documents
+    * per source, chosen by ranking on the arithmetic hash — the
+    * equivalent of a per-domain reservoir sample (eval-set carving,
+    * inspection samples) that is reproducible across engines, reruns
+    * and cluster sizes, unlike rand()-based reservoirs. Completes the
+    * sampling family: rates (stratified), quality-weighted rates, and
+    * now fixed counts. The rank window is partitioned by source —
+    * parallelism = group count, no global sort; at 100 TB a TopK-per-
+    * group rewrite (aggregate min-k heaps) drops even the per-group
+    * sort, but the window form is what Catalyst already optimizes to
+    * WindowGroupLimit with the rn <= k predicate pushed down. */
+  private val sampleReservoir = Q(
+    "x_sample_reservoir",
+    Some("""WITH s AS (SELECT doc_id, source,
+              ((doc_id % 1000003) * 2654435761) % 1000003 AS rk
+              FROM documents)
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rn
+              FROM s)
+            WHERE rn <= 5 ORDER BY source, doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val rk = (($"doc_id" % 1000003) * lit(2654435761L)) % 1000003
+      val w = Window.partitionBy($"source").orderBy($"rk", $"doc_id")
+      t(spark, dir, "documents")
+        .select($"doc_id", $"source", rk.as("rk"))
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" <= 5)
+        .select($"doc_id", $"source")
+        .orderBy($"source", $"doc_id")
+    })
+
   /** Column profiling — the data-quality observability every serious
     * engine ships (null rates + exact cardinalities per column). ONE
     * pass over the table computes every column's stats simultaneously
@@ -680,6 +713,6 @@ object PipelineOps extends QueryModule {
   override def all: Seq[Q] =
     Seq(decontaminate, decontamBloom, sampleStratified, repetition,
       filterChain, tokenBudget, dedupKeepBest, curationE2e, shardAssign,
-      packSequences, sampleQuality, statsProfile, lengthHistogram,
-      chunkDocs)
+      packSequences, sampleQuality, sampleReservoir, statsProfile,
+      lengthHistogram, chunkDocs)
 }

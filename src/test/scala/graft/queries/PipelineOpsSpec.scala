@@ -188,6 +188,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x_sample_reservoir: exactly k per source, deterministic, WindowGroupLimit planned") {
+    val rows = run("x_sample_reservoir").collect()
+    val perSource = rows.groupBy(_.getString(1)).view.mapValues(_.length)
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (src, n) =>
+      assert(perSource.getOrElse(src, 0) == math.min(5L, n), src)
+    }
+    val again = run("x_sample_reservoir").collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    // Catalyst should plan the rank-filter as a group limit (the rn<=k
+    // pushdown that keeps per-group work bounded before the window)
+    val p = run("x_sample_reservoir").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("WindowGroupLimit"), s"group-limit pushdown missing:\n$p")
+  }
+
   test("x_chunk_docs: chunk arithmetic consistent, token mass conserved") {
     val rows = run("x_chunk_docs").collect()
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
