@@ -375,7 +375,71 @@ object TextOps extends QueryModule {
         .orderBy($"a_id", $"b_id")
     })
 
+  /** Cross-source duplicate leakage — the dedup diagnostic that matters
+    * for split hygiene: near-duplicate pairs whose two members live in
+    * DIFFERENT sources mean whatever was carved from one source
+    * (benchmark, eval split) leaks into the other. Built on the
+    * sampled-fingerprint near-dup pairs (x_dedup_sampled's exact
+    * semantics, df cap included), joined back to sources and aggregated
+    * per (unordered) source pair. Same Σdf² posting-join cost; the two
+    * source lookups are joins on doc_id against the (narrow) doc→source
+    * projection. */
+  private val dedupCross = Q(
+    "x_dedup_cross",
+    Some("""WITH f AS (SELECT doc_id, source,
+              list_sort(list_distinct(list_filter(
+                list_transform(range(1, greatest(length(text) - 31, 0) + 1),
+                  i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(i, i + 32),
+                           j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))),
+                         (a, x) -> (a * 31 + x) % 1000000007)),
+                h -> h % 4 = 0))) AS fps
+              FROM documents),
+            u AS (SELECT doc_id, fp FROM (
+                    SELECT doc_id, unnest(fps) AS fp FROM f)
+                  QUALIFY count(*) OVER (PARTITION BY fp) <= 1000),
+            prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                    FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2 HAVING count(*) >= 2),
+            s AS (SELECT doc_id, source FROM f)
+            SELECT least(sa.source, sb.source) AS src_a,
+              greatest(sa.source, sb.source) AS src_b,
+              CAST(count(*) AS BIGINT) AS n_pairs
+            FROM prs
+            JOIN s sa ON sa.doc_id = prs.a_id
+            JOIN s sb ON sb.doc_id = prs.b_id
+            WHERE sa.source <> sb.source
+            GROUP BY 1, 2 ORDER BY src_a, src_b"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.SampledFingerprints.register(spark)
+      val docs = t(spark, dir, "documents")
+      val post = barrier(docs
+        .select($"doc_id", explode(expr("sampled_fingerprints(text)")).as("fp")))
+        .repartition($"fp")
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+        .where($"df" <= 1000)
+        .drop("df")
+      val a = post.select($"fp", $"doc_id".as("a_id"))
+      val b = post.select($"fp".as("fp2"), $"doc_id".as("b_id"))
+      val prs = a.join(b, $"fp" === $"fp2" && $"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .where($"n_shared" >= 2)
+      val src = docs.select($"doc_id", $"source")
+      prs
+        .join(src.select($"doc_id".as("a_id"), $"source".as("sa")), "a_id")
+        .join(src.select($"doc_id".as("b_id"), $"source".as("sb")), "b_id")
+        .where($"sa" =!= $"sb")
+        .select(least($"sa", $"sb").as("src_a"),
+          greatest($"sa", $"sb").as("src_b"))
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"src_a", $"src_b")
+    })
+
   override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
-    dedupSampled)
+    dedupSampled, dedupCross)
 }
