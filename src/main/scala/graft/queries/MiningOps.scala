@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group X — corpus-mining analytics over the `documents` table: the
+  * reporting layer a curation pipeline runs AFTER the gates (dedup,
+  * quality, decontamination) to understand what the corpus contains —
+  * keyphrase extraction (the reference's `textanalysis.keyphrases`
+  * fixture, test common.clj:23-27, generalized per-lang), token
+  * association mining, near-dup graph shape, and duplication inflation.
+  *
+  * Determinism: every score is exact integer arithmetic (`DIV` in Spark,
+  * `//` in DuckDB — identical floor division on non-negative operands),
+  * so both engines agree bit-for-bit; no log/float anywhere.
+  */
+object MiningOps extends QueryModule {
+
+  /** Keyphrase extraction: top-10 tokens per lang by tf·idf-style score.
+    *
+    * The score is `tf * (10000 - df*10000 DIV N)` — term frequency
+    * weighted by a LINEAR idf (1 - df/N, in basis points). Linear idf
+    * ranks identically to log idf per fixed tf (both strictly decrease
+    * in df) and keeps the whole score in exact int64 arithmetic, which
+    * the cross-engine hash gate needs. tf ≤ ~1e13 tokens per lang at
+    * 100 TB × 1e4 bp stays well inside int64.
+    *
+    * Scale shape: one explode + one (lang, token) hash aggregate with
+    * map-side partial combine — vocabulary-sized output — then a
+    * broadcast join against the per-lang doc counts and a top-10 window
+    * over the (tiny) vocabulary. No pair joins, no full-text shuffles. */
+  private val tfidf = Q(
+    "x_tfidf",
+    Some("""WITH tok AS (SELECT doc_id, lang,
+                unnest(list_filter(string_split_regex(lower(text), ' +'),
+                  x -> x <> '')) AS token
+              FROM documents),
+            n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents GROUP BY lang),
+            c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS tf,
+                    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM tok GROUP BY lang, token)
+            SELECT lang, token, tf, df, score, rk FROM (
+              SELECT c.lang, token, tf, df,
+                tf * (10000 - (df * 10000) // n.n_docs) AS score,
+                CAST(row_number() OVER (PARTITION BY c.lang
+                  ORDER BY tf * (10000 - (df * 10000) // n.n_docs) DESC, token)
+                  AS BIGINT) AS rk
+              FROM c JOIN n ON c.lang = n.lang)
+            WHERE rk <= 10 ORDER BY lang, rk"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      val n = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      val c = docs
+        .select($"doc_id", $"lang",
+          explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .groupBy($"lang", $"token")
+        .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      val w = Window.partitionBy($"lang").orderBy($"score".desc, $"token")
+      c.join(broadcast(n), "lang")
+        .withColumn("score", expr("tf * (10000 - (df * 10000) DIV n_docs)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where($"rk" <= 10)
+        .select($"lang", $"token", $"tf", $"df", $"score", $"rk")
+        .orderBy($"lang", $"rk")
+    })
+
+  /** Token association mining: top-20 co-occurring token pairs by
+    * overlap coefficient `|docs(a)∩docs(b)| / min(|docs(a)|,|docs(b)|)`
+    * (basis points, exact int arithmetic — n_ab*10000 cannot overflow).
+    *
+    * Cost is bounded BY DECLARATION to a vocabulary cap: only the top
+    * V=100 tokens by document frequency participate (deterministic
+    * rank: df desc, token asc). Pair generation is then a per-doc
+    * self-join of vocab postings — ≤ V²/2 aggregate cells and
+    * Σ_doc min(distinct,V)² join work regardless of corpus size; the
+    * vocab itself is found with one hash aggregate. The final top-20 is
+    * a TakeOrdered (orderBy+limit) — no single-partition window. */
+  private val cooccur = Q(
+    "x_cooccur",
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(text), ' +'),
+                    x -> x <> '')) AS token
+                FROM documents)),
+            df AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY token),
+            voc AS (SELECT token, n FROM (
+                SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rk
+                FROM df)
+              WHERE rk <= 100),
+            p AS (SELECT t.doc_id, t.token, v.n
+                  FROM tok t JOIN voc v ON t.token = v.token),
+            prs AS (SELECT a.token AS a_tok, b.token AS b_tok,
+                      CAST(count(*) AS BIGINT) AS n_ab,
+                      least(any_value(a.n), any_value(b.n)) AS n_min
+                    FROM p a JOIN p b
+                      ON a.doc_id = b.doc_id AND a.token < b.token
+                    GROUP BY 1, 2)
+            SELECT a_tok, b_tok, n_ab,
+              (n_ab * 10000) // n_min AS ovl_bp
+            FROM prs
+            ORDER BY ovl_bp DESC, n_ab DESC, a_tok, b_tok LIMIT 20"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val tok = barrier(t(spark, dir, "documents")
+        .select($"doc_id",
+          explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .distinct())
+      val df = tok.groupBy($"token").agg(count(lit(1)).as("n"))
+      val voc = df
+        .withColumn("rk", row_number().over(Window.orderBy($"n".desc, $"token")))
+        .where($"rk" <= 100)
+        .drop("rk")
+      // vocab is ≤100 rows by construction — always broadcast
+      val p = tok.join(broadcast(voc), "token")
+      val a = p.select($"doc_id", $"token".as("a_tok"), $"n".as("a_n"))
+      val b = p.select($"doc_id".as("doc2"), $"token".as("b_tok"), $"n".as("b_n"))
+      a.join(b, $"doc_id" === $"doc2" && $"a_tok" < $"b_tok")
+        .groupBy($"a_tok", $"b_tok")
+        .agg(count(lit(1)).as("n_ab"),
+          least(first($"a_n"), first($"b_n")).as("n_min"))
+        .withColumn("ovl_bp", expr("(n_ab * 10000) DIV n_min"))
+        .select($"a_tok", $"b_tok", $"n_ab", $"ovl_bp")
+        .orderBy($"ovl_bp".desc, $"n_ab".desc, $"a_tok", $"b_tok")
+        .limit(20)
+    })
+
+  /** Near-dup graph degree histogram — the shape diagnostic for a dedup
+    * run: how many docs have exactly `deg` near-duplicate partners
+    * (token-3-gram Jaccard ≥ 0.6, x_dedup_ngram's exact pair
+    * semantics). A heavy tail here means template families / boilerplate
+    * clusters; a thin one means isolated duplicate pairs. Cost is the
+    * same Σdf² posting join as x_dedup_ngram plus two vocabulary-sized
+    * aggregates. */
+  private val graphDegree = Q(
+    "x_graph_degree",
+    Some("""WITH s AS (
+              SELECT doc_id, lang,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+              FROM (SELECT doc_id, lang,
+                      list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE CAST(floor((len(list_intersect(a.sh, b.sh)) * 10000.0)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) >= 6000),
+            d AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+                    SELECT a_id AS id FROM pairs
+                    UNION ALL SELECT b_id FROM pairs)
+                  GROUP BY id)
+            SELECT deg, CAST(count(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY deg ORDER BY deg"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val pairs = TextOps.ngramPairs(spark, dir)
+      pairs.select($"a_id".as("id"))
+        .unionAll(pairs.select($"b_id".as("id")))
+        .groupBy($"id")
+        .agg(count(lit(1)).as("deg"))
+        .groupBy($"deg")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"deg")
+    })
+
+  /** Duplication inflation: per source, how much of the token mass sits
+    * in non-canonical exact duplicates (doc_id ≠ min doc_id of its
+    * identical-text group). THE headline number an exact-dedup pass
+    * saves — reported before running it. At 100 TB the window key would
+    * be sha2(text) (same grouping; hashes shuffle instead of full
+    * text), exactly as x_dedup_exact documents. */
+  private val dupInflation = Q(
+    "x_dup_inflation",
+    Some("""WITH d AS (SELECT source, doc_id,
+              CAST(len(list_filter(string_split_regex(text, ' +'),
+                x -> x <> '')) AS BIGINT) AS nt,
+              min(doc_id) OVER (PARTITION BY text) AS keep
+              FROM documents)
+            SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+              CAST(sum(nt) AS BIGINT) AS total_tokens,
+              CAST(sum(CASE WHEN doc_id <> keep THEN nt ELSE 0 END) AS BIGINT) AS dup_tokens,
+              CAST((sum(CASE WHEN doc_id <> keep THEN nt ELSE 0 END) * 10000)
+                // greatest(sum(nt), 1) AS BIGINT) AS dup_bp
+            FROM d GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      val w = Window.partitionBy($"text")
+      t(spark, dir, "documents")
+        .select($"source", $"doc_id", $"text",
+          expr("ws_token_count(text)").as("nt"))
+        .withColumn("keep", min($"doc_id").over(w))
+        .drop("text")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"doc_id" =!= $"keep", 1L).otherwise(0L)).as("dup_docs"),
+          sum($"nt").as("total_tokens"),
+          sum(when($"doc_id" =!= $"keep", $"nt").otherwise(0L)).as("dup_tokens"))
+        .withColumn("dup_bp",
+          expr("(dup_tokens * 10000) DIV greatest(total_tokens, 1)"))
+        .select($"source", $"n_docs", $"dup_docs", $"total_tokens",
+          $"dup_tokens", $"dup_bp")
+        .orderBy($"source")
+    })
+
+  def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation)
+}
