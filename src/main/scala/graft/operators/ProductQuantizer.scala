@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (PQ/ADC — the faiss IndexPQ recipe): compress
+  * every vector to M subspace code bytes, scan the compressed codes with
+  * an asymmetric-distance lookup table, exact-rerank the survivors.
+  *
+  * This is the third ANN family next to IVF (bucket pruning — scan fewer
+  * vectors) and LSH (hash pruning — scan fewer vectors): PQ instead
+  * scans ALL vectors but makes each one ~32× cheaper to visit (64-dim
+  * float = 256 B → M=8 int codes; at 100 TB of embeddings the ADC pass
+  * reads a ~3 TB code column, no floats). The three compose in real
+  * systems (IVF-PQ); here they are separate measurable operators.
+  *
+  * Deterministic end to end: codebook training is per-subspace Lloyd on
+  * a hash-ordered driver sample (init = subvectors of the ks lowest
+  * vec_ids, ties to lowest code/id — same discipline as KMeansIVF);
+  * encoding and the ADC scan are pure functions of the codebook.
+  *
+  * Plan shape: train = one TakeOrdered sample pass (corpus-size-
+  * independent) + driver-local flops. Encode = one narrow codegen map
+  * (graft.functions.PqCodec). Search = broadcast-probe fan-out over the
+  * code column (approx score per (row, probe) is an M-step table walk),
+  * per-probe top-R TakeOrdered-shaped window over narrow (id, score)
+  * rows, then exact cosine re-rank of R×|probes| survivors. No stage
+  * ever shuffles raw vectors.
+  */
+object ProductQuantizer {
+
+  final case class Model(m: Int, ks: Int, dsub: Int, codebook: Array[Double])
+
+  /** Train per-subspace codebooks on a bounded deterministic sample.
+    * `emb` needs (vec_id, v: array<double>, nrm). Vectors are unit-
+    * normalized before quantization (cosine geometry: unit-vector inner
+    * product == cosine, so ADC approximates cosine directly). */
+  def train(
+      emb: DataFrame,
+      m: Int = 8,
+      ks: Int = 16,
+      iters: Int = 10,
+      sampleMax: Int = 20000): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val sample: Array[Array[Double]] = emb
+      .orderBy(xxhash64($"vec_id"), $"vec_id")
+      .limit(sampleMax)
+      .select($"vec_id", $"v", $"nrm")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val n = r.getDouble(2)
+        if (n == 0) v else v.map(_ / n)
+      }
+
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+
+    // flat [m][c][d] codebook
+    val cb = new Array[Double](m * ks * dsub)
+    for (s <- 0 until m) {
+      // init: subvectors of the ks lowest vec_ids (sample is id-sorted)
+      var cents: Array[Array[Double]] =
+        (0 until math.min(ks, sample.length)).map { c =>
+          java.util.Arrays.copyOfRange(sample(c), s * dsub, (s + 1) * dsub)
+        }.toArray
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val cnt = new Array[Long](cents.length)
+        sample.foreach { v =>
+          var best = Double.MaxValue
+          var bestC = 0
+          var c = 0
+          while (c < cents.length) {
+            val cv = cents(c)
+            var dist = 0.0
+            var d = 0
+            while (d < dsub) {
+              val diff = v(s * dsub + d) - cv(d)
+              dist += diff * diff
+              d += 1
+            }
+            if (dist < best) { best = dist; bestC = c }
+            c += 1
+          }
+          val acc = sums(bestC)
+          var d = 0
+          while (d < dsub) { acc(d) += v(s * dsub + d); d += 1 }
+          cnt(bestC) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (cnt(c) == 0) old else sums(c).map(_ / cnt(c))
+        }
+      }
+      for (c <- cents.indices; d <- 0 until dsub)
+        cb((s * ks + c) * dsub + d) = cents(c)(d)
+    }
+    Model(m, ks, dsub, cb)
+  }
+
+  /** Add a `codes` column (array<int>, length M) — the narrow codegen
+    * encode pass. Idempotent to call per search; a real deployment
+    * writes `codes` once and drops the float column from the scan. */
+  def encode(emb: DataFrame, model: Model): DataFrame = {
+    graft.functions.PqCodec.register(emb.sparkSession, model.codebook,
+      model.m, model.ks, model.dsub, luts = Array.emptyDoubleArray)
+    emb.withColumn("codes", expr("pq_encode(v, nrm)"))
+  }
+
+  /** Top-k neighbours per probe: ADC scan over codes → top-`rerank`
+    * candidates per probe → exact-cosine re-rank → top-k. Output
+    * (p_id, rk, vec_id, sim_bp) with EXACT cosine basis points, the
+    * same shape as the other ANN operators. */
+  def searchTopK(
+      emb: DataFrame,
+      model: Model,
+      probeIds: Seq[Long],
+      k: Int,
+      rerank: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+
+    // probe LUTs: exact dot of each probe's unit subvector with every
+    // codebook centroid — |probes|×M×ks doubles, driver-sized
+    val probes: Array[(Long, Array[Double])] = emb
+      .where($"vec_id".isin(probeIds: _*))
+      .select($"vec_id", $"v", $"nrm")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val n = r.getDouble(2)
+        r.getLong(0) -> (if (n == 0) v else v.map(_ / n))
+      }
+    val pIds = probes.map(_._1)
+    val luts = new Array[Double](probes.length * model.m * model.ks)
+    for (p <- probes.indices; s <- 0 until model.m; c <- 0 until model.ks) {
+      var acc = 0.0
+      var d = 0
+      while (d < model.dsub) {
+        acc += probes(p)._2(s * model.dsub + d) *
+          model.codebook((s * model.ks + c) * model.dsub + d)
+        d += 1
+      }
+      luts((p * model.m + s) * model.ks + c) = acc
+    }
+
+    graft.functions.PqCodec.register(spark, model.codebook,
+      model.m, model.ks, model.dsub, luts)
+
+    val coded = emb.withColumn("codes", expr("pq_encode(v, nrm)"))
+    // probe fan-out over the code column: approx score is one pq_adc
+    // table walk; only (p_id, vec_id, approx) survives into the window
+    val pdf = broadcast(pIds.zipWithIndex.toSeq
+      .toDF("p_id", "p_idx"))
+    val wA = Window.partitionBy($"p_id").orderBy($"approx".desc, $"vec_id")
+    val cand = coded
+      .crossJoin(pdf)
+      .where($"vec_id" =!= $"p_id")
+      .select($"p_id", $"vec_id",
+        expr("pq_adc(codes, p_idx)").as("approx"))
+      .withColumn("ark", row_number().over(wA))
+      .where($"ark" <= rerank)
+      .select($"p_id", $"vec_id")
+
+    // exact re-rank: survivors (|probes|×rerank rows, broadcast) join
+    // back to their raw vectors; probes' raw vectors ride the same join
+    val probeVecs = broadcast(
+      probes.toSeq.map { case (id, uv) => (id, uv.toSeq) }.toDF("p_id2", "pv"))
+    val wE = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
+    broadcast(cand)
+      .join(emb, "vec_id")
+      .join(probeVecs, $"p_id" === $"p_id2")
+      // pv is unit-normalized → cosine = dot(pv, v) / nrm(v)
+      .withColumn("sim", expr("vec_dot(pv, v)") / $"nrm")
+      .withColumn("rk", row_number().over(wE).cast("long"))
+      .where($"rk" <= k)
+      .select($"p_id", $"rk", $"vec_id",
+        floor($"sim" * 10000.0).cast("long").as("sim_bp"))
+      .orderBy($"p_id", $"rk")
+  }
+}

@@ -240,6 +240,23 @@ object VectorOps extends QueryModule {
         .orderBy($"c_id")
     })
 
+  /** PQ/ADC ANN (graft.operators.ProductQuantizer): vectors compressed
+    * to 8 subspace codes, ADC table-walk scan, exact re-rank of the
+    * top-64 candidates per probe. Rows-only: codebook geometry is
+    * deterministic but not SQL-expressible; VectorOpsSpec pins exact
+    * sims, determinism and measured recall vs brute force. */
+  private val annPq = Q(
+    "x_ann_pq",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val e = emb(spark, dir)
+      val model = graft.operators.ProductQuantizer.train(e)
+      graft.operators.ProductQuantizer.searchTopK(
+        e, model, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+    })
+
   override def all: Seq[Q] =
-    Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup)
+    Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
+      annPq)
 }
