@@ -79,4 +79,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
       s"limit not planned:\n$p")
   }
+
+  test("x_tfidf: per-lang doc counts broadcast; no sort-merge join") {
+    val p = plan("x_tfidf")
+    assert(p.contains("BroadcastHashJoin"), s"doc-count join lost broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"tfidf fell back to SMJ:\n$p")
+  }
+
+  test("x_cooccur: vocab cap broadcast, final top-20 is a TakeOrdered") {
+    val p = plan("x_cooccur")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join lost broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 regressed to a global sort:\n$p")
+  }
+
+  test("PQ encode is a narrow pass: no exchange, no window, no join") {
+    // same scale contract as IVF assignment: quantizing N vectors to
+    // codes must not replicate or shuffle the corpus
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, BroadcastHashJoinExec}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+    val model = graft.operators.ProductQuantizer.train(e)
+    val coded = graft.operators.ProductQuantizer.encode(e, model)
+    val offenders = coded.queryExecution.executedPlan.collect {
+      case x: ShuffleExchangeExec => x
+      case w: WindowExec => w
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(offenders.isEmpty,
+      s"encode stage not narrow:\n${coded.queryExecution.executedPlan}")
+    val p = plan("x_ann_pq")
+    assert(p.contains("pq_adc"), s"ADC kernel missing from plan:\n$p")
+  }
 }
