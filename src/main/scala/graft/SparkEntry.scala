@@ -11,7 +11,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] =
     Seq(PhotonOps, Relational, Joins, Windows, Scalars, TextOps, VectorOps,
-      ScaleOps, PipelineOps, MiningOps)
+      ScaleOps, PipelineOps, MiningOps, EventAnalytics)
 
   private lazy val registry: Seq[Q] = {
     val qs = modules.flatMap(_.all)

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the composition production ANN systems actually deploy
+  * (faiss IndexIVFPQ): an IVF coarse quantizer prunes WHICH vectors a
+  * probe visits (nProbe nearest cells), PQ compression makes each visit
+  * cheap (an M-step ADC table walk over 8 codes instead of a 64-float
+  * dot). The two prunings multiply: at 100 TB a probe touches
+  * nProbe/k of the corpus, reading ~8 bytes per vector touched.
+  *
+  * Built entirely from the two existing operators' parts — KMeansIVF's
+  * deterministic coarse training + broadcast-argmin cell assignment
+  * (graft.functions.Centroids), ProductQuantizer's codebooks + ADC scan
+  * (graft.functions.PqCodec) — wired as one declarative plan: cell
+  * equi-join (broadcast probe side) → ADC score → per-probe top-R →
+  * exact re-rank. No stage shuffles raw vectors; the only exchange is
+  * the narrow (p_id, vec_id, approx) candidate set entering the
+  * per-probe window.
+  */
+object IvfPq {
+
+  final case class Index(
+      cents: Array[(Int, Array[Double])],
+      pq: ProductQuantizer.Model)
+
+  /** Train both quantizers on their bounded driver samples. */
+  def train(
+      emb: DataFrame,
+      k: Int = 10,
+      coarseIters: Int = 3,
+      m: Int = 8,
+      ks: Int = 16): Index =
+    Index(
+      KMeansIVF.train(emb, k = k, iters = coarseIters),
+      ProductQuantizer.train(emb, m = m, ks = ks))
+
+  /** Top-k per probe: nProbe cells → ADC walk → top-`rerank` → exact
+    * cosine. Output (p_id, rk, vec_id, sim_bp), exact sims — the same
+    * contract as every other ANN operator here. */
+  def searchTopK(
+      emb: DataFrame,
+      index: Index,
+      probeIds: Seq[Long],
+      k: Int,
+      nProbe: Int = 2,
+      rerank: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    graft.functions.Centroids.register(spark, index.cents.toSeq)
+
+    // probe LUTs (exact dot of unit probe subvectors with PQ centroids)
+    val probes: Array[(Long, Array[Double])] = emb
+      .where($"vec_id".isin(probeIds: _*))
+      .select($"vec_id", $"v", $"nrm")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val n = r.getDouble(2)
+        r.getLong(0) -> (if (n == 0) v else v.map(_ / n))
+      }
+    val pq = index.pq
+    val luts = new Array[Double](probes.length * pq.m * pq.ks)
+    for (p <- probes.indices; s <- 0 until pq.m; c <- 0 until pq.ks) {
+      var acc = 0.0
+      var d = 0
+      while (d < pq.dsub) {
+        acc += probes(p)._2(s * pq.dsub + d) *
+          pq.codebook((s * pq.ks + c) * pq.dsub + d)
+        d += 1
+      }
+      luts((p * pq.m + s) * pq.ks + c) = acc
+    }
+    graft.functions.PqCodec.register(spark, pq.codebook, pq.m, pq.ks, pq.dsub, luts)
+
+    // the index: every vector tagged with its cell + its codes — both
+    // narrow codegen kernels, zero exchange (PlanShapeSpec-pinned parts)
+    val indexed = emb
+      .withColumn("cid", expr("nearest_centroid(v, nrm)"))
+      .withColumn("codes", expr("pq_encode(v, nrm)"))
+
+    // probe fan-out: (p_id, p_idx, one row per probed cell), broadcast
+    val pdf = broadcast(
+      probes.map(_._1).zipWithIndex.toSeq.toDF("p_id", "p_idx")
+        .join(emb.where($"vec_id".isin(probeIds: _*))
+          .select($"vec_id".as("p_id"),
+            explode(expr(s"nearest_centroids(v, nrm, $nProbe)")).as("p_cid")),
+          "p_id"))
+
+    val wA = Window.partitionBy($"p_id").orderBy($"approx".desc, $"vec_id")
+    val cand = pdf.join(indexed, $"cid" === $"p_cid" && $"vec_id" =!= $"p_id")
+      .select($"p_id", $"vec_id", expr("pq_adc(codes, p_idx)").as("approx"))
+      .withColumn("ark", row_number().over(wA))
+      .where($"ark" <= rerank)
+      .select($"p_id", $"vec_id")
+
+    val probeVecs = broadcast(
+      probes.toSeq.map { case (id, uv) => (id, uv.toSeq) }.toDF("p_id2", "pv"))
+    val wE = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
+    broadcast(cand)
+      .join(emb, "vec_id")
+      .join(probeVecs, $"p_id" === $"p_id2")
+      .withColumn("sim", expr("vec_dot(pv, v)") / $"nrm")
+      .withColumn("rk", row_number().over(wE).cast("long"))
+      .where($"rk" <= k)
+      .select($"p_id", $"rk", $"vec_id",
+        floor($"sim" * 10000.0).cast("long").as("sim_bp"))
+      .orderBy($"p_id", $"rk")
+  }
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Group X — event-stream analytics over the `events` table: the
+  * workloads an event-store user (the reference's audience) actually
+  * runs on their streams — conversion funnels and cohort retention.
+  * Both are pure relational compositions (filter → min-aggregate →
+  * equi-join chains), so Catalyst plans them with map-side partial
+  * aggregates and one shuffle per stage key.
+  *
+  * Determinism: timestamps compare as epoch-ms BIGINTs (`unix_millis` ↔
+  * `epoch_ms`, both floor-to-ms — the established cross-engine rule);
+  * day/week bucketing is integer floor division on those ms values.
+  */
+object EventAnalytics extends QueryModule {
+
+  /** Three-stage conversion funnel with per-stage time windows: first
+    * `view`, then the first `click` within 24 h of it, then the first
+    * `purchase` within 72 h of that click. Output: users surviving each
+    * stage. Each stage is a filtered scan + per-user min — the funnel
+    * never materializes event pairs, so cost is 3 scans + 3 keyed
+    * aggregates regardless of per-user event counts (the pattern-match
+    * formulations that self-join events blow up on power users). */
+  private val funnel = Q(
+    "x_funnel",
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+            v AS (SELECT user_id, min(ms) AS t1 FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(ms) AS t2 FROM e
+                  JOIN v ON e.user_id = v.user_id
+                    AND e.ms > v.t1 AND e.ms <= v.t1 + 86400000
+                  WHERE event_type = 'click' GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(ms) AS t3 FROM e
+                  JOIN c ON e.user_id = c.user_id
+                    AND e.ms > c.t2 AND e.ms <= c.t2 + 259200000
+                  WHERE event_type = 'purchase' GROUP BY e.user_id)
+            SELECT stage, n_users FROM (
+              SELECT 'stage1_view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+              UNION ALL
+              SELECT 'stage2_click', CAST((SELECT count(*) FROM c) AS BIGINT)
+              UNION ALL
+              SELECT 'stage3_purchase', CAST((SELECT count(*) FROM p) AS BIGINT))
+            ORDER BY stage"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "events")
+        .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+      val v = e.where($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ms").as("t1"))
+      val c = e.where($"event_type" === "click")
+        .join(v, "user_id")
+        .where($"ms" > $"t1" && $"ms" <= $"t1" + 86400000L)
+        .groupBy($"user_id").agg(min($"ms").as("t2"))
+      val p = e.where($"event_type" === "purchase")
+        .join(c, "user_id")
+        .where($"ms" > $"t2" && $"ms" <= $"t2" + 259200000L)
+        .groupBy($"user_id").agg(min($"ms").as("t3"))
+      v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("stage1_view"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .withColumn("stage", lit("stage2_click")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .withColumn("stage", lit("stage3_purchase")))
+        .select($"stage", $"n_users")
+        .orderBy($"stage")
+    })
+
+  /** Cohort retention: users grouped by first-seen day; for each
+    * (cohort day, week offset), how many of the cohort were active.
+    * Distinct (user, day) first — per-user event volume never inflates
+    * the aggregate — then one keyed min for the cohort and one
+    * (cohort, offset) count-distinct. Output is cohorts × offsets
+    * (calendar-bounded), tiny at any corpus scale. */
+  private val retention = Q(
+    "x_retention",
+    Some("""WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+                       FROM events),
+            co AS (SELECT user_id, min(day) AS c_day FROM d GROUP BY user_id),
+            a AS (SELECT DISTINCT d.user_id, c_day, (day - c_day) // 7 AS off_w
+                  FROM d JOIN co ON d.user_id = co.user_id),
+            act AS (SELECT c_day, off_w, CAST(count(*) AS BIGINT) AS n_active
+                    FROM a GROUP BY c_day, off_w),
+            sz AS (SELECT c_day AS s_day, CAST(count(*) AS BIGINT) AS n_cohort
+                   FROM co GROUP BY c_day)
+            SELECT c_day, off_w, n_cohort, n_active
+            FROM act JOIN sz ON act.c_day = sz.s_day
+            ORDER BY c_day, off_w"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val days = t(spark, dir, "events")
+        .select($"user_id", expr("unix_millis(ts) DIV 86400000").as("day"))
+        .distinct()
+      val cohort = days.groupBy($"user_id").agg(min($"day").as("c_day"))
+      val act = days.join(cohort, "user_id")
+        .select($"user_id", $"c_day",
+          expr("(day - c_day) DIV 7").as("off_w"))
+        .distinct()
+        .groupBy($"c_day", $"off_w")
+        .agg(count(lit(1)).as("n_active"))
+      val sz = cohort.groupBy($"c_day").agg(count(lit(1)).as("n_cohort"))
+      act.join(sz, "c_day")
+        .select($"c_day", $"off_w", $"n_cohort", $"n_active")
+        .orderBy($"c_day", $"off_w")
+    })
+
+  def all: Seq[Q] = Seq(funnel, retention)
+}

@@ -256,7 +256,118 @@ object VectorOps extends QueryModule {
         e, model, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
     })
 
+  /** End-to-end retrieval (the RAG serving shape): top-5 cosine
+    * neighbours per probe joined back to document metadata (source,
+    * lang, token count) on the shared doc_id/vec_id key space. The
+    * candidate set (|probes|×k rows) broadcasts into the documents
+    * join — the big table streams once and never shuffles; at 100 TB
+    * the neighbour search is the ANN operators' job (same output
+    * contract), this declares the exact-result composition. */
+  private val retrieval = Q(
+    "x_retrieval",
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             p AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 5),
+             s AS (SELECT p_id, vec_id, ${cosSql("pv", "v")} AS sim
+                   FROM p CROSS JOIN e WHERE vec_id <> p_id),
+             r AS (SELECT p_id, vec_id, sim, CAST(row_number() OVER (
+                     PARTITION BY p_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+                   FROM s)
+             SELECT p_id, rk, d.doc_id, CAST(floor(sim * 10000.0) AS BIGINT) AS sim_bp,
+               d.source, d.lang,
+               CAST(len(list_filter(string_split_regex(d.text, ' +'),
+                 x -> x <> '')) AS BIGINT) AS n_tokens
+             FROM r JOIN documents d ON d.doc_id = r.vec_id
+             WHERE rk <= 5 ORDER BY p_id, rk"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      val e = emb(spark, dir)
+      val p = broadcast(e.where($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm")))
+      val w = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
+      val cand = p.join(e, $"vec_id" =!= $"p_id")
+        .withColumn("sim", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where($"rk" <= 5)
+        .select($"p_id", $"rk", $"vec_id",
+          floor($"sim" * 10000.0).cast("long").as("sim_bp"))
+      val docs = t(spark, dir, "documents")
+        .select($"doc_id", $"source", $"lang",
+          expr("ws_token_count(text)").as("n_tokens"))
+      broadcast(cand).join(docs, $"doc_id" === $"vec_id")
+        .select($"p_id", $"rk", $"doc_id", $"sim_bp", $"source", $"lang",
+          $"n_tokens")
+        .orderBy($"p_id", $"rk")
+    })
+
+  /** k-NN label assignment (weak supervision / auto-labeling): a 1%
+    * deterministic probe sample is classified by majority vote of its 5
+    * nearest labeled neighbours (ties → fewer-votes never wins, equal
+    * votes → lowest label id). The declared query is the exact
+    * brute-force definition over the sampled probes (cost |sample|×N);
+    * at 100 TB the neighbour search swaps to any ANN operator above —
+    * the vote/tie logic is unchanged. */
+  private val knnLabel = Q(
+    "x_knn_label",
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+             p AS (SELECT vec_id AS p_id, v AS pv, label AS true_label
+                   FROM e WHERE vec_id % 100 = 0),
+             s AS (SELECT p_id, true_label, vec_id, label,
+                     ${cosSql("pv", "v")} AS sim
+                   FROM p CROSS JOIN e WHERE vec_id <> p_id),
+             r AS (SELECT p_id, true_label, label, CAST(row_number() OVER (
+                     PARTITION BY p_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+                   FROM s),
+             v AS (SELECT p_id, true_label, label,
+                     CAST(count(*) AS BIGINT) AS n_votes
+                   FROM r WHERE rk <= 5 GROUP BY p_id, true_label, label),
+             w AS (SELECT p_id, true_label, label, n_votes, row_number() OVER (
+                     PARTITION BY p_id ORDER BY n_votes DESC, label) AS vr
+                   FROM v)
+             SELECT p_id, CAST(true_label AS BIGINT) AS true_label,
+               CAST(label AS BIGINT) AS pred_label, n_votes
+             FROM w WHERE vr = 1 ORDER BY p_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = barrier(t(spark, dir, "embeddings")
+        .select($"vec_id", $"label",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+        .withColumn("nrm", sqrt(dotCol("v", "v")))
+      val p = broadcast(e.where($"vec_id" % 100 === 0)
+        .select($"vec_id".as("p_id"), $"label".as("true_label"),
+          $"v".as("pv"), $"nrm".as("p_nrm")))
+      val wR = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
+      val wV = Window.partitionBy($"p_id").orderBy($"n_votes".desc, $"label")
+      p.join(e, $"vec_id" =!= $"p_id")
+        .withColumn("sim", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
+        .withColumn("rk", row_number().over(wR).cast("long"))
+        .where($"rk" <= 5)
+        .groupBy($"p_id", $"true_label", $"label")
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(wV))
+        .where($"vr" === 1)
+        .select($"p_id", $"true_label".cast("long").as("true_label"),
+          $"label".cast("long").as("pred_label"), $"n_votes")
+        .orderBy($"p_id")
+    })
+
+  /** IVF-PQ (graft.operators.IvfPq): coarse cells prune which vectors a
+    * probe visits, PQ codes make each visit an 8-step table walk — the
+    * composition production ANN systems deploy. Rows-only like the
+    * other trained-index variants; VectorOpsSpec pins exact sims,
+    * determinism and recall. */
+  private val annIvfPq = Q(
+    "x_ann_ivfpq",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val e = emb(spark, dir)
+      val index = graft.operators.IvfPq.train(e)
+      graft.operators.IvfPq.searchTopK(
+        e, index, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, nProbe = 2)
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
-      annPq)
+      annPq, retrieval, knnLabel, annIvfPq)
 }

@@ -140,6 +140,55 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     e.unpersist()
   }
 
+  test("ivf-pq: exact sims, candidates confined to probed cells, deterministic") {
+    import org.apache.spark.sql.Row
+    val e = emb.persist()
+    val probeIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val index = IvfPq.train(e)
+    val out = IvfPq.searchTopK(e, index, probeIds, k = 5, nProbe = 2).collect()
+    assert(out.nonEmpty)
+
+    // exact-cosine contract on every emitted pair
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    out.foreach { r =>
+      val (p, cand, simBp) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val (pv, pn) = vecs(p)
+      val (cv, cn) = vecs(cand)
+      var dot = 0.0
+      var i = 0
+      while (i < 64) { dot += pv(i) * cv(i); i += 1 }
+      assert(math.floor(dot / (pn * cn) * 10000.0).toLong == simBp,
+        s"probe $p cand $cand sim mismatch")
+    }
+
+    // every candidate lives in one of its probe's nProbe cells (the
+    // pruning contract — IVF-PQ must not silently widen the search)
+    graft.functions.Centroids.register(spark, index.cents.toSeq)
+    val cells = KMeansIVF.assign(e, index.cents)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probeCells = e.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id"),
+        expr("nearest_centroids(v, nrm, 2)").as("pc")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    out.foreach { r =>
+      val (p, cand) = (r.getLong(0), r.getLong(2))
+      assert(probeCells(p).contains(cells(cand)),
+        s"candidate $cand outside probe $p's cells")
+    }
+
+    // recall vs brute force is non-zero and search is deterministic
+    def pairSet(rows: Array[Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = pairSet(graft.SparkEntry.queries("x_sim_topk")(spark, sf).collect())
+    val rec = truth.intersect(pairSet(out)).size.toDouble / truth.size
+    assert(rec > 0.0, s"ivf-pq recall $rec")
+    val out2 = IvfPq.searchTopK(e, index, probeIds, k = 5, nProbe = 2).collect()
+    assert(out.map(_.toString) sameElements out2.map(_.toString))
+    e.unpersist()
+  }
+
   test("embed near-dup: banded-LSH candidates reproduce brute force exactly") {
     // full-recall proof on the driver corpora: the bucketed pipeline's
     // verified output must equal the all-pairs definition pair-for-pair

@@ -252,4 +252,51 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("live funnel: streaming stage advances match the batch x_funnel counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // events in event-time order (the in-order delivery contract the
+    // live folds document), split across three micro-batches
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prepared = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", $"event_type",
+        expr("timestamp_micros(ts DIV 1000)").as("tts"))
+      .select($"user_id", $"event_type", expr("unix_millis(tts)").as("ms"))
+      .orderBy($"ms")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamingFunnel.advances(
+        mem.toDS().toDF("user_id", "event_type", "ms"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("funnel1").start()
+    try {
+      val third = prepared.length / 3
+      mem.addData(prepared.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      val advances = spark.table("funnel1").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      // each user advances each stage at most once, stages in order
+      advances.groupBy(_._1).foreach { case (u, as) =>
+        val stages = as.map(_._2).sorted
+        assert(stages.distinct.length == stages.length, s"user $u re-advanced")
+        assert(stages.zipWithIndex.forall { case (s, i) => s == i + 1 },
+          s"user $u skipped a stage: ${stages.toSeq}")
+      }
+      // per-stage user counts equal the batch query on the same data
+      val streamedCounts = (1 to 3).map(s =>
+        advances.count(_._2 == s).toLong)
+      val batch = graft.SparkEntry.queries("x_funnel")(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamedCounts(0) == batch("stage1_view"), "stage 1")
+      assert(streamedCounts(1) == batch("stage2_click"), "stage 2")
+      assert(streamedCounts(2) == batch("stage3_purchase"), "stage 3")
+    } finally q.stop()
+  }
 }
