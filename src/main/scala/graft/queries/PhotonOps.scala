@@ -155,6 +155,33 @@ object PhotonOps extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Time-travel state read — the event-sourcing capability photon's
+    * replay-from semantics exist for: the latest-state projection AS OF
+    * an arbitrary past instant, answered by replaying the log only up
+    * to the cutoff (a pushed-down ms predicate + the same per-key
+    * window as p_latest_state). At 100 TB a date-bucketed log layout
+    * prunes every partition after the cutoff before any read. */
+  private val stateAsof = Q(
+    "p_state_asof",
+    Some("""SELECT user_id, event_id AS last_event_id,
+            event_type AS last_type, epoch_ms(ts) AS last_ts_ms
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events WHERE epoch_ms(ts) <= 1705276800000)
+            WHERE rn = 1 ORDER BY user_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      t(spark, dir, "events")
+        .where(unix_millis($"ts") <= 1705276800000L)
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"user_id", $"event_id".as("last_event_id"),
+          $"event_type".as("last_type"), unix_millis($"ts").as("last_ts_ms"))
+        .orderBy($"user_id")
+    })
+
   override def all: Seq[Q] = Seq(coldScan, pointLookup, streamsCatalog,
-    latestState, foldCount, distinctStreams, jsonPayload, payloadPromote)
+    latestState, foldCount, distinctStreams, jsonPayload, payloadPromote,
+    stateAsof)
 }

@@ -156,6 +156,33 @@ object Windows extends QueryModule {
         .orderBy($"user_id", $"event_id")
     })
 
+  /** Sliding window (1 h window, 15 min slide) — the overlapping-window
+    * streaming shape (each event lands in 4 windows), run batch-side
+    * like r_stream_tumbling. Oracle replicates Spark's epoch-aligned
+    * window assignment: an event in 15-min slot s belongs to windows
+    * starting at slots s-3..s — pure integer slot math, so both engines
+    * enumerate identical (window, event) pairs. The 4× row expansion
+    * happens BEFORE the partial aggregate, so the shuffle carries only
+    * (window, type) cells, not expanded events. */
+  private val streamSliding = Q(
+    "r_stream_sliding",
+    Some("""WITH e AS (SELECT event_type, value, epoch_ms(ts) // 900000 AS slot
+                       FROM events),
+            x AS (SELECT event_type, value, (slot - k) * 900000 AS ws_ms
+                  FROM e, unnest([0, 1, 2, 3]) AS t(k))
+            SELECT ws_ms, event_type, CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 4) AS sum_value
+            FROM x GROUP BY 1, 2 ORDER BY ws_ms, event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "events")
+        .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .select(unix_millis($"w.start").as("ws_ms"), $"event_type", $"n",
+          $"sum_value")
+        .orderBy($"ws_ms", $"event_type")
+    })
+
   override def all: Seq[Q] = Seq(windowRank, windowFrame, windowLag,
-    streamTumbling, streamSession, windowNtile)
+    streamTumbling, streamSession, windowNtile, streamSliding)
 }
