@@ -37,6 +37,20 @@ object IvfPq {
       KMeansIVF.train(emb, k = k, iters = coarseIters),
       ProductQuantizer.train(emb, m = m, ks = ks))
 
+  /** Persist both quantizers (two tiny parquet tables under `path`) —
+    * the train-once / serve-many lifecycle for the composed index. */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      index: Index, path: String): Unit = {
+    KMeansIVF.save(spark, index.cents, s"$path/coarse")
+    ProductQuantizer.save(spark, index.pq, s"$path/pq")
+  }
+
+  /** Load an index saved by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index =
+    Index(
+      KMeansIVF.load(spark, s"$path/coarse"),
+      ProductQuantizer.load(spark, s"$path/pq"))
+
   /** Top-k per probe: nProbe cells → ADC walk → top-`rerank` → exact
     * cosine. Output (p_id, rk, vec_id, sim_bp), exact sims — the same
     * contract as every other ANN operator here. */

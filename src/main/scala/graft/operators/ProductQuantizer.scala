@@ -104,6 +104,26 @@ object ProductQuantizer {
     Model(m, ks, dsub, cb)
   }
 
+  /** Persist a trained model as a tiny single-row parquet table —
+    * train-once / serve-many, like KMeansIVF.save: a serving session
+    * calls [[load]] + [[searchTopK]] without ever touching [[train]].
+    * M×ks×dsub doubles — driver-sized at any corpus scale. */
+  def save(spark: org.apache.spark.sql.SparkSession,
+      model: Model, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.m, model.ks, model.dsub, model.codebook.toSeq))
+      .toDF("m", "ks", "dsub", "codebook")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model saved by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val r = spark.read.parquet(path).head()
+    Model(r.getInt(0), r.getInt(1), r.getInt(2),
+      r.getSeq[Double](3).toArray)
+  }
+
   /** Add a `codes` column (array<int>, length M) — the narrow codegen
     * encode pass. Idempotent to call per search; a real deployment
     * writes `codes` once and drops the float column from the scan. */

@@ -326,6 +326,32 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("PQ + IVF-PQ index persistence: save/load roundtrip, serving path identical") {
+    val e = emb
+    val probes = Seq(0L, 1L, 2L)
+
+    val model = ProductQuantizer.train(e)
+    val pqDir = tmpDir("pqidx")
+    ProductQuantizer.save(spark, model, pqDir)
+    val pqLoaded = ProductQuantizer.load(spark, pqDir)
+    assert(pqLoaded.m == model.m && pqLoaded.ks == model.ks &&
+      pqLoaded.dsub == model.dsub)
+    assert(pqLoaded.codebook.sameElements(model.codebook))
+    val a = ProductQuantizer.searchTopK(e, model, probes, k = 5)
+      .collect().map(_.toString)
+    val b = ProductQuantizer.searchTopK(e, pqLoaded, probes, k = 5)
+      .collect().map(_.toString)
+    assert(a.sameElements(b))
+
+    val index = IvfPq.train(e)
+    val ivfpqDir = tmpDir("ivfpqidx")
+    IvfPq.save(spark, index, ivfpqDir)
+    val loaded = IvfPq.load(spark, ivfpqDir)
+    val c = IvfPq.searchTopK(e, index, probes, k = 5).collect().map(_.toString)
+    val d = IvfPq.searchTopK(e, loaded, probes, k = 5).collect().map(_.toString)
+    assert(c.sameElements(d))
+  }
+
   test("x_semantic_dedup: cluster-bounded pair search, accounting conserved") {
     val df = graft.SparkEntry.queries("x_semantic_dedup")(spark, sf)
     // the pair search must be an equi-join on c_id — Σ|cluster|² cost,

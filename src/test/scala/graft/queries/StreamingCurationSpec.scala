@@ -299,4 +299,41 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       assert(streamedCounts(2) == batch("stage3_purchase"), "stage 3")
     } finally q.stop()
   }
+
+  test("live retention: streamed (cohort, week) activations match batch x_retention") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prepared = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", expr("ts DIV 1000000").as("ms"))
+      .orderBy($"ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamingRetention.activations(
+        mem.toDS().toDF("user_id", "ms"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("retention1").start()
+    try {
+      val third = prepared.length / 3
+      mem.addData(prepared.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      val streamed = spark.table("retention1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // no duplicate (user, week) activations across batches
+      assert(streamed.distinct.length == streamed.length)
+      // folded counts equal the batch query's (c_day, off_w, n_active)
+      val folded = streamed.groupBy(t => (t._2, t._3))
+        .map { case (k, v) => k -> v.length.toLong }
+      val batch = graft.SparkEntry.queries("x_retention")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(folded == batch,
+        s"streamed=$folded\nbatch=$batch")
+    } finally q.stop()
+  }
 }
