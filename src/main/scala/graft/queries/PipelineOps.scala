@@ -710,9 +710,53 @@ object PipelineOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Mixture epoch planning — the UP-sampling complement to
+    * x_token_budget's keep rates: to hit a uniform per-source token
+    * share, how many passes (epochs, ×100) over each under-represented
+    * source does the mixture need, capped at 4 epochs (the
+    * data-constrained-scaling rule of thumb: repetition beyond ~4
+    * epochs stops buying quality). Pure integer arithmetic over the
+    * per-source token inventory — one aggregate + a broadcast of the
+    * single-row total, zero extra movement at any corpus size. */
+  private val epochPlan = Q(
+    "x_epoch_plan",
+    Some("""WITH tok AS (SELECT source,
+              len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS n_tok
+              FROM documents),
+            agg AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                    FROM tok GROUP BY source),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens,
+                      CAST(count(*) AS BIGINT) AS n_sources FROM agg)
+            SELECT source, n_tokens,
+              CAST(all_tokens // n_sources AS BIGINT) AS target_tokens,
+              CAST(least(400, ((all_tokens // n_sources) * 100) // n_tokens)
+                AS BIGINT) AS epochs_x100,
+              CAST(n_tokens * least(400, ((all_tokens // n_sources) * 100) // n_tokens)
+                // 100 AS BIGINT) AS planned_tokens
+            FROM agg, tot ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      val agg = t(spark, dir, "documents")
+        .select($"source", expr("bpe_token_count(text)").as("n_tok"))
+        .groupBy($"source")
+        .agg(sum($"n_tok").as("n_tokens"))
+      val tot = agg.agg(sum($"n_tokens").as("all_tokens"),
+        count(lit(1)).as("n_sources"))
+      agg.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", expr("all_tokens DIV n_sources"))
+        .withColumn("epochs_x100",
+          expr("least(400L, (target_tokens * 100) DIV n_tokens)"))
+        .withColumn("planned_tokens",
+          expr("(n_tokens * epochs_x100) DIV 100"))
+        .select($"source", $"n_tokens", $"target_tokens", $"epochs_x100",
+          $"planned_tokens")
+        .orderBy($"source")
+    })
+
   override def all: Seq[Q] =
     Seq(decontaminate, decontamBloom, sampleStratified, repetition,
       filterChain, tokenBudget, dedupKeepBest, curationE2e, shardAssign,
       packSequences, sampleQuality, sampleReservoir, statsProfile,
-      lengthHistogram, chunkDocs)
+      lengthHistogram, chunkDocs, epochPlan)
 }
