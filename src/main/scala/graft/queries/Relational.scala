@@ -322,8 +322,41 @@ object Relational extends QueryModule {
         ORDER BY o_orderkey""")
     })
 
+  /** CORRELATED scalar subqueries (vs r_subquery_scalar's uncorrelated
+    * global average): orders priced above 1.5× their OWN customer's
+    * average. Declared as SQL so Catalyst's decorrelation actually runs
+    * (RewriteCorrelatedScalarSubquery turns both subqueries into one
+    * per-custkey aggregate join — the plan a hand-decorrelated version
+    * would build, derived automatically). Exact arithmetic: prices as
+    * DECIMAL-derived integer cents, the 1.5× threshold as cnt·2·price
+    * > 3·sum — no float division, no cast-rounding split (Spark
+    * truncates double→long, DuckDB rounds; DECIMAL first avoids both). */
+  private val subqueryCorrelated = Q(
+    "r_subquery_correlated",
+    Some("""SELECT o_orderkey, o_custkey,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+            FROM orders o
+            WHERE (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+                    * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2
+                  > (SELECT sum(CAST(CAST(i.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                     FROM orders i WHERE i.o_custkey = o.o_custkey) * 3
+            ORDER BY o_orderkey"""),
+    (spark, dir) => {
+      t(spark, dir, "orders").createOrReplaceTempView("graft_corr_orders")
+      spark.sql(
+        """SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+           FROM graft_corr_orders o
+           WHERE (SELECT count(*) FROM graft_corr_orders i
+                  WHERE i.o_custkey = o.o_custkey)
+                   * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2
+                 > (SELECT sum(CAST(CAST(i.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    FROM graft_corr_orders i WHERE i.o_custkey = o.o_custkey) * 3
+           ORDER BY o_orderkey""")
+    })
+
   override def all: Seq[Q] = Seq(filterProject, aggHash, aggDistinct,
     aggRollup, aggCube, groupingSets, sortTopk, setOps, hllDistinct,
     pivot, joinFullOuter, scalarConditional, aggPercentile, approxQuantile,
-    subqueryScalar)
+    subqueryScalar, subqueryCorrelated)
 }
