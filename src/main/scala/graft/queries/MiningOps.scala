@@ -110,10 +110,12 @@ object MiningOps extends QueryModule {
           explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
         .distinct())
       val df = tok.groupBy($"token").agg(count(lit(1)).as("n"))
-      val voc = df
-        .withColumn("rk", row_number().over(Window.orderBy($"n".desc, $"token")))
-        .where($"rk" <= 100)
-        .drop("rk")
+      // top-100 by (df desc, token): (n, token) is a total order with a
+      // unique tiebreaker, so orderBy+limit == the oracle's row_number
+      // filter — but plans as TakeOrdered instead of a single-partition
+      // global window (the vocab table is huge at 100 TB even though
+      // the cap's output isn't)
+      val voc = df.orderBy($"n".desc, $"token").limit(100)
       // vocab is ≤100 rows by construction — always broadcast
       val p = tok.join(broadcast(voc), "token")
       val a = p.select($"doc_id", $"token".as("a_tok"), $"n".as("a_n"))

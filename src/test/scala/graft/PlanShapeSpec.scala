@@ -118,4 +118,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("x_ann_pq")
     assert(p.contains("pq_adc"), s"ADC kernel missing from plan:\n$p")
   }
+
+  test("x_funnel/x_retention: no event-pair join, partial aggregates present") {
+    Seq("x_funnel", "x_retention").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q built a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q non-equi join:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q missing partial aggregation:\n$p")
+    }
+  }
+
+  test("r_subquery_correlated decorrelates to an aggregate join (no per-row subquery)") {
+    val p = plan("r_subquery_correlated")
+    // Catalyst rewrites both correlated scalar subqueries into one
+    // per-custkey aggregate joined back — the plan must show aggregate +
+    // join, and no nested subquery execution
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"no aggregate join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"decorrelation failed:\n$p")
+  }
 }
