@@ -57,7 +57,9 @@ object ProductQuantizer {
         if (n == 0) v else v.map(_ / n)
       }
 
-    require(sample.nonEmpty, "PQ training sample is empty")
+    require(sample.length >= ks,
+      s"PQ training needs >= ks=$ks vectors, got ${sample.length} " +
+        "(phantom zero centroids would otherwise enter the codebook)")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
