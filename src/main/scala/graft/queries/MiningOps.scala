@@ -212,5 +212,68 @@ object MiningOps extends QueryModule {
         .orderBy($"source")
     })
 
-  def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation)
+  /** Dedup-family agreement — which near-dup pairs each family finds:
+    * token-3-gram Jaccard (set similarity, x_dedup_ngram semantics) vs
+    * sampled 32-byte fingerprints (long verbatim spans, x_dedup_sampled
+    * semantics). `both` = consensus near-dups; `ngram_only` = similar
+    * token sets without long shared spans (paraphrase-shaped);
+    * `sampled_only` = long verbatim overlap diluted below 0.6 Jaccard
+    * (the boilerplate/global-edit shape). The standard calibration
+    * report before choosing a production dedup policy. Cost = the two
+    * posting joins (each Σdf²-bounded) + a full outer join on the
+    * (tiny) pair sets. */
+  private val dedupCompare = Q(
+    "x_dedup_compare",
+    Some("""WITH toks AS (SELECT doc_id, lang,
+                list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+              FROM documents),
+            s AS (SELECT doc_id, lang,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+              FROM toks WHERE len(toks) >= 3),
+            ng AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                   WHERE CAST(floor((len(list_intersect(a.sh, b.sh)) * 10000.0)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) >= 6000),
+            f AS (SELECT doc_id,
+                list_sort(list_distinct(list_filter(
+                  list_transform(range(1, greatest(length(text) - 31, 0) + 1),
+                    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(i, i + 32),
+                             j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))),
+                           (a, x) -> (a * 31 + x) % 1000000007)),
+                  h -> h % 4 = 0))) AS fps
+                FROM documents),
+            u AS (SELECT doc_id, fp FROM (
+                    SELECT doc_id, unnest(fps) AS fp FROM f)
+                  QUALIFY count(*) OVER (PARTITION BY fp) <= 1000),
+            sp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+            j AS (SELECT coalesce(ng.a_id, sp.a_id) AS a_id,
+                    CASE WHEN ng.a_id IS NOT NULL AND sp.a_id IS NOT NULL THEN 'both'
+                         WHEN ng.a_id IS NOT NULL THEN 'ngram_only'
+                         ELSE 'sampled_only' END AS family
+                  FROM ng FULL OUTER JOIN sp
+                    ON ng.a_id = sp.a_id AND ng.b_id = sp.b_id)
+            SELECT family, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM j GROUP BY family ORDER BY family"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val ng = TextOps.ngramPairs(spark, dir)
+        .select($"a_id".as("na"), $"b_id".as("nb"), lit(1).as("in_ng"))
+      val sp = TextOps.sampledPairs(spark, dir)
+        .select($"a_id".as("sa"), $"b_id".as("sb"), lit(1).as("in_sp"))
+      ng.join(sp, $"na" === $"sa" && $"nb" === $"sb", "full_outer")
+        .withColumn("family",
+          when($"in_ng".isNotNull && $"in_sp".isNotNull, "both")
+            .when($"in_ng".isNotNull, "ngram_only")
+            .otherwise("sampled_only"))
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"family")
+    })
+
+  def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
+    dedupCompare)
 }

@@ -353,27 +353,31 @@ object TextOps extends QueryModule {
                     GROUP BY 1, 2 HAVING count(*) >= 2)
             SELECT a_id, b_id, CAST(n_shared AS BIGINT) AS n_shared
             FROM prs ORDER BY a_id, b_id"""),
-    (spark, dir) => {
-      import spark.implicits._
-      graft.functions.SampledFingerprints.register(spark)
-      // postings repartitioned on the join key: the boilerplate-df
-      // window and both self-join legs all read ONE exchange
-      val post = barrier(t(spark, dir, "documents")
-        .select($"doc_id", explode(expr("sampled_fingerprints(text)")).as("fp")))
-        .repartition($"fp")
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
-        .where($"df" <= 1000)
-        .drop("df")
-      val a = post.select($"fp", $"doc_id".as("a_id"))
-      val b = post.select($"fp".as("fp2"), $"doc_id".as("b_id"))
-      a.join(b, $"fp" === $"fp2" && $"a_id" < $"b_id")
-        .groupBy($"a_id", $"b_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .where($"n_shared" >= 2)
-        .select($"a_id", $"b_id", $"n_shared".cast("long").as("n_shared"))
-        .orderBy($"a_id", $"b_id")
-    })
+    (spark, dir) => sampledPairs(spark, dir).orderBy(col("a_id"), col("b_id")))
+
+  /** The sampled-fingerprint near-dup pair pipeline (df-capped posting
+    * join) — shared by x_dedup_sampled, and x_dedup_compare's family-
+    * agreement diagnostic. Returns (a_id, b_id, n_shared), unordered. */
+  private[queries] def sampledPairs(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    graft.functions.SampledFingerprints.register(spark)
+    // postings repartitioned on the join key: the boilerplate-df
+    // window and both self-join legs all read ONE exchange
+    val post = barrier(t(spark, dir, "documents")
+      .select($"doc_id", explode(expr("sampled_fingerprints(text)")).as("fp")))
+      .repartition($"fp")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .where($"df" <= 1000)
+      .drop("df")
+    val a = post.select($"fp", $"doc_id".as("a_id"))
+    val b = post.select($"fp".as("fp2"), $"doc_id".as("b_id"))
+    a.join(b, $"fp" === $"fp2" && $"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= 2)
+      .select($"a_id", $"b_id", $"n_shared".cast("long").as("n_shared"))
+  }
 
   /** Cross-source duplicate leakage — the dedup diagnostic that matters
     * for split hygiene: near-duplicate pairs whose two members live in
