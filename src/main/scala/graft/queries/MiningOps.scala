@@ -274,6 +274,39 @@ object MiningOps extends QueryModule {
         .orderBy($"family")
     })
 
+  /** Heavy-hitter tokens via a mergeable Misra-Gries sketch
+    * (graft.functions.FreqItems) + exact rescoring — the frequency
+    * member of the sketch family (HLL = cardinality, approx_percentile
+    * = quantiles, bloom = membership). The sketch pass holds ≤ k=64
+    * counters per partial aggregate no matter the corpus size and
+    * PROPOSES candidates; the rescoring pass computes exact counts for
+    * only those ≤ 64 tokens (the isin filter pushes to the scan), so
+    * the emitted top-10 is exact — the oracle defines it — whenever
+    * the 10th count clears the N/(k+1) MG bound, which is what k is
+    * sized for. Contrast with x_text_analysis' exact per-lang top-k,
+    * whose aggregate state is vocabulary-sized. */
+  private val freqItems = Q(
+    "x_freq_items",
+    Some("""WITH tok AS (SELECT unnest(list_filter(
+                string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+              FROM documents),
+            c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY token)
+            SELECT token, n FROM c ORDER BY n DESC, token LIMIT 10"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val tokens = t(spark, dir, "documents")
+        .select(explode(expr("filter(split(lower(text), ' +'), x -> x != '')"))
+          .as("token"))
+      val cand = graft.functions.FreqItems
+        .candidates(tokens.as[String], k = 64).keys.toSeq
+      tokens.where($"token".isin(cand: _*))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token")
+        .limit(10)
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
-    dedupCompare)
+    dedupCompare, freqItems)
 }
