@@ -80,14 +80,20 @@ object PqCodec {
     * construction; later re-registration does not disturb built plans. */
   def register(spark: SparkSession, codebook: Array[Double],
       m: Int, ks: Int, dsub: Int, luts: Array[Double]): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("pq_encode",
-      exprs => PqEncode(exprs(0), exprs(1), codebook.toSeq, m, ks, dsub),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("pq_adc",
+    registerEncoder(spark, codebook, m, ks, dsub)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("pq_adc",
       exprs => PqAdc(exprs(0), exprs(1), luts.toSeq, m, ks),
       "scala_udf")
   }
+
+  /** Register ONLY `pq_encode` — the encode-without-search lifecycle
+    * (write codes once). Deliberately leaves any registered `pq_adc`
+    * untouched so an in-flight search's tables aren't clobbered. */
+  def registerEncoder(spark: SparkSession, codebook: Array[Double],
+      m: Int, ks: Int, dsub: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("pq_encode",
+      exprs => PqEncode(exprs(0), exprs(1), codebook.toSeq, m, ks, dsub),
+      "scala_udf")
 }
 
 case class PqEncode(

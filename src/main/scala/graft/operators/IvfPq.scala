@@ -63,33 +63,15 @@ object IvfPq {
       rerank: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    graft.functions.VecDot.register(spark)
     graft.functions.Centroids.register(spark, index.cents.toSeq)
 
-    // probe LUTs (exact dot of unit probe subvectors with PQ centroids)
-    val probes: Array[(Long, Array[Double])] = emb
-      .where($"vec_id".isin(probeIds: _*))
-      .select($"vec_id", $"v", $"nrm")
-      .collect()
-      .sortBy(_.getLong(0))
-      .map { r =>
-        val v = r.getSeq[Double](1).toArray
-        val n = r.getDouble(2)
-        r.getLong(0) -> (if (n == 0) v else v.map(_ / n))
-      }
+    // probe collection + ADC tables + exact re-rank are shared with the
+    // flat-PQ path (ProductQuantizer.collectProbes/buildLuts/exactRerank)
+    // — one LUT layout, one rerank contract, no drift between the two
     val pq = index.pq
-    val luts = new Array[Double](probes.length * pq.m * pq.ks)
-    for (p <- probes.indices; s <- 0 until pq.m; c <- 0 until pq.ks) {
-      var acc = 0.0
-      var d = 0
-      while (d < pq.dsub) {
-        acc += probes(p)._2(s * pq.dsub + d) *
-          pq.codebook((s * pq.ks + c) * pq.dsub + d)
-        d += 1
-      }
-      luts((p * pq.m + s) * pq.ks + c) = acc
-    }
-    graft.functions.PqCodec.register(spark, pq.codebook, pq.m, pq.ks, pq.dsub, luts)
+    val probes = ProductQuantizer.collectProbes(emb, probeIds)
+    graft.functions.PqCodec.register(spark, pq.codebook, pq.m, pq.ks, pq.dsub,
+      ProductQuantizer.buildLuts(probes, pq))
 
     // the index: every vector tagged with its cell + its codes — both
     // narrow codegen kernels, zero exchange (PlanShapeSpec-pinned parts)
@@ -112,17 +94,6 @@ object IvfPq {
       .where($"ark" <= rerank)
       .select($"p_id", $"vec_id")
 
-    val probeVecs = broadcast(
-      probes.toSeq.map { case (id, uv) => (id, uv.toSeq) }.toDF("p_id2", "pv"))
-    val wE = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
-    broadcast(cand)
-      .join(emb, "vec_id")
-      .join(probeVecs, $"p_id" === $"p_id2")
-      .withColumn("sim", expr("vec_dot(pv, v)") / $"nrm")
-      .withColumn("rk", row_number().over(wE).cast("long"))
-      .where($"rk" <= k)
-      .select($"p_id", $"rk", $"vec_id",
-        floor($"sim" * 10000.0).cast("long").as("sim_bp"))
-      .orderBy($"p_id", $"rk")
+    ProductQuantizer.exactRerank(cand, emb, probes, k)
   }
 }

@@ -127,12 +127,76 @@ object ProductQuantizer {
   }
 
   /** Add a `codes` column (array<int>, length M) — the narrow codegen
-    * encode pass. Idempotent to call per search; a real deployment
-    * writes `codes` once and drops the float column from the scan. */
+    * encode pass. Registers ONLY pq_encode (no pq_adc clobbering: a
+    * previously-registered ADC table for an in-flight search must not
+    * be replaced with an empty one). */
   def encode(emb: DataFrame, model: Model): DataFrame = {
-    graft.functions.PqCodec.register(emb.sparkSession, model.codebook,
-      model.m, model.ks, model.dsub, luts = Array.emptyDoubleArray)
+    graft.functions.PqCodec.registerEncoder(emb.sparkSession, model.codebook,
+      model.m, model.ks, model.dsub)
     emb.withColumn("codes", expr("pq_encode(v, nrm)"))
+  }
+
+  /** Probe rows (p_id, RAW vector, norm), p_id-ascending — shared by
+    * the PQ and IVF-PQ search paths. Raw + norm (not prenormalized):
+    * the exact re-rank must spell cosine as dot(raw, raw)/(n_a·n_b),
+    * the repo-wide bit-identical formula. */
+  private[operators] def collectProbes(
+      emb: DataFrame, probeIds: Seq[Long]): Array[(Long, Array[Double], Double)] = {
+    import emb.sparkSession.implicits._
+    emb.where($"vec_id".isin(probeIds: _*))
+      .select($"vec_id", $"v", $"nrm")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+  }
+
+  /** Flat [p][m][c] ADC lookup tables: exact dot of each probe's UNIT
+    * subvector with every codebook centroid (unit probes → the ADC sum
+    * approximates cosine directly). |probes|×M×ks doubles. */
+  private[operators] def buildLuts(
+      probes: Array[(Long, Array[Double], Double)], model: Model): Array[Double] = {
+    val luts = new Array[Double](probes.length * model.m * model.ks)
+    for (p <- probes.indices; s <- 0 until model.m; c <- 0 until model.ks) {
+      val (_, pv, pn) = probes(p)
+      val inv = if (pn == 0) 0.0 else 1.0 / pn
+      var acc = 0.0
+      var d = 0
+      while (d < model.dsub) {
+        acc += pv(s * model.dsub + d) * inv *
+          model.codebook((s * model.ks + c) * model.dsub + d)
+        d += 1
+      }
+      luts((p * model.m + s) * model.ks + c) = acc
+    }
+    luts
+  }
+
+  /** Exact-cosine re-rank of `cand` (p_id, vec_id): join survivors back
+    * to their raw vectors and score with the repo's bit-identical
+    * formula vec_dot(raw, raw)/(p_nrm·nrm) — same as KMeansIVF/
+    * HyperplaneLSH/x_sim_topk, so a pair's sim_bp can never differ
+    * across ANN operators. Survivor set is |probes|×rerank — broadcast. */
+  private[operators] def exactRerank(
+      cand: DataFrame,
+      emb: DataFrame,
+      probes: Array[(Long, Array[Double], Double)],
+      k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    val probeVecs = broadcast(
+      probes.toSeq.map { case (id, pv, pn) => (id, pv.toSeq, pn) }
+        .toDF("p_id2", "pv", "p_nrm"))
+    val wE = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
+    broadcast(cand)
+      .join(emb, "vec_id")
+      .join(probeVecs, $"p_id" === $"p_id2")
+      .withColumn("sim", expr("vec_dot(pv, v)") / ($"p_nrm" * $"nrm"))
+      .withColumn("rk", row_number().over(wE).cast("long"))
+      .where($"rk" <= k)
+      .select($"p_id", $"rk", $"vec_id",
+        floor($"sim" * 10000.0).cast("long").as("sim_bp"))
+      .orderBy($"p_id", $"rk")
   }
 
   /** Top-k neighbours per probe: ADC scan over codes → top-`rerank`
@@ -147,40 +211,15 @@ object ProductQuantizer {
       rerank: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    graft.functions.VecDot.register(spark)
 
-    // probe LUTs: exact dot of each probe's unit subvector with every
-    // codebook centroid — |probes|×M×ks doubles, driver-sized
-    val probes: Array[(Long, Array[Double])] = emb
-      .where($"vec_id".isin(probeIds: _*))
-      .select($"vec_id", $"v", $"nrm")
-      .collect()
-      .sortBy(_.getLong(0))
-      .map { r =>
-        val v = r.getSeq[Double](1).toArray
-        val n = r.getDouble(2)
-        r.getLong(0) -> (if (n == 0) v else v.map(_ / n))
-      }
-    val pIds = probes.map(_._1)
-    val luts = new Array[Double](probes.length * model.m * model.ks)
-    for (p <- probes.indices; s <- 0 until model.m; c <- 0 until model.ks) {
-      var acc = 0.0
-      var d = 0
-      while (d < model.dsub) {
-        acc += probes(p)._2(s * model.dsub + d) *
-          model.codebook((s * model.ks + c) * model.dsub + d)
-        d += 1
-      }
-      luts((p * model.m + s) * model.ks + c) = acc
-    }
-
+    val probes = collectProbes(emb, probeIds)
     graft.functions.PqCodec.register(spark, model.codebook,
-      model.m, model.ks, model.dsub, luts)
+      model.m, model.ks, model.dsub, buildLuts(probes, model))
 
     val coded = emb.withColumn("codes", expr("pq_encode(v, nrm)"))
     // probe fan-out over the code column: approx score is one pq_adc
     // table walk; only (p_id, vec_id, approx) survives into the window
-    val pdf = broadcast(pIds.zipWithIndex.toSeq
+    val pdf = broadcast(probes.map(_._1).zipWithIndex.toSeq
       .toDF("p_id", "p_idx"))
     val wA = Window.partitionBy($"p_id").orderBy($"approx".desc, $"vec_id")
     val cand = coded
@@ -192,20 +231,6 @@ object ProductQuantizer {
       .where($"ark" <= rerank)
       .select($"p_id", $"vec_id")
 
-    // exact re-rank: survivors (|probes|×rerank rows, broadcast) join
-    // back to their raw vectors; probes' raw vectors ride the same join
-    val probeVecs = broadcast(
-      probes.toSeq.map { case (id, uv) => (id, uv.toSeq) }.toDF("p_id2", "pv"))
-    val wE = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
-    broadcast(cand)
-      .join(emb, "vec_id")
-      .join(probeVecs, $"p_id" === $"p_id2")
-      // pv is unit-normalized → cosine = dot(pv, v) / nrm(v)
-      .withColumn("sim", expr("vec_dot(pv, v)") / $"nrm")
-      .withColumn("rk", row_number().over(wE).cast("long"))
-      .where($"rk" <= k)
-      .select($"p_id", $"rk", $"vec_id",
-        floor($"sim" * 10000.0).cast("long").as("sim_bp"))
-      .orderBy($"p_id", $"rk")
+    exactRerank(cand, emb, probes, k)
   }
 }

@@ -10,20 +10,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the first time. Folding the emitted stream by (cohort day, offset)
   * gives the same n_active counts as the batch query.
   *
-  * State: one long (cohort day) + a bitmask of seen week offsets — the
-  * mask caps at 64 weeks (> a year of retention tracking, the practical
-  * dashboard horizon; offsets ≥ 64 fall back to suppressed re-emission
-  * via the batch query, documented bound). Bounded by the user
-  * population, never by event volume. Unlike the funnel, retention
-  * needs NO delivery-order assumption within a week: membership in a
-  * (user, week) is order-independent, and the cohort day only needs
-  * the user's first batch to contain its earliest event — guaranteed
-  * by the same in-order ingest contract the other live folds document.
+  * State: one long (cohort day) + the set of already-emitted week
+  * offsets. The set grows with CALENDAR WEEKS SINCE COHORT (52/year),
+  * not with event volume, so per-user state stays tiny over any
+  * realistic horizon — and no offset is ever silently dropped, which
+  * keeps the streamed fold exactly equal to the batch query (a 64-bit
+  * mask would diverge from x_retention past week 63). Unlike the
+  * funnel, retention needs NO delivery-order assumption within a
+  * week: membership in a (user, week) is order-independent, and the
+  * cohort day only needs the user's first batch to contain its
+  * earliest event — guaranteed by the same in-order ingest contract
+  * the other live folds document.
   */
 object StreamingRetention {
 
-  /** (cohort day, bitmask of already-emitted week offsets). */
-  final case class RetentionState(cohortDay: Long, seenMask: Long)
+  /** (cohort day, already-emitted week offsets). */
+  final case class RetentionState(cohortDay: Long, seen: Seq[Long])
 
   /** Emitted when `user_id` is first active in `off_w` (weeks since its
     * cohort day). */
@@ -41,16 +43,15 @@ object StreamingRetention {
          state: GroupState[RetentionState]) =>
           val days = rows.map(_._2 / 86400000L).toSeq
           var s = state.getOption.getOrElse(
-            RetentionState(days.min, 0L))
+            RetentionState(days.min, Seq.empty))
+          val seen = scala.collection.mutable.Set[Long](s.seen: _*)
           val out = scala.collection.mutable.ArrayBuffer.empty[WeekActive]
           days.sorted.foreach { day =>
             val off = (day - s.cohortDay) / 7L
-            if (off >= 0 && off < 64 && ((s.seenMask >> off) & 1L) == 0L) {
-              s = s.copy(seenMask = s.seenMask | (1L << off))
+            if (off >= 0 && seen.add(off))
               out += WeekActive(user, s.cohortDay, off)
-            }
           }
-          state.update(s)
+          state.update(RetentionState(s.cohortDay, seen.toSeq.sorted))
           out.iterator
       }
   }
