@@ -134,6 +134,58 @@ class HotColdSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermark drops late events from a windowed aggregation (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // epoch-aligned to the 10-min window grid so window starts land
+    // exactly on t0 + k·10min (Spark tumbling windows align to epoch)
+    val t0 = 1700000400000L
+    def at(deltaMin: Long) = new java.sql.Timestamp(t0 + deltaMin * 60000L)
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = mem.toDS().toDF("user_id", "tts")
+      .withWatermark("tts", "10 minutes")
+      .groupBy(window($"tts", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("ws"), $"n")
+
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late1").start()
+    try {
+      // batch 1: three on-time events in [t0, t0+10) and one at t0+20
+      // → watermark advances to t0+10: the [t0, t0+10) window closes
+      mem.addData((1L, at(0)), (2L, at(3)), (3L, at(7)), (4L, at(20)))
+      q.processAllAvailable()
+      // batch 2: a LATE event 30 min before t0 — processed under the
+      // batch-1 watermark (t0+10), far past its window's end → dropped;
+      // plus an on-time event at t0+45 advancing the watermark to t0+35
+      mem.addData((5L, at(-30)), (6L, at(45)))
+      q.processAllAvailable()
+      // batch 3: one more on-time event so a batch RUNS with watermark
+      // t0+35 — that strictly passes the t0+20 window's end (t0+30)
+      // and flushes it
+      mem.addData((7L, at(60)))
+      q.processAllAvailable()
+
+      val rows = spark.table("late1").collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+      // the closed on-time windows emitted with the right counts
+      assert(rows(t0) == 3L, s"on-time window wrong: $rows")
+      assert(rows(t0 + 20 * 60000L) == 1L, s"t0+20 window wrong: $rows")
+      // the late event's window was NEVER emitted — the event was
+      // dropped by the watermark, not slipped into a new window
+      assert(!rows.contains(t0 - 30 * 60000L),
+        s"late event leaked into output: $rows")
+      // closed windows are exactly {t0: 3, t0+20: 1, t0+40: 1} — five
+      // on-time events; the late event is counted in NO window (only
+      // at(60)'s still-open window is absent)
+      assert(rows.keySet == Set(t0, t0 + 20 * 60000L, t0 + 40 * 60000L),
+        s"unexpected window set: $rows")
+      assert(rows.values.sum == 5L, s"late event counted somewhere: $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream join: events join within a watermarked time interval") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
