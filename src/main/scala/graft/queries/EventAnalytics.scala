@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 /** Group X — event-stream analytics over the `events` table: the
   * workloads an event-store user (the reference's audience) actually
   * runs on their streams — conversion funnels and cohort retention.
+  * In the reference these would be hand-written projection folds over
+  * a replay (`doc/index.adoc:163-172`: projections are "fundamentally
+  * the _reduce_ from the well known _map/reduce_ pattern",
+  * `streams.clj:147-161`); here they are declarative relational plans
+  * Catalyst can parallelize, with StreamingFunnel/StreamingRetention
+  * as the live stateful twins.
   * Both are pure relational compositions (filter → min-aggregate →
   * equi-join chains), so Catalyst plans them with map-side partial
   * aggregates and one shuffle per stage key.
