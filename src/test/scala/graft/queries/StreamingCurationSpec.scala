@@ -336,4 +336,45 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
         s"streamed=$folded\nbatch=$batch")
     } finally q.stop()
   }
+
+  test("live funnel state survives a query restart (checkpoint resume)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("funnelckpt")
+    val t0 = 1700000000000L
+    val mem = MemoryStream[(Long, String, Long)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    def start() = graft.streaming.StreamingFunnel.advances(
+        mem.toDS().toDF("user_id", "event_type", "ms"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamingFunnel.StageAdvance],
+         _: Long) =>
+          batch.collect().foreach(a => seen.add(a.user_id -> a.stage))
+      }
+      .start()
+
+    // run 1: user 1 views (stage 1)
+    val q1 = start()
+    try {
+      mem.addData((1L, "view", t0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.contains(1L -> 1), s"stage 1 not emitted: $seen")
+
+    // run 2, same checkpoint: the click lands INSIDE the 24 h window
+    // that only the RESUMED state (t1 from run 1) knows about — a
+    // fresh-state incarnation would see no prior view and emit nothing
+    val q2 = start()
+    try {
+      mem.addData((1L, "click", t0 + 3600000L))
+      q2.processAllAvailable()
+      assert(seen.contains(1L -> 2), s"state not resumed across restart: $seen")
+      // and it never re-emitted stage 1
+      assert(seen.stream.filter(_ == (1L -> 1)).count() == 1L)
+    } finally q2.stop()
+  }
 }
