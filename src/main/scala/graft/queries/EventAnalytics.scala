@@ -109,5 +109,44 @@ object EventAnalytics extends QueryModule {
         .orderBy($"c_day", $"off_w")
     })
 
-  def all: Seq[Q] = Seq(funnel, retention)
+  /** Rate-spike detection — the monitoring read an event-store
+    * dashboard runs continuously: hours where an event type's count
+    * exceeds 2× its trailing 6-hour mean (expressed shuffle-free in
+    * integers: n·trail_cnt > 2·trail_sum, requiring ≥ 3 trailing
+    * hours so cold starts don't flag). One hourly pre-aggregate
+    * (map-side combined, calendar-bounded output) then a per-type
+    * window — state shards by event_type; no float division anywhere,
+    * so both engines flag identical hours. */
+  private val spikes = Q(
+    "x_spike_detect",
+    Some("""WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            w AS (SELECT event_type, hour, n,
+                CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail_sum,
+                CAST(count(*) OVER (PARTITION BY event_type ORDER BY hour
+                  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail_cnt
+              FROM h)
+            SELECT event_type, hour * 3600000 AS hour_ms, n, trail_sum, trail_cnt
+            FROM w WHERE trail_cnt >= 3 AND n * trail_cnt > 2 * trail_sum
+            ORDER BY event_type, hour_ms"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val h = t(spark, dir, "events")
+        .select($"event_type", expr("unix_millis(ts) DIV 3600000").as("hour"))
+        .groupBy($"event_type", $"hour")
+        .agg(count(lit(1)).as("n"))
+      val wTrail = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"hour")
+        .rowsBetween(-6, -1)
+      h.withColumn("trail_sum", sum($"n").over(wTrail))
+        .withColumn("trail_cnt", count(lit(1)).over(wTrail))
+        .where($"trail_cnt" >= 3 && $"n" * $"trail_cnt" > $"trail_sum" * 2)
+        .select($"event_type", ($"hour" * 3600000L).as("hour_ms"), $"n",
+          $"trail_sum", $"trail_cnt")
+        .orderBy($"event_type", $"hour_ms")
+    })
+
+  def all: Seq[Q] = Seq(funnel, retention, spikes)
 }
