@@ -111,9 +111,10 @@ object EventAnalytics extends QueryModule {
 
   /** Rate-spike detection — the monitoring read an event-store
     * dashboard runs continuously: hours where an event type's count
-    * exceeds 2× its trailing 6-hour mean (expressed shuffle-free in
-    * integers: n·trail_cnt > 2·trail_sum, requiring ≥ 3 trailing
-    * hours so cold starts don't flag). One hourly pre-aggregate
+    * exceeds 1.5× its trailing 6-hour mean (expressed shuffle-free in
+    * integers: 2·n·trail_cnt > 3·trail_sum, requiring ≥ 3 trailing
+    * hours so cold starts don't flag; 1.5× keeps real output at every
+    * test SF — denser corpora smooth 2× spikes away entirely). One hourly pre-aggregate
     * (map-side combined, calendar-bounded output) then a per-type
     * window — state shards by event_type; no float division anywhere,
     * so both engines flag identical hours. */
@@ -129,7 +130,7 @@ object EventAnalytics extends QueryModule {
                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail_cnt
               FROM h)
             SELECT event_type, hour * 3600000 AS hour_ms, n, trail_sum, trail_cnt
-            FROM w WHERE trail_cnt >= 3 AND n * trail_cnt > 2 * trail_sum
+            FROM w WHERE trail_cnt >= 3 AND n * trail_cnt * 2 > 3 * trail_sum
             ORDER BY event_type, hour_ms"""),
     (spark, dir) => {
       import spark.implicits._
@@ -142,7 +143,7 @@ object EventAnalytics extends QueryModule {
         .rowsBetween(-6, -1)
       h.withColumn("trail_sum", sum($"n").over(wTrail))
         .withColumn("trail_cnt", count(lit(1)).over(wTrail))
-        .where($"trail_cnt" >= 3 && $"n" * $"trail_cnt" > $"trail_sum" * 2)
+        .where($"trail_cnt" >= 3 && $"n" * $"trail_cnt" * 2 > $"trail_sum" * 3)
         .select($"event_type", ($"hour" * 3600000L).as("hour_ms"), $"n",
           $"trail_sum", $"trail_cnt")
         .orderBy($"event_type", $"hour_ms")
