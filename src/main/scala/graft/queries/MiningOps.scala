@@ -307,6 +307,61 @@ object MiningOps extends QueryModule {
         .limit(10)
     })
 
+  /** Bigram-coverage fluency score — the language-model-proxy quality
+    * filter curation pipelines run when a real LM is too expensive:
+    * per document, the fraction of its token bigrams that appear in
+    * the corpus's top-200 bigram table (the "LM" — a deterministic
+    * rank by (count desc, bigram)), aggregated to a per-source average
+    * in basis points. Gibberish and boilerplate-free text score low/
+    * high respectively on exactly the signal a KenLM-style filter
+    * thresholds. Cost: one bigram explode + a vocabulary-sized
+    * aggregate; the reference table is 200 rows (TakeOrdered, then a
+    * broadcast semi-probe) — the corpus never shuffles for the join. */
+  private val bigramCoverage = Q(
+    "x_bigram_coverage",
+    Some("""WITH toks AS (SELECT doc_id, source,
+                list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+              FROM documents),
+            bg AS (SELECT doc_id, source,
+                unnest(list_transform(range(1, greatest(len(toks), 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+              FROM toks WHERE len(toks) >= 2),
+            cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n
+                    FROM bg GROUP BY bigram),
+            top AS (SELECT bigram FROM cnt ORDER BY n DESC, bigram LIMIT 200),
+            per_doc AS (SELECT doc_id, source,
+                CAST(count(*) AS BIGINT) AS total,
+                CAST(sum(CASE WHEN bigram IN (SELECT bigram FROM top)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS covered
+              FROM bg GROUP BY doc_id, source)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum((covered * 10000) // total) // count(*) AS BIGINT) AS avg_cov_bp
+            FROM per_doc GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = barrier(t(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") >= 2))
+      val bg = barrier(toks.select($"doc_id", $"source",
+        explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("bigram")))
+      val top = bg.groupBy($"bigram").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram").limit(200)
+        .select($"bigram".as("top_bigram"), lit(1).as("hit"))
+      val perDoc = bg
+        .join(broadcast(top), $"bigram" === $"top_bigram", "left")
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("total"),
+          sum(coalesce($"hit".cast("long"), lit(0L))).as("covered"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum((covered * 10000) DIV total) DIV count(1)")
+            .cast("long").as("avg_cov_bp"))
+        .orderBy($"source")
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
-    dedupCompare, freqItems)
+    dedupCompare, freqItems, bigramCoverage)
 }
