@@ -377,4 +377,42 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       assert(seen.stream.filter(_ == (1L -> 1)).count() == 1L)
     } finally q2.stop()
   }
+
+  test("live spike detection matches batch x_spike_detect across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // the same hourly rollup x_spike_detect starts from, hour-ordered
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rollup = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", expr("ts DIV 3600000000000").as("hour"))
+      .groupBy($"event_type", $"hour")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"hour", $"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamingSpike.flags(
+        mem.toDS().toDF("event_type", "hour", "n"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("spike1").start()
+    try {
+      val third = rollup.length / 3
+      mem.addData(rollup.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(rollup.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(rollup.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      val streamed = spark.table("spike1").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batch = graft.SparkEntry.queries("x_spike_detect")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed == batch,
+        s"streamed=${streamed.size} batch=${batch.size}\ndiff=${streamed.diff(batch)} / ${batch.diff(streamed)}")
+    } finally q.stop()
+  }
 }
