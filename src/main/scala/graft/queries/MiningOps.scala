@@ -362,6 +362,39 @@ object MiningOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Vocabulary frequency spectrum (the "frequency of frequencies" —
+    * the input Good-Turing smoothing and tokenizer-vocab sizing read):
+    * per lang, how many distinct tokens fall in each power-of-two
+    * count band and how much token mass they carry. Band =
+    * `length(bin(n))` — an all-integer log2 that both engines compute
+    * identically (float `log2` can straddle a band edge by one ulp at
+    * exact powers of two). One vocabulary-sized aggregate then a
+    * band-sized rollup; no windows, no joins — the scan is the cost. */
+  private val freqSpectrum = Q(
+    "x_freq_spectrum",
+    Some("""WITH tok AS (SELECT lang,
+                unnest(list_filter(string_split_regex(lower(text), ' +'),
+                  x -> x <> '')) AS token
+              FROM documents),
+            c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY lang, token),
+            b AS (SELECT lang, n, CAST(length(bin(n)) AS BIGINT) AS band FROM c)
+            SELECT lang, band, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(n) AS BIGINT) AS token_mass
+            FROM b GROUP BY lang, band ORDER BY lang, band"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .select($"lang",
+          explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .groupBy($"lang", $"token")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("band", length(expr("bin(n)")).cast("long"))
+        .groupBy($"lang", $"band")
+        .agg(count(lit(1)).as("n_tokens"), sum($"n").as("token_mass"))
+        .orderBy($"lang", $"band")
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
-    dedupCompare, freqItems, bigramCoverage)
+    dedupCompare, freqItems, bigramCoverage, freqSpectrum)
 }
