@@ -378,6 +378,46 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q2.stop()
   }
 
+  test("live retention state survives a query restart (checkpoint resume)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("retckpt")
+    val day0 = 19700L * 86400000L // an arbitrary epoch day, ms
+    val mem = MemoryStream[(Long, Long)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = graft.streaming.StreamingRetention.activations(
+        mem.toDS().toDF("user_id", "ms"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamingRetention.WeekActive],
+         _: Long) =>
+          batch.collect().foreach(a => seen.add(a.user_id -> a.off_w))
+      }
+      .start()
+
+    // run 1: user 7 active in week 0
+    val q1 = start()
+    try {
+      mem.addData((7L, day0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.contains(7L -> 0L), s"week 0 not emitted: $seen")
+
+    // run 2, same checkpoint: an event 10 days later must compute its
+    // offset against the RESUMED cohort day (week 1) and an event in
+    // the same week as run 1 must NOT re-emit week 0
+    val q2 = start()
+    try {
+      mem.addData((7L, day0 + 10L * 86400000L), (7L, day0 + 86400000L))
+      q2.processAllAvailable()
+      assert(seen.contains(7L -> 1L), s"cohort day not resumed: $seen")
+      assert(seen.stream.filter(_ == (7L -> 0L)).count() == 1L,
+        s"week 0 re-emitted after restart: $seen")
+    } finally q2.stop()
+  }
+
   test("live spike detection matches batch x_spike_detect across batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
