@@ -129,6 +129,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x_bigram_coverage/x_retrieval: reference table broadcasts, corpus never shuffles for it") {
+    Seq("x_bigram_coverage", "x_retrieval").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to SMJ:\n$p")
+    }
+  }
+
+  test("x_freq_spectrum/x_spike_detect: map-side partial aggregation, no joins at all") {
+    Seq("x_freq_spectrum", "x_spike_detect").foreach { q =>
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q missing partial aggregation:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+  }
+
   test("r_subquery_correlated decorrelates to an aggregate join (no per-row subquery)") {
     val p = plan("r_subquery_correlated")
     // Catalyst rewrites both correlated scalar subqueries into one
