@@ -11,12 +11,14 @@ import graft.streaming.HotCold
   * h2/cassandra/redis/file/mongo/riak — README.adoc:108-110) behind a
   * tiny protocol (SURVEY.md §1.4). Spark-side the same pluggability is
   * the DataSource API: one canonical schema, any format. Supported here:
-  * parquet (the log itself), JSON lines (export/import wire format) and
+  * parquet (the log itself), ORC (the columnar alternative some lakes
+  * standardize on — built into Spark, same pushdown/pruning story),
+  * JSON lines (export/import wire format) and
   * CSV (flat interchange; provenance struct is JSON-encoded).
   */
 object EventSource {
 
-  val Formats = Seq("parquet", "json", "csv")
+  val Formats = Seq("parquet", "orc", "json", "csv")
 
   /** Read an event collection in any supported format into the canonical
     * column layout. JSON/CSV read with the declared schema (no inference
@@ -26,6 +28,7 @@ object EventSource {
       .split(' ').map(col).toSeq
     format match {
       case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
         .select(flat :+ col("provenance"): _*)
       case "json" => spark.read.schema(HotCold.eventSchema).json(path)
         .select(flat :+ col("provenance"): _*)
@@ -49,6 +52,8 @@ object EventSource {
       mode: SaveMode = SaveMode.Append): Unit = format match {
     case "parquet" =>
       events.write.mode(mode).partitionBy("stream_name").parquet(path)
+    case "orc" =>
+      events.write.mode(mode).partitionBy("stream_name").orc(path)
     case "json" =>
       events.write.mode(mode).option("compression", "gzip").json(path)
     case "csv" =>

@@ -119,13 +119,13 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
-  test("event source/sink: parquet, json and csv roundtrip the same events") {
+  test("event source/sink: parquet, orc, json and csv roundtrip the same events") {
     val log = tmpDir("srclog")
     Ingest.ingest(rawEvents(30), log, 1700000000000L)
     val events = Replay.typed(spark, log).toDF()
     val n = events.count()
 
-    Seq("json", "csv").foreach { fmt =>
+    Seq("orc", "json", "csv").foreach { fmt =>
       val out = tmpDir(s"src$fmt")
       EventSource.write(events, fmt, out)
       val back = EventSource.read(spark, fmt, out)
