@@ -94,4 +94,61 @@ object MinHashDedup {
       .select($"a_id", $"b_id", $"jac_bp")
       .orderBy($"a_id", $"b_id")
   }
+
+  /** Sketch-trust calibration (x_minhash_error): for every LSH
+    * candidate pair, the MinHash ESTIMATE (fraction of agreeing
+    * signature positions) next to the exact shingle Jaccard, rolled up
+    * per estimate decile — n_pairs, mean estimate, mean exact, mean
+    * absolute error (all floor basis points). The report a pipeline
+    * reads before trusting banding parameters on a new corpus: with 32
+    * signatures the per-pair std is √(j(1−j)/32) ≈ 9 points, so decile
+    * MAE sitting near that says the sketch behaves; a blown-out band
+    * says the hash family or the shingle distribution is off. Cost:
+    * the same banded candidate join as nearDuplicates, plus a
+    * 32-element agreement count per candidate. */
+  def calibration(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.Shingles.register(spark)
+    val toks = docs
+      .select(col(idCol).as("id"), col(tokensCol).as("toks"))
+      .where(size($"toks") >= 3)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val sh = toks
+      .select($"id", shingleHashes($"toks").as("sh"))
+      .where(size($"sh") > 0)
+      .withColumn("sig", signature("sh"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val banded = sh
+      .select($"id", $"sh", $"sig", posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> " +
+          s"xxhash64(b, ${(0 until Rows).map(r => s"sig[b * $Rows + $r]").mkString(", ")}))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+      .repartition($"band", $"bkey")
+    val a = banded.select($"band".as("a_band"), $"bkey".as("a_bkey"),
+      $"id".as("a_id"), $"sh".as("a_sh"), $"sig".as("a_sig"))
+    val b = banded.select($"band".as("b_band"), $"bkey".as("b_bkey"),
+      $"id".as("b_id"), $"sh".as("b_sh"), $"sig".as("b_sig"))
+    a.join(b,
+        $"a_band" === $"b_band" && $"a_bkey" === $"b_bkey" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"a_sh", $"b_sh", $"a_sig", $"b_sig")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("agree", expr(
+        s"size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), h -> h))"))
+      .withColumn("est_bp", floor(($"agree" * 10000.0) / NumHashes).cast("long"))
+      .withColumn("inter", size(array_intersect($"a_sh", $"b_sh")))
+      .withColumn("exact_bp",
+        floor(($"inter" * 10000.0) / (size($"a_sh") + size($"b_sh") - $"inter"))
+          .cast("long"))
+      .groupBy(expr("est_bp DIV 1000").as("est_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        floor(avg($"est_bp")).cast("long").as("mean_est_bp"),
+        floor(avg($"exact_bp")).cast("long").as("mean_exact_bp"),
+        floor(avg(abs($"est_bp" - $"exact_bp"))).cast("long").as("mae_bp"))
+      .orderBy($"est_decile")
+  }
 }

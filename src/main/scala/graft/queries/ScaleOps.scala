@@ -31,6 +31,15 @@ object ScaleOps extends QueryModule {
     (spark, dir) =>
       MinHashDedup.nearDuplicates(docTokens(spark, dir), "doc_id", "toks"))
 
+  /** MinHash estimate-vs-exact calibration per estimate decile — the
+    * sketch-trust report (rows-only: the estimate is hash-geometry;
+    * OperatorsSpec pins the error bounds and determinism). */
+  private val minhashError = Q(
+    "x_minhash_error",
+    None,
+    (spark, dir) =>
+      MinHashDedup.calibration(docTokens(spark, dir), "doc_id", "toks"))
+
   /** SimHash 4×16-bit banding, Hamming ≤ 3. */
   private val dedupSimhash = Q(
     "x_dedup_simhash",
@@ -66,5 +75,6 @@ object ScaleOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
-  override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta)
+  override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
+    minhashError)
 }

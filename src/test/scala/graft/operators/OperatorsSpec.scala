@@ -46,6 +46,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("minhash calibration: estimates track exact jaccard, deterministic") {
+    val cal = MinHashDedup.calibration(docTokens, "doc_id", "toks").collect()
+    assert(cal.nonEmpty, "no candidate pairs to calibrate on")
+    var totalPairs = 0L
+    var weightedMae = 0L
+    cal.foreach { r =>
+      val (dec, n, meanEst, meanExact, mae) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dec >= 0 && dec <= 10, s"decile $dec out of range")
+      assert(meanEst >= 0 && meanEst <= 10000 && meanExact >= 0 && meanExact <= 10000)
+      // the decile's mean estimate can't drift far from its mean exact:
+      // 32-sig minhash std is ~880 bp, so 3000 bp of systematic bias
+      // per decile would mean the hash family is broken
+      assert(math.abs(meanEst - meanExact) <= 3000,
+        s"decile $dec biased: est $meanEst vs exact $meanExact")
+      totalPairs += n
+      weightedMae += n * mae
+    }
+    // corpus-wide mean absolute error within ~2 sigma of the 32-sig bound
+    assert(weightedMae / totalPairs <= 2000,
+      s"overall MAE ${weightedMae / totalPairs} bp too high")
+    // deterministic across runs
+    val again = MinHashDedup.calibration(docTokens, "doc_id", "toks").collect()
+    assert(cal.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("simhash expression: codegen path == kernel; identical token sets → distance 0") {
     import spark.implicits._
     SimHash.register(spark)
