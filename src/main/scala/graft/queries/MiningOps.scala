@@ -173,15 +173,20 @@ object MiningOps extends QueryModule {
   /** Duplication inflation: per source, how much of the token mass sits
     * in non-canonical exact duplicates (doc_id ≠ min doc_id of its
     * identical-text group). THE headline number an exact-dedup pass
-    * saves — reported before running it. At 100 TB the window key would
-    * be sha2(text) (same grouping; hashes shuffle instead of full
-    * text), exactly as x_dedup_exact documents. */
+    * saves — reported before running it. Two-phase grouping: the keep
+    * table is `groupBy(sha2(text)).agg(min(doc_id))` — map-side partial
+    * aggregation collapses duplicate texts before the shuffle, and the
+    * exchange key is a 32-byte digest, never the document — then a
+    * hash-keyed join-back tags each row. (The previous full-text window
+    * key sorted multi-KB keys and was the slowest bench line at 12.6 s.) */
   private val dupInflation = Q(
     "x_dup_inflation",
-    Some("""WITH d AS (SELECT source, doc_id,
+    Some("""WITH k AS (SELECT sha256(text) AS tkey, min(doc_id) AS keep
+              FROM documents GROUP BY 1),
+            d AS (SELECT source, doc_id,
               CAST(len(list_filter(string_split_regex(text, ' +'),
                 x -> x <> '')) AS BIGINT) AS nt,
-              min(doc_id) OVER (PARTITION BY text) AS keep
+              sha256(text) AS tkey
               FROM documents)
             SELECT source,
               CAST(count(*) AS BIGINT) AS n_docs,
@@ -190,16 +195,19 @@ object MiningOps extends QueryModule {
               CAST(sum(CASE WHEN doc_id <> keep THEN nt ELSE 0 END) AS BIGINT) AS dup_tokens,
               CAST((sum(CASE WHEN doc_id <> keep THEN nt ELSE 0 END) * 10000)
                 // greatest(sum(nt), 1) AS BIGINT) AS dup_bp
-            FROM d GROUP BY source ORDER BY source"""),
+            FROM d JOIN k USING (tkey) GROUP BY source ORDER BY source"""),
     (spark, dir) => {
       import spark.implicits._
       graft.functions.TokenCounts.register(spark)
-      val w = Window.partitionBy($"text")
-      t(spark, dir, "documents")
-        .select($"source", $"doc_id", $"text",
-          expr("ws_token_count(text)").as("nt"))
-        .withColumn("keep", min($"doc_id").over(w))
-        .drop("text")
+      val docs = t(spark, dir, "documents")
+      val keep = docs
+        .select(sha2($"text", 256).as("tkey"), $"doc_id")
+        .groupBy($"tkey").agg(min($"doc_id").as("keep"))
+      docs
+        .select($"source", $"doc_id",
+          expr("ws_token_count(text)").as("nt"),
+          sha2($"text", 256).as("tkey"))
+        .join(keep, "tkey")
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"doc_id" =!= $"keep", 1L).otherwise(0L)).as("dup_docs"),

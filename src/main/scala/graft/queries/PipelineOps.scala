@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * (tiny) benchmark n-gram set — the corpus never shuffles; sampling is
   * a pure scan+filter with an arithmetic hash (no rand(), rerunnable);
   * repetition is a per-row codegen kernel (zero movement); the filter
-  * chain's only exchange is the exact-dedup window on text (at 100 TB
-  * the window key becomes sha2(text) — same grouping, hashes shuffle
-  * instead of full text).
+  * chain's only exchanges are the exact-dedup keep table
+  * (groupBy(sha2(text)) — partial agg collapses duplicates map-side)
+  * and its digest-keyed join-back: no exchange carries document text.
   */
 object PipelineOps extends QueryModule {
 
@@ -178,16 +178,21 @@ object PipelineOps extends QueryModule {
   /** The composed curation chain: length window + alpha ratio + stop-word
     * language gate + exact-dedup survivor, reported as per-source pass
     * rates — the shape of a production corpus filter, where per-source
-    * yield drives mixing decisions. All signals are per-row; the one
-    * exchange is the dedup window. */
+    * yield drives mixing decisions. All signals are per-row byte-scan
+    * kernels; the dedup survivorship is the two-phase hash grouping
+    * (groupBy(sha2(text)) keep table + digest-keyed join-back — the
+    * exchange never carries document text, and map-side partial agg
+    * collapses duplicates before the shuffle). */
   private val filterChain = Q(
     "x_filter_chain",
-    Some("""WITH f AS (SELECT doc_id, source,
+    Some("""WITH k AS (SELECT sha256(text) AS tkey, min(doc_id) AS keep
+              FROM documents WHERE length(text) > 0 GROUP BY 1),
+            f0 AS (SELECT doc_id, source, sha256(text) AS tkey,
               list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks,
               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-              length(text) AS nc,
-              min(doc_id) OVER (PARTITION BY text) AS keep
-              FROM documents WHERE length(text) > 0)
+              length(text) AS nc
+              FROM documents WHERE length(text) > 0),
+            f AS (SELECT f0.*, k.keep FROM f0 JOIN k USING (tkey))
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(CASE WHEN len(toks) BETWEEN 20 AND 1000
                 AND alpha * 10000.0 / nc >= 5000
@@ -205,20 +210,22 @@ object PipelineOps extends QueryModule {
             FROM f GROUP BY source ORDER BY source"""),
     (spark, dir) => {
       import spark.implicits._
-      val w = Window.partitionBy($"text")
-      val base = barrier(t(spark, dir, "documents")
-        .where(length($"text") > 0)
-        .withColumn("keep", min($"doc_id").over(w))
-        .select($"doc_id", $"source", $"keep",
-          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"),
+      graft.functions.TokenCounts.register(spark)
+      val docs = t(spark, dir, "documents").where(length($"text") > 0)
+      val keep = docs
+        .select(sha2($"text", 256).as("tkey"), $"doc_id")
+        .groupBy($"tkey").agg(min($"doc_id").as("keep"))
+      val base = docs
+        .select($"doc_id", $"source", sha2($"text", 256).as("tkey"),
+          expr("ws_token_count(text)").as("nt"),
+          expr("stop_token_count(text)").as("hits"),
           length(regexp_replace($"text", "[^A-Za-z]", "")).as("alpha"),
-          length($"text").as("nc")))
-      val pass = size($"toks").between(20, 1000) &&
+          length($"text").as("nc"))
+      val pass = $"nt".between(20, 1000) &&
         ($"alpha" * 10000.0) / $"nc" >= 5000 &&
-        (size(expr("filter(toks, x -> x IN ('the','and','of','a','in','to','is'))"))
-          * 10000.0) / size($"toks") >= 300 &&
+        ($"hits" * 10000.0) / $"nt" >= 300 &&
         $"doc_id" === $"keep"
-      base
+      base.join(keep, "tkey")
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(pass, 1).otherwise(0)).as("n_pass_i"))
@@ -340,13 +347,15 @@ object PipelineOps extends QueryModule {
     * composition keeps to the bounded-cost gates). */
   private val curationE2e = Q(
     "x_curation_e2e",
-    Some("""WITH f AS (SELECT doc_id, source, text,
+    Some("""WITH kp AS (SELECT sha256(text) AS tkey, min(doc_id) AS keep
+              FROM documents WHERE length(text) > 0 GROUP BY 1),
+            f0 AS (SELECT doc_id, source, text, sha256(text) AS tkey,
               list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks,
               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
               length(text) AS nc,
-              len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS n_tok,
-              min(doc_id) OVER (PARTITION BY text) AS keep
+              len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS n_tok
               FROM documents WHERE length(text) > 0),
+            f AS (SELECT f0.*, kp.keep FROM f0 JOIN kp USING (tkey)),
             s AS (SELECT doc_id, source,
               list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1)),
                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS sh
@@ -375,11 +384,15 @@ object PipelineOps extends QueryModule {
       import spark.implicits._
       graft.functions.TokenCounts.register(spark)
       graft.functions.Shingles.register(spark)
-      val w = Window.partitionBy($"text")
-      val base = barrier(t(spark, dir, "documents")
-        .where(length($"text") > 0)
-        .withColumn("keep", min($"doc_id").over(w))
-        .select($"doc_id", $"source", $"keep", $"text",
+      // Two-phase dedup survivorship: digest keep table + hash join-back.
+      // The join input drops `text` first, so no exchange carries the
+      // document body (the shingle branch reads it pre-join).
+      val docs = t(spark, dir, "documents").where(length($"text") > 0)
+      val keep = docs
+        .select(sha2($"text", 256).as("tkey"), $"doc_id")
+        .groupBy($"tkey").agg(min($"doc_id").as("keep"))
+      val base = barrier(docs
+        .select($"doc_id", $"source", $"text", sha2($"text", 256).as("tkey"),
           expr("ws_token_count(text)").as("nt"),
           expr("stop_token_count(text)").as("hits"),
           expr("bpe_token_count(text)").as("n_tok"),
@@ -402,7 +415,9 @@ object PipelineOps extends QueryModule {
         $"doc_id" === $"keep" &&
         $"source" =!= "src0" &&
         $"contam".isNull
-      base.join(contaminated, Seq("doc_id"), "left")
+      base.drop("text")
+        .join(keep, "tkey")
+        .join(contaminated, Seq("doc_id"), "left")
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(pass, 1).otherwise(0)).cast("long").as("kept_docs"),

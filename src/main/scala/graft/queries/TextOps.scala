@@ -17,20 +17,24 @@ import org.apache.spark.sql.functions._
 object TextOps extends QueryModule {
 
   /** Exact dedup: keep the min-doc_id representative per identical text,
-    * then count survivors per lang. At 100 TB the window key would be
-    * sha2(text) (same grouping, hashes shuffle instead of full text). */
+    * then count survivors per lang. The group key is sha2(text) — the
+    * exchange carries a 32-byte digest, never the document, and the
+    * hash-aggregate's map-side partial collapses duplicate texts before
+    * they shuffle (a full-text window key would sort multi-KB keys and
+    * hot-spot on dup-heavy skew). min_by picks the survivor's lang in
+    * the same pass, so there is no join-back at all. */
   private val dedupExact = Q(
     "x_dedup_exact",
     Some("""SELECT lang, count(*) AS n_docs FROM (
-              SELECT lang, doc_id, min(doc_id) OVER (PARTITION BY text) AS keep
-              FROM documents)
-            WHERE doc_id = keep GROUP BY lang ORDER BY lang"""),
+              SELECT arg_min(lang, doc_id) AS lang
+              FROM documents GROUP BY sha256(text))
+            GROUP BY lang ORDER BY lang"""),
     (spark, dir) => {
       import spark.implicits._
-      val w = Window.partitionBy($"text")
       t(spark, dir, "documents")
-        .withColumn("keep", min($"doc_id").over(w))
-        .where($"doc_id" === $"keep")
+        .select(sha2($"text", 256).as("tkey"), $"doc_id", $"lang")
+        .groupBy($"tkey")
+        .agg(min_by($"lang", $"doc_id").as("lang"))
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy($"lang")

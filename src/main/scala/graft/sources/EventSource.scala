@@ -28,6 +28,7 @@ object EventSource {
       .split(' ').map(col).toSeq
     format match {
       case "parquet" => spark.read.parquet(path)
+        .select(flat :+ col("provenance"): _*)
       case "orc" => spark.read.orc(path)
         .select(flat :+ col("provenance"): _*)
       case "json" => spark.read.schema(HotCold.eventSchema).json(path)

@@ -125,10 +125,15 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     val events = Replay.typed(spark, log).toDF()
     val n = events.count()
 
-    Seq("orc", "json", "csv").foreach { fmt =>
+    // every format must come back in the SAME canonical column order —
+    // positional consumers and cross-format unions rely on it
+    val canonical = Seq("stream_name", "order_id", "event_time", "service_id",
+      "local_id", "schema_version", "payload", "provenance")
+    Seq("parquet", "orc", "json", "csv").foreach { fmt =>
       val out = tmpDir(s"src$fmt")
       EventSource.write(events, fmt, out)
       val back = EventSource.read(spark, fmt, out)
+      assert(back.columns.toSeq == canonical, s"$fmt column order")
       assert(back.count() == n, fmt)
       val a = events.select("stream_name", "order_id", "payload")
         .collect().map(_.toString).sorted
@@ -136,10 +141,6 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(_.toString).sorted
       assert(a.sameElements(b), fmt)
     }
-
-    val out = tmpDir("srcparquet")
-    EventSource.write(events, "parquet", out)
-    assert(EventSource.read(spark, "parquet", out).count() == n)
     intercept[IllegalArgumentException](EventSource.read(spark, "xml", "/tmp/x"))
   }
 }
