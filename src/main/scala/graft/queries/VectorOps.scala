@@ -31,6 +31,29 @@ object VectorOps extends QueryModule {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** Fixed-k deterministic IVF seed set: the k vectors whose arithmetic
+    * id-hash ranks smallest (ties by vec_id), fetched as a TakeOrdered-k
+    * — the driver receives exactly k rows and k×dim doubles NO MATTER
+    * the corpus size (the previous `vec_id % 50 == 0` rule collected
+    * N/50 rows: linear in the corpus, a driver OOM at 100 TB). Same
+    * mod-before-multiply hash family as the sampler/sharder: int64-safe
+    * and expressible identically in the DuckDB oracle. */
+  private[graft] def seedCentroids(e: org.apache.spark.sql.DataFrame,
+      k: Int): Seq[(Int, Array[Double])] =
+    e.select(col("vec_id"), col("v"),
+        (col("vec_id") % 1000003L * 2654435761L % 1000003L).as("hk"))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toSeq
+
+  /** The oracle-side spelling of the same seed rule. */
+  private def seedSql(k: Int): String =
+    s"""(SELECT vec_id AS c_id, v AS cv FROM e
+         ORDER BY vec_id % 1000003 * 2654435761 % 1000003, vec_id
+         LIMIT $k)"""
+
   /** Shared Spark-side prep: embeddings as double arrays + precomputed
     * L2 norm (one pass, reused across every pair). */
   private def emb(spark: SparkSession, dir: String) = {
@@ -94,13 +117,14 @@ object VectorOps extends QueryModule {
     })
 
   /** IVF-style ANN: every vector is assigned to its nearest centroid
-    * (deterministic seed set: vec_id % 50 == 0); a probe searches only
-    * its own centroid's bucket. This is the scale path — the full-N
-    * distance pass of x_sim_topk becomes |bucket|-sized. */
+    * (fixed-k deterministic seed set: the 32 smallest id-hash ranks);
+    * a probe searches only its own centroid's bucket. This is the scale
+    * path — the full-N distance pass of x_sim_topk becomes
+    * |bucket|-sized, and the seed set is k rows at any corpus size. */
   private val annIvf = Q(
     "x_ann_ivf",
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+             c AS ${seedSql(32)},
              asg AS (SELECT vec_id, c_id FROM (
                  SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
@@ -119,17 +143,15 @@ object VectorOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val e = emb(spark, dir)
-      // The centroid set is k×dim doubles — driver-sized at ANY corpus
-      // scale (k is fixed; only N grows). Collect it once and bake it
-      // into the broadcast argmin kernel (graft.functions.Centroids):
-      // assignment becomes ONE narrow codegen pass per row — replacing
-      // the cross-join + row_number() plan that replicated every vector
-      // k× through a full shuffle just to pick rn=1. Same floats (strict
-      // left-fold dot, same norms), same tie rule (cos DESC, c_id ASC)
-      // as the oracle's window — bit-identical assignment.
-      val cents = e.where($"vec_id" % 50 === 0).select($"vec_id", $"v")
-        .collect()
-        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toSeq
+      // Fixed-k seed set (TakeOrdered 32): k×dim doubles on the driver
+      // at any corpus scale. Baked into the broadcast argmin kernel
+      // (graft.functions.Centroids): assignment becomes ONE narrow
+      // codegen pass per row — replacing the cross-join + row_number()
+      // plan that replicated every vector k× through a full shuffle
+      // just to pick rn=1. Same floats (strict left-fold dot, same
+      // norms), same tie rule (cos DESC, c_id ASC) as the oracle's
+      // window — bit-identical assignment.
+      val cents = seedCentroids(e, 32)
       graft.functions.Centroids.register(spark, cents)
       val asg = e.withColumn("c_id", expr("nearest_centroid(v, nrm)"))
       val p = broadcast(asg.where($"vec_id" < 5)
@@ -195,7 +217,7 @@ object VectorOps extends QueryModule {
   private val semanticDedup = Q(
     "x_semantic_dedup",
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+             c AS ${seedSql(32)},
              asg AS (SELECT vec_id, c_id FROM (
                  SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
@@ -218,11 +240,10 @@ object VectorOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val e = emb(spark, dir)
-      // same broadcast-argmin assignment as x_ann_ivf (bit-identical to
-      // the oracle's window: strict left-fold dot, cos DESC, c_id ASC)
-      val cents = e.where($"vec_id" % 50 === 0).select($"vec_id", $"v")
-        .collect()
-        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toSeq
+      // same fixed-k seed set + broadcast-argmin assignment as x_ann_ivf
+      // (bit-identical to the oracle's window: strict left-fold dot,
+      // cos DESC, c_id ASC)
+      val cents = seedCentroids(e, 32)
       graft.functions.Centroids.register(spark, cents)
       val m = e.withColumn("c_id", expr("nearest_centroid(v, nrm)"))
       val a = m.select($"c_id", $"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("an"))

@@ -22,6 +22,27 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
 
   private def emb = embAt(sf)
 
+  test("IVF seed set is fixed-k: driver-collected rows independent of corpus size") {
+    import spark.implicits._
+    // same schema as emb(); two corpus sizes an order of magnitude apart
+    def corpus(n: Int) = spark.range(n)
+      .select($"id".as("vec_id"),
+        expr("transform(sequence(1, 8), i -> CAST(id % 7 + i AS DOUBLE))").as("v"))
+    val small = graft.queries.VectorOps.seedCentroids(corpus(200), 32)
+    val large = graft.queries.VectorOps.seedCentroids(corpus(2000), 32)
+    assert(small.length == 32 && large.length == 32) // k rows, not N/50
+    // deterministic: same corpus -> same seeds, twice
+    val again = graft.queries.VectorOps.seedCentroids(corpus(2000), 32)
+    assert(large.map(_._1) == again.map(_._1))
+    // the plan is a TakeOrdered-k, not a full collect
+    val plan = corpus(2000)
+      .select(col("vec_id"), col("v"),
+        (col("vec_id") % 1000003L * 2654435761L % 1000003L).as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(300))
+  }
+
   test("lsh ann: results exact within bucket, sims correct, deterministic") {
     val e = emb
     val out = HyperplaneLSH.searchTopK(e, 64, Seq(0L, 1L, 2L), 5).collect()
