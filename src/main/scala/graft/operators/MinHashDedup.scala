@@ -144,7 +144,9 @@ object MinHashDedup {
       .withColumn("exact_bp",
         floor(($"inter" * 10000.0) / (size($"a_sh") + size($"b_sh") - $"inter"))
           .cast("long"))
-      .groupBy(expr("est_bp DIV 1000").as("est_decile"))
+      // clamp: est_bp = 10000 (exact-signature pairs) lands in decile 9,
+      // not a degenerate 11th single-value bin
+      .groupBy(expr("least(est_bp DIV 1000, 9)").as("est_decile"))
       .agg(count(lit(1)).as("n_pairs"),
         floor(avg($"est_bp")).cast("long").as("mean_est_bp"),
         floor(avg($"exact_bp")).cast("long").as("mean_exact_bp"),

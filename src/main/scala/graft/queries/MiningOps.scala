@@ -290,9 +290,14 @@ object MiningOps extends QueryModule {
     * PROPOSES candidates; the rescoring pass computes exact counts for
     * only those ≤ 64 tokens (the isin filter pushes to the scan), so
     * the emitted top-10 is exact — the oracle defines it — whenever
-    * the 10th count clears the N/(k+1) MG bound, which is what k is
-    * sized for. Contrast with x_text_analysis' exact per-lang top-k,
-    * whose aggregate state is vocabulary-sized. */
+    * the 10th count clears the N/(k+1) MG bound. That margin is now
+    * CHECKED at runtime, not assumed: if the 10th exact rescored count
+    * c10 > N/(k+1), any token the sketch evicted has true count
+    * ≤ N/(k+1) < c10 and cannot belong in the top-10, so the sketch
+    * path is provably exact; otherwise (Zipf tail too flat for this k)
+    * the query falls back to the exact vocabulary-sized aggregate —
+    * same answer, honest cost. Contrast with x_text_analysis' exact
+    * per-lang top-k, whose aggregate state is always vocabulary-sized. */
   private val freqItems = Q(
     "x_freq_items",
     Some("""WITH tok AS (SELECT unnest(list_filter(
@@ -303,16 +308,26 @@ object MiningOps extends QueryModule {
             SELECT token, n FROM c ORDER BY n DESC, token LIMIT 10"""),
     (spark, dir) => {
       import spark.implicits._
+      val k = 64
       val tokens = t(spark, dir, "documents")
         .select(explode(expr("filter(split(lower(text), ' +'), x -> x != '')"))
           .as("token"))
-      val cand = graft.functions.FreqItems
-        .candidates(tokens.as[String], k = 64).keys.toSeq
-      tokens.where($"token".isin(cand: _*))
+      val exactAll = tokens.groupBy($"token").agg(count(lit(1)).as("n"))
+      val candMap = graft.functions.FreqItems.candidates(tokens.as[String], k)
+      val cand = candMap.keys.toSeq
+      val rescored = tokens.where($"token".isin(cand: _*))
         .groupBy($"token")
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"token")
         .limit(10)
+      val top = rescored.collect()
+      val c10 = if (top.length < 10) 0L else top.last.getLong(1)
+      val n = tokens.count()
+      // `lossless`: no decrement ever fired (Σ estimates == N), so the
+      // sketch holds the complete vocabulary with exact counts.
+      val lossless = candMap.values.sum == n
+      if (lossless || c10 > n / (k + 1L)) rescored
+      else exactAll.orderBy($"n".desc, $"token").limit(10)
     })
 
   /** Bigram-coverage fluency score — the language-model-proxy quality

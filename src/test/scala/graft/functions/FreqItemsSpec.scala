@@ -45,6 +45,34 @@ class FreqItemsSpec extends AnyFunSuite with SparkTestBase {
     assert(full == exact)
   }
 
+  test("x_freq_items under forced evictions: exact top-10 in both margin regimes") {
+    import spark.implicits._
+    def run(name: String, docs: Seq[(Long, String)]): Unit = {
+      val dir = tmpDir(name)
+      docs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val out = graft.SparkEntry.queries("x_freq_items")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val exact = docs.flatMap(_._2.split(" +").filter(_.nonEmpty).map(_.toLowerCase))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, n) => (-n, t) }.take(10)
+      assert(out == exact, name)
+    }
+    def doc(word: String, reps: Int) = Seq.fill(reps)(word).mkString(" ")
+
+    // 300 distinct tokens >> k=64 → Misra-Gries evictions fire in both
+    // fixtures. Heavy head: c10 = 410 > N/65 → the margin holds and the
+    // sketch path is provably exact.
+    run("fi_heavy",
+      (0 until 10).map(i => (i.toLong, doc(f"head$i%02d", 500 - 10 * i))) ++
+        (0 until 290).map(i => (100L + i, doc(f"tail$i%03d", 3))))
+    // Flat corpus: every token count 3 → c10 = 3 <= N/65 → the guard
+    // must detect the failed margin and fall back to the exact
+    // vocabulary aggregate (a silent sketch answer could differ here).
+    run("fi_flat",
+      (0 until 300).map(i => (i.toLong, doc(f"tok$i%03d", 3))))
+  }
+
   test("x_freq_items: sketch+rescore output equals the exact top-10") {
     import spark.implicits._
     val out = graft.SparkEntry.queries("x_freq_items")(spark, sf)

@@ -54,7 +54,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     cal.foreach { r =>
       val (dec, n, meanEst, meanExact, mae) = (r.getLong(0), r.getLong(1),
         r.getLong(2), r.getLong(3), r.getLong(4))
-      assert(dec >= 0 && dec <= 10, s"decile $dec out of range")
+      assert(dec >= 0 && dec <= 9, s"decile $dec out of range (10000 bp clamps to 9)")
       assert(meanEst >= 0 && meanEst <= 10000 && meanExact >= 0 && meanExact <= 10000)
       // the decile's mean estimate can't drift far from its mean exact:
       // 32-sig minhash std is ~880 bp, so 3000 bp of systematic bias
