@@ -106,22 +106,27 @@ object Replay {
       df.repartitionByRange(files, col("order_id"))
         .sortWithinPartitions("order_id")
         .write.mode("overwrite").parquet(tmp.toString)
-    // two renames, never delete-then-rename: a crash between steps
-    // leaves either the original or the compacted copy addressable —
-    // the stream is recoverable at every point (see recoverCompaction)
-    val old = new Path(s"$logDir/.compact_old_$stream")
-    fs.delete(old, true) // clear leftover from a prior COMPLETED swap
-    require(fs.rename(part, old), s"rename $part -> $old failed")
-    if (!fs.rename(tmp, part)) {
-      fs.rename(old, part) // roll back
-      throw new IllegalStateException(s"rename $tmp -> $part failed; rolled back")
-    }
-    fs.delete(old, true)
+    swapDir(fs, part, tmp, new Path(s"$logDir/.compact_old_$stream"))
     // recursive: byDate layouts keep their files under event_date= subdirs
     val it = fs.listFiles(part, true)
     var count = 0
     while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) count += 1
     count
+  }
+
+  /** Two renames, never delete-then-rename: a crash between steps leaves
+    * either the original or the rewritten copy addressable — the target
+    * is recoverable at every point (see recoverCompaction /
+    * recoverDeleteEvent, which heal a missing target from `old`). */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, tmp: Path, old: Path): Unit = {
+    fs.delete(old, true) // clear leftover from a prior COMPLETED swap
+    require(fs.rename(target, old), s"rename $target -> $old failed")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // roll back
+      throw new IllegalStateException(s"rename $tmp -> $target failed; rolled back")
+    }
+    fs.delete(old, true)
   }
 
   /** Open-time recovery for a compaction swap that crashed between
@@ -147,5 +152,91 @@ object Replay {
     val p = new Path(s"$logDir/stream_name=$stream")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
+  }
+
+  /** Point event delete (reference streams.clj:322-323 `db/delete!`,
+    * the per-event step of api.clj:136 `delete-event!`): compact-out
+    * rewrite of the NARROWEST partition containing the event, swapped in
+    * with the same crash-safe two-rename as compaction. A date-bucketed
+    * stream rewrites only the one `event_date=` bucket holding the event
+    * — located by parquet row-group min/max pruning on order_id, so at
+    * 100 TB the rewrite is bounded by one stream-day, not the stream. A
+    * flat stream rewrites its partition (sorted by order_id, same file
+    * sizing contract as compactStream). Returns true iff the event
+    * existed. Single-writer contract as compactStream; call
+    * [[recoverDeleteEvent]] at open time to heal a crashed swap. */
+  def deleteEvent(spark: SparkSession, logDir: String, stream: String,
+      orderId: Long, targetRows: Long = 5000000L): Boolean = {
+    val part = new Path(s"$logDir/stream_name=$stream")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDeleteEvent(spark, logDir, stream)
+    recoverCompaction(spark, logDir, stream)
+    require(fs.exists(part), s"no such stream partition: $part")
+    val byDate = fs.listStatus(part)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("event_date="))
+    def rewriteMinus(src: Path, tmp: Path): Long = {
+      val df = spark.read.parquet(src.toString)
+        .where(col("order_id") =!= orderId)
+      val n = df.count()
+      val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+      df.repartitionByRange(files, col("order_id"))
+        .sortWithinPartitions("order_id")
+        .write.mode("overwrite").parquet(tmp.toString)
+      n
+    }
+    if (byDate) {
+      // one cheap pruned probe finds the bucket; order_id is unique per
+      // stream so at most one date matches
+      val hit = spark.read.parquet(part.toString)
+        .where(col("order_id") === orderId)
+        .select(col("event_date").cast("string")).distinct().collect()
+      if (hit.isEmpty) return false
+      val date = hit.head.getString(0)
+      val bucket = new Path(s"$part/event_date=$date")
+      val tmp = new Path(s"$logDir/.delevent_tmp_${stream}_$date")
+      rewriteMinus(bucket, tmp)
+      swapDir(fs, bucket, tmp, new Path(s"$logDir/.delevent_old_${stream}_$date"))
+      true
+    } else {
+      if (spark.read.parquet(part.toString)
+          .where(col("order_id") === orderId).limit(1).count() == 0L) return false
+      val tmp = new Path(s"$logDir/.delevent_tmp_$stream")
+      rewriteMinus(part, tmp)
+      swapDir(fs, part, tmp, new Path(s"$logDir/.delevent_old_$stream"))
+      true
+    }
+  }
+
+  /** Open-time recovery for a point-delete swap that crashed between
+    * renames (flat or per-date-bucket): restore any `.delevent_old_*`
+    * backup whose target is missing, drop the matching half-written tmp.
+    * Idempotent; no-op when healthy. Returns true if a restore happened. */
+  def recoverDeleteEvent(spark: SparkSession, logDir: String, stream: String): Boolean = {
+    val root = new Path(logDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val part = new Path(s"$logDir/stream_name=$stream")
+    val flatOld = s".delevent_old_$stream"
+    val bucketPrefix = s".delevent_old_${stream}_"
+    var healed = false
+    fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm == flatOld) {
+        if (!fs.exists(part)) {
+          require(fs.rename(st.getPath, part), s"recovery rename $nm failed")
+          healed = true
+        }
+        fs.delete(new Path(s"$logDir/.delevent_tmp_$stream"), true)
+      } else if (nm.startsWith(bucketPrefix)) {
+        val date = nm.substring(bucketPrefix.length)
+        val bucket = new Path(s"$part/event_date=$date")
+        if (!fs.exists(bucket)) {
+          require(fs.rename(st.getPath, bucket), s"recovery rename $nm failed")
+          healed = true
+        }
+        fs.delete(new Path(s"$logDir/.delevent_tmp_${stream}_$date"), true)
+      }
+    }
+    healed
   }
 }

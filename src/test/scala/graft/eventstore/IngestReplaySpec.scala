@@ -186,6 +186,68 @@ class IngestReplaySpec extends AnyFunSuite with SparkTestBase {
     assert(Ingest.reconcileHotTopic(spark, log, hot, sinceMs = T0) == 0)
   }
 
+  test("point event delete: cold replay excludes exactly that event") {
+    val log = tmpDir("delev")
+    Ingest.ingest(rawEvents(10), log, T0)
+    val before = Replay.typed(spark, log).collect()
+      .map(e => (e.stream_name, e.order_id)).toSet
+    val victim = before.filter(_._1 == "s1").map(_._2).min
+    assert(Replay.deleteEvent(spark, log, "s1", victim))
+    val after = Replay.typed(spark, log).collect()
+      .map(e => (e.stream_name, e.order_id)).toSet
+    assert(after == before - (("s1", victim)))
+    // nonexistent order_id → false, nothing changes
+    assert(!Replay.deleteEvent(spark, log, "s1", victim))
+    assert(Replay.open(spark, log).count() == before.size - 1)
+    // the other stream's partition was never touched
+    assert(Replay.cold(Replay.open(spark, log), "s2").count() == 5)
+  }
+
+  test("point event delete on a date-bucketed stream rewrites only the hit bucket") {
+    val log = tmpDir("delevd")
+    val dayMs = 86400000L
+    Ingest.append(Ingest.stamp(rawEvents(10, Seq("s1")), T0), log, byDate = true)
+    Ingest.append(Ingest.stamp(rawEvents(6, Seq("s1")), T0 + dayMs), log, byDate = true)
+    val part = new java.io.File(s"$log/stream_name=s1")
+    val buckets = part.listFiles().filter(_.getName.startsWith("event_date=")).sorted
+    assert(buckets.length == 2)
+    // fingerprint the day-2 bucket: (name, mtime) of every file
+    def fp(d: java.io.File) = d.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    val day2Before = fp(buckets(1))
+    val victim = Replay.cold(Replay.open(spark, log), "s1")
+      .collect().map(_.getAs[Long]("order_id")).min // lives in day 1
+    assert(Replay.deleteEvent(spark, log, "s1", victim))
+    assert(fp(buckets(1)) == day2Before, "untouched bucket was rewritten")
+    val ids = Replay.cold(Replay.open(spark, log), "s1")
+      .collect().map(_.getAs[Long]("order_id"))
+    assert(ids.length == 15 && !ids.contains(victim))
+    // date-pruned reads still work over the rewritten layout
+    assert(Replay.cold(Replay.open(spark, log), "s1", fromMs = T0 + dayMs).count() == 6)
+  }
+
+  test("point-delete crash between renames is healed at open time (flat + bucket)") {
+    val log = tmpDir("delevc")
+    val dayMs = 86400000L
+    Ingest.append(Ingest.stamp(rawEvents(8, Seq("s1")), T0), log, byDate = true)
+    Ingest.append(Ingest.stamp(rawEvents(4, Seq("s1")), T0 + dayMs), log, byDate = true)
+    val part = new java.io.File(s"$log/stream_name=s1")
+    val bucket = part.listFiles().filter(_.getName.startsWith("event_date=")).sorted.head
+    val date = bucket.getName.stripPrefix("event_date=")
+    // simulate the crash window: bucket renamed away, tmp half-written
+    assert(bucket.renameTo(new java.io.File(s"$log/.delevent_old_s1_$date")))
+    new java.io.File(s"$log/.delevent_tmp_s1_$date").mkdirs()
+    assert(Replay.recoverDeleteEvent(spark, log, "s1"))
+    assert(Replay.open(spark, log).count() == 12)
+    assert(!Replay.recoverDeleteEvent(spark, log, "s1")) // idempotent no-op
+    // flat layout crash: whole partition renamed away
+    val flat = tmpDir("delevcf")
+    Ingest.ingest(rawEvents(6, Seq("s1")), flat, T0)
+    assert(new java.io.File(s"$flat/stream_name=s1")
+      .renameTo(new java.io.File(s"$flat/.delevent_old_s1")))
+    assert(Replay.recoverDeleteEvent(spark, flat, "s1"))
+    assert(Replay.open(spark, flat).count() == 6)
+  }
+
   test("streams catalog counts per stream; delete-stream drops its partition") {
     val log = tmpDir("log")
     Ingest.ingest(rawEvents(10), log, T0)
