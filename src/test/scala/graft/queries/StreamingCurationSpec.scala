@@ -253,6 +253,50 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("live session windows: closed sessions match the batch r_stream_session rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // the exact rows the batch query sees (same ns→µs→ms flooring)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prepared = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id",
+        expr("unix_millis(timestamp_micros(ts DIV 1000))").as("ms"))
+      .orderBy($"ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDS().toDF("user_id", "ms")
+      .select($"user_id", expr("timestamp_millis(ms)").as("ts"))
+    val q = graft.streaming.StreamingSession.sessions(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions1").start()
+    try {
+      // three event-time-ordered micro-batches: sessions spanning a
+      // split must merge in state, not emit twice
+      val third = prepared.length / 3
+      mem.addData(prepared.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+      // sentinel far past the corpus advances the watermark and flushes
+      // every open session (two batches: watermark is applied next-batch)
+      val flushMs = prepared.last._2 + 30L * 86400000L
+      mem.addData((-1L, flushMs)); q.processAllAvailable()
+      mem.addData((-1L, flushMs + 1L)); q.processAllAvailable()
+
+      val streamed = spark.table("sessions1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 >= 0).sorted.toSeq
+      val batch = graft.SparkEntry.queries("r_stream_session")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed ${streamed.length} sessions vs batch ${batch.length}")
+    } finally q.stop()
+  }
+
   test("live funnel: streaming stage advances match the batch x_funnel counts") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
