@@ -51,12 +51,15 @@ object SimHashDedup {
     val b = banded.select($"band".as("b_band"), $"chunk".as("b_chunk"),
       $"id".as("b_id"), $"sig".as("b_sig"))
 
+    // verify BEFORE deduplicating: hamming is one codegen'd XOR+popcount
+    // per candidate occurrence (≤ Chunks per pair), so filtering first
+    // shrinks the dropDuplicates exchange to true near-dup pairs instead
+    // of shuffling every multi-band candidate collision
     a.join(b, $"a_band" === $"b_band" && $"a_chunk" === $"b_chunk" && $"a_id" < $"b_id")
-      .select($"a_id", $"b_id", $"a_sig", $"b_sig")
-      .dropDuplicates("a_id", "b_id")
       .withColumn("hamming", expr("bit_count(a_sig ^ b_sig)").cast("long"))
       .where($"hamming" <= maxHamming)
       .select($"a_id", $"b_id", $"hamming")
+      .dropDuplicates("a_id", "b_id")
       .orderBy($"a_id", $"b_id")
   }
 }
