@@ -149,5 +149,76 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type", $"hour_ms")
     })
 
-  def all: Seq[Q] = Seq(funnel, retention, spikes)
+  /** Rolling engagement: DAU, trailing-7-day WAU and the DAU/WAU
+    * stickiness ratio per day — the standard product-analytics
+    * dashboard triple. Plan shape for scale: distinct (user, day) FIRST
+    * (per-user event volume never inflates anything downstream), then
+    * each active day contributes to the 7 window-end days via a
+    * sequence explode — a 7× blowup of the distinct PAIRS, not the raw
+    * events — and one count-distinct per end day. Output is
+    * calendar-bounded. Integer day buckets and basis points keep both
+    * engines bit-identical. */
+  private val dauRolling = Q(
+    "x_dau_rolling",
+    Some("""WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+                       FROM events),
+            dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                    FROM d GROUP BY day),
+            w AS (SELECT e_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+                  FROM (SELECT user_id, unnest(range(day, day + 7)) AS e_day FROM d)
+                  GROUP BY e_day)
+            SELECT dau.day AS day, dau.dau AS dau, w.wau AS wau,
+              CAST((dau.dau * 10000) // w.wau AS BIGINT) AS stickiness_bp
+            FROM dau JOIN w ON dau.day = w.e_day
+            ORDER BY day"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .select($"user_id", expr("unix_millis(ts) DIV 86400000").as("day"))
+        .distinct()
+      val dau = d.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val w = d.select($"user_id", explode(expr("sequence(day, day + 6)")).as("e_day"))
+        .groupBy($"e_day").agg(count_distinct($"user_id").as("wau"))
+      dau.join(w, $"day" === $"e_day")
+        .select($"day", $"dau", $"wau",
+          expr("(dau * 10000) DIV wau").as("stickiness_bp"))
+        .orderBy($"day")
+    })
+
+  /** Path mining: the top-20 event-type trigram paths across per-user
+    * event-time-ordered histories — the "how do users actually move"
+    * read behind funnel design. Per-user sequences are one keyed
+    * collect (state bounded by a user's own activity, the same shape as
+    * sessionization), trigram expansion is a per-row transform, and the
+    * top-20 is a TakeOrdered — no pair joins anywhere. (ts, event_id)
+    * ordering makes the sequence — and thus every path — deterministic
+    * in both engines. */
+  private val eventPaths = Q(
+    "x_event_paths",
+    Some("""WITH s AS (SELECT user_id,
+                list(event_type ORDER BY ts, event_id) AS seq
+              FROM events GROUP BY user_id),
+            tri AS (SELECT unnest(list_transform(range(1, greatest(len(seq) - 1, 1)),
+                i -> concat_ws('>', seq[i], seq[i+1], seq[i+2]))) AS path
+              FROM s WHERE len(seq) >= 3)
+            SELECT path, CAST(count(*) AS BIGINT) AS n
+            FROM tri GROUP BY path ORDER BY n DESC, path LIMIT 20"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val seqs = t(spark, dir, "events")
+        .select($"user_id", struct($"ts", $"event_id", $"event_type").as("ev"))
+        .groupBy($"user_id")
+        .agg(array_sort(collect_list($"ev")).as("s"))
+        .where(size($"s") >= 3)
+      seqs.select(explode(expr(
+          "transform(sequence(0, size(s) - 3), " +
+            "i -> concat(s[i].event_type, '>', s[i+1].event_type, '>', s[i+2].event_type))"))
+          .as("path"))
+        .groupBy($"path")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"path")
+        .limit(20)
+    })
+
+  def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths)
 }

@@ -418,6 +418,36 @@ object MiningOps extends QueryModule {
         .orderBy($"lang", $"band")
     })
 
+  /** Vocabulary growth / lexical diversity per source: total token
+    * mass, distinct types and the type-token ratio in basis points —
+    * the Heaps'-law health check a corpus report runs per source
+    * (template-generated or boilerplate-heavy sources show an
+    * anomalously low TTR; a source of random strings an anomalously
+    * high one). One explode + one aggregate; the count-distinct
+    * expands to the standard two-phase plan (partial dedup map-side),
+    * so state is bounded by per-source vocabulary, never token mass. */
+  private val vocabGrowth = Q(
+    "x_vocab_growth",
+    Some("""WITH tok AS (SELECT source, unnest(list_filter(
+                string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+              FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+              CAST((count(DISTINCT token) * 10000) // count(*) AS BIGINT) AS ttr_bp
+            FROM tok GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .select($"source", explode(expr(
+          "filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct($"token").as("n_types"))
+        .select($"source", $"n_tokens", $"n_types",
+          expr("(n_types * 10000) DIV n_tokens").as("ttr_bp"))
+        .orderBy($"source")
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
-    dedupCompare, freqItems, bigramCoverage, freqSpectrum)
+    dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth)
 }

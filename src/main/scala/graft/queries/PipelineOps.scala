@@ -270,6 +270,47 @@ object PipelineOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Temperature-scaled mixture (the multilingual/multi-source
+    * rebalancing trick: sample source i ∝ share_i^α, α = 0.5, so
+    * low-resource sources are up-weighted without swamping the head).
+    * α = 0.5 is exactly sqrt — an IEEE correctly-rounded op, so both
+    * engines produce the identical double; each weight is floored to
+    * integer basis points BEFORE the cross-source sum, which keeps the
+    * total order-independent (summing raw doubles would be exposed to
+    * addition-order differences). Same cost shape as x_token_budget:
+    * one partial-agg shuffle on source + a 1-row broadcast. */
+  private val sampleTemperature = Q(
+    "x_sample_temperature",
+    Some("""WITH tok AS (SELECT source,
+              len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS n_tok
+              FROM documents),
+            agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tok GROUP BY source),
+            w AS (SELECT source, n_docs, n_tokens,
+              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 10000) AS BIGINT) AS w_i
+              FROM agg),
+            tot AS (SELECT sum(n_tokens) AS all_tokens, sum(w_i) AS sum_w FROM w)
+            SELECT source, n_docs, n_tokens,
+              CAST((n_tokens * 10000) // all_tokens AS BIGINT) AS share_bp,
+              CAST((w_i * 10000) // sum_w AS BIGINT) AS temp_share_bp
+            FROM w, tot ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      val agg = t(spark, dir, "documents")
+        .select($"source", expr("bpe_token_count(text)").as("n_tok"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .withColumn("w_i",
+          floor(sqrt($"n_tokens".cast("double")) * 10000).cast("long"))
+      val tot = agg.agg(sum($"n_tokens").as("all_tokens"), sum($"w_i").as("sum_w"))
+      agg.crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"n_tokens",
+          expr("(n_tokens * 10000) DIV all_tokens").as("share_bp"),
+          expr("(w_i * 10000) DIV sum_w").as("temp_share_bp"))
+        .orderBy($"source")
+    })
+
   /** Quality-aware dedup: near-dup clusters (n-gram Jaccard pairs →
     * connected components) keep the HIGHEST-quality member instead of
     * the lowest id — the canonical-selection policy a curation pipeline
@@ -771,7 +812,7 @@ object PipelineOps extends QueryModule {
 
   override def all: Seq[Q] =
     Seq(decontaminate, decontamBloom, sampleStratified, repetition,
-      filterChain, tokenBudget, dedupKeepBest, curationE2e, shardAssign,
-      packSequences, sampleQuality, sampleReservoir, statsProfile,
-      lengthHistogram, chunkDocs, epochPlan)
+      filterChain, tokenBudget, sampleTemperature, dedupKeepBest,
+      curationE2e, shardAssign, packSequences, sampleQuality,
+      sampleReservoir, statsProfile, lengthHistogram, chunkDocs, epochPlan)
 }
