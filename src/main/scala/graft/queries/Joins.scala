@@ -170,6 +170,43 @@ object Joins extends QueryModule {
         .orderBy($"r_name", $"n_name")
     })
 
+  /** Skew-salted equi-join (graft.operators.SkewJoins.saltedJoin),
+    * surfaced as a declared query: events join a derived per-type rank
+    * dim on event_type — a key whose population is power-law skewed
+    * (one type dominates), the classic case where one reducer absorbs
+    * the hot key. The salt spreads each key over 8 buckets (dim
+    * exploded 8×, salt = deterministic hash of event_id — reproducible,
+    * no rand()); the oracle is the PLAIN join, so the hash-match IS the
+    * proof that salting never changes results. Money determinism:
+    * per-row floor(value*100) cents before the sum (exact int64).
+    * At 100 TB this is the manual lever when AQE skew splitting can't
+    * see the plan (static stages, custom sinks). */
+  private val joinSalted = Q(
+    "r_join_salted",
+    Some("""WITH dim AS (SELECT event_type,
+              CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS type_rank
+              FROM (SELECT DISTINCT event_type FROM events))
+            SELECT e.event_type, d.type_rank,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+            FROM events e JOIN dim d ON e.event_type = d.event_type
+            GROUP BY 1, 2 ORDER BY 1"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val events = t(spark, dir, "events")
+        .select($"event_type", $"event_id",
+          floor($"value" * 100).cast("long").as("cents"))
+      val dim = t(spark, dir, "events").select($"event_type").distinct()
+        .withColumn("type_rank", row_number().over(
+          Window.orderBy($"event_type")).cast("long"))
+      graft.operators.SkewJoins
+        .saltedJoin(events, dim, "event_type", "event_id", buckets = 8)
+        .groupBy($"event_type", $"type_rank")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        .select($"event_type", $"type_rank", $"n", $"cents")
+        .orderBy($"event_type")
+    })
+
   override def all: Seq[Q] = Seq(joinBroadcast, joinShuffle, joinSemi,
-    joinAnti, joinRange, joinAsof, joinMulti)
+    joinAnti, joinRange, joinAsof, joinMulti, joinSalted)
 }
