@@ -154,4 +154,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).length >= 2, s"no aggregate join:\n$p")
     assert(!p.contains("CartesianProduct"), s"decorrelation failed:\n$p")
   }
+
+  test("exact-dedup family: digest exchange, no Window and no Sort on text") {
+    // the r5 sinner: a full-text window key sorts multi-KB keys and
+    // hot-spots on dup skew — these plans must stay two-phase hash-agg
+    Seq("x_dup_inflation", "x_dedup_exact", "x_filter_chain").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q regressed to a window:\n$p")
+      assert(!p.matches("(?s).*Sort .*\\[text.*"), s"$q sorts on text:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q lost its partial aggregate:\n$p")
+    }
+  }
+
+  test("x_dau_rolling: distinct pairs aggregate before the explode (partial aggs present)") {
+    val p = plan("x_dau_rolling")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"distinct/agg phases missing:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"dau/wau join shape:\n$p")
+  }
+
+  test("x_event_paths: keyed collect + TakeOrdered top-k, no pair joins") {
+    val p = plan("x_event_paths")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 regressed to full sort:\n$p")
+    assert(!p.contains("Join"), s"path mining must not join:\n$p")
+  }
 }

@@ -253,6 +253,43 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("live path mining: streamed trigram counts reproduce the batch x_event_paths top-20") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prepared = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id",
+        expr("unix_millis(timestamp_micros(ts DIV 1000))").as("ms"),
+        $"event_id", $"event_type")
+      .orderBy($"ms", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = graft.streaming.StreamingPaths.paths(
+        mem.toDS().toDF("user_id", "ts_ms", "event_id", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("paths1").start()
+    try {
+      // three batches: a user's trigram spanning a split must use state
+      val third = prepared.length / 3
+      mem.addData(prepared.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      val streamedTop = spark.table("paths1")
+        .groupBy($"path").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"path").limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val batch = graft.SparkEntry.queries("x_event_paths")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(streamedTop.nonEmpty && streamedTop == batch,
+        s"streamed top-20 != batch: ${streamedTop.take(3)} vs ${batch.take(3)}")
+    } finally q.stop()
+  }
+
   test("live session windows: closed sessions match the batch r_stream_session rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
