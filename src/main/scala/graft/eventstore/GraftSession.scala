@@ -35,6 +35,21 @@ object GraftSession {
     Replay.distinctStreams(log).createOrReplaceTempView("graft_stream_names")
   }
 
+  /** Register the curation corpus as `graft_documents` /
+    * `graft_embeddings` temp views, with the native kernels installed —
+    * the SQL face of the training-data pipeline: any SQL client can run
+    * the curation signals (`ws_token_count`, `shingle_hashes`,
+    * `vec_dot`, …) over the corpus without touching the DataFrame API.
+    * Lazy plans over the parquet — predicates and projections push into
+    * the scan exactly like the DataFrame path. */
+  def attachCorpus(spark: SparkSession, dir: String): Unit = {
+    graft.GraftFunctions.registerAll(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .createOrReplaceTempView("graft_documents")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .createOrReplaceTempView("graft_embeddings")
+  }
+
   /** Register one live projection's descriptor table as
     * `graft_projection_<name>`. The view re-reads the _LATEST pointer on
     * every query — it tracks the running projection, it is not a

@@ -42,6 +42,29 @@ class GraftSessionSpec extends AnyFunSuite with SparkTestBase {
     assert(h.getLong(0) >= 0 && h.getLong(1) > 0)
   }
 
+  test("attachCorpus: curation SQL over documents/embeddings with pushdown intact") {
+    GraftSession.attachCorpus(spark, "/root/testdata/sf0.001")
+
+    // a curation signal in plain SQL, kernels pre-installed
+    val q = spark.sql(
+      """SELECT source, count(*) AS n, sum(ws_token_count(text)) AS toks
+         FROM graft_documents WHERE lang = 'en' GROUP BY source""")
+    assert(q.count() > 0)
+
+    // the lang predicate and column pruning reach the parquet scan
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("lang"),
+      s"lang predicate not pushed:\n$scan")
+    assert(!scan.contains("n_chars"), s"unprojected column read:\n$scan")
+
+    // embeddings queryable with the exact-dot kernel
+    val sim = spark.sql(
+      """SELECT a.vec_id, vec_dot(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                  CAST(a.embedding AS ARRAY<DOUBLE>)) AS s
+         FROM graft_embeddings a WHERE a.vec_id < 3""").collect()
+    assert(sim.length == 3 && sim.forall(_.getDouble(1) > 0))
+  }
+
   test("attached projection view tracks the live descriptor table via refresh") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
