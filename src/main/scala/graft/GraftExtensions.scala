@@ -75,7 +75,11 @@ object GraftFunctions {
     (FunctionIdentifier("sampled_fingerprints"),
       info("sampled_fingerprints", classOf[SampledFingerprintsExpr],
         "sampled_fingerprints(str) - sorted distinct 0-mod-p sampled 32-gram poly hashes"),
-      (exprs: Seq[Expression]) => SampledFingerprintsExpr(exprs.head)))
+      (exprs: Seq[Expression]) => SampledFingerprintsExpr(exprs.head)),
+    (FunctionIdentifier("deflate_len"),
+      info("deflate_len", classOf[DeflateLenExpr],
+        "deflate_len(str) - DEFLATE(level 6, raw) output length in bytes"),
+      (exprs: Seq[Expression]) => DeflateLenExpr(exprs.head)))
 
   /** Imperative registration into an existing session (equivalent to the
     * extension path; used by the query modules). */
@@ -88,5 +92,6 @@ object GraftFunctions {
     Hyperplanes.register(spark)
     TokenCounts.register(spark)
     SampledFingerprints.register(spark)
+    Compress.register(spark)
   }
 }

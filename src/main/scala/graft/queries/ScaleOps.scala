@@ -75,6 +75,34 @@ object ScaleOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
+  /** Compression-ratio quality screen (the Gopher/MassiveText-style
+    * corpus-wide filter): per source, the mean DEFLATE-bytes-per-10k-
+    * chars and the count of docs below a "suspiciously compressible"
+    * floor (ratio < 2000 bp ≈ >5:1 — template/repetition shape) and
+    * above a "near-random" ceiling (> 9000 bp — no structure at all).
+    * One narrow codegen pass per row (deflate_len kernel) + one
+    * per-source aggregate; no data movement beyond the group-by.
+    * Rows-only: no DEFLATE exists in the oracle engine; CompressSpec
+    * pins the kernel's separation property, determinism and the
+    * query's accounting invariants. */
+  private val compressRatio = Q(
+    "x_compress_ratio",
+    None,
+    (spark, dir) => {
+      graft.functions.Compress.register(spark)
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .where(length($"text") > 0)
+        .select($"source",
+          expr("(deflate_len(text) * 10000) DIV length(text)").as("ratio_bp"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(ratio_bp) DIV count(*)").as("mean_ratio_bp"),
+          sum(when($"ratio_bp" < 2000, 1L).otherwise(0L)).as("n_template"),
+          sum(when($"ratio_bp" > 9000, 1L).otherwise(0L)).as("n_random"))
+        .orderBy($"source")
+    })
+
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
-    minhashError)
+    minhashError, compressRatio)
 }
