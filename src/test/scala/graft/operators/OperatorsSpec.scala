@@ -140,4 +140,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       MediaPipeline.resizeAll(MediaPipeline.sample(ds, 10L), 64, 48)).collect()
     assert(feats.length == 9 && feats.forall(_.width == 64))
   }
+
+  test("shard writer: layout matches the x_shard_assign audit, lossless, rerunnable") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = tmpDir("shards")
+    val audit = ShardWriter.write(docs, out, shards = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // the audit query predicted this exact layout
+    val predicted = graft.SparkEntry.queries("x_shard_assign")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit == predicted, s"layout diverged from audit: $audit vs $predicted")
+
+    // physical dirs exist per shard; nothing lost or duplicated
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.length == audit.size)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").except(docs.select("doc_id")).isEmpty)
+
+    // rerunnable: a second write lands every doc in the same shard
+    val out2 = tmpDir("shards2")
+    ShardWriter.write(docs, out2, shards = 16)
+    val a = spark.read.parquet(out).select(col("doc_id"), col("shard"))
+    val b = spark.read.parquet(out2).select(col("doc_id"), col("shard"))
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
 }
