@@ -283,7 +283,12 @@ object TextOps extends QueryModule {
     * the dictionary stays vocabulary-sized at any row count. Each
     * distinct name carries its min partkey as representative + its
     * occurrence count; pairs are blocked by first word. levenshtein has
-    * identical integer semantics in both engines → oracle-checkable. */
+    * identical integer semantics in both engines → oracle-checkable.
+    * Scale note: cost is Σ|block|² over DISTINCT names — right-sized
+    * for catalog/dimension-table name sets (this query's domain); for
+    * corpus-scale text the near-dup families with sub-quadratic
+    * candidate generation (minhash/simhash/sampled-fingerprint) are
+    * the declared scale paths. */
   private val dedupFuzzy = Q(
     "x_dedup_fuzzy",
     Some("""WITH names AS (
