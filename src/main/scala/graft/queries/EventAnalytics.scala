@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Group X — event-stream analytics over the `events` table: the
@@ -187,33 +188,34 @@ object EventAnalytics extends QueryModule {
 
   /** Path mining: the top-20 event-type trigram paths across per-user
     * event-time-ordered histories — the "how do users actually move"
-    * read behind funnel design. Per-user sequences are one keyed
-    * collect (state bounded by a user's own activity, the same shape as
-    * sessionization), trigram expansion is a per-row transform, and the
-    * top-20 is a TakeOrdered — no pair joins anywhere. (ts, event_id)
-    * ordering makes the sequence — and thus every path — deterministic
+    * read behind funnel design. Spelled as lead()/lead(2) over a
+    * (user_id | ts, event_id) window rather than a per-user
+    * collect_list: the window sorter is spill-safe and its state is a
+    * TWO-ROW lookahead, so one pathological bot user with millions of
+    * events can never blow a task's memory the way a materialized
+    * history array would. Trigram counting is a map-side-combined
+    * aggregate and the top-20 is a TakeOrdered — no pair joins
+    * anywhere. (ts, event_id) ordering makes every path deterministic
     * in both engines. */
   private val eventPaths = Q(
     "x_event_paths",
-    Some("""WITH s AS (SELECT user_id,
-                list(event_type ORDER BY ts, event_id) AS seq
-              FROM events GROUP BY user_id),
-            tri AS (SELECT unnest(list_transform(range(1, greatest(len(seq) - 1, 1)),
-                i -> concat_ws('>', seq[i], seq[i+1], seq[i+2]))) AS path
-              FROM s WHERE len(seq) >= 3)
+    Some("""WITH tri AS (SELECT concat_ws('>', event_type,
+                lead(event_type, 1) OVER w, lead(event_type, 2) OVER w) AS path,
+                lead(event_type, 2) OVER w AS t2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT path, CAST(count(*) AS BIGINT) AS n
-            FROM tri GROUP BY path ORDER BY n DESC, path LIMIT 20"""),
+            FROM tri WHERE t2 IS NOT NULL
+            GROUP BY path ORDER BY n DESC, path LIMIT 20"""),
     (spark, dir) => {
       import spark.implicits._
-      val seqs = t(spark, dir, "events")
-        .select($"user_id", struct($"ts", $"event_id", $"event_type").as("ev"))
-        .groupBy($"user_id")
-        .agg(array_sort(collect_list($"ev")).as("s"))
-        .where(size($"s") >= 3)
-      seqs.select(explode(expr(
-          "transform(sequence(0, size(s) - 3), " +
-            "i -> concat(s[i].event_type, '>', s[i+1].event_type, '>', s[i+2].event_type))"))
-          .as("path"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(spark, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("t1", lead($"event_type", 1).over(w))
+        .withColumn("t2", lead($"event_type", 2).over(w))
+        .where($"t1".isNotNull && $"t2".isNotNull)
+        .select(concat_ws(">", $"event_type", $"t1", $"t2").as("path"))
         .groupBy($"path")
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"path")
