@@ -11,9 +11,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State per user is the LAST TWO event types — constant bytes,
   * independent of history length, the cheapest possible sessionization
-  * state (contrast with collecting full per-user histories, which the
-  * batch query can afford because its state lives for one aggregation,
-  * not forever). In-order delivery per user is the same contract as
+  * state (the same two-row lookahead the batch query's lead() window
+  * holds per sort cursor, kept here across batches forever). In-order
+  * delivery per user is the same contract as
   * the other live folds: a user's later events arrive in later batches
   * or later within one, and each batch's group is sorted by
   * (ts_ms, event_id) before folding.
