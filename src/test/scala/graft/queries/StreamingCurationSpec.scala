@@ -459,6 +459,44 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q2.stop()
   }
 
+  test("live path-mining state survives a query restart (checkpoint resume)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("pathsckpt")
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def start() = graft.streaming.StreamingPaths.paths(
+        mem.toDS().toDF("user_id", "ts_ms", "event_id", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamingPaths.PathHit],
+         _: Long) =>
+          batch.collect().foreach(h => seen.add(h.path))
+      }
+      .start()
+
+    // run 1: two events — one short of a trigram
+    val q1 = start()
+    try {
+      mem.addData((1L, 1000L, 1L, "view"), (1L, 2000L, 2L, "click"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.isEmpty, s"no trigram should exist yet: $seen")
+
+    // run 2, same checkpoint: the third event completes a trigram ONLY
+    // the resumed (view, click) state knows about — fresh state would
+    // see a lone purchase and emit nothing
+    val q2 = start()
+    try {
+      mem.addData((1L, 3000L, 3L, "purchase"))
+      q2.processAllAvailable()
+      assert(seen.toArray.toSeq == Seq("view>click>purchase"),
+        s"state not resumed across restart: $seen")
+    } finally q2.stop()
+  }
+
   test("live retention state survives a query restart (checkpoint resume)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
