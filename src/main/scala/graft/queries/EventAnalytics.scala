@@ -222,5 +222,45 @@ object EventAnalytics extends QueryModule {
         .limit(20)
     })
 
-  def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths)
+  /** Power-user skew report: per event type, the distribution of
+    * events-per-user (p50/p99/max) and max-vs-mean in basis points —
+    * THE read before sizing shuffle partitions or choosing
+    * r_join_salted's bucket count, because a 100×-mean hot user is
+    * exactly what melts a keyed aggregate at scale. One (type, user)
+    * pre-aggregate (map-side combined) then a per-type summary;
+    * percentiles use the exact-percentile ↔ quantile_cont mapping
+    * r_agg_percentile established, and the skew ratio is all-integer. */
+  private val userSkew = Q(
+    "x_user_skew",
+    Some("""WITH c AS (SELECT event_type, user_id,
+              CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(n) AS BIGINT) AS n_events,
+              round(quantile_cont(n, 0.5), 4) AS p50,
+              round(quantile_cont(n, 0.99), 4) AS p99,
+              CAST(max(n) AS BIGINT) AS max_per_user,
+              CAST((max(n) * 10000) // greatest(sum(n) // count(*), 1) AS BIGINT)
+                AS skew_bp
+            FROM c GROUP BY event_type ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "events")
+        .groupBy($"event_type", $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"n").as("n_events"),
+          round(expr("percentile(n, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n, 0.99)"), 4).as("p99"),
+          max($"n").as("max_per_user"))
+        .select($"event_type", $"n_users", $"n_events", $"p50", $"p99",
+          $"max_per_user",
+          expr("(max_per_user * 10000) DIV greatest(n_events DIV n_users, 1)")
+            .as("skew_bp"))
+        .orderBy($"event_type")
+    })
+
+  def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
+    userSkew)
 }

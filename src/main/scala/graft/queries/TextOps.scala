@@ -452,7 +452,50 @@ object TextOps extends QueryModule {
         .orderBy($"src_a", $"src_b")
     })
 
+  /** Lang-ID confusion matrix: the labeled `lang` column vs the
+    * stop-word heuristic's prediction (x_lang_id's exact rule), with
+    * each cell's share of its true-lang row — the evaluation report
+    * that tells you whether a cheap classifier is safe to gate on
+    * before it silently drops a language. Cost: one codegen projection
+    * + one tiny aggregate; the per-lang normalization rides a window
+    * over the (languages × 2)-row result. */
+  private val langConfusion = Q(
+    "x_lang_confusion",
+    Some("""WITH f AS (SELECT lang,
+              CASE WHEN len(list_filter(
+                  list_filter(string_split_regex(lower(text), ' +'), x -> x <> ''),
+                  x -> x IN ('the', 'and', 'of', 'a', 'in', 'to', 'is'))) * 10000.0
+                / len(list_filter(string_split_regex(lower(text), ' +'), x -> x <> ''))
+                >= 300 THEN 'en' ELSE 'other' END AS pred_lang
+              FROM documents
+              WHERE len(list_filter(string_split_regex(lower(text), ' +'), x -> x <> '')) > 0),
+            g AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM f GROUP BY lang, pred_lang)
+            SELECT lang, pred_lang, n_docs,
+              CAST((n_docs * 10000) // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+                AS rate_bp
+            FROM g ORDER BY lang, pred_lang"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      val wL = Window.partitionBy($"lang")
+      t(spark, dir, "documents")
+        .select($"lang",
+          expr("ws_token_count(text)").as("nt"),
+          expr("stop_token_count(text)").as("hits"))
+        .where($"nt" > 0)
+        .select($"lang",
+          when(($"hits" * 10000.0) / $"nt" >= 300, "en").otherwise("other")
+            .as("pred_lang"))
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("tot", sum($"n_docs").over(wL))
+        .select($"lang", $"pred_lang", $"n_docs",
+          expr("(n_docs * 10000) DIV tot").as("rate_bp"))
+        .orderBy($"lang", $"pred_lang")
+    })
+
   override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
-    dedupSampled, dedupCross)
+    dedupSampled, dedupCross, langConfusion)
 }
