@@ -448,6 +448,43 @@ object MiningOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** BPE merge-step 0: the top-20 adjacent character pairs by corpus
+    * frequency — the statistic a byte-pair-encoding tokenizer trainer
+    * computes to pick its first merge. Aggregated the way real BPE
+    * training does at scale: collapse the corpus to its VOCABULARY
+    * (token → count, one map-side-combined aggregate) first, then
+    * explode character pairs of the distinct tokens weighted by count —
+    * the pair pass costs O(vocabulary × token length), not O(corpus
+    * characters), and vocabulary grows sub-linearly (Heaps) while the
+    * corpus grows without bound. */
+  private val bpePairs = Q(
+    "x_bpe_pairs",
+    Some("""WITH tok AS (SELECT unnest(list_filter(
+                string_split_regex(lower(text), ' +'), x -> x <> '')) AS tok
+              FROM documents),
+            v AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY tok),
+            p AS (SELECT unnest(list_transform(range(1, length(tok)),
+                    i -> substring(tok, i, 2))) AS pair, n
+                  FROM v WHERE length(tok) >= 2)
+            SELECT pair, CAST(sum(n) AS BIGINT) AS n
+            FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val v = t(spark, dir, "documents")
+        .select(explode(expr(
+          "filter(split(lower(text), ' +'), x -> x != '')")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+      v.where(length($"tok") >= 2)
+        .select(explode(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+            .as("pair"), $"n")
+        .groupBy($"pair").agg(sum($"n").as("n"))
+        .orderBy($"n".desc, $"pair")
+        .limit(20)
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
-    dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth)
+    dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
+    bpePairs)
 }
