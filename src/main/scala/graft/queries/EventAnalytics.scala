@@ -229,7 +229,11 @@ object EventAnalytics extends QueryModule {
     * exactly what melts a keyed aggregate at scale. One (type, user)
     * pre-aggregate (map-side combined) then a per-type summary;
     * percentiles use the exact-percentile ↔ quantile_cont mapping
-    * r_agg_percentile established, and the skew ratio is all-integer. */
+    * r_agg_percentile established (exact percentile buffers one value
+    * per user per type — at 100 TB swap to the approx_percentile
+    * sketch, x_approx_quantile's declared scale path; the summary
+    * columns and skew ratio are unchanged), and the skew ratio is
+    * all-integer. */
   private val userSkew = Q(
     "x_user_skew",
     Some("""WITH c AS (SELECT event_type, user_id,
