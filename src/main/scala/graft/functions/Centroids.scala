@@ -83,6 +83,23 @@ object Centroids {
     new GenericArrayData(java.util.Arrays.copyOf(topId, filled))
   }
 
+  /** Max cosine over the set (not the argmax id) — the decontamination
+    * read: "how close is this vector to ANY benchmark vector". max over
+    * doubles is order-free, so the scan order can't perturb parity with
+    * the oracle's `max(...)` aggregate. */
+  def maxCos(v: ArrayData, nrm: Double, flat: Array[Double],
+      cnrms: Array[Double], dim: Int): Double = {
+    var best = Double.NegativeInfinity
+    var j = 0
+    val k = cnrms.length
+    while (j < k) {
+      val c = cosAt(v, nrm, flat, cnrms, dim, j)
+      if (c > best) best = c
+      j += 1
+    }
+    best
+  }
+
   /** Register `nearest_centroid(v, nrm)` → int and
     * `nearest_centroids(v, nrm, n)` → array<int> over this centroid set.
     * The builder CLOSES OVER the centroids (they are baked into the
@@ -108,7 +125,52 @@ object Centroids {
       exprs => NearestCentroid(exprs(0), exprs(1), ids, flat, cnrms, dim,
         exprs(2).eval().asInstanceOf[Number].intValue()),
       "scala_udf")
+    reg.createOrReplaceTempFunction("max_centroid_cos",
+      exprs => MaxCentroidCos(exprs(0), exprs(1), flat, cnrms, dim),
+      "scala_udf")
   }
+}
+
+/** `max_centroid_cos(v, nrm)` → double: the best cosine this vector
+  * achieves against the registered (broadcast-sized) set — one narrow
+  * codegen pass per row, no join, no exchange. Same strict-fold cosine
+  * as NearestCentroid. */
+case class MaxCentroidCos(
+    left: Expression,
+    right: Expression,
+    flat: Seq[Double],
+    cnrms: Seq[Double],
+    dim: Int) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"max_centroid_cos needs (array<double>, double), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  @transient private lazy val flatArr = flat.toArray
+  @transient private lazy val cnrmArr = cnrms.toArray
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Centroids.maxCos(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
+      flatArr, cnrmArr, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("centFlat", flatArr, "double[]")
+    val nrmsRef = ctx.addReferenceObj("centNrms", cnrmArr, "double[]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Centroids.maxCos($a, $b, $flatRef, $nrmsRef, $dim)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaxCentroidCos =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "max_centroid_cos"
 }
 
 /** n == 1 → IntegerType (the hot assignment path, one int per row, no

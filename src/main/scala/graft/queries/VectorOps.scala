@@ -388,7 +388,114 @@ object VectorOps extends QueryModule {
         e, index, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, nProbe = 2)
     })
 
+  /** Semantic benchmark decontamination — the third member of the
+    * decontamination family (x_decontaminate = exact 5-gram overlap,
+    * x_decontam_bloom = bloom-filtered probe, this = embedding-cosine):
+    * paraphrased eval contamination that shares no exact n-gram still
+    * lands near the benchmark in embedding space. The "benchmark" is a
+    * fixed-k (16) hash-ranked vector set (a DIFFERENT hash family than
+    * the IVF seeds, so the two fixed sets are independent); a corpus
+    * vector is contaminated when its best cosine against ANY benchmark
+    * vector reaches 0.35 (flags ~2-5% at every test SF; the corpus'
+    * max pair cosine is ~0.51).
+    *
+    * Scale shape: the benchmark set is k×dim doubles broadcast into the
+    * `max_centroid_cos` codegen kernel — the contamination scan is ONE
+    * narrow map over the corpus (no join, no exchange, no k× row
+    * replication), then a per-label aggregate. max over doubles is
+    * order-free, so kernel scan order can't break oracle parity. */
+  private val contamEmbed = Q(
+    "x_contam_embed",
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+             b AS (SELECT vec_id AS b_id, v AS bv FROM e
+                   ORDER BY vec_id % 999983 * 2246822519 % 999983, vec_id
+                   LIMIT 16),
+             s AS (SELECT e.vec_id, e.label, max(${cosSql("bv", "e.v")}) AS mc
+                   FROM e CROSS JOIN b
+                   WHERE e.vec_id NOT IN (SELECT b_id FROM b)
+                   GROUP BY e.vec_id, e.label)
+             SELECT CAST(label AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(*) FILTER (WHERE mc >= 0.35) AS BIGINT) AS n_flagged,
+               CAST((count(*) FILTER (WHERE mc >= 0.35)) * 10000 // count(*)
+                 AS BIGINT) AS flag_bp
+             FROM s GROUP BY label ORDER BY label"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val e = barrier(t(spark, dir, "embeddings")
+        .select($"vec_id", $"label",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+        .withColumn("nrm", sqrt(dotCol("v", "v")))
+      // fixed-k benchmark set: k rows on the driver at any corpus size
+      val bench = e.select($"vec_id", $"v",
+          ($"vec_id" % 999983L * 2246822519L % 999983L).as("hk"))
+        .orderBy($"hk", $"vec_id").limit(16)
+        .select($"vec_id", $"v").collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toSeq
+      graft.functions.Centroids.register(spark, bench)
+      val benchIds = bench.map(_._1.toLong)
+      e.where(!$"vec_id".isin(benchIds: _*))
+        .withColumn("mc", expr("max_centroid_cos(v, nrm)"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_total"),
+          count(when($"mc" >= 0.35, 1)).as("n_flagged"))
+        .select($"label".cast("long").as("label"), $"n_total", $"n_flagged",
+          expr("n_flagged * 10000 DIV n_total").as("flag_bp"))
+        .orderBy($"label")
+    })
+
+  /** Cluster × label purity — the mixture-balance QA read after any
+    * embedding clustering (SemDeDup cells, IVF cells, topic buckets):
+    * per cluster, how many members, which label dominates, and how pure
+    * the cluster is in basis points. Uses the same fixed-32 seeded
+    * assignment as x_ann_ivf/x_semantic_dedup (broadcast argmin kernel,
+    * zero-exchange narrow pass), so this query also audits exactly the
+    * cells those operators search. Ties on the majority vote break to
+    * the lowest label id, spelled identically in both engines. */
+  private val clusterPurity = Q(
+    "x_cluster_purity",
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+             c AS ${seedSql(32)},
+             asg AS (SELECT vec_id, label, c_id FROM (
+                 SELECT e.vec_id, e.label, c.c_id, row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+                 FROM e CROSS JOIN c) WHERE rn = 1),
+             lc AS (SELECT c_id, label, CAST(count(*) AS BIGINT) AS n
+                    FROM asg GROUP BY c_id, label),
+             mj AS (SELECT c_id, label, n, row_number() OVER (
+                      PARTITION BY c_id ORDER BY n DESC, label) AS lr,
+                    CAST(sum(n) OVER (PARTITION BY c_id) AS BIGINT) AS n_members
+                    FROM lc)
+             SELECT CAST(c_id AS BIGINT) AS c_id, n_members,
+               CAST(label AS BIGINT) AS maj_label, n AS n_majority,
+               CAST(n * 10000 // n_members AS BIGINT) AS purity_bp
+             FROM mj WHERE lr = 1 ORDER BY c_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val e = barrier(t(spark, dir, "embeddings")
+        .select($"vec_id", $"label",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+        .withColumn("nrm", sqrt(dotCol("v", "v")))
+      val cents = seedCentroids(e, 32)
+      graft.functions.Centroids.register(spark, cents)
+      val lc = e.withColumn("c_id", expr("nearest_centroid(v, nrm)"))
+        .groupBy($"c_id", $"label").agg(count(lit(1)).as("n"))
+      val wM = Window.partitionBy($"c_id")
+      val wR = Window.partitionBy($"c_id").orderBy($"n".desc, $"label")
+      lc.withColumn("n_members", sum($"n").over(wM))
+        .withColumn("lr", row_number().over(wR))
+        .where($"lr" === 1)
+        .select($"c_id".cast("long").as("c_id"),
+          $"n_members".cast("long").as("n_members"),
+          $"label".cast("long").as("maj_label"), $"n".as("n_majority"),
+          expr("n * 10000 DIV n_members").as("purity_bp"))
+        .orderBy($"c_id")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
-      annPq, retrieval, knnLabel, annIvfPq)
+      annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity)
 }
