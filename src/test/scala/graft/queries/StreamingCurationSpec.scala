@@ -574,4 +574,48 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
         s"streamed=${streamed.size} batch=${batch.size}\ndiff=${streamed.diff(batch)} / ${batch.diff(streamed)}")
     } finally q.stop()
   }
+
+  test("live burstiness screen matches batch x_bot_burst across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // the raw event feed, (ms, event_id)-ordered — the in-order-per-user
+    // delivery contract the live fold assumes
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", $"event_id", expr("ts DIV 1000000").as("ms"))
+      .orderBy($"ms", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.StreamingBurst.stats(
+        mem.toDS().toDF("user_id", "event_id", "ms"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("burst1").start()
+    try {
+      val third = feed.length / 3
+      mem.addData(feed.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(feed.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(feed.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      // latest snapshot per user (n_gaps increases strictly across a
+      // user's emissions, so max-n_gaps IS the final row), then the
+      // batch query's exact ordering + top-20
+      val wLast = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"n_gaps".desc)
+      val streamed = spark.table("burst1")
+        .withColumn("rn", row_number().over(wLast)).where($"rn" === 1)
+        .orderBy($"burst_bp".desc, $"n_gaps".desc, $"user_id").limit(20)
+        .select($"user_id", $"n_gaps", $"n_burst", $"min_gap_ms", $"burst_bp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val batch = graft.SparkEntry.queries("x_bot_burst")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(streamed == batch,
+        s"streamed=${streamed.take(5)}... batch=${batch.take(5)}...")
+    } finally q.stop()
+  }
 }
