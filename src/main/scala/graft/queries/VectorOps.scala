@@ -495,7 +495,112 @@ object VectorOps extends QueryModule {
         .orderBy($"c_id")
     })
 
+  /** Embedding OOD/noise screen — the inverse read of x_contam_embed:
+    * instead of "too close to the benchmark", flag vectors too FAR from
+    * every seeded cell centroid (best cos < 0.18 against the fixed-32
+    * seed set ≈ the bottom ~8% at every test SF). Far-from-everything
+    * vectors are the encoder-garbage / wrong-modality / corrupted rows
+    * that pollute ANN cells and training mixtures. Same broadcast
+    * `max_centroid_cos` kernel: one narrow codegen pass, no join, then
+    * a per-label aggregate. */
+  private val embedOutliers = Q(
+    "x_embed_outliers",
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+             c AS ${seedSql(32)},
+             m AS (SELECT e.vec_id, e.label, max(${cosSql("c.cv", "e.v")}) AS mc
+                   FROM e CROSS JOIN c GROUP BY e.vec_id, e.label)
+             SELECT CAST(label AS BIGINT) AS label,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(*) FILTER (WHERE mc < 0.18) AS BIGINT) AS n_outlier,
+               CAST((count(*) FILTER (WHERE mc < 0.18)) * 10000 // count(*)
+                 AS BIGINT) AS outlier_bp
+             FROM m GROUP BY label ORDER BY label"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val e = barrier(t(spark, dir, "embeddings")
+        .select($"vec_id", $"label",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+        .withColumn("nrm", sqrt(dotCol("v", "v")))
+      val cents = seedCentroids(e, 32)
+      graft.functions.Centroids.register(spark, cents)
+      e.withColumn("mc", expr("max_centroid_cos(v, nrm)"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_total"),
+          count(when($"mc" < 0.18, 1)).as("n_outlier"))
+        .select($"label".cast("long").as("label"), $"n_total", $"n_outlier",
+          expr("n_outlier * 10000 DIV n_total").as("outlier_bp"))
+        .orderBy($"label")
+    })
+
+  /** Dimension-truncation calibration — the sketch-trust report for
+    * serving embeddings at reduced width (Matryoshka-style prefix
+    * truncation, the cheapest index-compression lever): for each probe,
+    * how much of the exact full-width top-5 survives when ranking with
+    * only the FIRST 16 of 64 dims, and the summed cos error (bp) over
+    * the true top-5. The per-operator analogue of x_minhash_error /
+    * the PQ recall specs: measure the cheap path against the exact one
+    * before trusting it at scale. One pass computes both similarities
+    * (prefix dot is a strict left-fold over the sliced array — bit-
+    * identical in both engines); ranks are per-probe windows over the
+    * broadcast-probe join. */
+  private val dimError = Q(
+    "x_dim_error",
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                 (embedding::DOUBLE[])[1:16] AS vt FROM embeddings),
+             p AS (SELECT vec_id AS p_id, v AS pv, vt AS pvt FROM e
+                   WHERE vec_id < 5),
+             s AS (SELECT p_id, vec_id, ${cosSql("pv", "v")} AS sim_f,
+                     ${cosSql("pvt", "vt")} AS sim_t
+                   FROM p CROSS JOIN e WHERE vec_id <> p_id),
+             r AS (SELECT p_id, vec_id, sim_f, sim_t,
+                     row_number() OVER (PARTITION BY p_id
+                       ORDER BY sim_f DESC, vec_id) AS rk_f,
+                     row_number() OVER (PARTITION BY p_id
+                       ORDER BY sim_t DESC, vec_id) AS rk_t
+                   FROM s),
+             tt AS (SELECT p_id, vec_id FROM r WHERE rk_t <= 5)
+             SELECT r.p_id AS p_id,
+               CAST(count(tt.vec_id) AS BIGINT) AS n_overlap,
+               CAST(sum(abs(CAST(floor(r.sim_f * 10000.0) AS BIGINT)
+                 - CAST(floor(r.sim_t * 10000.0) AS BIGINT))) AS BIGINT)
+                 AS sum_err_bp
+             FROM r LEFT JOIN tt
+               ON tt.p_id = r.p_id AND tt.vec_id = r.vec_id
+             WHERE r.rk_f <= 5
+             GROUP BY r.p_id ORDER BY p_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val e = barrier(t(spark, dir, "embeddings")
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+        .withColumn("vt", expr("slice(v, 1, 16)"))
+        .withColumn("nrm", sqrt(dotCol("v", "v")))
+        .withColumn("nrm_t", sqrt(dotCol("vt", "vt")))
+      val p = broadcast(e.where($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"v".as("pv"), $"vt".as("pvt"),
+          $"nrm".as("p_nrm"), $"nrm_t".as("p_nrm_t")))
+      val wF = Window.partitionBy($"p_id").orderBy($"sim_f".desc, $"vec_id")
+      val wT = Window.partitionBy($"p_id").orderBy($"sim_t".desc, $"vec_id")
+      val r = p.join(e, $"vec_id" =!= $"p_id")
+        .withColumn("sim_f", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
+        .withColumn("sim_t", dotCol("pvt", "vt") / ($"p_nrm_t" * $"nrm_t"))
+        .withColumn("rk_f", row_number().over(wF))
+        .withColumn("rk_t", row_number().over(wT))
+      val tt = r.where($"rk_t" <= 5)
+        .select($"p_id".as("t_pid"), $"vec_id".as("t_vid"))
+      r.where($"rk_f" <= 5)
+        .join(tt, $"p_id" === $"t_pid" && $"vec_id" === $"t_vid", "left")
+        .groupBy($"p_id")
+        .agg(count($"t_vid").as("n_overlap"),
+          sum(abs(floor($"sim_f" * 10000.0).cast("long")
+            - floor($"sim_t" * 10000.0).cast("long"))).as("sum_err_bp"))
+        .orderBy($"p_id")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
-      annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity)
+      annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
+      embedOutliers, dimError)
 }
