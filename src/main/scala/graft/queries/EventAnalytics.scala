@@ -308,6 +308,63 @@ object EventAnalytics extends QueryModule {
         .limit(20)
     })
 
+  /** Session depth/duration distribution — the aggregate read on top of
+    * r_stream_session's per-session rows (which expose starts and
+    * depths but not durations or distribution shape): sessionize by the
+    * same 30-min whole-second gap rule, then one summary row with
+    * session count, users, and p50/p99 of events-per-session and
+    * session duration. Plan: one lag() window (one-row state) + one
+    * running-sum window on the same (user | ts_s, event_id) sort — ONE
+    * exchange serves both — then a (user, sid) aggregate and a global
+    * roll-up of the tiny per-session table. Exact percentiles map
+    * quantile_cont ↔ percentile (the r_agg_percentile recipe); at
+    * 100 TB swap approx_percentile, x_approx_quantile's declared scale
+    * path. */
+  private val sessionStats = Q(
+    "x_session_stats",
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_s
+                       FROM events),
+            g AS (SELECT user_id, event_id, ts_s,
+                    CASE WHEN lag(ts_s) OVER w IS NULL
+                           OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+            s AS (SELECT user_id, ts_s,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM g),
+            p AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(max(ts_s) - min(ts_s) AS BIGINT) AS dur_s
+                  FROM s GROUP BY user_id, sid)
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              round(quantile_cont(n_events, 0.5), 4) AS p50_events,
+              round(quantile_cont(n_events, 0.99), 4) AS p99_events,
+              round(quantile_cont(dur_s, 0.5), 4) AS p50_dur_s,
+              round(quantile_cont(dur_s, 0.99), 4) AS p99_dur_s,
+              CAST(max(dur_s) AS BIGINT) AS max_dur_s
+            FROM p"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(spark, dir, "events")
+        .select($"user_id", $"event_id", expr("unix_millis(ts) DIV 1000").as("ts_s"))
+        .withColumn("new_s",
+          when(lag($"ts_s", 1).over(wOrd).isNull
+            || $"ts_s" - lag($"ts_s", 1).over(wOrd) > 1800, 1).otherwise(0))
+        .withColumn("sid", sum($"new_s").over(wRun))
+        .groupBy($"user_id", $"sid")
+        .agg(count(lit(1)).as("n_events"),
+          (max($"ts_s") - min($"ts_s")).as("dur_s"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count_distinct($"user_id").as("n_users"),
+          round(expr("percentile(n_events, 0.5)"), 4).as("p50_events"),
+          round(expr("percentile(n_events, 0.99)"), 4).as("p99_events"),
+          round(expr("percentile(dur_s, 0.5)"), 4).as("p50_dur_s"),
+          round(expr("percentile(dur_s, 0.99)"), 4).as("p99_dur_s"),
+          max($"dur_s").as("max_dur_s"))
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
-    userSkew, botBurst)
+    userSkew, botBurst, sessionStats)
 }

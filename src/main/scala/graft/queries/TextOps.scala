@@ -364,6 +364,58 @@ object TextOps extends QueryModule {
             FROM prs ORDER BY a_id, b_id"""),
     (spark, dir) => sampledPairs(spark, dir).orderBy(col("a_id"), col("b_id")))
 
+  /** Winnowing (MOSS) near-duplicate pairs — the guaranteed-detection
+    * member of the fingerprinting family (graft.functions.Winnowing):
+    * each 8-window of 32-byte-gram hashes contributes its minimum, so
+    * any shared verbatim span of ≥ 39 bytes MUST share a fingerprint —
+    * the property 0-mod-p sampling (x_dedup_sampled) can only provide
+    * in expectation. Selected-hash sets ride the same df-capped posting
+    * join; the oracle re-derives the window minima with list_min over
+    * the identical rolling-hash stream (the selected VALUE is the
+    * window min regardless of position tie-breaks, so no argmin
+    * spelling is needed). Same Σdf² cost bound as the sampled variant. */
+  private val dedupWinnow = Q(
+    "x_dedup_winnow",
+    Some("""WITH f AS (SELECT doc_id,
+              list_transform(range(1, greatest(length(text) - 31, 0) + 1),
+                i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(i, i + 32),
+                         j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))),
+                       (a, x) -> (a * 31 + x) % 1000000007)) AS hs
+              FROM documents),
+            s AS (SELECT doc_id, list_sort(list_distinct(
+                list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
+                  w -> list_aggregate(hs[w:w+7], 'min')))) AS fps
+              FROM f),
+            u AS (SELECT doc_id, fp FROM (
+                    SELECT doc_id, unnest(fps) AS fp FROM s)
+                  QUALIFY count(*) OVER (PARTITION BY fp) <= 1000),
+            prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                      count(*) AS n_shared
+                    FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT a_id, b_id, CAST(n_shared AS BIGINT) AS n_shared
+            FROM prs ORDER BY a_id, b_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.Winnowing.register(spark)
+      val post = barrier(t(spark, dir, "documents")
+        .select($"doc_id", explode(expr("winnowed_fingerprints(text)")).as("fp")))
+        .repartition($"fp")
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+        .where($"df" <= 1000)
+        .drop("df")
+      val a = post.select($"fp", $"doc_id".as("a_id"))
+      val b = post.select($"fp".as("fp2"), $"doc_id".as("b_id"))
+      a.join(b, $"fp" === $"fp2" && $"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .where($"n_shared" >= 2)
+        .select($"a_id", $"b_id", $"n_shared".cast("long").as("n_shared"))
+        .orderBy($"a_id", $"b_id")
+    })
+
   /** The sampled-fingerprint near-dup pair pipeline (df-capped posting
     * join) — shared by x_dedup_sampled, and x_dedup_compare's family-
     * agreement diagnostic. Returns (a_id, b_id, n_shared), unordered. */
@@ -497,5 +549,5 @@ object TextOps extends QueryModule {
 
   override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
-    dedupSampled, dedupCross, langConfusion)
+    dedupSampled, dedupWinnow, dedupCross, langConfusion)
 }
