@@ -396,24 +396,126 @@ object TextOps extends QueryModule {
                     GROUP BY 1, 2 HAVING count(*) >= 2)
             SELECT a_id, b_id, CAST(n_shared AS BIGINT) AS n_shared
             FROM prs ORDER BY a_id, b_id"""),
+    (spark, dir) => winnowPairs(spark, dir).orderBy(col("a_id"), col("b_id")))
+
+  /** The winnowed-fingerprint pair pipeline (df-capped posting join,
+    * x_dedup_winnow's exact semantics) — shared with the
+    * x_winnow_vs_sampled agreement report. Returns (a_id, b_id,
+    * n_shared), unordered. */
+  private[queries] def winnowPairs(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    graft.functions.Winnowing.register(spark)
+    val post = barrier(t(spark, dir, "documents")
+      .select($"doc_id", explode(expr("winnowed_fingerprints(text)")).as("fp")))
+      .repartition($"fp")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .where($"df" <= 1000)
+      .drop("df")
+    val a = post.select($"fp", $"doc_id".as("a_id"))
+    val b = post.select($"fp".as("fp2"), $"doc_id".as("b_id"))
+    a.join(b, $"fp" === $"fp2" && $"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= 2)
+      .select($"a_id", $"b_id", $"n_shared".cast("long").as("n_shared"))
+  }
+
+  /** Tokenizer fertility per language — the eval behind tokenizer and
+    * vocabulary choices: BPE-ish tokens per whitespace word and chars
+    * per BPE token, by lang. High fertility on a language means the
+    * tokenizer fragments it (worse effective context, higher training
+    * cost for the same text) — THE number multilingual data teams
+    * compare before fixing a vocab. Same single-pass byte-scan kernels
+    * as x_token_count (ws_token_count / bpe_token_count, whole-stage
+    * codegen), one map-side-combined aggregate, all-integer ratios. */
+  private val tokenFertility = Q(
+    "x_token_fertility",
+    Some("""WITH f AS (SELECT lang, length(text) AS n_chars,
+              len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS ws,
+              len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])', 1)) AS bpe
+              FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              CAST(sum(ws) AS BIGINT) AS ws_tokens,
+              CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+              CAST(sum(bpe) * 10000 // sum(ws) AS BIGINT) AS fertility_bp,
+              CAST(sum(n_chars) * 10000 // sum(bpe) AS BIGINT) AS chars_per_tok_bp
+            FROM f GROUP BY lang ORDER BY lang"""),
     (spark, dir) => {
       import spark.implicits._
-      graft.functions.Winnowing.register(spark)
-      val post = barrier(t(spark, dir, "documents")
-        .select($"doc_id", explode(expr("winnowed_fingerprints(text)")).as("fp")))
-        .repartition($"fp")
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
-        .where($"df" <= 1000)
-        .drop("df")
-      val a = post.select($"fp", $"doc_id".as("a_id"))
-      val b = post.select($"fp".as("fp2"), $"doc_id".as("b_id"))
-      a.join(b, $"fp" === $"fp2" && $"a_id" < $"b_id")
-        .groupBy($"a_id", $"b_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .where($"n_shared" >= 2)
-        .select($"a_id", $"b_id", $"n_shared".cast("long").as("n_shared"))
-        .orderBy($"a_id", $"b_id")
+      graft.functions.TokenCounts.register(spark)
+      t(spark, dir, "documents")
+        .select($"lang", length($"text").as("n_chars"),
+          expr("ws_token_count(text)").as("ws"),
+          expr("bpe_token_count(text)").as("bpe"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
+          sum($"ws").as("ws_tokens"), sum($"bpe").as("bpe_tokens"))
+        .select($"lang", $"n_docs", $"n_chars", $"ws_tokens", $"bpe_tokens",
+          expr("bpe_tokens * 10000 DIV ws_tokens").as("fertility_bp"),
+          expr("n_chars * 10000 DIV bpe_tokens").as("chars_per_tok_bp"))
+        .orderBy($"lang")
+    })
+
+  /** Winnow-vs-sampled agreement — the calibration read between the two
+    * SPAN-based fingerprint families (x_dedup_compare calibrates
+    * token-set vs span; this isolates the span pair): `sampled_only`
+    * pairs passed the 0-mod-p lottery twice without a shared window
+    * minimum; `winnow_only` pairs are what the random 1/4 sample MISSED
+    * and the winnowing guarantee caught — the measured coverage gap
+    * that justifies paying winnowing's denser fingerprint set at
+    * 100 TB. Cost = the two Σdf²-bounded posting joins + a full outer
+    * join on the (tiny) pair sets. */
+  private val winnowVsSampled = Q(
+    "x_winnow_vs_sampled",
+    Some("""WITH h AS (SELECT doc_id,
+              list_transform(range(1, greatest(length(text) - 31, 0) + 1),
+                i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(i, i + 32),
+                         j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))),
+                       (a, x) -> (a * 31 + x) % 1000000007)) AS hs
+              FROM documents),
+            wsel AS (SELECT doc_id, list_sort(list_distinct(
+                list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
+                  w -> list_aggregate(hs[w:w+7], 'min')))) AS fps
+              FROM h),
+            wu AS (SELECT doc_id, fp FROM (
+                     SELECT doc_id, unnest(fps) AS fp FROM wsel)
+                   QUALIFY count(*) OVER (PARTITION BY fp) <= 1000),
+            wp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM wu a JOIN wu b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+            ssel AS (SELECT doc_id, list_sort(list_distinct(
+                list_filter(hs, x -> x % 4 = 0))) AS fps FROM h),
+            su AS (SELECT doc_id, fp FROM (
+                     SELECT doc_id, unnest(fps) AS fp FROM ssel)
+                   QUALIFY count(*) OVER (PARTITION BY fp) <= 1000),
+            sp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM su a JOIN su b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+            j AS (SELECT CASE
+                    WHEN wp.a_id IS NOT NULL AND sp.a_id IS NOT NULL THEN 'both'
+                    WHEN wp.a_id IS NOT NULL THEN 'winnow_only'
+                    ELSE 'sampled_only' END AS family
+                  FROM wp FULL OUTER JOIN sp
+                    ON wp.a_id = sp.a_id AND wp.b_id = sp.b_id)
+            SELECT family, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM j GROUP BY family ORDER BY family"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val wp = winnowPairs(spark, dir)
+        .select($"a_id".as("wa"), $"b_id".as("wb"), lit(1).as("in_w"))
+      val sp = sampledPairs(spark, dir)
+        .select($"a_id".as("sa"), $"b_id".as("sb"), lit(1).as("in_s"))
+      wp.join(sp, $"wa" === $"sa" && $"wb" === $"sb", "full_outer")
+        .withColumn("family",
+          when($"in_w".isNotNull && $"in_s".isNotNull, "both")
+            .when($"in_w".isNotNull, "winnow_only")
+            .otherwise("sampled_only"))
+        .groupBy($"family")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"family")
     })
 
   /** The sampled-fingerprint near-dup pair pipeline (df-capped posting
@@ -549,5 +651,6 @@ object TextOps extends QueryModule {
 
   override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
-    dedupSampled, dedupWinnow, dedupCross, langConfusion)
+    dedupSampled, dedupWinnow, winnowVsSampled, dedupCross, langConfusion,
+    tokenFertility)
 }

@@ -180,4 +180,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 regressed to full sort:\n$p")
     assert(!p.contains("Join"), s"path mining must not join:\n$p")
   }
+
+  test("max_centroid_cos screens are joinless narrow passes (contam/outliers)") {
+    // the broadcast-kernel contract: scanning the corpus against the
+    // benchmark/centroid set must not join, window or replicate —
+    // only the per-label summary aggregates out
+    Seq("x_contam_embed", "x_embed_outliers").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q re-grew a join:\n$p")
+      assert(!p.contains("WindowExec") && !p.contains("Window\n"),
+        s"$q re-grew a window:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q lost its partial aggregate:\n$p")
+    }
+  }
+
+  test("x_bot_burst: one-row-state window + TakeOrdered, no pair joins") {
+    val p = plan("x_bot_burst")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 regressed to full sort:\n$p")
+    assert(!p.contains("Join"), s"burst screen must not join:\n$p")
+  }
+
+  test("x_session_stats: one exchange serves both session windows") {
+    // lag() and the running sid sum share the (user | ts_s, event_id)
+    // sort — a second user-keyed exchange means the windows diverged
+    val p = plan("x_session_stats")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exec = SparkEntry.queries("x_session_stats")(spark, sf)
+      .queryExecution.executedPlan
+    val userExchanges = exec.collect {
+      case s: ShuffleExchangeExec if s.outputPartitioning.toString.contains("user_id") => s
+    }
+    assert(userExchanges.size <= 1, s"session windows split their exchange:\n$p")
+    assert(!p.contains("Join"), s"sessionization must not join:\n$p")
+  }
 }

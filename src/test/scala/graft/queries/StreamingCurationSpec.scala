@@ -618,4 +618,46 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
         s"streamed=${streamed.take(5)}... batch=${batch.take(5)}...")
     } finally q.stop()
   }
+
+  test("live burst state survives a query restart (checkpoint resume)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("burstckpt")
+    val t0 = 1700000000000L
+    val mem = MemoryStream[(Long, Long, Long)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.streaming.StreamingBurst.BurstStat]()
+    def start() = graft.streaming.StreamingBurst.stats(
+        mem.toDS().toDF("user_id", "event_id", "ms"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamingBurst.BurstStat],
+         _: Long) => batch.collect().foreach(seen.add)
+      }
+      .start()
+
+    // run 1: two events 30s apart — one burst gap
+    val q1 = start()
+    try {
+      mem.addData((9L, 1L, t0), (9L, 2L, t0 + 30000L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.asScala.exists(s => s.user_id == 9L && s.n_gaps == 1L && s.n_burst == 1L),
+      s"burst gap not counted before restart: $seen")
+
+    // run 2, same checkpoint: ONE more event 20s later — the gap spans
+    // the restart, so the resumed lastMs must produce (2 gaps, 2 bursts)
+    val q2 = start()
+    try {
+      mem.addData((9L, 3L, t0 + 50000L))
+      q2.processAllAvailable()
+      assert(seen.asScala.exists(s =>
+          s.user_id == 9L && s.n_gaps == 2L && s.n_burst == 2L &&
+          s.min_gap_ms == 20000L && s.burst_bp == 10000L),
+        s"state not resumed across restart: $seen")
+    } finally q2.stop()
+  }
 }
