@@ -484,7 +484,80 @@ object MiningOps extends QueryModule {
         .limit(20)
     })
 
+  /** PageRank over the near-duplicate graph (3 power iterations) — the
+    * centrality read behind "keep the most-connected representative" in
+    * template/boilerplate clusters, and the iterative-graph-algorithm
+    * shape (bounded Pregel rounds of edge-join + keyed aggregate) the
+    * engine must sustain at 100 TB. ALL-INTEGER arithmetic: ranks live
+    * in basis points, each neighbor contributes `rank DIV deg`, and the
+    * damping update is `1500 + (8500 · Σcontrib) DIV 10000` — integer
+    * sums are order-free, so both engines iterate to bit-identical
+    * ranks (a double-precision PageRank could never hash-match across
+    * engines). Plan shape: the edge list sits under ONE exchange that
+    * all three iterations share (ReusedExchange — the Σdf²-bounded
+    * shingle posting join runs once); per iteration, the rank side of
+    * the join is |V| rows and shrinks to a keyed aggregate. */
+  private val dupPagerank = Q(
+    "x_dup_pagerank",
+    Some("""WITH s AS (
+              SELECT doc_id, lang,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+              FROM (SELECT doc_id, lang,
+                      list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              WHERE CAST(floor((len(list_intersect(a.sh, b.sh)) * 10000.0)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS BIGINT) >= 6000),
+            e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION ALL SELECT b_id, a_id FROM pairs),
+            d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+            r0 AS (SELECT src AS id, CAST(10000 AS BIGINT) AS rank FROM d),
+            r1 AS (SELECT e.dst AS id,
+                     CAST(1500 + (8500 * sum(r0.rank // d.deg)) // 10000 AS BIGINT) AS rank
+                   FROM e JOIN d ON e.src = d.src JOIN r0 ON r0.id = e.src
+                   GROUP BY e.dst),
+            r2 AS (SELECT e.dst AS id,
+                     CAST(1500 + (8500 * sum(r1.rank // d.deg)) // 10000 AS BIGINT) AS rank
+                   FROM e JOIN d ON e.src = d.src JOIN r1 ON r1.id = e.src
+                   GROUP BY e.dst),
+            r3 AS (SELECT e.dst AS id,
+                     CAST(1500 + (8500 * sum(r2.rank // d.deg)) // 10000 AS BIGINT) AS rank
+                   FROM e JOIN d ON e.src = d.src JOIN r2 ON r2.id = e.src
+                   GROUP BY e.dst)
+            SELECT r3.id AS doc_id, d.deg AS deg, r3.rank AS rank_bp
+            FROM r3 JOIN d ON d.src = r3.id
+            ORDER BY rank_bp DESC, doc_id LIMIT 20"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val pairs = TextOps.ngramPairs(spark, dir).select($"a_id", $"b_id")
+      // one exchange under the whole iteration stack: every reference
+      // to `edges` below reuses this shuffle, so the posting join that
+      // materializes the graph runs exactly once (ReusedExchange)
+      val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+        .unionAll(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+        .repartition($"src")
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val edgesD = edges.join(deg, "src")
+      var rank = deg.select($"src".as("id"), lit(10000L).as("rank"))
+      for (_ <- 1 to 3) {
+        rank = edgesD.join(rank, $"src" === $"id")
+          .select($"dst", expr("rank DIV deg").as("contrib"))
+          .groupBy($"dst")
+          .agg(sum($"contrib").as("s"))
+          .select($"dst".as("id"),
+            expr("CAST(1500 + (8500 * s) DIV 10000 AS BIGINT)").as("rank"))
+      }
+      rank.join(deg, $"id" === $"src")
+        .select($"id".as("doc_id"), $"deg", $"rank".as("rank_bp"))
+        .orderBy($"rank_bp".desc, $"doc_id")
+        .limit(20)
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
-    bpePairs)
+    bpePairs, dupPagerank)
 }

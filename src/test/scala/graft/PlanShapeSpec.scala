@@ -201,6 +201,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), s"burst screen must not join:\n$p")
   }
 
+  test("x_dup_pagerank: the edge-list exchange is built once and reused per iteration") {
+    // three power iterations over the near-dup graph must NOT recompute
+    // the shingle posting join — every reference below the edge-list
+    // repartition has to resolve to a ReusedExchange
+    val df = SparkEntry.queries("x_dup_pagerank")(spark, sf)
+    df.collect() // AQE only materializes reuse in the FINAL plan
+    val p = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ReusedExchange"),
+      s"no ReusedExchange — the pair graph is being recomputed per iteration:\n$p")
+  }
+
   test("x_session_stats: one exchange serves both session windows") {
     // lag() and the running sid sum share the (user | ts_s, event_id)
     // sort — a second user-keyed exchange means the windows diverged
