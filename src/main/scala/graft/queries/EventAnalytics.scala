@@ -365,6 +365,118 @@ object EventAnalytics extends QueryModule {
           max($"dur_s").as("max_dur_s"))
     })
 
+  /** Robust anomaly screen on the event `value` stream: per event type,
+    * flag values more than 5 median-absolute-deviations from the
+    * median — the outlier rule that (unlike mean/stddev z-scores)
+    * doesn't let the outliers themselves inflate the yardstick. The
+    * per-type outlier rate and max robust-z are the data-quality read
+    * that decides whether a metrics stream needs clamping before it
+    * feeds training or billing.
+    *
+    * Determinism: median and MAD are exact interpolated percentiles
+    * (the x_session_stats recipe); dev, 5·mad and dev·10000/mad are
+    * single IEEE double ops identical in both engines, and floor /
+    * comparisons are exact. mad = 0 (constant stream) yields NULL
+    * max_z_bp rather than an Inf cast.
+    *
+    * Scale shape: two passes over (event_type, value) — median, then
+    * MAD of deviations — each a type-cardinality aggregate joined back
+    * by BROADCAST (the per-type stats table is tiny by declaration).
+    * Exact percentiles buffer per-type values; at 100 TB swap
+    * approx_percentile (x_approx_quantile's declared path). */
+  private val valueOutliers = Q(
+    "x_value_outliers",
+    Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                       FROM events GROUP BY event_type),
+            d AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+                  FROM events e JOIN m USING (event_type)),
+            a AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                  FROM d GROUP BY event_type)
+            SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+              round(d.med, 4) AS med, round(a.mad, 4) AS mad,
+              CAST(count(*) FILTER (WHERE d.dev > 5 * a.mad) AS BIGINT) AS n_outlier,
+              CAST((count(*) FILTER (WHERE d.dev > 5 * a.mad)) * 10000 // count(*)
+                AS BIGINT) AS outlier_bp,
+              max(CASE WHEN a.mad > 0
+                THEN CAST(floor(d.dev * 10000 / a.mad) AS BIGINT) END) AS max_z_bp
+            FROM d JOIN a USING (event_type)
+            GROUP BY d.event_type, d.med, a.mad
+            ORDER BY d.event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = t(spark, dir, "events").select($"event_type", $"value")
+      val m = ev.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val d = ev.join(broadcast(m), "event_type")
+        .withColumn("dev", abs($"value" - $"med"))
+      val a = d.groupBy($"event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      d.join(broadcast(a), "event_type")
+        .groupBy($"event_type", $"med", $"mad")
+        .agg(count(lit(1)).as("n"),
+          count(when($"dev" > lit(5) * $"mad", 1)).as("n_outlier"),
+          max(when($"mad" > 0,
+            expr("CAST(floor(dev * 10000 / mad) AS BIGINT)"))).as("max_z_bp"))
+        .select($"event_type", $"n", round($"med", 4).as("med"),
+          round($"mad", 4).as("mad"), $"n_outlier",
+          expr("n_outlier * 10000 DIV n").as("outlier_bp"), $"max_z_bp")
+        .orderBy($"event_type")
+    })
+
+  /** First-order Markov transition matrix over per-user event
+    * histories: for each (prev → next) event-type pair, the count and
+    * the conditional probability in basis points — the behavioral-model
+    * read behind funnel design and bot heuristics (a user base whose
+    * `view → purchase` probability moves is news; x_event_paths' raw
+    * trigram counts can't answer "given a view, what fraction
+    * purchase?").
+    *
+    * Determinism: ordering is (µs-floored ts, event_id) — `unix_micros`
+    * in Spark ≡ `epoch_us` on DuckDB's ns timestamps, so both engines
+    * see identical successor pairs; probabilities are exact int64
+    * floor-division basis points.
+    *
+    * Scale shape: one user-keyed window (lag 1 — a single row of sorter
+    * lookahead state, bot-user-proof like x_bot_burst) into a
+    * type²-cardinality map-side-combined aggregate; the normalizing
+    * total rides a window over that TINY matrix, and top-20 is a
+    * TakeOrdered. No pair joins, nothing driver-side. */
+  private val eventTransitions = Q(
+    "x_event_transitions",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                         epoch_us(ts) AS ts_us FROM events),
+            p AS (SELECT lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type,
+                    event_type AS next_type
+                  FROM e),
+            c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+                  FROM p WHERE prev_type IS NOT NULL
+                  GROUP BY prev_type, next_type),
+            tt AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+                   FROM c GROUP BY prev_type)
+            SELECT c.prev_type, c.next_type, c.n,
+              CAST((c.n * 10000) // tt.tot AS BIGINT) AS p_bp
+            FROM c JOIN tt USING (prev_type)
+            ORDER BY n DESC, prev_type, next_type LIMIT 20"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val wU = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val wP = Window.partitionBy($"prev_type")
+      t(spark, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts)").as("ts_us"))
+        .withColumn("prev_type", lag($"event_type", 1).over(wU))
+        .where($"prev_type".isNotNull)
+        .select($"prev_type", $"event_type".as("next_type"))
+        .groupBy($"prev_type", $"next_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum($"n").over(wP))
+        .select($"prev_type", $"next_type", $"n",
+          expr("(n * 10000) DIV tot").as("p_bp"))
+        .orderBy($"n".desc, $"prev_type", $"next_type")
+        .limit(20)
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
-    userSkew, botBurst, sessionStats)
+    userSkew, botBurst, sessionStats, valueOutliers, eventTransitions)
 }

@@ -557,7 +557,61 @@ object MiningOps extends QueryModule {
         .limit(20)
     })
 
+  /** Per-document lexical diversity (Gini–Simpson index) rolled up per
+    * source — the mode-collapse / template screen at DOCUMENT
+    * granularity: a doc that keeps re-drawing the same few tokens has
+    * Σcnt² close to N² and a diversity near 0, while a doc that never
+    * repeats sits at (N²−N)/N². Complements x_vocab_growth (corpus-level
+    * TTR dilutes per-doc collapse) and x_repetition (top-ngram burst vs
+    * whole-distribution concentration).
+    *
+    * Exactness: the index is computed entirely in int64 —
+    * `((n·n − Σcnt²)·10000) DIV (n·n)` with non-negative operands, so
+    * Spark `DIV` and DuckDB `//` agree bit-for-bit. int64 bound:
+    * n·n·10000 needs n ≤ ~9.6e8 tokens per document — far above any
+    * real doc; the per-SOURCE rollup never squares corpus counts.
+    *
+    * Scale shape: explode → (doc, token) hash aggregate (map-side
+    * combine collapses within-doc repeats) → per-doc aggregate →
+    * source-cardinality rollup. No joins, no windows; the exact p50
+    * percentile buffers per-source doc values — swap approx_percentile
+    * at 100 TB (x_approx_quantile's declared path). */
+  private val docDiversity = Q(
+    "x_doc_diversity",
+    Some("""WITH tok AS (SELECT doc_id, source,
+                unnest(list_filter(string_split_regex(lower(text), ' +'),
+                  x -> x <> '')) AS token
+              FROM documents),
+            c AS (SELECT doc_id, source, token, CAST(count(*) AS BIGINT) AS cnt
+                  FROM tok GROUP BY doc_id, source, token),
+            d AS (SELECT doc_id, source, CAST(sum(cnt) AS BIGINT) AS n,
+                    CAST(sum(cnt * cnt) AS BIGINT) AS s2
+                  FROM c GROUP BY doc_id, source),
+            v AS (SELECT source, ((n * n - s2) * 10000) // (n * n) AS div_bp FROM d)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              round(quantile_cont(div_bp, 0.5), 4) AS p50_div_bp,
+              CAST(min(div_bp) AS BIGINT) AS min_div_bp,
+              CAST(count(*) FILTER (WHERE div_bp < 8500) AS BIGINT) AS n_low_div
+            FROM v GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .groupBy($"doc_id", $"source", $"token")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id", $"source")
+        .agg(sum($"cnt").as("n"), sum($"cnt" * $"cnt").as("s2"))
+        .select($"source", expr("((n * n - s2) * 10000) DIV (n * n)").as("div_bp"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(div_bp, 0.5)"), 4).as("p50_div_bp"),
+          min($"div_bp").as("min_div_bp"),
+          count(when($"div_bp" < 8500, 1)).as("n_low_div"))
+        .orderBy($"source")
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
-    bpePairs, dupPagerank)
+    bpePairs, dupPagerank, docDiversity)
 }

@@ -649,8 +649,52 @@ object TextOps extends QueryModule {
         .orderBy($"lang", $"pred_lang")
     })
 
+  /** Template / boilerplate detection by shared document OPENING: docs
+    * whose first three tokens coincide form a prefix cluster — the
+    * cheap screen for generated-form letters, scraped listing pages and
+    * license headers that near-dup passes only catch pairwise. Reports
+    * the top-20 prefixes by cluster size with source spread (a prefix
+    * spanning many sources is a web-wide template, not one crawler's
+    * quirk).
+    *
+    * Scale shape: one narrow projection (three array reads per row — no
+    * full tokenization survives past the map side) into a prefix-
+    * cardinality hash aggregate with map-side combine, then TakeOrdered
+    * 20. No joins, no windows, nothing driver-side; the ORDER BY
+    * (n_docs DESC, prefix) is total, so the limit is deterministic. */
+  private val templatePrefix = Q(
+    "x_template_prefix",
+    Some("""WITH p AS (SELECT doc_id, source,
+                concat_ws(' ', toks[1], toks[2], toks[3]) AS prefix
+              FROM (SELECT doc_id, source,
+                      list_filter(string_split_regex(lower(text), ' +'),
+                        x -> x <> '') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3)
+            SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(min(doc_id) AS BIGINT) AS first_doc
+            FROM p GROUP BY prefix HAVING count(*) >= 2
+            ORDER BY n_docs DESC, prefix LIMIT 20"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") >= 3)
+        .select($"doc_id", $"source",
+          expr("concat(toks[0], ' ', toks[1], ' ', toks[2])").as("prefix"))
+        .groupBy($"prefix")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct($"source").as("n_sources"),
+          min($"doc_id").as("first_doc"))
+        .where($"n_docs" >= 2)
+        .orderBy($"n_docs".desc, $"prefix")
+        .limit(20)
+    })
+
   override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
     dedupSampled, dedupWinnow, winnowVsSampled, dedupCross, langConfusion,
-    tokenFertility)
+    tokenFertility, templatePrefix)
 }

@@ -599,8 +599,60 @@ object VectorOps extends QueryModule {
         .orderBy($"p_id")
     })
 
+  /** Per-dimension embedding moments — the encoder-health screen run
+    * BEFORE any index is built: a dead dimension (mass at ~0) wastes
+    * index width and hints at a collapsed encoder unit; a wide / heavy-
+    * tailed dimension dominates L2 geometry and argues for per-dim
+    * scaling. Complements x_dim_error (which measures the cost of
+    * DROPPING dims; this measures what each dim carries) and
+    * x_embed_outliers (per-vector; this is per-coordinate).
+    *
+    * Exactness: each value is quantized once to basis points
+    * (`floor(v·10000)` — double mul + floor are IEEE-identical in both
+    * engines), then everything downstream is exact integer counting;
+    * the mean divides the exact int64 sum as a double, which is
+    * deterministic and lossless while |Σq| < 2^53 (≈ 9e8 vectors at
+    * full ±1 amplitude — beyond that, pre-aggregate per shard and
+    * divide decimals).
+    *
+    * Scale shape: one posexplode (64 rows per vector, all narrow) into
+    * a dim-cardinality hash aggregate with map-side partial combine —
+    * output is exactly `dim` rows. No joins, no windows, no driver
+    * collects; the final sort is 64 rows. */
+  private val dimStats = Q(
+    "x_dim_stats",
+    Some("""WITH q AS (SELECT unnest(list_transform(embedding::DOUBLE[],
+                (v, i) -> {'dim': i, 'qv': CAST(floor(v * 10000) AS BIGINT)}),
+                recursive := true)
+              FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+              CAST(min(qv) AS BIGINT) AS min_q, CAST(max(qv) AS BIGINT) AS max_q,
+              CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS mean_bp,
+              CAST((count(*) FILTER (WHERE abs(qv) < 10)) * 10000 // count(*)
+                AS BIGINT) AS dead_bp,
+              CAST((count(*) FILTER (WHERE abs(qv) > 3000)) * 10000 // count(*)
+                AS BIGINT) AS wide_bp
+            FROM q GROUP BY dim ORDER BY dim"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "embeddings")
+        .select(posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+        .select(($"pos" + 1).cast("long").as("dim"),
+          expr("CAST(floor(col * 10000) AS BIGINT)").as("qv"))
+        .groupBy($"dim")
+        .agg(count(lit(1)).as("n"), min($"qv").as("min_q"), max($"qv").as("max_q"),
+          sum($"qv").as("sum_qv"),
+          count(when(abs($"qv") < 10, 1)).as("n_dead"),
+          count(when(abs($"qv") > 3000, 1)).as("n_wide"))
+        .select($"dim", $"n", $"min_q", $"max_q",
+          expr("CAST(floor(CAST(sum_qv AS DOUBLE) / n) AS BIGINT)").as("mean_bp"),
+          expr("n_dead * 10000 DIV n").as("dead_bp"),
+          expr("n_wide * 10000 DIV n").as("wide_bp"))
+        .orderBy($"dim")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
-      embedOutliers, dimError)
+      embedOutliers, dimError, dimStats)
 }
