@@ -213,6 +213,45 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"no ReusedExchange — the pair graph is being recomputed per iteration:\n$p")
   }
 
+  test("x_doc_diversity: staged aggregates only — no joins, no windows") {
+    // explode → (doc,token) agg → per-doc agg → source rollup; a join
+    // or window here means the int64 index grew a pairing stage
+    val p = plan("x_doc_diversity")
+    assert(!p.contains("Join"), s"diversity rollup re-grew a join:\n$p")
+    assert(!p.contains("Window"), s"diversity rollup re-grew a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"lost the map-side token combine:\n$p")
+  }
+
+  test("x_template_prefix: narrow projection into TakeOrdered, no joins/windows") {
+    val p = plan("x_template_prefix")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 regressed to full sort:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"prefix clustering must stay a single aggregate:\n$p")
+  }
+
+  test("x_dim_stats: posexplode into one dim-keyed aggregate — no join/window") {
+    val p = plan("x_dim_stats")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"dim moments must not pair or window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"lost the map-side partial combine (64-row output depends on it):\n$p")
+  }
+
+  test("x_value_outliers: per-type stats tables broadcast back, never SMJ") {
+    // the two med/mad tables are type-cardinality by declaration — if
+    // either falls to a sort-merge join the fact stream shuffles twice
+    val p = plan("x_value_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"stats join-back lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join-back fell to SMJ:\n$p")
+  }
+
+  test("x_event_transitions: lag-1 window + tiny-matrix normalize, no joins") {
+    val p = plan("x_event_transitions")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 regressed to full sort:\n$p")
+    assert(!p.contains("Join"), s"transition matrix must not join:\n$p")
+  }
+
   test("x_session_stats: one exchange serves both session windows") {
     // lag() and the running sid sum share the (user | ts_s, event_id)
     // sort — a second user-keyed exchange means the windows diverged
