@@ -100,23 +100,60 @@ object Centroids {
     best
   }
 
-  /** Register `nearest_centroid(v, nrm)` → int and
-    * `nearest_centroids(v, nrm, n)` → array<int> over this centroid set.
-    * The builder CLOSES OVER the centroids (they are baked into the
-    * expression at analysis time, which for DataFrame construction is
-    * eager) — re-registering with a new set does not disturb
-    * already-built DataFrames. */
-  def register(spark: SparkSession, cents: Seq[(Int, Array[Double])]): Unit = {
+  /** Sorted ids, flattened row-major centroid matrix, per-centroid L2
+    * norms (sqrt of the same strict fold as the oracle's
+    * sqrt(list_reduce(...))), and the dimension. */
+  private def prep(cents: Seq[(Int, Array[Double])])
+      : (Seq[Int], Seq[Double], Seq[Double], Int) = {
     val sorted = cents.sortBy(_._1)
     val ids = sorted.map(_._1)
     val dim = sorted.head._2.length
     val flat = sorted.flatMap(_._2.toSeq)
-    // sqrt of the same strict fold as the oracle's sqrt(list_reduce(...))
     val cnrms = sorted.map { case (_, cv) =>
       var acc = 0.0; var d = 0
       while (d < dim) { acc += cv(d) * cv(d); d += 1 }
       math.sqrt(acc)
     }
+    (ids, flat, cnrms, dim)
+  }
+
+  /** `nearest_centroid` as a Column over THIS centroid set — no session
+    * registry involved, so concurrent query construction (Verify's
+    * thread pool runs queries 4-wide on one SparkSession) can never
+    * clobber another query's centroids. n == 1 → int; n > 1 →
+    * array<int> (multi-probe). This is the builder all query/operator
+    * code must use; [[register]] exists only for the SQL text surface. */
+  def nearestCol(v: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column,
+      cents: Seq[(Int, Array[Double])], n: Int = 1): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+    val (ids, flat, cnrms, dim) = prep(cents)
+    ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(v),
+      ExpressionUtils.expression(nrm), ids, flat, cnrms, dim, n))
+  }
+
+  /** `max_centroid_cos` as a Column over THIS centroid set (registry-
+    * free, see [[nearestCol]]). */
+  def maxCosCol(v: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column,
+      cents: Seq[(Int, Array[Double])]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+    val (_, flat, cnrms, dim) = prep(cents)
+    ExpressionUtils.column(MaxCentroidCos(ExpressionUtils.expression(v),
+      ExpressionUtils.expression(nrm), flat, cnrms, dim))
+  }
+
+  /** Register `nearest_centroid(v, nrm)` → int, `nearest_centroids(v,
+    * nrm, n)` → array<int> and `max_centroid_cos(v, nrm)` → double over
+    * this centroid set, for SQL-text clients (attachCorpus sessions).
+    * The registry is session-global last-wins: a second register()
+    * replaces the set for any SQL compiled AFTERWARDS (already-built
+    * DataFrames are safe — analysis is eager and bakes the set in).
+    * Query/operator code must therefore use [[nearestCol]]/[[maxCosCol]]
+    * instead: under concurrent query construction on one session
+    * (graft.Verify's thread pool) an interleaved register() would
+    * silently swap another query's centroids — observed once as an
+    * x_ann_ivf wrong-neighbour result at the r7 gate. */
+  def register(spark: SparkSession, cents: Seq[(Int, Array[Double])]): Unit = {
+    val (ids, flat, cnrms, dim) = prep(cents)
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("nearest_centroid",
       exprs => NearestCentroid(exprs(0), exprs(1), ids, flat, cnrms, dim, 1),

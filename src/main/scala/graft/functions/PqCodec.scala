@@ -77,7 +77,13 @@ object PqCodec {
   /** Register `pq_encode(v, nrm)` over this codebook and
     * `pq_adc(codes, p_idx)` over these probe LUTs. Builders close over
     * the arrays — they are baked into expressions at DataFrame
-    * construction; later re-registration does not disturb built plans. */
+    * construction; later re-registration does not disturb built plans.
+    * For the SQL text surface only — query/operator code must use
+    * [[encodeCol]]/[[adcCol]]: the registry is session-global last-wins,
+    * so under concurrent query construction on one session (graft
+    * .Verify's thread pool) an interleaved register() would swap
+    * another query's codebook/LUTs (the same race class the Centroids
+    * registry hit at the r7 gate). */
   def register(spark: SparkSession, codebook: Array[Double],
       m: Int, ks: Int, dsub: Int, luts: Array[Double]): Unit = {
     registerEncoder(spark, codebook, m, ks, dsub)
@@ -94,6 +100,23 @@ object PqCodec {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction("pq_encode",
       exprs => PqEncode(exprs(0), exprs(1), codebook.toSeq, m, ks, dsub),
       "scala_udf")
+
+  /** `pq_encode` as a Column over THIS codebook — registry-free, so
+    * concurrent query construction can never swap codebooks. */
+  def encodeCol(v: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column,
+      codebook: Array[Double], m: Int, ks: Int, dsub: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+    ExpressionUtils.column(PqEncode(ExpressionUtils.expression(v),
+      ExpressionUtils.expression(nrm), codebook.toSeq, m, ks, dsub))
+  }
+
+  /** `pq_adc` as a Column over THESE probe LUTs (registry-free). */
+  def adcCol(codes: org.apache.spark.sql.Column, pIdx: org.apache.spark.sql.Column,
+      luts: Array[Double], m: Int, ks: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+    ExpressionUtils.column(PqAdc(ExpressionUtils.expression(codes),
+      ExpressionUtils.expression(pIdx), luts.toSeq, m, ks))
+  }
 }
 
 case class PqEncode(

@@ -63,33 +63,36 @@ object IvfPq {
       rerank: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    graft.functions.Centroids.register(spark, index.cents.toSeq)
+    val cents = index.cents.toSeq
 
     // probe collection + ADC tables + exact re-rank are shared with the
     // flat-PQ path (ProductQuantizer.collectProbes/buildLuts/exactRerank)
     // — one LUT layout, one rerank contract, no drift between the two
     val pq = index.pq
     val probes = ProductQuantizer.collectProbes(emb, probeIds)
-    graft.functions.PqCodec.register(spark, pq.codebook, pq.m, pq.ks, pq.dsub,
-      ProductQuantizer.buildLuts(probes, pq))
+    val luts = ProductQuantizer.buildLuts(probes, pq)
 
     // the index: every vector tagged with its cell + its codes — both
     // narrow codegen kernels, zero exchange (PlanShapeSpec-pinned parts)
     val indexed = emb
-      .withColumn("cid", expr("nearest_centroid(v, nrm)"))
-      .withColumn("codes", expr("pq_encode(v, nrm)"))
+      .withColumn("cid", graft.functions.Centroids.nearestCol($"v", $"nrm", cents))
+      .withColumn("codes", graft.functions.PqCodec.encodeCol(
+        $"v", $"nrm", pq.codebook, pq.m, pq.ks, pq.dsub))
 
     // probe fan-out: (p_id, p_idx, one row per probed cell), broadcast
     val pdf = broadcast(
       probes.map(_._1).zipWithIndex.toSeq.toDF("p_id", "p_idx")
         .join(emb.where($"vec_id".isin(probeIds: _*))
           .select($"vec_id".as("p_id"),
-            explode(expr(s"nearest_centroids(v, nrm, $nProbe)")).as("p_cid")),
+            explode(graft.functions.Centroids.nearestCol($"v", $"nrm", cents, nProbe))
+              .as("p_cid")),
           "p_id"))
 
     val wA = Window.partitionBy($"p_id").orderBy($"approx".desc, $"vec_id")
     val cand = pdf.join(indexed, $"cid" === $"p_cid" && $"vec_id" =!= $"p_id")
-      .select($"p_id", $"vec_id", expr("pq_adc(codes, p_idx)").as("approx"))
+      .select($"p_id", $"vec_id",
+        graft.functions.PqCodec.adcCol($"codes", $"p_idx", luts, pq.m, pq.ks)
+          .as("approx"))
       .withColumn("ark", row_number().over(wA))
       .where($"ark" <= rerank)
       .select($"p_id", $"vec_id")

@@ -129,10 +129,9 @@ object KMeansIVF {
     * window that replicated the whole corpus k× through a shuffle.
     * Centroids here are unit vectors; the kernel divides by their true
     * (≈1.0) norms — same argmax, same cid-ascending tie rule. */
-  def assign(emb: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
-    graft.functions.Centroids.register(emb.sparkSession, cents.toSeq)
-    emb.withColumn("cid", expr("nearest_centroid(v, nrm)"))
-  }
+  def assign(emb: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+    emb.withColumn("cid",
+      graft.functions.Centroids.nearestCol(emb("v"), emb("nrm"), cents.toSeq))
 
   /** Top-k exact-cosine neighbours for each probe, scanning the nProbe
     * nearest centroid buckets. */
@@ -146,7 +145,7 @@ object KMeansIVF {
     import spark.implicits._
     // serving path may reuse saved centroids without ever calling train()
     graft.functions.VecDot.register(spark)
-    val indexed = assign(emb, cents) // registers nearest_centroid(s) too
+    val indexed = assign(emb, cents)
 
     // Per probe: its nProbe nearest centroids via the kernel's top-n
     // variant — no cache needed for the two `indexed` legs: the probe
@@ -155,7 +154,8 @@ object KMeansIVF {
     val probes = broadcast(indexed
       .where($"vec_id".isin(probeIds: _*))
       .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm"))
-      .withColumn("p_cid", explode(expr(s"nearest_centroids(pv, p_nrm, $nProbe)"))))
+      .withColumn("p_cid", explode(
+        graft.functions.Centroids.nearestCol($"pv", $"p_nrm", cents.toSeq, nProbe))))
 
     val w = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
     probes.join(indexed, $"cid" === $"p_cid" && $"vec_id" =!= $"p_id")

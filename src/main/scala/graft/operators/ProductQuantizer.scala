@@ -127,14 +127,11 @@ object ProductQuantizer {
   }
 
   /** Add a `codes` column (array<int>, length M) — the narrow codegen
-    * encode pass. Registers ONLY pq_encode (no pq_adc clobbering: a
-    * previously-registered ADC table for an in-flight search must not
-    * be replaced with an empty one). */
-  def encode(emb: DataFrame, model: Model): DataFrame = {
-    graft.functions.PqCodec.registerEncoder(emb.sparkSession, model.codebook,
-      model.m, model.ks, model.dsub)
-    emb.withColumn("codes", expr("pq_encode(v, nrm)"))
-  }
+    * encode pass, registry-free (the codebook bakes straight into the
+    * Column, so concurrent searches can never swap it). */
+  def encode(emb: DataFrame, model: Model): DataFrame =
+    emb.withColumn("codes", graft.functions.PqCodec.encodeCol(
+      emb("v"), emb("nrm"), model.codebook, model.m, model.ks, model.dsub))
 
   /** Probe rows (p_id, RAW vector, norm), p_id-ascending — shared by
     * the PQ and IVF-PQ search paths. Raw + norm (not prenormalized):
@@ -213,10 +210,9 @@ object ProductQuantizer {
     import spark.implicits._
 
     val probes = collectProbes(emb, probeIds)
-    graft.functions.PqCodec.register(spark, model.codebook,
-      model.m, model.ks, model.dsub, buildLuts(probes, model))
+    val luts = buildLuts(probes, model)
 
-    val coded = emb.withColumn("codes", expr("pq_encode(v, nrm)"))
+    val coded = encode(emb, model)
     // probe fan-out over the code column: approx score is one pq_adc
     // table walk; only (p_id, vec_id, approx) survives into the window
     val pdf = broadcast(probes.map(_._1).zipWithIndex.toSeq
@@ -226,7 +222,8 @@ object ProductQuantizer {
       .crossJoin(pdf)
       .where($"vec_id" =!= $"p_id")
       .select($"p_id", $"vec_id",
-        expr("pq_adc(codes, p_idx)").as("approx"))
+        graft.functions.PqCodec.adcCol($"codes", $"p_idx", luts, model.m, model.ks)
+          .as("approx"))
       .withColumn("ark", row_number().over(wA))
       .where($"ark" <= rerank)
       .select($"p_id", $"vec_id")

@@ -173,12 +173,17 @@ object MiningOps extends QueryModule {
   /** Duplication inflation: per source, how much of the token mass sits
     * in non-canonical exact duplicates (doc_id ≠ min doc_id of its
     * identical-text group). THE headline number an exact-dedup pass
-    * saves — reported before running it. Two-phase grouping: the keep
-    * table is `groupBy(sha2(text)).agg(min(doc_id))` — map-side partial
-    * aggregation collapses duplicate texts before the shuffle, and the
-    * exchange key is a 32-byte digest, never the document — then a
-    * hash-keyed join-back tags each row. (The previous full-text window
-    * key sorted multi-KB keys and was the slowest bench line at 12.6 s.) */
+    * saves — reported before running it. Join-free two-level grouping
+    * (same shape as x_filter_chain): nt is CONSTANT across an
+    * identical-text group, so groupBy(sha2(text), source) collapses
+    * duplicates map-side into (n, n·nt) counters, groupBy(tkey) picks
+    * the keeper source via min_by while carrying per-source counters in
+    * a collect_list bounded by the 20-source cardinality, and an
+    * explode + groupBy(source) attributes the keeper's (1 doc, nt
+    * tokens) discount. Every exchange key is a 32-byte digest, never
+    * the document, and nothing joins. (r5's full-text window key was
+    * the 12.6 s sinner; r6's keep-table join-back was a near-N×N digest
+    * SMJ on a dup-light corpus.) */
   private val dupInflation = Q(
     "x_dup_inflation",
     Some("""WITH k AS (SELECT sha256(text) AS tkey, min(doc_id) AS keep
@@ -199,20 +204,25 @@ object MiningOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       graft.functions.TokenCounts.register(spark)
-      val docs = t(spark, dir, "documents")
-      val keep = docs
-        .select(sha2($"text", 256).as("tkey"), $"doc_id")
-        .groupBy($"tkey").agg(min($"doc_id").as("keep"))
-      docs
+      t(spark, dir, "documents")
         .select($"source", $"doc_id",
           expr("ws_token_count(text)").as("nt"),
           sha2($"text", 256).as("tkey"))
-        .join(keep, "tkey")
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when($"doc_id" =!= $"keep", 1L).otherwise(0L)).as("dup_docs"),
-          sum($"nt").as("total_tokens"),
-          sum(when($"doc_id" =!= $"keep", $"nt").otherwise(0L)).as("dup_tokens"))
+        .groupBy($"tkey", $"source")
+        .agg(count(lit(1)).as("n"), sum($"nt").as("sum_nt"),
+          min($"doc_id").as("min_id"), first($"nt").as("nt"))
+        .groupBy($"tkey")
+        .agg(min_by($"source", $"min_id").as("keep_src"),
+          first($"nt").as("nt"),
+          collect_list(struct($"source", $"n", $"sum_nt")).as("srcs"))
+        .select($"keep_src", $"nt", explode($"srcs").as("s"))
+        .groupBy($"s.source")
+        .agg(sum($"s.n").as("n_docs"),
+          sum($"s.n" - when($"s.source" === $"keep_src", 1L).otherwise(0L))
+            .as("dup_docs"),
+          sum($"s.sum_nt").as("total_tokens"),
+          sum($"s.sum_nt" - when($"s.source" === $"keep_src", $"nt").otherwise(0L))
+            .as("dup_tokens"))
         .withColumn("dup_bp",
           expr("(dup_tokens * 10000) DIV greatest(total_tokens, 1)"))
         .select($"source", $"n_docs", $"dup_docs", $"total_tokens",
@@ -290,14 +300,21 @@ object MiningOps extends QueryModule {
     * PROPOSES candidates; the rescoring pass computes exact counts for
     * only those ≤ 64 tokens (the isin filter pushes to the scan), so
     * the emitted top-10 is exact — the oracle defines it — whenever
-    * the 10th count clears the N/(k+1) MG bound. That margin is now
+    * the 10th count clears the N/(k+1) MG bound. That margin is
     * CHECKED at runtime, not assumed: if the 10th exact rescored count
     * c10 > N/(k+1), any token the sketch evicted has true count
     * ≤ N/(k+1) < c10 and cannot belong in the top-10, so the sketch
     * path is provably exact; otherwise (Zipf tail too flat for this k)
     * the query falls back to the exact vocabulary-sized aggregate —
     * same answer, honest cost. Contrast with x_text_analysis' exact
-    * per-lang top-k, whose aggregate state is always vocabulary-sized. */
+    * per-lang top-k, whose aggregate state is always vocabulary-sized.
+    *
+    * Cost discipline (the r6 5.8 s lesson): the guard rides the sketch
+    * pass — N and the losslessness check come from the MG buffer's own
+    * `total` field (FreqItems.MGBuf), so the query scans the token
+    * stream exactly TWICE (sketch, rescore). The rescored top-10 is
+    * returned as a literal local frame, so the caller's collect does
+    * not re-execute the scan a third time. */
   private val freqItems = Q(
     "x_freq_items",
     Some("""WITH tok AS (SELECT unnest(list_filter(
@@ -312,22 +329,26 @@ object MiningOps extends QueryModule {
       val tokens = t(spark, dir, "documents")
         .select(explode(expr("filter(split(lower(text), ' +'), x -> x != '')"))
           .as("token"))
-      val exactAll = tokens.groupBy($"token").agg(count(lit(1)).as("n"))
-      val candMap = graft.functions.FreqItems.candidates(tokens.as[String], k)
+      // Pass 1: sketch + exact N from the same aggregation buffer.
+      val (candMap, n) = graft.functions.FreqItems.sketch(tokens.as[String], k)
       val cand = candMap.keys.toSeq
-      val rescored = tokens.where($"token".isin(cand: _*))
+      // Pass 2: exact rescore over the ≤ k candidates (isin pushes to
+      // the scan), collected once.
+      val top = tokens.where($"token".isin(cand: _*))
         .groupBy($"token")
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"token")
         .limit(10)
-      val top = rescored.collect()
+        .collect()
       val c10 = if (top.length < 10) 0L else top.last.getLong(1)
-      val n = tokens.count()
       // `lossless`: no decrement ever fired (Σ estimates == N), so the
       // sketch holds the complete vocabulary with exact counts.
       val lossless = candMap.values.sum == n
-      if (lossless || c10 > n / (k + 1L)) rescored
-      else exactAll.orderBy($"n".desc, $"token").limit(10)
+      if (lossless || c10 > n / (k + 1L))
+        top.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("token", "n")
+      else
+        tokens.groupBy($"token").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token").limit(10)
     })
 
   /** Bigram-coverage fluency score — the language-model-proxy quality

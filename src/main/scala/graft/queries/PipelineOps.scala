@@ -179,10 +179,16 @@ object PipelineOps extends QueryModule {
     * language gate + exact-dedup survivor, reported as per-source pass
     * rates — the shape of a production corpus filter, where per-source
     * yield drives mixing decisions. All signals are per-row byte-scan
-    * kernels; the dedup survivorship is the two-phase hash grouping
-    * (groupBy(sha2(text)) keep table + digest-keyed join-back — the
-    * exchange never carries document text, and map-side partial agg
-    * collapses duplicates before the shuffle). */
+    * kernels computed ONCE in the initial projection; the dedup
+    * survivorship then rides a single digest-keyed aggregation chain
+    * with NO join-back and NO window (the r6 keep-table join was a
+    * near-N×N digest SMJ on this dup-light corpus): groupBy(sha2(text),
+    * source) collapses duplicates map-side (the gate is constant per
+    * text, so it aggregates with first()), groupBy(tkey) picks the
+    * keeper source via min_by while carrying the per-source duplicate
+    * counts as a collect_list bounded by the 20-source cardinality, and
+    * an explode + 20-row groupBy(source) finishes. Text never shuffles;
+    * every exchanged row is digest + counters. */
   private val filterChain = Q(
     "x_filter_chain",
     Some("""WITH k AS (SELECT sha256(text) AS tkey, min(doc_id) AS keep
@@ -211,27 +217,32 @@ object PipelineOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       graft.functions.TokenCounts.register(spark)
-      val docs = t(spark, dir, "documents").where(length($"text") > 0)
-      val keep = docs
-        .select(sha2($"text", 256).as("tkey"), $"doc_id")
-        .groupBy($"tkey").agg(min($"doc_id").as("keep"))
-      val base = docs
-        .select($"doc_id", $"source", sha2($"text", 256).as("tkey"),
-          expr("ws_token_count(text)").as("nt"),
-          expr("stop_token_count(text)").as("hits"),
-          length(regexp_replace($"text", "[^A-Za-z]", "")).as("alpha"),
-          length($"text").as("nc"))
-      val pass = $"nt".between(20, 1000) &&
-        ($"alpha" * 10000.0) / $"nc" >= 5000 &&
-        ($"hits" * 10000.0) / $"nt" >= 300 &&
-        $"doc_id" === $"keep"
-      base.join(keep, "tkey")
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(pass, 1).otherwise(0)).as("n_pass_i"))
-        .select($"source", $"n_docs",
+      val gate = {
+        val nt = expr("ws_token_count(text)")
+        val hits = expr("stop_token_count(text)")
+        val alpha = length(regexp_replace($"text", "[^A-Za-z]", ""))
+        nt.between(20, 1000) &&
+          (alpha * 10000.0) / length($"text") >= 5000 &&
+          (hits * 10000.0) / nt >= 300
+      }
+      t(spark, dir, "documents").where(length($"text") > 0)
+        .select(sha2($"text", 256).as("tkey"), $"source", $"doc_id",
+          gate.as("gate"))
+        .groupBy($"tkey", $"source")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("min_id"),
+          first($"gate").as("gate"))
+        .groupBy($"tkey")
+        .agg(min_by($"source", $"min_id").as("keep_src"),
+          first($"gate").as("gate"),
+          collect_list(struct($"source", $"n")).as("srcs"))
+        .select($"keep_src", $"gate", explode($"srcs").as("s"))
+        .groupBy($"s.source")
+        .agg(sum($"s.n").as("n_docs_i"),
+          sum(when($"gate" && $"s.source" === $"keep_src", 1).otherwise(0))
+            .as("n_pass_i"))
+        .select($"source", $"n_docs_i".cast("long").as("n_docs"),
           $"n_pass_i".cast("long").as("n_pass"),
-          floor(($"n_pass_i" * 10000.0) / $"n_docs").cast("long").as("pass_bp"))
+          floor(($"n_pass_i" * 10000.0) / $"n_docs_i").cast("long").as("pass_bp"))
         .orderBy($"source")
     })
 

@@ -152,8 +152,8 @@ object VectorOps extends QueryModule {
       // norms), same tie rule (cos DESC, c_id ASC) as the oracle's
       // window — bit-identical assignment.
       val cents = seedCentroids(e, 32)
-      graft.functions.Centroids.register(spark, cents)
-      val asg = e.withColumn("c_id", expr("nearest_centroid(v, nrm)"))
+      val asg = e.withColumn("c_id",
+        graft.functions.Centroids.nearestCol($"v", $"nrm", cents))
       val p = broadcast(asg.where($"vec_id" < 5)
         .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm"),
           $"c_id".as("p_c")))
@@ -244,8 +244,8 @@ object VectorOps extends QueryModule {
       // (bit-identical to the oracle's window: strict left-fold dot,
       // cos DESC, c_id ASC)
       val cents = seedCentroids(e, 32)
-      graft.functions.Centroids.register(spark, cents)
-      val m = e.withColumn("c_id", expr("nearest_centroid(v, nrm)"))
+      val m = e.withColumn("c_id",
+        graft.functions.Centroids.nearestCol($"v", $"nrm", cents))
       val a = m.select($"c_id", $"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("an"))
       val b = m.select($"c_id", $"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("bn"))
       val prs = a.join(b, Seq("c_id")).where($"a_id" < $"b_id")
@@ -433,10 +433,9 @@ object VectorOps extends QueryModule {
         .orderBy($"hk", $"vec_id").limit(16)
         .select($"vec_id", $"v").collect()
         .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toSeq
-      graft.functions.Centroids.register(spark, bench)
       val benchIds = bench.map(_._1.toLong)
       e.where(!$"vec_id".isin(benchIds: _*))
-        .withColumn("mc", expr("max_centroid_cos(v, nrm)"))
+        .withColumn("mc", graft.functions.Centroids.maxCosCol($"v", $"nrm", bench))
         .groupBy($"label")
         .agg(count(lit(1)).as("n_total"),
           count(when($"mc" >= 0.35, 1)).as("n_flagged"))
@@ -480,8 +479,8 @@ object VectorOps extends QueryModule {
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
         .withColumn("nrm", sqrt(dotCol("v", "v")))
       val cents = seedCentroids(e, 32)
-      graft.functions.Centroids.register(spark, cents)
-      val lc = e.withColumn("c_id", expr("nearest_centroid(v, nrm)"))
+      val lc = e.withColumn("c_id",
+          graft.functions.Centroids.nearestCol($"v", $"nrm", cents))
         .groupBy($"c_id", $"label").agg(count(lit(1)).as("n"))
       val wM = Window.partitionBy($"c_id")
       val wR = Window.partitionBy($"c_id").orderBy($"n".desc, $"label")
@@ -523,8 +522,7 @@ object VectorOps extends QueryModule {
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
         .withColumn("nrm", sqrt(dotCol("v", "v")))
       val cents = seedCentroids(e, 32)
-      graft.functions.Centroids.register(spark, cents)
-      e.withColumn("mc", expr("max_centroid_cos(v, nrm)"))
+      e.withColumn("mc", graft.functions.Centroids.maxCosCol($"v", $"nrm", cents))
         .groupBy($"label")
         .agg(count(lit(1)).as("n_total"),
           count(when($"mc" < 0.18, 1)).as("n_outlier"))
@@ -542,8 +540,14 @@ object VectorOps extends QueryModule {
     * the PQ recall specs: measure the cheap path against the exact one
     * before trusting it at scale. One pass computes both similarities
     * (prefix dot is a strict left-fold over the sliced array — bit-
-    * identical in both engines); ranks are per-probe windows over the
-    * broadcast-probe join. */
+    * identical in both engines); both rankings come from ONE bounded
+    * top-k aggregate per probe (graft.functions.TopK — map-side
+    * partials keep ≤ 5 rows per probe, so no exchange ever carries the
+    * N×5 candidate set and nothing sorts the corpus; the r6
+    * row_number() windows shuffled all candidates into n_probes=5
+    * partitions and sorted N rows per task). The overlap/error math
+    * then runs on the two ≤ 5-element arrays per probe — HOFs are fine
+    * there, it's 5 rows. */
   private val dimError = Q(
     "x_dim_error",
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -581,21 +585,22 @@ object VectorOps extends QueryModule {
       val p = broadcast(e.where($"vec_id" < 5)
         .select($"vec_id".as("p_id"), $"v".as("pv"), $"vt".as("pvt"),
           $"nrm".as("p_nrm"), $"nrm_t".as("p_nrm_t")))
-      val wF = Window.partitionBy($"p_id").orderBy($"sim_f".desc, $"vec_id")
-      val wT = Window.partitionBy($"p_id").orderBy($"sim_t".desc, $"vec_id")
-      val r = p.join(e, $"vec_id" =!= $"p_id")
+      val topF = udaf(graft.functions.TopK.TopKAgg(5, byA = true))
+      val topT = udaf(graft.functions.TopK.TopKAgg(5, byA = false))
+      p.join(e, $"vec_id" =!= $"p_id")
         .withColumn("sim_f", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
         .withColumn("sim_t", dotCol("pvt", "vt") / ($"p_nrm_t" * $"nrm_t"))
-        .withColumn("rk_f", row_number().over(wF))
-        .withColumn("rk_t", row_number().over(wT))
-      val tt = r.where($"rk_t" <= 5)
-        .select($"p_id".as("t_pid"), $"vec_id".as("t_vid"))
-      r.where($"rk_f" <= 5)
-        .join(tt, $"p_id" === $"t_pid" && $"vec_id" === $"t_vid", "left")
         .groupBy($"p_id")
-        .agg(count($"t_vid").as("n_overlap"),
-          sum(abs(floor($"sim_f" * 10000.0).cast("long")
-            - floor($"sim_t" * 10000.0).cast("long"))).as("sum_err_bp"))
+        .agg(topF($"vec_id", $"sim_f", $"sim_t").as("top_f"),
+          topT($"vec_id", $"sim_f", $"sim_t").as("top_t"))
+        .select($"p_id",
+          expr("""CAST(size(filter(top_f,
+                    x -> exists(top_t, y -> y.id = x.id))) AS BIGINT)""")
+            .as("n_overlap"),
+          expr("""aggregate(top_f, CAST(0 AS BIGINT), (acc, x) ->
+                    acc + abs(CAST(floor(x.a * 10000.0) AS BIGINT)
+                            - CAST(floor(x.b * 10000.0) AS BIGINT)))""")
+            .as("sum_err_bp"))
         .orderBy($"p_id")
     })
 

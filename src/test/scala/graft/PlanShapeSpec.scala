@@ -164,6 +164,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       assert(!p.matches("(?s).*Sort .*\\[text.*"), s"$q sorts on text:\n$p")
       assert("HashAggregate".r.findAllIn(p).length >= 2,
         s"$q lost its partial aggregate:\n$p")
+      // r6: x_filter_chain paid a keep-table join-back (near-N×N digest
+      // SMJ on a dup-light corpus) — the whole family is join-free now
+      assert(!p.contains("Join"), s"$q regressed to a join-back:\n$p")
     }
   }
 
@@ -238,6 +241,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"lost the map-side partial combine (64-row output depends on it):\n$p")
   }
 
+  test("x_dim_error: bounded top-k aggregate per probe — no window, no corpus sort") {
+    // the r6 shape ranked all N×5 candidate rows with row_number()
+    // windows partitioned by p_id: parallelism collapsed to n_probes=5
+    // single-task sorts of the whole corpus. The TopK aggregator keeps
+    // ≤5 rows per probe in every map-side partial instead.
+    val p = plan("x_dim_error")
+    assert(!p.contains("Window"), s"dim-error re-grew a probe-partitioned window:\n$p")
+    assert(!p.contains("row_number"), s"dim-error re-grew row_number ranking:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"bounded TopK aggregate missing from plan:\n$p")
+  }
+
   test("x_value_outliers: per-type stats tables broadcast back, never SMJ") {
     // the two med/mad tables are type-cardinality by declaration — if
     // either falls to a sort-merge join the fact stream shuffles twice
@@ -254,15 +269,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
 
   test("x_session_stats: one exchange serves both session windows") {
     // lag() and the running sid sum share the (user | ts_s, event_id)
-    // sort — a second user-keyed exchange means the windows diverged
-    val p = plan("x_session_stats")
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val exec = SparkEntry.queries("x_session_stats")(spark, sf)
-      .queryExecution.executedPlan
-    val userExchanges = exec.collect {
-      case s: ShuffleExchangeExec if s.outputPartitioning.toString.contains("user_id") => s
-    }
-    assert(userExchanges.size <= 1, s"session windows split their exchange:\n$p")
-    assert(!p.contains("Join"), s"sessionization must not join:\n$p")
+    // sort — a second user-keyed exchange means the windows diverged.
+    // Must execute FIRST: before execution the AQE plan is a single
+    // AdaptiveSparkPlanExec leaf and a tree-collect of exchanges is
+    // vacuously empty; the final plan string shows the real exchanges.
+    val df = SparkEntry.queries("x_session_stats")(spark, sf)
+    df.collect()
+    val full = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    val finalPlan = full.split("== Initial Plan ==")(0)
+    val userExchanges = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id") && !l.contains("ReusedExchange"))
+    assert(userExchanges == 1,
+      s"expected exactly one user-keyed exchange, got $userExchanges:\n$finalPlan")
+    assert(!finalPlan.contains("Join"), s"sessionization must not join:\n$finalPlan")
   }
 }

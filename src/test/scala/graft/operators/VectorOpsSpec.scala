@@ -185,13 +185,13 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
 
     // every candidate lives in one of its probe's nProbe cells (the
     // pruning contract — IVF-PQ must not silently widen the search)
-    graft.functions.Centroids.register(spark, index.cents.toSeq)
     val cells = KMeansIVF.assign(e, index.cents)
       .select(col("vec_id"), col("cid")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val probeCells = e.where(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id"),
-        expr("nearest_centroids(v, nrm, 2)").as("pc")).collect()
+        graft.functions.Centroids.nearestCol(col("v"), col("nrm"),
+          index.cents.toSeq, 2).as("pc")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
     out.foreach { r =>
       val (p, cand) = (r.getLong(0), r.getLong(2))
