@@ -57,8 +57,18 @@ object Bench {
     // of the window as the query count grows), per-query min detail
     // SECOND, and a minimal headline LAST (~120B — survives any future
     // query-count growth plus sbt's trailing "[success]" line).
-    println(s"""{"metric":"total_cold","value":${f3(totalCold)},"unit":"sec","queries_cold":$qsCold}""")
-    println(s"""{"metric":"detail","value":${f3(total)},"unit":"sec","queries":$qs}""")
+    // The COMPLETE per-query map additionally goes to bench_detail.json
+    // in the working directory: at 118+ queries the detail lines
+    // outgrew the stdout tail window (r6: 37 entries unreadable), and a
+    // file survives any query-count growth.
+    val detailCold = s"""{"metric":"total_cold","value":${f3(totalCold)},"unit":"sec","queries_cold":$qsCold}"""
+    val detail = s"""{"metric":"detail","value":${f3(total)},"unit":"sec","queries":$qs}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"),
+      detailCold + "\n" + detail + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail file: $e") }
+    println(detailCold)
+    println(detail)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

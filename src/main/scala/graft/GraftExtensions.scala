@@ -79,7 +79,12 @@ object GraftFunctions {
     (FunctionIdentifier("deflate_len"),
       info("deflate_len", classOf[DeflateLenExpr],
         "deflate_len(str) - DEFLATE(level 6, raw) output length in bytes"),
-      (exprs: Seq[Expression]) => DeflateLenExpr(exprs.head)))
+      (exprs: Seq[Expression]) => DeflateLenExpr(exprs.head)),
+    (FunctionIdentifier("winnowed_fingerprints"),
+      info("winnowed_fingerprints", classOf[WinnowedFingerprintsExpr],
+        "winnowed_fingerprints(str) - sorted distinct winnowed 32-gram poly hashes " +
+          "(guaranteed hit on any >=39-byte shared span)"),
+      (exprs: Seq[Expression]) => WinnowedFingerprintsExpr(exprs.head)))
 
   /** Imperative registration into an existing session (equivalent to the
     * extension path; used by the query modules). */
@@ -93,5 +98,6 @@ object GraftFunctions {
     TokenCounts.register(spark)
     SampledFingerprints.register(spark)
     Compress.register(spark)
+    Winnowing.register(spark)
   }
 }

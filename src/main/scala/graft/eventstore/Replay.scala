@@ -132,6 +132,12 @@ object Replay {
   /** Open-time recovery for a compaction swap that crashed between
     * renames: if the stream partition is missing but its .compact_old
     * backup exists, restore the backup (and drop the half-written tmp).
+    * If the partition EXISTS alongside the backup, the swap COMPLETED
+    * and only its final cleanup was lost — the stale backup is purged
+    * (mirroring swapDir's final delete). Left in place it would
+    * resurrect the whole stream after a later deleteStream, since
+    * recovery runs before existence checks and cannot tell "crashed
+    * mid-swap" from "legitimately deleted" once the partition is gone.
     * Idempotent; no-op when the partition is healthy. Returns true if a
     * restore happened. */
   def recoverCompaction(spark: SparkSession, logDir: String, stream: String): Boolean = {
@@ -142,7 +148,10 @@ object Replay {
       require(fs.rename(old, part), s"recovery rename $old -> $part failed")
       fs.delete(new Path(s"$logDir/.compact_tmp_$stream"), true)
       true
-    } else false
+    } else {
+      if (fs.exists(old)) fs.delete(old, true) // completed swap: purge stale backup
+      false
+    }
   }
 
   /** Delete a stream (reference api.clj:131-147 loops scan-and-delete
@@ -184,6 +193,13 @@ object Replay {
         .write.mode("overwrite").parquet(tmp.toString)
       n
     }
+    // Deleting the LAST event of a bucket/partition must remove the
+    // directory, not swap in an empty parquet dir: empty `event_date=`
+    // dirs accumulate, and Replay.open over a log whose only partition
+    // is empty fails schema inference. Dir delete is atomic enough
+    // here: a crash before it retries the whole deleteEvent (the event
+    // still exists); after it, the event is gone — either way no
+    // half-state, and recovery clears the orphan tmp.
     if (byDate) {
       // one cheap pruned probe finds the bucket; order_id is unique per
       // stream so at most one date matches
@@ -194,15 +210,21 @@ object Replay {
       val date = hit.head.getString(0)
       val bucket = new Path(s"$part/event_date=$date")
       val tmp = new Path(s"$logDir/.delevent_tmp_${stream}_$date")
-      rewriteMinus(bucket, tmp)
-      swapDir(fs, bucket, tmp, new Path(s"$logDir/.delevent_old_${stream}_$date"))
+      if (rewriteMinus(bucket, tmp) == 0L) {
+        require(fs.delete(bucket, true), s"delete $bucket failed")
+        fs.delete(tmp, true)
+      } else
+        swapDir(fs, bucket, tmp, new Path(s"$logDir/.delevent_old_${stream}_$date"))
       true
     } else {
       if (spark.read.parquet(part.toString)
           .where(col("order_id") === orderId).limit(1).count() == 0L) return false
       val tmp = new Path(s"$logDir/.delevent_tmp_$stream")
-      rewriteMinus(part, tmp)
-      swapDir(fs, part, tmp, new Path(s"$logDir/.delevent_old_$stream"))
+      if (rewriteMinus(part, tmp) == 0L) {
+        require(fs.delete(part, true), s"delete $part failed")
+        fs.delete(tmp, true)
+      } else
+        swapDir(fs, part, tmp, new Path(s"$logDir/.delevent_old_$stream"))
       true
     }
   }
@@ -210,6 +232,17 @@ object Replay {
   /** Open-time recovery for a point-delete swap that crashed between
     * renames (flat or per-date-bucket): restore any `.delevent_old_*`
     * backup whose target is missing, drop the matching half-written tmp.
+    *
+    * When the target EXISTS the backup is from a COMPLETED swap whose
+    * final cleanup didn't run — it holds a pre-delete copy of the data,
+    * INCLUDING the deleted event, so it is deleted here (mirroring
+    * swapDir's own final `fs.delete(old)`). Keeping it would both
+    * retain recoverable copies of deleted data indefinitely and — worse
+    * — resurrect the event later: deleteEvent runs recovery before its
+    * existence check, so once the partition/bucket is legitimately gone
+    * (deleteStream, last-event delete) a stale backup would be
+    * "restored" over the absence.
+    *
     * Idempotent; no-op when healthy. Returns true if a restore happened. */
   def recoverDeleteEvent(spark: SparkSession, logDir: String, stream: String): Boolean = {
     val root = new Path(logDir)
@@ -225,7 +258,7 @@ object Replay {
         if (!fs.exists(part)) {
           require(fs.rename(st.getPath, part), s"recovery rename $nm failed")
           healed = true
-        }
+        } else fs.delete(st.getPath, true) // completed swap: purge the pre-delete copy
         fs.delete(new Path(s"$logDir/.delevent_tmp_$stream"), true)
       } else if (nm.startsWith(bucketPrefix)) {
         val date = nm.substring(bucketPrefix.length)
@@ -233,8 +266,13 @@ object Replay {
         if (!fs.exists(bucket)) {
           require(fs.rename(st.getPath, bucket), s"recovery rename $nm failed")
           healed = true
-        }
+        } else fs.delete(st.getPath, true) // completed swap: purge the pre-delete copy
         fs.delete(new Path(s"$logDir/.delevent_tmp_${stream}_$date"), true)
+      } else if (nm == s".delevent_tmp_$stream" || nm.startsWith(s".delevent_tmp_${stream}_")) {
+        // orphan tmp with no backup (crash inside a last-event delete
+        // after the dir drop, or inside rewriteMinus before any swap):
+        // tmp is never the live dir — always safe to drop at open
+        fs.delete(st.getPath, true)
       }
     }
     healed

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -228,12 +229,34 @@ object EventAnalytics extends QueryModule {
     * r_join_salted's bucket count, because a 100×-mean hot user is
     * exactly what melts a keyed aggregate at scale. One (type, user)
     * pre-aggregate (map-side combined) then a per-type summary;
-    * percentiles use the exact-percentile ↔ quantile_cont mapping
-    * r_agg_percentile established (exact percentile buffers one value
-    * per user per type — at 100 TB swap to the approx_percentile
-    * sketch, x_approx_quantile's declared scale path; the summary
-    * columns and skew ratio are unchanged), and the skew ratio is
-    * all-integer. */
+    * percentiles route through QueryModule.pct — exact (the
+    * quantile_cont mapping r_agg_percentile established) for the
+    * oracle, approx_percentile via [[userSkewApprox]] as the
+    * constant-state 100 TB path (PercentileScaleSpec pins the twins
+    * rank-exact at gate scale) — and the skew ratio is all-integer. */
+  private def userSkewBody(spark: SparkSession, dir: String, exact: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .groupBy($"event_type", $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"n").as("n_events"),
+        round(pct("n", 0.5, exact), 4).as("p50"),
+        round(pct("n", 0.99, exact), 4).as("p99"),
+        max($"n").as("max_per_user"))
+      .select($"event_type", $"n_users", $"n_events", $"p50", $"p99",
+        $"max_per_user",
+        expr("(max_per_user * 10000) DIV greatest(n_events DIV n_users, 1)")
+          .as("skew_bp"))
+      .orderBy($"event_type")
+  }
+
+  /** Constant-state-per-group scale twin (see QueryModule.pct). */
+  private[graft] def userSkewApprox(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = userSkewBody(spark, dir, exact = false)
+
   private val userSkew = Q(
     "x_user_skew",
     Some("""WITH c AS (SELECT event_type, user_id,
@@ -247,23 +270,7 @@ object EventAnalytics extends QueryModule {
               CAST((max(n) * 10000) // greatest(sum(n) // count(*), 1) AS BIGINT)
                 AS skew_bp
             FROM c GROUP BY event_type ORDER BY event_type"""),
-    (spark, dir) => {
-      import spark.implicits._
-      t(spark, dir, "events")
-        .groupBy($"event_type", $"user_id")
-        .agg(count(lit(1)).as("n"))
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n_users"),
-          sum($"n").as("n_events"),
-          round(expr("percentile(n, 0.5)"), 4).as("p50"),
-          round(expr("percentile(n, 0.99)"), 4).as("p99"),
-          max($"n").as("max_per_user"))
-        .select($"event_type", $"n_users", $"n_events", $"p50", $"p99",
-          $"max_per_user",
-          expr("(max_per_user * 10000) DIV greatest(n_events DIV n_users, 1)")
-            .as("skew_bp"))
-        .orderBy($"event_type")
-    })
+    (spark, dir) => userSkewBody(spark, dir, exact = true))
 
   /** Bot/abuse burstiness screen — the user-generated-content hygiene
     * read before training on event-derived text: humans leave ragged
@@ -316,10 +323,38 @@ object EventAnalytics extends QueryModule {
     * session duration. Plan: one lag() window (one-row state) + one
     * running-sum window on the same (user | ts_s, event_id) sort — ONE
     * exchange serves both — then a (user, sid) aggregate and a global
-    * roll-up of the tiny per-session table. Exact percentiles map
-    * quantile_cont ↔ percentile (the r_agg_percentile recipe); at
-    * 100 TB swap approx_percentile, x_approx_quantile's declared scale
-    * path. */
+    * roll-up of the tiny per-session table. Percentiles route through
+    * QueryModule.pct: exact (quantile_cont ↔ percentile, the
+    * r_agg_percentile recipe) for the oracle, approx_percentile via
+    * [[sessionStatsApprox]] as the constant-state 100 TB path
+    * (PercentileScaleSpec pins the twins rank-exact at gate scale). */
+  private def sessionStatsBody(spark: SparkSession, dir: String, exact: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select($"user_id", $"event_id", expr("unix_millis(ts) DIV 1000").as("ts_s"))
+      .withColumn("new_s",
+        when(lag($"ts_s", 1).over(wOrd).isNull
+          || $"ts_s" - lag($"ts_s", 1).over(wOrd) > 1800, 1).otherwise(0))
+      .withColumn("sid", sum($"new_s").over(wRun))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"ts_s") - min($"ts_s")).as("dur_s"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count_distinct($"user_id").as("n_users"),
+        round(pct("n_events", 0.5, exact), 4).as("p50_events"),
+        round(pct("n_events", 0.99, exact), 4).as("p99_events"),
+        round(pct("dur_s", 0.5, exact), 4).as("p50_dur_s"),
+        round(pct("dur_s", 0.99, exact), 4).as("p99_dur_s"),
+        max($"dur_s").as("max_dur_s"))
+  }
+
+  /** Constant-state-per-group scale twin (see QueryModule.pct). */
+  private[graft] def sessionStatsApprox(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = sessionStatsBody(spark, dir, exact = false)
+
   private val sessionStats = Q(
     "x_session_stats",
     Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_s
@@ -343,27 +378,7 @@ object EventAnalytics extends QueryModule {
               round(quantile_cont(dur_s, 0.99), 4) AS p99_dur_s,
               CAST(max(dur_s) AS BIGINT) AS max_dur_s
             FROM p"""),
-    (spark, dir) => {
-      import spark.implicits._
-      val wOrd = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
-      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(spark, dir, "events")
-        .select($"user_id", $"event_id", expr("unix_millis(ts) DIV 1000").as("ts_s"))
-        .withColumn("new_s",
-          when(lag($"ts_s", 1).over(wOrd).isNull
-            || $"ts_s" - lag($"ts_s", 1).over(wOrd) > 1800, 1).otherwise(0))
-        .withColumn("sid", sum($"new_s").over(wRun))
-        .groupBy($"user_id", $"sid")
-        .agg(count(lit(1)).as("n_events"),
-          (max($"ts_s") - min($"ts_s")).as("dur_s"))
-        .agg(count(lit(1)).as("n_sessions"),
-          count_distinct($"user_id").as("n_users"),
-          round(expr("percentile(n_events, 0.5)"), 4).as("p50_events"),
-          round(expr("percentile(n_events, 0.99)"), 4).as("p99_events"),
-          round(expr("percentile(dur_s, 0.5)"), 4).as("p50_dur_s"),
-          round(expr("percentile(dur_s, 0.99)"), 4).as("p99_dur_s"),
-          max($"dur_s").as("max_dur_s"))
-    })
+    (spark, dir) => sessionStatsBody(spark, dir, exact = true))
 
   /** Robust anomaly screen on the event `value` stream: per event type,
     * flag values more than 5 median-absolute-deviations from the
@@ -382,8 +397,36 @@ object EventAnalytics extends QueryModule {
     * Scale shape: two passes over (event_type, value) — median, then
     * MAD of deviations — each a type-cardinality aggregate joined back
     * by BROADCAST (the per-type stats table is tiny by declaration).
-    * Exact percentiles buffer per-type values; at 100 TB swap
-    * approx_percentile (x_approx_quantile's declared path). */
+    * Percentiles route through QueryModule.pct: exact for the oracle,
+    * approx_percentile via [[valueOutliersApprox]] as the
+    * constant-state 100 TB path (PercentileScaleSpec pins the twins
+    * rank-exact at gate scale). */
+  private def valueOutliersBody(spark: SparkSession, dir: String, exact: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val ev = t(spark, dir, "events").select($"event_type", $"value")
+    val m = ev.groupBy($"event_type")
+      .agg(pct("value", 0.5, exact).as("med"))
+    val d = ev.join(broadcast(m), "event_type")
+      .withColumn("dev", abs($"value" - $"med"))
+    val a = d.groupBy($"event_type")
+      .agg(pct("dev", 0.5, exact).as("mad"))
+    d.join(broadcast(a), "event_type")
+      .groupBy($"event_type", $"med", $"mad")
+      .agg(count(lit(1)).as("n"),
+        count(when($"dev" > lit(5) * $"mad", 1)).as("n_outlier"),
+        max(when($"mad" > 0,
+          expr("CAST(floor(dev * 10000 / mad) AS BIGINT)"))).as("max_z_bp"))
+      .select($"event_type", $"n", round($"med", 4).as("med"),
+        round($"mad", 4).as("mad"), $"n_outlier",
+        expr("n_outlier * 10000 DIV n").as("outlier_bp"), $"max_z_bp")
+      .orderBy($"event_type")
+  }
+
+  /** Constant-state-per-group scale twin (see QueryModule.pct). */
+  private[graft] def valueOutliersApprox(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = valueOutliersBody(spark, dir, exact = false)
+
   private val valueOutliers = Q(
     "x_value_outliers",
     Some("""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -402,26 +445,7 @@ object EventAnalytics extends QueryModule {
             FROM d JOIN a USING (event_type)
             GROUP BY d.event_type, d.med, a.mad
             ORDER BY d.event_type"""),
-    (spark, dir) => {
-      import spark.implicits._
-      val ev = t(spark, dir, "events").select($"event_type", $"value")
-      val m = ev.groupBy($"event_type")
-        .agg(expr("percentile(value, 0.5)").as("med"))
-      val d = ev.join(broadcast(m), "event_type")
-        .withColumn("dev", abs($"value" - $"med"))
-      val a = d.groupBy($"event_type")
-        .agg(expr("percentile(dev, 0.5)").as("mad"))
-      d.join(broadcast(a), "event_type")
-        .groupBy($"event_type", $"med", $"mad")
-        .agg(count(lit(1)).as("n"),
-          count(when($"dev" > lit(5) * $"mad", 1)).as("n_outlier"),
-          max(when($"mad" > 0,
-            expr("CAST(floor(dev * 10000 / mad) AS BIGINT)"))).as("max_z_bp"))
-        .select($"event_type", $"n", round($"med", 4).as("med"),
-          round($"mad", 4).as("mad"), $"n_outlier",
-          expr("n_outlier * 10000 DIV n").as("outlier_bp"), $"max_z_bp")
-        .orderBy($"event_type")
-    })
+    (spark, dir) => valueOutliersBody(spark, dir, exact = true))
 
   /** First-order Markov transition matrix over per-user event
     * histories: for each (prev → next) event-type pair, the count and

@@ -594,9 +594,33 @@ object MiningOps extends QueryModule {
     *
     * Scale shape: explode → (doc, token) hash aggregate (map-side
     * combine collapses within-doc repeats) → per-doc aggregate →
-    * source-cardinality rollup. No joins, no windows; the exact p50
-    * percentile buffers per-source doc values — swap approx_percentile
-    * at 100 TB (x_approx_quantile's declared path). */
+    * source-cardinality rollup. No joins, no windows; the p50 routes
+    * through QueryModule.pct — exact for the oracle, approx_percentile
+    * via [[docDiversityApprox]] as the constant-state 100 TB path
+    * (PercentileScaleSpec pins the twins rank-exact at gate scale). */
+  private def docDiversityBody(spark: SparkSession, dir: String, exact: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+      .groupBy($"doc_id", $"source", $"token")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id", $"source")
+      .agg(sum($"cnt").as("n"), sum($"cnt" * $"cnt").as("s2"))
+      .select($"source", expr("((n * n - s2) * 10000) DIV (n * n)").as("div_bp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(pct("div_bp", 0.5, exact), 4).as("p50_div_bp"),
+        min($"div_bp").as("min_div_bp"),
+        count(when($"div_bp" < 8500, 1)).as("n_low_div"))
+      .orderBy($"source")
+  }
+
+  /** Constant-state-per-group scale twin (see QueryModule.pct). */
+  private[graft] def docDiversityApprox(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = docDiversityBody(spark, dir, exact = false)
+
   private val docDiversity = Q(
     "x_doc_diversity",
     Some("""WITH tok AS (SELECT doc_id, source,
@@ -614,23 +638,7 @@ object MiningOps extends QueryModule {
               CAST(min(div_bp) AS BIGINT) AS min_div_bp,
               CAST(count(*) FILTER (WHERE div_bp < 8500) AS BIGINT) AS n_low_div
             FROM v GROUP BY source ORDER BY source"""),
-    (spark, dir) => {
-      import spark.implicits._
-      t(spark, dir, "documents")
-        .select($"doc_id", $"source",
-          explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
-        .groupBy($"doc_id", $"source", $"token")
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy($"doc_id", $"source")
-        .agg(sum($"cnt").as("n"), sum($"cnt" * $"cnt").as("s2"))
-        .select($"source", expr("((n * n - s2) * 10000) DIV (n * n)").as("div_bp"))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          round(expr("percentile(div_bp, 0.5)"), 4).as("p50_div_bp"),
-          min($"div_bp").as("min_div_bp"),
-          count(when($"div_bp" < 8500, 1)).as("n_low_div"))
-        .orderBy($"source")
-    })
+    (spark, dir) => docDiversityBody(spark, dir, exact = true))
 
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,

@@ -44,6 +44,30 @@ trait QueryModule {
 
   protected def dbl(c: Column): Column = c.cast("double")
 
+  /** Percentile with a declared scale path. `exact = true` → the
+    * interpolated `percentile` the DuckDB oracles can mirror
+    * (quantile_cont) — its aggregation state buffers every value in the
+    * group, acceptable while groups are type/source-cardinality-bounded
+    * at the gate SFs. `exact = false` → `approx_percentile`, the
+    * mergeable Greenwald–Khanna sketch whose state is CONSTANT per
+    * group — the 100 TB path. accuracy=10000 bounds the rank error at
+    * N/10000, i.e. RANK-EXACT whenever a group holds ≤ 10000 values:
+    * the sketch then returns a true order statistic adjacent to the
+    * exact interpolated value (it never interpolates, which is the only
+    * difference left at gate scale) — the invariant PercentileScaleSpec
+    * pins, along with parity of every non-percentile column, so the
+    * swap is a calibrated drop-in until groups outgrow the sketch and
+    * the rank bound takes over. Queries with
+    * buffered exact percentiles (x_value_outliers, x_session_stats,
+    * x_doc_diversity, x_user_skew) route through this so the scale
+    * story is executable code, not a comment. */
+  protected def pct(colName: String, p: Double, exact: Boolean): Column =
+    if (exact) expr(s"percentile($colName, $p)")
+    // cast: approx_percentile preserves the input type (BIGINT stays
+    // BIGINT) while percentile always yields DOUBLE — the twin must
+    // keep the exact query's schema to be a drop-in
+    else expr(s"CAST(approx_percentile($colName, $p, 10000) AS DOUBLE)")
+
   /** Materialization barrier: a round-robin exchange that stops
     * CollapseProject from inlining an expensive array-expression alias
     * into downstream per-element lambda references (which would turn an

@@ -27,7 +27,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
                   ws_token_count(' a  b c ') AS w,
                   stop_token_count('The cat is ON a mat') AS st,
                   ngram_top_count(array('a','b','a','b','c'), 2) AS tc,
-                  size(sampled_fingerprints(repeat('xy', 40))) AS sf""")
+                  size(sampled_fingerprints(repeat('xy', 40))) AS sf,
+                  deflate_len('aaaaaaaaaaaaaaaa') AS dl,
+                  size(winnowed_fingerprints(repeat('xy', 40))) AS wf""")
         .collect().head
       assert(row.getDouble(1) == 11.0)
       assert(row.getInt(2) == 2)
@@ -38,6 +40,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       assert(row.getLong(6) == 3L) // the, is, a
       assert(row.getLong(7) == 2L) // "a b" occurs twice
       assert(row.getInt(8) >= 0) // kernel installed via injectFunction
+      assert(row.getLong(9) > 0L) // deflate_len installed
+      // winnowing guarantees ≥1 pick on any ≥39-byte window (80-byte doc)
+      assert(row.getInt(10) >= 1) // winnowed_fingerprints installed
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

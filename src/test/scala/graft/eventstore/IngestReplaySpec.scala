@@ -248,6 +248,62 @@ class IngestReplaySpec extends AnyFunSuite with SparkTestBase {
     assert(Replay.open(spark, flat).count() == 6)
   }
 
+  test("completed-swap stale backup is purged — deleted data never resurrected") {
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        val t = new java.io.File(dst, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
+    val log = tmpDir("delevp")
+    Ingest.ingest(rawEvents(6, Seq("s1")), log, T0)
+    val part = new java.io.File(s"$log/stream_name=s1")
+    // simulate a point-delete swap that COMPLETED but lost its final
+    // cleanup: a pre-delete backup (it would contain the deleted event)
+    // alongside a healthy partition
+    copyDir(part, new java.io.File(s"$log/.delevent_old_s1"))
+    assert(!Replay.recoverDeleteEvent(spark, log, "s1")) // healthy → no restore
+    assert(!new java.io.File(s"$log/.delevent_old_s1").exists,
+      "stale pre-delete backup retained: holds recoverable copies of deleted data")
+    // same for compaction backups: once the stream is legitimately
+    // deleted, a stale .compact_old must not resurrect it
+    copyDir(part, new java.io.File(s"$log/.compact_old_s1"))
+    assert(!Replay.recoverCompaction(spark, log, "s1"))
+    assert(!new java.io.File(s"$log/.compact_old_s1").exists)
+    Replay.deleteStream(spark, log, "s1")
+    assert(!Replay.recoverDeleteEvent(spark, log, "s1"))
+    assert(!Replay.recoverCompaction(spark, log, "s1"))
+    assert(!part.exists, "deleted stream came back from a stale backup")
+  }
+
+  test("deleting the last event drops the bucket/partition instead of an empty dir") {
+    val log = tmpDir("delevl")
+    val dayMs = 86400000L
+    Ingest.append(Ingest.stamp(rawEvents(1, Seq("s1")), T0), log, byDate = true)
+    Ingest.append(Ingest.stamp(rawEvents(4, Seq("s1")), T0 + dayMs), log, byDate = true)
+    val part = new java.io.File(s"$log/stream_name=s1")
+    val victim = Replay.cold(Replay.open(spark, log), "s1")
+      .collect().map(_.getAs[Long]("order_id")).min // the lone day-1 event
+    assert(Replay.deleteEvent(spark, log, "s1", victim))
+    val buckets = part.listFiles().filter(_.getName.startsWith("event_date="))
+    assert(buckets.length == 1, "empty event_date= dir left behind")
+    assert(Replay.open(spark, log).count() == 4)
+    // flat layout: deleting every event removes the partition itself,
+    // and a later deleteEvent fails cleanly instead of resurrecting
+    val flat = tmpDir("delevlf")
+    Ingest.ingest(rawEvents(2, Seq("s1")), flat, T0)
+    val ids = Replay.cold(Replay.open(spark, flat), "s1")
+      .collect().map(_.getAs[Long]("order_id")).sorted
+    ids.foreach(id => assert(Replay.deleteEvent(spark, flat, "s1", id)))
+    assert(!new java.io.File(s"$flat/stream_name=s1").exists,
+      "empty partition dir left behind")
+    intercept[IllegalArgumentException] {
+      Replay.deleteEvent(spark, flat, "s1", 999L)
+    }
+  }
+
   test("streams catalog counts per stream; delete-stream drops its partition") {
     val log = tmpDir("log")
     Ingest.ingest(rawEvents(10), log, T0)
