@@ -253,6 +253,69 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("packed stream drives ShardWriter: physical layout equals the audit by construction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.TokenCounts.register(spark)
+    val sf = "/root/testdata/sf0.001"
+    val shards = 16
+
+    val prepared = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        ((($"doc_id" % 1000003) * lit(2654435761L)) % 1000003 % shards)
+          .cast("long").as("shard"),
+        expr("bpe_token_count(text)").as("n_tok"))
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+
+    // stream → pack → foreachBatch staging (the ingest-to-disk shape:
+    // the live packer's output lands as batch-appended parquet)
+    val staged = tmpDir("packstage")
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.StreamingPack.pack(
+        mem.toDS().toDF("shard", "doc_id", "n_tok"), budget = 2048L)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingPack.PackedDoc], _: Long) =>
+        b.write.mode("append").parquet(staged)
+      }
+      .start()
+    try {
+      val (first, second) = prepared.splitAt(prepared.length / 2)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // write side: ShardWriter re-shards the packed docs (same hash
+    // family) into shard=NN dirs and returns the read-back audit
+    val packed = spark.read.parquet(staged)
+    assert(packed.count() == prepared.length)
+    val out = tmpDir("packshards")
+    val audit = operatorsShardAudit(packed, out, shards)
+    // the audit equals the hash prediction computed independently
+    val expected = prepared.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(audit == expected, s"audit $audit != predicted $expected")
+    // the physical layout carries the packing columns intact: each
+    // shard dir holds exactly its hash-assigned docs with their
+    // stream-assigned (seq_id, crossing)
+    val byDoc = packed.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("seq_id"), r.getAs[Boolean]("crossing"))).toMap
+    val s0 = spark.read.parquet(s"$out/shard=0").collect()
+    assert(s0.nonEmpty)
+    s0.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 1000003L * 2654435761L % 1000003L % shards == 0L, s"doc $id in wrong shard")
+      assert((r.getAs[Long]("seq_id"), r.getAs[Boolean]("crossing")) == byDoc(id))
+    }
+  }
+
+  /** ShardWriter.write + audit → Map(shard -> n_docs). */
+  private def operatorsShardAudit(docs: org.apache.spark.sql.DataFrame,
+      out: String, shards: Int): Map[Long, Long] =
+    graft.operators.ShardWriter.write(docs, out, shards)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("live path mining: streamed trigram counts reproduce the batch x_event_paths top-20") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -42,6 +42,29 @@ class HotColdSpec extends AnyFunSuite with SparkTestBase {
     assert(second == Map("s1" -> 8L, "s2" -> 8L)) // complete-mode state resumed, +3/+3
   }
 
+  test("hot-cold replay after point delete on a date-bucketed stream omits exactly the victim") {
+    val log = tmpDir("hcdel")
+    val dayMs = 86400000L
+    Ingest.append(Ingest.stamp(rawEvents(8, Seq("s1")), T0), log, byDate = true)
+    Ingest.append(Ingest.stamp(rawEvents(4, Seq("s1")), T0 + dayMs), log, byDate = true)
+    val ids = Replay.cold(Replay.open(spark, log), "s1")
+      .collect().map(_.getAs[Long]("order_id"))
+    val victim = ids.min // lives in the day-1 bucket
+    assert(Replay.deleteEvent(spark, log, "s1", victim))
+    // a fresh hot-cold subscriber replays the rewritten layout: every
+    // surviving event exactly once, the deleted one never delivered
+    val q = HotCold.startMemorySink(
+      HotCold.hotCold(spark, log, "s1"), "hcdel1", OutputMode.Append())
+    try {
+      q.awaitTermination(60000)
+      val got = spark.table("hcdel1").collect().map(_.getAs[Long]("order_id")).sorted
+      assert(got.sameElements(ids.filter(_ != victim).sorted),
+        s"replay after delete: got ${got.length} events")
+      // and the day-2 bucket still serves the date-pruned path
+      assert(Replay.cold(Replay.open(spark, log), "s1", fromMs = T0 + dayMs).count() == 4)
+    } finally q.stop()
+  }
+
   test("windowed streaming counts equal the batch twin") {
     val log = tmpDir("wlog")
     Ingest.ingest(rawEvents(50), log, T0)
@@ -241,5 +264,64 @@ class HotColdSpec extends AnyFunSuite with SparkTestBase {
       }
       assert(snap.exists(s => s.name == "statq" && s.processed == 20L))
     } finally spark.streams.removeListener(listener)
+  }
+
+  test("descriptor stats (processed / avg-time / mem-used) advance over the twin set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val listener = StatsListener.install(spark)
+    val t0 = 1700000000000L
+
+    def await(name: String, minProcessed: Long): StatsListener#QueryStats = {
+      val deadline = System.currentTimeMillis() + 15000
+      var s = listener.snapshot.find(_.name == name)
+      while (!s.exists(_.processed >= minProcessed) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); s = listener.snapshot.find(_.name == name)
+      }
+      assert(s.exists(_.processed >= minProcessed),
+        s"$name never reached $minProcessed processed: $s")
+      s.get
+    }
+
+    // two stateful twins on one session; neither needs code changes to
+    // report — the listener surface serves the whole twin set
+    val memB = MemoryStream[(Long, Long, Long)]
+    val qB = StreamingBurst.stats(memB.toDS().toDF("user_id", "event_id", "ms"))
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("twin_burst").start()
+    val memP = MemoryStream[(Long, Long, Long, String)]
+    val qP = StreamingPaths.paths(memP.toDS().toDF("user_id", "ts_ms", "event_id", "event_type"))
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("twin_paths").start()
+    try {
+      memB.addData((1L, 1L, t0), (1L, 2L, t0 + 1000), (2L, 3L, t0))
+      qB.processAllAvailable()
+      memP.addData((1L, t0, 1L, "view"), (1L, t0 + 1, 2L, "click"), (1L, t0 + 2, 3L, "purchase"))
+      qP.processAllAvailable()
+      val b1 = await("twin_burst", 3L)
+      val p1 = await("twin_paths", 3L)
+      // mem-used: the state store footprint is live and non-zero for
+      // stateful twins (BurstState per user / PathState per user)
+      assert(b1.memUsedBytes > 0L && b1.stateRows == 2L, s"burst state: $b1")
+      assert(p1.memUsedBytes > 0L && p1.stateRows == 1L, s"paths state: $p1")
+      assert(b1.avgMsPerEvent > 0.0)
+
+      // a second batch ADVANCES the columns: processed grows, state rows
+      // track the user population
+      memB.addData((3L, 4L, t0), (3L, 5L, t0 + 500))
+      qB.processAllAvailable()
+      val b2 = await("twin_burst", b1.processed + 2L)
+      assert(b2.lastBatchRows == 2L && b2.stateRows == 3L, s"burst after b2: $b2")
+
+      // the queryable-rows surface (reference `stats` API): one row per
+      // twin with the descriptor columns
+      val rows = TwinStats.toDF(spark, listener)
+        .where($"query_name".startsWith("twin_"))
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      assert(rows.keySet == Set("twin_burst", "twin_paths"))
+      assert(rows.values.forall(_ > 0L), s"mem_used_bytes rows: $rows")
+    } finally { qB.stop(); qP.stop(); spark.streams.removeListener(listener) }
   }
 }
