@@ -26,7 +26,10 @@ object TopK {
   final case class Ent(id: Long, a: Double, b: Double)
 
   /** Keep the k entries ranked highest by `a` (byA) or `b` (!byA),
-    * ties broken by ascending id; `finish` returns them in rank order. */
+    * ties broken by ascending id; `finish` returns them in rank order.
+    * The buffer is allowed to grow to 2k between trims, so reduce costs
+    * an amortized O(log k) sort-share per row instead of a full
+    * O(k log k) sort per row — which keeps k=64 rerank stages cheap. */
   final case class TopKAgg(k: Int, byA: Boolean)
       extends Aggregator[Ent, Seq[Ent], Seq[Ent]] {
 
@@ -34,7 +37,10 @@ object TopK {
     private def trim(s: Seq[Ent]): Seq[Ent] = s.sortBy(ord).take(k)
 
     override def zero: Seq[Ent] = Nil
-    override def reduce(b: Seq[Ent], x: Ent): Seq[Ent] = trim(b :+ x)
+    override def reduce(b: Seq[Ent], x: Ent): Seq[Ent] = {
+      val grown = b :+ x
+      if (grown.length >= 2 * k) trim(grown) else grown
+    }
     override def merge(a: Seq[Ent], b: Seq[Ent]): Seq[Ent] = trim(a ++ b)
     override def finish(r: Seq[Ent]): Seq[Ent] = trim(r)
 
@@ -42,5 +48,39 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[Ent]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** Rank ANN candidates `(p_id, vec_id, <simCol>)` into the repo-wide
+    * output contract `(p_id, rk, vec_id, sim_bp)` — rk 1-based by
+    * (sim DESC, vec_id ASC), sim_bp = floor(sim·10000). One bounded
+    * top-k aggregate per probe + a posexplode rank over the ≤ k-element
+    * array; identical rows to the `row_number().over(partitionBy(p_id)
+    * .orderBy(sim desc, vec_id))` formulation it replaces, without
+    * shuffling the whole candidate set into n_probes partitions and
+    * sorting the corpus inside each. */
+  def rankBySim(cands: DataFrame, simCol: String, k: Int): DataFrame = {
+    val top = udaf(TopKAgg(k, byA = true))
+    cands.groupBy(col("p_id"))
+      .agg(top(col("vec_id"), col(simCol), col(simCol)).as("top"))
+      .select(col("p_id"), posexplode(col("top")))
+      .select(col("p_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("vec_id"),
+        floor(col("col.a") * 10000.0).cast("long").as("sim_bp"))
+      .orderBy("p_id", "rk")
+  }
+
+  /** Candidate pruning: keep each probe's top-k ids by `<ordCol>`
+    * (ties by vec_id) and emit bare `(p_id, vec_id)` — the shape the
+    * ADC-scan → exact-rerank pipelines feed forward. Same bounded
+    * aggregate as [[rankBySim]], no rank/score columns. */
+  def pruneBySim(cands: DataFrame, ordCol: String, k: Int): DataFrame = {
+    val top = udaf(TopKAgg(k, byA = true))
+    cands.groupBy(col("p_id"))
+      .agg(top(col("vec_id"), col(ordCol), col(ordCol)).as("top"))
+      .select(col("p_id"), explode(col("top")).as("e"))
+      .select(col("p_id"), col("e.id").as("vec_id"))
   }
 }

@@ -56,7 +56,6 @@ object HyperplaneLSH {
       bits: Int = Bits,
       hamming: Int = 0): DataFrame = {
     import emb.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
 
     // no cache: the probe leg re-reads `emb` with the vec_id filter
     // pushed to the scan (a handful of rows), and the candidate leg
@@ -70,12 +69,10 @@ object HyperplaneLSH {
       .where($"vec_id".isin(probeIds: _*))
       .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm"),
         explode(array(masks.map(m => $"bkt".bitwiseXOR(lit(m.toLong))): _*)).as("p_bkt")))
-    val w = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
-    probes.join(withBucket, $"bkt" === $"p_bkt" && $"vec_id" =!= $"p_id")
-      .withColumn("sim", expr("vec_dot(pv, v)") / ($"p_nrm" * $"nrm"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .where($"rk" <= k)
-      .select($"p_id", $"rk", $"vec_id", floor($"sim" * 10000.0).cast("long").as("sim_bp"))
-      .orderBy($"p_id", $"rk")
+    graft.functions.TopK.rankBySim(
+      probes.join(withBucket, $"bkt" === $"p_bkt" && $"vec_id" =!= $"p_id")
+        .withColumn("sim", expr("vec_dot(pv, v)") / ($"p_nrm" * $"nrm"))
+        .select($"p_id", $"vec_id", $"sim"),
+      "sim", k)
   }
 }

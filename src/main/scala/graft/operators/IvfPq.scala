@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF-PQ — the composition production ANN systems actually deploy
@@ -88,14 +87,12 @@ object IvfPq {
               .as("p_cid")),
           "p_id"))
 
-    val wA = Window.partitionBy($"p_id").orderBy($"approx".desc, $"vec_id")
-    val cand = pdf.join(indexed, $"cid" === $"p_cid" && $"vec_id" =!= $"p_id")
-      .select($"p_id", $"vec_id",
-        graft.functions.PqCodec.adcCol($"codes", $"p_idx", luts, pq.m, pq.ks)
-          .as("approx"))
-      .withColumn("ark", row_number().over(wA))
-      .where($"ark" <= rerank)
-      .select($"p_id", $"vec_id")
+    val cand = graft.functions.TopK.pruneBySim(
+      pdf.join(indexed, $"cid" === $"p_cid" && $"vec_id" =!= $"p_id")
+        .select($"p_id", $"vec_id",
+          graft.functions.PqCodec.adcCol($"codes", $"p_idx", luts, pq.m, pq.ks)
+            .as("approx")),
+      "approx", rerank)
 
     ProductQuantizer.exactRerank(cand, emb, probes, k)
   }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN with k-means-trained centroids — the quality
@@ -157,13 +156,10 @@ object KMeansIVF {
       .withColumn("p_cid", explode(
         graft.functions.Centroids.nearestCol($"pv", $"p_nrm", cents.toSeq, nProbe))))
 
-    val w = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
-    probes.join(indexed, $"cid" === $"p_cid" && $"vec_id" =!= $"p_id")
-      .withColumn("sim", expr("vec_dot(pv, v)") / ($"p_nrm" * $"nrm"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .where($"rk" <= k)
-      .select($"p_id", $"rk", $"vec_id",
-        floor($"sim" * 10000.0).cast("long").as("sim_bp"))
-      .orderBy($"p_id", $"rk")
+    graft.functions.TopK.rankBySim(
+      probes.join(indexed, $"cid" === $"p_cid" && $"vec_id" =!= $"p_id")
+        .withColumn("sim", expr("vec_dot(pv, v)") / ($"p_nrm" * $"nrm"))
+        .select($"p_id", $"vec_id", $"sim"),
+      "sim", k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-quantization ANN (PQ/ADC — the faiss IndexPQ recipe): compress
@@ -184,16 +183,13 @@ object ProductQuantizer {
     val probeVecs = broadcast(
       probes.toSeq.map { case (id, pv, pn) => (id, pv.toSeq, pn) }
         .toDF("p_id2", "pv", "p_nrm"))
-    val wE = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
-    broadcast(cand)
-      .join(emb, "vec_id")
-      .join(probeVecs, $"p_id" === $"p_id2")
-      .withColumn("sim", expr("vec_dot(pv, v)") / ($"p_nrm" * $"nrm"))
-      .withColumn("rk", row_number().over(wE).cast("long"))
-      .where($"rk" <= k)
-      .select($"p_id", $"rk", $"vec_id",
-        floor($"sim" * 10000.0).cast("long").as("sim_bp"))
-      .orderBy($"p_id", $"rk")
+    graft.functions.TopK.rankBySim(
+      broadcast(cand)
+        .join(emb, "vec_id")
+        .join(probeVecs, $"p_id" === $"p_id2")
+        .withColumn("sim", expr("vec_dot(pv, v)") / ($"p_nrm" * $"nrm"))
+        .select($"p_id", $"vec_id", $"sim"),
+      "sim", k)
   }
 
   /** Top-k neighbours per probe: ADC scan over codes → top-`rerank`
@@ -217,16 +213,14 @@ object ProductQuantizer {
     // table walk; only (p_id, vec_id, approx) survives into the window
     val pdf = broadcast(probes.map(_._1).zipWithIndex.toSeq
       .toDF("p_id", "p_idx"))
-    val wA = Window.partitionBy($"p_id").orderBy($"approx".desc, $"vec_id")
-    val cand = coded
-      .crossJoin(pdf)
-      .where($"vec_id" =!= $"p_id")
-      .select($"p_id", $"vec_id",
-        graft.functions.PqCodec.adcCol($"codes", $"p_idx", luts, model.m, model.ks)
-          .as("approx"))
-      .withColumn("ark", row_number().over(wA))
-      .where($"ark" <= rerank)
-      .select($"p_id", $"vec_id")
+    val cand = graft.functions.TopK.pruneBySim(
+      coded
+        .crossJoin(pdf)
+        .where($"vec_id" =!= $"p_id")
+        .select($"p_id", $"vec_id",
+          graft.functions.PqCodec.adcCol($"codes", $"p_idx", luts, model.m, model.ks)
+            .as("approx")),
+      "approx", rerank)
 
     exactRerank(cand, emb, probes, k)
   }

@@ -67,7 +67,11 @@ object VectorOps extends QueryModule {
   }
 
   /** Top-5 cosine neighbours for 5 probe vectors. The probe side is tiny
-    * → broadcast; the big side streams once. */
+    * → broadcast; the big side streams once; the per-probe ranking is a
+    * bounded TopK aggregate (graft.functions.TopK.rankBySim — map-side
+    * partials keep ≤ 5 rows per probe, so the full N×5 candidate set
+    * never shuffles into n_probes partitions the way a row_number
+    * window would). */
   private val simTopk = Q(
     "x_sim_topk",
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -84,14 +88,11 @@ object VectorOps extends QueryModule {
       val e = emb(spark, dir)
       val p = broadcast(e.where($"vec_id" < 5)
         .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm")))
-      val w = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
-      p.join(e, $"vec_id" =!= $"p_id")
-        .withColumn("sim", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .where($"rk" <= 5)
-        .select($"p_id", $"rk", $"vec_id",
-          floor($"sim" * 10000.0).cast("long").as("sim_bp"))
-        .orderBy($"p_id", $"rk")
+      graft.functions.TopK.rankBySim(
+        p.join(e, $"vec_id" =!= $"p_id")
+          .withColumn("sim", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
+          .select($"p_id", $"vec_id", $"sim"),
+        "sim", 5)
     })
 
   /** Embedding-cosine near-duplicate pairs (cos >= 0.45).
@@ -157,14 +158,11 @@ object VectorOps extends QueryModule {
       val p = broadcast(asg.where($"vec_id" < 5)
         .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm"),
           $"c_id".as("p_c")))
-      val wRk = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
-      p.join(asg, $"c_id" === $"p_c" && $"vec_id" =!= $"p_id")
-        .withColumn("sim", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
-        .withColumn("rk", row_number().over(wRk).cast("long"))
-        .where($"rk" <= 5)
-        .select($"p_id", $"rk", $"vec_id",
-          floor($"sim" * 10000.0).cast("long").as("sim_bp"))
-        .orderBy($"p_id", $"rk")
+      graft.functions.TopK.rankBySim(
+        p.join(asg, $"c_id" === $"p_c" && $"vec_id" =!= $"p_id")
+          .withColumn("sim", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
+          .select($"p_id", $"vec_id", $"sim"),
+        "sim", 5)
     })
 
   /** LSH-bucketed ANN (random hyperplanes), multi-probe radius 1: a

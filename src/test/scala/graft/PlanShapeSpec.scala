@@ -44,6 +44,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("x_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"probe side not broadcast:\n$p")
+    // the per-probe ranking is a bounded TopK aggregate — a row_number
+    // window here shuffles all N×5 candidates into n_probes partitions
+    assert(!p.contains("Window"), s"sim ranking regressed to a probe window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"bounded TopK aggregate missing:\n$p")
   }
 
   test("IVF centroid assignment is a narrow pass: no exchange, no window, no join") {
@@ -68,10 +72,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       case j: BroadcastHashJoinExec => j
     }
     assert(offenders.isEmpty, s"assignment stage not narrow:\n${phys.toString}")
-    // and the declared query keeps exactly one window (the per-probe
-    // top-k rank) — the assignment rn-window is gone
+    // and the declared query is window-free end to end: argmin kernel
+    // assignment + bounded TopK per-probe ranking
     val p = plan("x_ann_ivf")
     assert(p.contains("nearest_centroid"), s"argmin kernel missing from plan:\n$p")
+    assert(!p.contains("Window"), s"x_ann_ivf regressed to a window ranking:\n$p")
   }
 
   test("p_cold_scan limit is planned as a limit, not a full materialization") {
