@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting over an undirected graph, degree-ordered.
+  *
+  * The naive formulation joins the edge list against itself twice with
+  * `a < b < c` — its wedge stage materializes Σ C(deg, 2) rows, which a
+  * power-law graph concentrates on the hubs (a node of degree d yields
+  * d²/2 wedges). The classic fix (Schank–Wagner / "forward" algorithm,
+  * also the standard MapReduce formulation) orients every edge from its
+  * lower-(degree, id) endpoint to the higher one: the resulting DAG has
+  * out-degree O(√m) per node, so the wedge join materializes O(m^1.5)
+  * rows TOTAL regardless of skew — each triangle appears as exactly one
+  * wedge at its unique apex (the node with two out-edges) plus one
+  * closing-edge lookup. All three stages are plain equi-joins/aggregates
+  * Catalyst plans with map-side partial aggregation, so the operator
+  * scales to edge lists that only fit as a distributed table.
+  *
+  * Node ids can be any orderable column type (LONG doc ids, STRING
+  * tokens); ties in degree break on the id ordering, so the orientation
+  * — and the plan — is fully deterministic.
+  */
+object Triangles {
+
+  /** Canonicalize an (a, b) edge list: undirected, no self-loops, each
+    * edge once with a < b. */
+  private def canon(edges0: DataFrame): DataFrame = {
+    val e = edges0.toDF("a", "b")
+    e.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+  }
+
+  /** Degree-ordered orientation: one row per edge, `src` the endpoint
+    * with the smaller (degree, id) key, `dd` the destination's degree
+    * (carried so wedge enumeration can order destinations without a
+    * second degree join). */
+  private def orient(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("id"))
+      .unionAll(edges.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    val srcFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    edges
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(srcFirst, col("a")).otherwise(col("b")).as("src"),
+        when(srcFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(srcFirst, col("db")).otherwise(col("da")).as("dd"))
+  }
+
+  /** The triangles themselves, one row per triangle as (apex, u, v)
+    * where apex is the unique node with both out-edges in the oriented
+    * DAG and (u, v) its out-neighbours in (degree, id) order. */
+  def enumerate(edges0: DataFrame): DataFrame = {
+    val o = orient(canon(edges0))
+    val x = o.select(col("src"), col("dst").as("u"), col("dd").as("du"))
+    val y = o.select(col("src").as("src2"), col("dst").as("v"), col("dd").as("dv"))
+    val wedges = x.join(y, col("src") === col("src2") &&
+        (col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))))
+      .select(col("src").as("apex"), col("u"), col("v"))
+    // the closing edge between u and v is oriented u → v because the
+    // wedge ordered them by the same (degree, id) key the orientation
+    // uses — one equi-join, no second ordering check needed
+    wedges.join(o.select(col("src").as("u"), col("dst").as("v")),
+      Seq("u", "v"))
+      .select(col("apex"), col("u"), col("v"))
+  }
+
+  /** One-row graph summary: nodes, edges, wedges (= Σ C(deg, 2)),
+    * triangles, and the global clustering coefficient in basis points
+    * (3·triangles / wedges, floor — exact integer arithmetic). */
+  def summary(edges0: DataFrame): DataFrame = {
+    val edges = canon(edges0)
+    val deg = edges.select(col("a").as("id"))
+      .unionAll(edges.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    val nodesEdges = deg.agg(count(lit(1)).as("n_nodes"),
+        expr("CAST(sum(dg * (dg - 1) DIV 2) AS BIGINT)").as("n_wedges"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+    val tri = enumerate(edges).agg(count(lit(1)).as("n_tri"))
+    nodesEdges.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_tri"),
+        expr("CASE WHEN n_wedges > 0 THEN (3 * n_tri * 10000) DIV n_wedges " +
+          "ELSE CAST(0 AS BIGINT) END").as("gcc_bp"))
+  }
+}

@@ -501,6 +501,160 @@ object EventAnalytics extends QueryModule {
         .limit(20)
     })
 
+  /** Last-touch revenue attribution: each purchase's value is credited
+    * to the last non-purchase event type the user performed strictly
+    * before it (their most recent "channel"); purchases with no prior
+    * event credit `direct`. The marketing read every event-store
+    * dashboard ships — and the reference's projection-fold idiom
+    * (doc/index.adoc:163-172) restated as one declarative window.
+    *
+    * Determinism: per-user order is (µs-floored ts, event_id) — a total
+    * order both engines share; revenue is exact DECIMAL(18,2) summed
+    * before the final DOUBLE cast (order-independent), counts int64.
+    *
+    * Scale shape: ONE user-keyed window (last-ignoreNulls carries a
+    * single value of state per user, bot-proof like lag) feeding a
+    * channel-cardinality map-side-combined aggregate. No self-join of
+    * purchases against history — the pattern-match formulation that
+    * explodes on power users. */
+  private val attribution = Q(
+    "x_attribution",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                         CAST(value AS DECIMAL(18,2)) AS v,
+                         epoch_us(ts) AS ts_us FROM events),
+            a AS (SELECT event_type, v,
+                    last_value(CASE WHEN event_type <> 'purchase'
+                                    THEN event_type END IGNORE NULLS) OVER
+                      (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS prev_ch
+                  FROM e)
+            SELECT coalesce(prev_ch, 'direct') AS channel,
+              CAST(count(*) AS BIGINT) AS n_purch,
+              CAST(CAST(sum(v) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+            FROM a WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY channel"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val wU = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(spark, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          money($"value").as("v"), expr("unix_micros(ts)").as("ts_us"))
+        .withColumn("prev_ch",
+          last(when($"event_type" =!= "purchase", $"event_type"),
+            ignoreNulls = true).over(wU))
+        .where($"event_type" === "purchase")
+        .groupBy(coalesce($"prev_ch", lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purch"),
+          dbl(sum($"v").cast("decimal(18,2)")).as("revenue"))
+        .orderBy($"channel")
+    })
+
+  /** CUSUM changepoint detection on the per-type daily event series:
+    * the day where the cumulative deviation from the series mean peaks
+    * — the "when did the rate shift" read that complements
+    * x_spike_detect's "which hours are anomalous". For day k of D with
+    * prefix sum S_k and total T, the classic CUSUM statistic
+    * |S_k − k·(T/D)| is computed as the INTEGER |D·S_k − k·T| (scaled
+    * by D — argmax is unchanged, and no float division means both
+    * engines flag the identical day). Ties break to the earliest day.
+    *
+    * Scale shape: calendar-bounded daily rollup (map-side combined) →
+    * per-type windows over ≤ days rows → an equality join against the
+    * per-type max on exact integers. State shards by event_type; the
+    * windowed table is days × types regardless of event volume. */
+  private val changepoint = Q(
+    "x_changepoint",
+    Some("""WITH dc AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                          CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            agg AS (SELECT event_type, day,
+                      CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day)
+                        AS BIGINT) AS s,
+                      CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                        AS BIGINT) AS k,
+                      CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS t_all,
+                      CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS d_all
+                    FROM dc),
+            cu AS (SELECT event_type, day, d_all,
+                     abs(d_all * s - k * t_all) AS cusum
+                   FROM agg WHERE k < d_all),
+            m AS (SELECT event_type, max(cusum) AS mc FROM cu GROUP BY 1)
+            SELECT cu.event_type AS event_type,
+              CAST(min(cu.day) AS BIGINT) AS cp_day,
+              CAST(m.mc AS BIGINT) AS cusum_abs,
+              CAST(min(cu.d_all) AS BIGINT) AS n_days
+            FROM cu JOIN m ON cu.event_type = m.event_type AND cu.cusum = m.mc
+            GROUP BY cu.event_type, m.mc
+            ORDER BY cu.event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val wCum = Window.partitionBy($"event_type").orderBy($"day")
+      val wAll = Window.partitionBy($"event_type")
+      val cu = t(spark, dir, "events")
+        .select($"event_type", expr("unix_millis(ts) DIV 86400000").as("day"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("s", sum($"c").over(wCum))
+        .withColumn("k", row_number().over(wCum).cast("long"))
+        .withColumn("t_all", sum($"c").over(wAll))
+        .withColumn("d_all", count(lit(1)).over(wAll))
+        .where($"k" < $"d_all")
+        .select($"event_type", $"day", $"d_all",
+          abs($"d_all" * $"s" - $"k" * $"t_all").as("cusum"))
+      val m = cu.groupBy($"event_type").agg(max($"cusum").as("mc"))
+      cu.as("c").join(m.as("m"),
+          col("c.event_type") === col("m.event_type") &&
+            col("c.cusum") === col("m.mc"))
+        .groupBy(col("c.event_type").as("event_type"), col("m.mc").as("mc"))
+        .agg(min(col("c.day")).as("cp_day"), min(col("c.d_all")).as("n_days"))
+        .select($"event_type", $"cp_day", $"mc".as("cusum_abs"), $"n_days")
+        .orderBy($"event_type")
+    })
+
+  /** Cohort lifetime value: purchase revenue laid out as (cohort week ×
+    * week offset) — x_retention's activity matrix value-weighted, the
+    * "do newer cohorts monetize faster" read. Cohort week is the
+    * epoch-week of the user's first event of any type; revenue is exact
+    * DECIMAL(18,2) summed before the final DOUBLE cast.
+    *
+    * Scale shape: per-user min (map-side combined) for the cohort day,
+    * one user-keyed equi-join of the purchase stream against that
+    * user-cardinality table, then a calendar-bounded (cohort, offset)
+    * aggregate — the output is weeks², constant in event volume. */
+  private val cohortLtv = Q(
+    "x_cohort_ltv",
+    Some("""WITH f AS (SELECT user_id,
+                         min(epoch_ms(ts) // 86400000) AS c_day
+                       FROM events GROUP BY user_id),
+            p AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+                    CAST(value AS DECIMAL(18,2)) AS v
+                  FROM events WHERE event_type = 'purchase')
+            SELECT CAST(f.c_day // 7 AS BIGINT) AS c_week,
+              CAST((p.day - f.c_day) // 7 AS BIGINT) AS off_w,
+              CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_buyers,
+              CAST(CAST(sum(p.v) AS DECIMAL(18,2)) AS DOUBLE) AS rev
+            FROM p JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY c_week, off_w"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "events")
+      val first = e
+        .select($"user_id", expr("unix_millis(ts) DIV 86400000").as("day"))
+        .groupBy($"user_id").agg(min($"day").as("c_day"))
+      e.where($"event_type" === "purchase")
+        .select($"user_id", expr("unix_millis(ts) DIV 86400000").as("day"),
+          money($"value").as("v"))
+        .join(first, "user_id")
+        .groupBy(expr("c_day DIV 7").as("c_week"),
+          expr("(day - c_day) DIV 7").as("off_w"))
+        .agg(countDistinct($"user_id").as("n_buyers"),
+          dbl(sum($"v").cast("decimal(18,2)")).as("rev"))
+        .orderBy($"c_week", $"off_w")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
-    userSkew, botBurst, sessionStats, valueOutliers, eventTransitions)
+    userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
+    attribution, changepoint, cohortLtv)
 }

@@ -640,7 +640,206 @@ object MiningOps extends QueryModule {
             FROM v GROUP BY source ORDER BY source"""),
     (spark, dir) => docDiversityBody(spark, dir, exact = true))
 
+  /** Per-source novelty attribution: of the distinct token-trigrams a
+    * source contains, how many first appeared (lowest doc_id corpus
+    * order) in THAT source — the "which sources actually contribute new
+    * content" read that prices a source before licensing another crawl
+    * of it. A boilerplate mirror scores near zero; the origin of a
+    * template family scores high even though its copies are near-dups.
+    *
+    * Scale shape: one exploded-gram pass → `groupBy(gram)` with
+    * `min`/`min_by` (map-side partial — duplicate grams collapse before
+    * the exchange; no join-back against the gram table, unlike the SQL
+    * formulation) → two source-cardinality aggregates. The exchange
+    * carries the gram string (~3 tokens); at 100 TB the same plan runs
+    * on 8-byte `xxhash64(gram)` keys — collision risk there is the
+    * count-bias of a 64-bit birthday, not a correctness cliff, and the
+    * oracle comparison is why the gate build keeps exact strings.
+    * Tokenize and gram-build are separated by a barrier()
+    * (CollapseProject would otherwise inline the split into every
+    * lambda element reference — the measured O(n²) trap). */
+  private val novelty = Q(
+    "x_novelty",
+    Some("""WITH s AS (SELECT doc_id, source,
+              list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+            FROM (SELECT doc_id, source,
+                    list_filter(string_split_regex(lower(text), ' +'),
+                      x -> x <> '') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 3),
+            g AS (SELECT doc_id, source, unnest(sh) AS gram FROM s),
+            fo AS (SELECT gram, min(doc_id) AS fdoc FROM g GROUP BY gram),
+            att AS (SELECT g.source, CAST(count(*) AS BIGINT) AS n_first
+                    FROM fo JOIN g ON g.gram = fo.gram AND g.doc_id = fo.fdoc
+                    GROUP BY 1),
+            tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+                    FROM (SELECT DISTINCT source, gram FROM g) GROUP BY 1)
+            SELECT tot.source, n_grams,
+              CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+              (coalesce(n_first, 0) * 10000) // n_grams AS novelty_bp
+            FROM tot LEFT JOIN att ON tot.source = att.source
+            ORDER BY tot.source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = barrier(t(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") >= 3))
+      val grams = toks.select($"doc_id", $"source",
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(toks) - 3), " +
+            "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))).as("gram"))
+      // first occurrence: min doc_id per gram, its source via min_by —
+      // doc_id is unique within a gram's (distinct) posting, so the
+      // pick is total-ordered; one aggregate, no join-back
+      val att = grams.groupBy($"gram")
+        .agg(min_by($"source", $"doc_id").as("fsrc"))
+        .groupBy($"fsrc").agg(count(lit(1)).as("n_first"))
+      val tot = grams.select($"source", $"gram").distinct()
+        .groupBy($"source").agg(count(lit(1)).as("n_grams"))
+      tot.join(att, $"source" === $"fsrc", "left")
+        .select($"source", $"n_grams",
+          coalesce($"n_first", lit(0L)).as("n_first"),
+          expr("(coalesce(n_first, CAST(0 AS BIGINT)) * 10000) DIV n_grams")
+            .as("novelty_bp"))
+        .orderBy($"source")
+    })
+
+  /** Association rules over the capped vocabulary — x_cooccur upgraded
+    * from symmetric overlap to DIRECTED confidence/lift: for token pair
+    * a → b, conf = P(b | a) and lift = P(ab) / (P(a)·P(b)), both as
+    * exact int64 floor basis points (baskets = docs). The top rules by
+    * lift are the "these concepts travel together" read market-basket
+    * mining runs on any co-occurrence corpus.
+    *
+    * Scale shape: identical posting join to x_cooccur (vocabulary
+    * capped at top-100 df, the declared cost bound), each direction of
+    * a pair produced by the same a ≠ b join; the basket total N rides a
+    * 1-row broadcast crossJoin. Output is top-20 under a total order. */
+  private val assocRules = Q(
+    "x_assoc_rules",
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(text), ' +'),
+                    x -> x <> '')) AS token
+                FROM documents)),
+            df AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY token),
+            voc AS (SELECT token, n FROM (
+                SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rk
+                FROM df)
+              WHERE rk <= 100),
+            p AS (SELECT t.doc_id, t.token, v.n
+                  FROM tok t JOIN voc v ON t.token = v.token),
+            nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                   FROM tok),
+            prs AS (SELECT a.token AS a_tok, b.token AS b_tok,
+                      CAST(count(*) AS BIGINT) AS n_ab,
+                      any_value(a.n) AS n_a, any_value(b.n) AS n_b
+                    FROM p a JOIN p b
+                      ON a.doc_id = b.doc_id AND a.token <> b.token
+                    GROUP BY 1, 2)
+            SELECT a_tok, b_tok, n_ab,
+              (n_ab * 10000) // n_a AS conf_bp,
+              (n_ab * n_docs * 10000) // (n_a * n_b) AS lift_bp
+            FROM prs, nn WHERE n_ab >= 5
+            ORDER BY lift_bp DESC, conf_bp DESC, a_tok, b_tok LIMIT 20"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val tok = barrier(t(spark, dir, "documents")
+        .select($"doc_id",
+          explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .distinct())
+      val df = tok.groupBy($"token").agg(count(lit(1)).as("n"))
+      val voc = df.orderBy($"n".desc, $"token").limit(100)
+      val p = tok.join(broadcast(voc), "token")
+      val nn = broadcast(tok.agg(countDistinct($"doc_id").as("n_docs")))
+      val a = p.select($"doc_id", $"token".as("a_tok"), $"n".as("n_a"))
+      val b = p.select($"doc_id".as("doc2"), $"token".as("b_tok"), $"n".as("n_b"))
+      a.join(b, $"doc_id" === $"doc2" && $"a_tok" =!= $"b_tok")
+        .groupBy($"a_tok", $"b_tok")
+        .agg(count(lit(1)).as("n_ab"),
+          first($"n_a").as("n_a"), first($"n_b").as("n_b"))
+        .where($"n_ab" >= 5)
+        .crossJoin(nn)
+        .select($"a_tok", $"b_tok", $"n_ab",
+          expr("(n_ab * 10000) DIV n_a").as("conf_bp"),
+          expr("(n_ab * n_docs * 10000) DIV (n_a * n_b)").as("lift_bp"))
+        .orderBy($"lift_bp".desc, $"conf_bp".desc, $"a_tok", $"b_tok")
+        .limit(20)
+    })
+
+  /** Community structure of the token co-occurrence graph: edges are
+    * capped-vocabulary pairs with overlap coefficient ≥ 0.82
+    * (x_cooccur's edge definition thresholded), summarized as exact
+    * node/edge/wedge/triangle counts and the global clustering
+    * coefficient in basis points. Triangle counting runs the
+    * degree-ordered "forward" algorithm (operators/Triangles.scala) —
+    * wedges are enumerated only from each edge's lower-(degree, id)
+    * endpoint, so the join materializes O(m^1.5) rows on ANY degree
+    * distribution instead of the hub-quadratic naive self-join; the
+    * oracle's naive a<b<c 3-way join proves the orientation counts the
+    * identical set. */
+  private val graphTriangles = Q(
+    "x_graph_triangles",
+    Some("""WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(text), ' +'),
+                    x -> x <> '')) AS token
+                FROM documents)),
+            df AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY token),
+            voc AS (SELECT token, n FROM (
+                SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rk
+                FROM df)
+              WHERE rk <= 100),
+            p AS (SELECT t.doc_id, t.token, v.n
+                  FROM tok t JOIN voc v ON t.token = v.token),
+            e AS (SELECT a_tok AS a, b_tok AS b FROM (
+                SELECT a.token AS a_tok, b.token AS b_tok,
+                  CAST(count(*) AS BIGINT) AS n_ab,
+                  least(any_value(a.n), any_value(b.n)) AS n_min
+                FROM p a JOIN p b
+                  ON a.doc_id = b.doc_id AND a.token < b.token
+                GROUP BY 1, 2)
+              WHERE (n_ab * 10000) // n_min >= 8200),
+            d AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+                    SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+                  GROUP BY id),
+            tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+                    FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_nodes,
+              (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+              (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) FROM d) AS n_wedges,
+              (SELECT t FROM tri) AS n_tri,
+              (SELECT CASE WHEN (SELECT sum(dg * (dg - 1) // 2) FROM d) > 0
+                 THEN CAST((3 * t * 10000) // (SELECT sum(dg * (dg - 1) // 2) FROM d)
+                   AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END FROM tri) AS gcc_bp"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val tok = barrier(t(spark, dir, "documents")
+        .select($"doc_id",
+          explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .distinct())
+      val df = tok.groupBy($"token").agg(count(lit(1)).as("n"))
+      val voc = df.orderBy($"n".desc, $"token").limit(100)
+      val p = tok.join(broadcast(voc), "token")
+      val a = p.select($"doc_id", $"token".as("a_tok"), $"n".as("a_n"))
+      val b = p.select($"doc_id".as("doc2"), $"token".as("b_tok"), $"n".as("b_n"))
+      val edges = a.join(b, $"doc_id" === $"doc2" && $"a_tok" < $"b_tok")
+        .groupBy($"a_tok", $"b_tok")
+        .agg(count(lit(1)).as("n_ab"),
+          least(first($"a_n"), first($"b_n")).as("n_min"))
+        .where(expr("(n_ab * 10000) DIV n_min >= 8200"))
+        .select($"a_tok", $"b_tok")
+      graft.operators.Triangles.summary(edges)
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
-    bpePairs, dupPagerank, docDiversity)
+    bpePairs, dupPagerank, docDiversity, novelty, assocRules,
+    graphTriangles)
 }
