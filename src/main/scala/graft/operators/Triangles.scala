@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * Node ids can be any orderable column type (LONG doc ids, STRING
   * tokens); ties in degree break on the id ordering, so the orientation
   * — and the plan — is fully deterministic.
+  *
+  * Plan economics: every scalar the summary needs besides the triangle
+  * count comes from ONE aggregate over the degree table (n_edges is
+  * Σdeg / 2), so the canonical edge list is referenced exactly twice
+  * (degree count + orientation) and the degree table three times — each
+  * behind its own shuffle, which exchange reuse materializes once. The
+  * earlier shape that aggregated nodes/edges/wedges from separate
+  * subtrees re-derived the (possibly expensive) edge pipeline per
+  * scalar.
   */
 object Triangles {
 
@@ -34,14 +43,17 @@ object Triangles {
       .distinct()
   }
 
+  /** One row per node with its degree — a single scan of the edge list
+    * (explode of both endpoints, not a two-scan unionAll). */
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+
   /** Degree-ordered orientation: one row per edge, `src` the endpoint
     * with the smaller (degree, id) key, `dd` the destination's degree
     * (carried so wedge enumeration can order destinations without a
     * second degree join). */
-  private def orient(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("a").as("id"))
-      .unionAll(edges.select(col("b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+  private def orientOn(edges: DataFrame, deg: DataFrame): DataFrame = {
     val srcFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     edges
@@ -53,11 +65,8 @@ object Triangles {
         when(srcFirst, col("db")).otherwise(col("da")).as("dd"))
   }
 
-  /** The triangles themselves, one row per triangle as (apex, u, v)
-    * where apex is the unique node with both out-edges in the oriented
-    * DAG and (u, v) its out-neighbours in (degree, id) order. */
-  def enumerate(edges0: DataFrame): DataFrame = {
-    val o = orient(canon(edges0))
+  /** Wedge + closing join over an oriented edge list `o`. */
+  private def trianglesOf(o: DataFrame): DataFrame = {
     val x = o.select(col("src"), col("dst").as("u"), col("dd").as("du"))
     val y = o.select(col("src").as("src2"), col("dst").as("v"), col("dd").as("dv"))
     val wedges = x.join(y, col("src") === col("src2") &&
@@ -72,19 +81,27 @@ object Triangles {
       .select(col("apex"), col("u"), col("v"))
   }
 
+  /** The triangles themselves, one row per triangle as (apex, u, v)
+    * where apex is the unique node with both out-edges in the oriented
+    * DAG and (u, v) its out-neighbours in (degree, id) order. */
+  def enumerate(edges0: DataFrame): DataFrame = {
+    val edges = canon(edges0)
+    trianglesOf(orientOn(edges, degrees(edges)))
+  }
+
   /** One-row graph summary: nodes, edges, wedges (= Σ C(deg, 2)),
     * triangles, and the global clustering coefficient in basis points
     * (3·triangles / wedges, floor — exact integer arithmetic). */
   def summary(edges0: DataFrame): DataFrame = {
     val edges = canon(edges0)
-    val deg = edges.select(col("a").as("id"))
-      .unionAll(edges.select(col("b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
-    val nodesEdges = deg.agg(count(lit(1)).as("n_nodes"),
-        expr("CAST(sum(dg * (dg - 1) DIV 2) AS BIGINT)").as("n_wedges"))
-      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-    val tri = enumerate(edges).agg(count(lit(1)).as("n_tri"))
-    nodesEdges.crossJoin(tri)
+    val deg = degrees(edges)
+    val o = orientOn(edges, deg)
+    val scalars = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("CAST(sum(dg) DIV 2 AS BIGINT)").as("n_edges"),
+      expr("CAST(sum(dg * (dg - 1) DIV 2) AS BIGINT)").as("n_wedges"))
+    val tri = trianglesOf(o).agg(count(lit(1)).as("n_tri"))
+    scalars.crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_tri"),
         expr("CASE WHEN n_wedges > 0 THEN (3 * n_tri * 10000) DIV n_wedges " +
           "ELSE CAST(0 AS BIGINT) END").as("gcc_bp"))

@@ -272,6 +272,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), s"transition matrix must not join:\n$p")
   }
 
+  test("x_graph_triangles: the corpus pipeline is materialized once, then reused") {
+    // the summary derives four scalars from a tokenize → posting-join →
+    // overlap-filter pipeline; everything past the first materialization
+    // must resolve to ReusedExchange — a fresh documents scan per scalar
+    // is the O(scalars × corpus) anti-plan
+    val df = SparkEntry.queries("x_graph_triangles")(spark, sf)
+    df.collect()
+    val full = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    val finalPlan = full.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("ReusedExchange"),
+      s"no ReusedExchange — the edge pipeline is recomputed per scalar:\n$finalPlan")
+    val liveScans = finalPlan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(liveScans <= 2,
+      s"expected ≤2 live documents scans in the final plan, got $liveScans:\n$finalPlan")
+  }
+
   test("x_session_stats: one exchange serves both session windows") {
     // lag() and the running sid sum share the (user | ts_s, event_id)
     // sort — a second user-keyed exchange means the windows diverged.
