@@ -654,7 +654,146 @@ object EventAnalytics extends QueryModule {
         .orderBy($"c_week", $"off_w")
     })
 
+  /** Lag-1 / lag-7 autocorrelation of the daily count series per event
+    * type — the "is this stream bursty day-over-day, and does it have a
+    * weekly rhythm" monitoring read. The Pearson numerator and both
+    * variance terms are computed as exact BIGINT moments over the
+    * aligned-pair set (m·Σab − Σa·Σb etc.), so the only floating-point
+    * steps are two IEEE sqrts, one division and one multiply — identical
+    * bit patterns in any engine, floored to basis points. The pair
+    * alignment is an equi-join on (type, day + k), so days missing from
+    * the series simply contribute no pair.
+    *
+    * Scale shape: one (type, day) count aggregate (map-side combined,
+    * output is calendar-bounded), then a self-join and a type-cardinality
+    * rollup over it — cost is independent of raw event volume past the
+    * first aggregate. The BIGINT moments hold to ~1e9 events/day; past
+    * that the sums want DECIMAL(38,0), noted here rather than paid now. */
+  private val autocorr = Q(
+    "x_autocorr",
+    Some("""WITH dc AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                          CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            p AS (SELECT a.event_type, l.lag_d, a.c AS ca, b.c AS cb
+                  FROM (SELECT CAST(1 AS BIGINT) AS lag_d
+                        UNION ALL SELECT 7) l
+                  CROSS JOIN dc a
+                  JOIN dc b ON b.event_type = a.event_type
+                    AND b.day = a.day + l.lag_d),
+            s AS (SELECT event_type, lag_d, CAST(count(*) AS BIGINT) AS m,
+                    CAST(sum(ca) AS BIGINT) AS sa, CAST(sum(cb) AS BIGINT) AS sb,
+                    CAST(sum(ca * ca) AS BIGINT) AS saa,
+                    CAST(sum(cb * cb) AS BIGINT) AS sbb,
+                    CAST(sum(ca * cb) AS BIGINT) AS sab
+                  FROM p GROUP BY 1, 2)
+            SELECT event_type, lag_d, m AS n_pairs,
+              CASE WHEN m * saa - sa * sa > 0 AND m * sbb - sb * sb > 0
+                THEN CAST(floor((10000.0 * CAST(m * sab - sa * sb AS DOUBLE))
+                  / (sqrt(CAST(m * saa - sa * sa AS DOUBLE))
+                     * sqrt(CAST(m * sbb - sb * sb AS DOUBLE)))) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS autocorr_bp
+            FROM s ORDER BY event_type, lag_d"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val dc = t(spark, dir, "events")
+        .select($"event_type", expr("unix_millis(ts) DIV 86400000").as("day"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("c"))
+      val lags = Seq(1L, 7L).toDF("lag_d")
+      val b = dc.select($"event_type".as("b_type"), $"day".as("b_day"),
+        $"c".as("cb"))
+      dc.crossJoin(broadcast(lags))
+        .join(b, $"b_type" === $"event_type" &&
+          $"b_day" === $"day" + $"lag_d")
+        .select($"event_type", $"lag_d", $"c".as("ca"), $"cb")
+        .groupBy($"event_type", $"lag_d")
+        .agg(count(lit(1)).as("m"),
+          sum($"ca").as("sa"), sum($"cb").as("sb"),
+          sum($"ca" * $"ca").as("saa"), sum($"cb" * $"cb").as("sbb"),
+          sum($"ca" * $"cb").as("sab"))
+        .select($"event_type", $"lag_d", $"m".as("n_pairs"),
+          when($"m" * $"saa" - $"sa" * $"sa" > 0 &&
+              $"m" * $"sbb" - $"sb" * $"sb" > 0,
+            floor((lit(10000.0) * ($"m" * $"sab" - $"sa" * $"sb").cast("double"))
+              / (sqrt(($"m" * $"saa" - $"sa" * $"sa").cast("double"))
+                 * sqrt(($"m" * $"sbb" - $"sb" * $"sb").cast("double"))))
+              .cast("long"))
+            .otherwise(lit(0L)).as("autocorr_bp"))
+        .orderBy($"event_type", $"lag_d")
+    })
+
+  /** Weekly drift of the event-type mix vs the first (baseline) epoch
+    * week, as total-variation distance in basis points — the
+    * distribution-shift alarm a training-data ingest watches. Every
+    * ratio is cross-multiplied into exact BIGINT arithmetic
+    * (|obs·base_total − base_count·week_total| scaled then integer-DIV),
+    * so there is no floating point anywhere; the per-type term keeps its
+    * magnitude and sign separately because signed integer division
+    * floors differently across engines. Types absent from a week or the
+    * baseline drop out of the inner join identically in any engine.
+    *
+    * Scale shape: one (type, week) aggregate (calendar-bounded output),
+    * a broadcast of the type-cardinality baseline, and a window sum over
+    * the type-cardinality week groups — nothing downstream of the first
+    * aggregate depends on event volume. */
+  private val driftTvd = Q(
+    "x_drift_tvd",
+    Some("""WITH wc AS (SELECT event_type, epoch_ms(ts) // 604800000 AS w,
+                          CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            mw AS (SELECT min(w) AS w0 FROM wc),
+            base AS (SELECT event_type, c AS bc FROM wc, mw WHERE w = w0),
+            bt AS (SELECT CAST(sum(bc) AS BIGINT) AS btot FROM base),
+            wk AS (SELECT w, CAST(sum(c) AS BIGINT) AS wtot FROM wc
+                   GROUP BY w),
+            term AS (SELECT wc.w - mw.w0 AS week_idx, wc.event_type,
+                       wc.c AS obs,
+                       (abs(wc.c * bt.btot - base.bc * wk.wtot) * 10000)
+                         // (wk.wtot * bt.btot) AS abs_drift_bp,
+                       CASE WHEN wc.c * bt.btot > base.bc * wk.wtot THEN 1
+                            WHEN wc.c * bt.btot < base.bc * wk.wtot THEN -1
+                            ELSE 0 END AS drift_sign
+                     FROM wc
+                     JOIN base ON base.event_type = wc.event_type
+                     JOIN wk ON wk.w = wc.w
+                     CROSS JOIN bt CROSS JOIN mw
+                     WHERE wc.w > mw.w0)
+            SELECT week_idx, event_type, obs,
+              CAST(abs_drift_bp AS BIGINT) AS abs_drift_bp,
+              CAST(drift_sign AS BIGINT) AS drift_sign,
+              CAST((sum(abs_drift_bp) OVER (PARTITION BY week_idx)) // 2
+                AS BIGINT) AS tvd_bp
+            FROM term ORDER BY week_idx, event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val wc = t(spark, dir, "events")
+        .select($"event_type", expr("unix_millis(ts) DIV 604800000").as("w"))
+        .groupBy($"event_type", $"w")
+        .agg(count(lit(1)).as("c"))
+      val mw = wc.agg(min($"w").as("w0"))
+      val base = wc.crossJoin(broadcast(mw)).where($"w" === $"w0")
+        .select($"event_type".as("b_type"), $"c".as("bc"))
+      val bt = base.agg(sum($"bc").as("btot"))
+      val wk = wc.groupBy($"w").agg(sum($"c").as("wtot"))
+        .select($"w".as("wk_w"), $"wtot")
+      val diff = $"c" * $"btot" - $"bc" * $"wtot"
+      val term = wc.crossJoin(broadcast(mw)).where($"w" > $"w0")
+        .join(broadcast(base), $"b_type" === $"event_type")
+        .join(broadcast(wk), $"wk_w" === $"w")
+        .crossJoin(broadcast(bt))
+        .select(($"w" - $"w0").as("week_idx"), $"event_type",
+          $"c".as("obs"),
+          expr("(abs(c * btot - bc * wtot) * 10000) DIV (wtot * btot)")
+            .as("abs_drift_bp"),
+          when(diff > 0, 1L).when(diff < 0, -1L).otherwise(0L)
+            .as("drift_sign"))
+      term
+        .withColumn("tvd_bp",
+          expr("sum(abs_drift_bp) OVER (PARTITION BY week_idx) DIV 2"))
+        .orderBy($"week_idx", $"event_type")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
-    attribution, changepoint, cohortLtv)
+    attribution, changepoint, cohortLtv, autocorr, driftTvd)
 }

@@ -821,9 +821,67 @@ object PipelineOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Quality × duplication cross-read: does low-quality text duplicate
+    * more? Docs land in fixed-width quality-score buckets (the
+    * x_quality_score formula, floor-divided into deciles — fixed
+    * boundaries, so no global ntile sort), and per bucket the exact-dup
+    * family's digest aggregate reports how many docs share their
+    * sha2(text) with another doc. Identical text implies identical
+    * quality score implies identical bucket, so the whole read is ONE
+    * digest-keyed aggregate followed by a 10-row rollup — no join-back,
+    * the x_dedup_exact one-pass shape.
+    *
+    * This is the curation-policy calibration read: if dup_rate climbs as
+    * quality falls, an aggressive dedup pass concentrates its deletions
+    * exactly where the quality filter would have cut anyway, and the two
+    * pipeline stages can share a single digest shuffle. */
+  private val qualityVsDup = Q(
+    "x_quality_vs_dup",
+    Some("""WITH q AS (SELECT sha256(text) AS tkey,
+                least(9, CAST(floor((least(
+                    len(list_filter(string_split_regex(lower(text), ' +'),
+                      x -> x <> '')), 100)
+                  * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  * 10000.0) / (100.0 * length(text))) AS BIGINT) // 1000)
+                  AS bucket
+              FROM documents WHERE length(text) > 0),
+            d AS (SELECT tkey, min(bucket) AS bucket,
+                    CAST(count(*) AS BIGINT) AS n
+                  FROM q GROUP BY tkey)
+            SELECT bucket, CAST(sum(n) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_texts,
+              CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+                AS n_dup_docs,
+              CAST((sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 10000)
+                // sum(n) AS BIGINT) AS dup_rate_bp
+            FROM d GROUP BY bucket ORDER BY bucket"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val q = t(spark, dir, "documents")
+        .where(length($"text") > 0)
+        .select(sha2($"text", 256).as("tkey"),
+          least(lit(9),
+            expr("""CAST(floor((least(size(filter(split(lower(text), ' +'),
+                      x -> x != '')), 100)
+                  * length(regexp_replace(text, '[^A-Za-z]', ''))
+                  * 10000.0) / (100.0 * length(text))) AS BIGINT)
+                  DIV 1000"""))
+            .as("bucket"))
+      q.groupBy($"tkey")
+        .agg(min($"bucket").as("bucket"), count(lit(1)).as("n"))
+        .groupBy($"bucket")
+        .agg(sum($"n").cast("long").as("n_docs"),
+          count(lit(1)).as("n_texts"),
+          sum(when($"n" > 1, $"n").otherwise(0L)).cast("long")
+            .as("n_dup_docs"))
+        .withColumn("dup_rate_bp", expr("(n_dup_docs * 10000) DIV n_docs"))
+        .orderBy($"bucket")
+    })
+
   override def all: Seq[Q] =
     Seq(decontaminate, decontamBloom, sampleStratified, repetition,
       filterChain, tokenBudget, sampleTemperature, dedupKeepBest,
       curationE2e, shardAssign, packSequences, sampleQuality,
-      sampleReservoir, statsProfile, lengthHistogram, chunkDocs, epochPlan)
+      sampleReservoir, statsProfile, lengthHistogram, chunkDocs, epochPlan,
+      qualityVsDup)
 }

@@ -163,10 +163,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   test("exact-dedup family: digest exchange, no Window and no Sort on text") {
     // the r5 sinner: a full-text window key sorts multi-KB keys and
     // hot-spots on dup skew — these plans must stay two-phase hash-agg
-    Seq("x_dup_inflation", "x_dedup_exact", "x_filter_chain").foreach { q =>
+    Seq("x_dup_inflation", "x_dedup_exact", "x_filter_chain",
+        "x_quality_vs_dup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"), s"$q regressed to a window:\n$p")
-      assert(!p.matches("(?s).*Sort .*\\[text.*"), s"$q sorts on text:\n$p")
+      // match the Sort node's OWN Arguments line — a scan whose only
+      // output column is text also prints "[text#..." and must not trip
+      assert(!p.matches("(?s).*\\) Sort[^\\n]*\\nInput[^\\n]*\\nArguments: \\[text.*"),
+        s"$q sorts on text:\n$p")
       assert("HashAggregate".r.findAllIn(p).length >= 2,
         s"$q lost its partial aggregate:\n$p")
       // r6: x_filter_chain paid a keep-table join-back (near-N×N digest
