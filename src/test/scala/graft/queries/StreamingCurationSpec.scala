@@ -723,4 +723,49 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
         s"state not resumed across restart: $seen")
     } finally q2.stop()
   }
+
+  test("live last-touch attribution matches batch x_attribution across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // the raw feed in the batch window's exact (ts_us, event_id) order;
+    // sequential splits preserve per-user order across batches (the
+    // in-order delivery contract all live folds assume)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val feed = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", $"event_id", expr("ts DIV 1000").as("ts_us"),
+        $"event_type", $"value")
+      .orderBy($"ts_us", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = graft.streaming.StreamingAttribution.credits(
+        mem.toDS().toDF("user_id", "event_id", "ts_us", "event_type", "value"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr1").start()
+    try {
+      val third = feed.length / 3
+      mem.addData(feed.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(feed.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(feed.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      // every purchase emits exactly one credit; summing them with the
+      // batch query's money arithmetic reproduces the channel totals
+      val streamed = spark.table("attr1")
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_purch"),
+          sum($"value".cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("double").as("revenue"))
+        .orderBy($"channel")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      val batch = graft.SparkEntry.queries("x_attribution")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
 }
