@@ -781,9 +781,12 @@ object MiningOps extends QueryModule {
     * distribution instead of the hub-quadratic naive self-join; the
     * oracle's naive a<b<c 3-way join proves the orientation counts the
     * identical set. */
-  private val graphTriangles = Q(
-    "x_graph_triangles",
-    Some("""WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+  /** Shared oracle CTE prefix for the token co-occurrence graph: capped
+    * 100-token vocabulary, overlap coefficient ≥ 0.82 edges, canonical
+    * a < b — the edge definition both x_graph_triangles and x_graph_lcc
+    * read. */
+  private val graphEdgeCtes =
+    """tok AS (SELECT DISTINCT doc_id, token FROM (
                 SELECT doc_id,
                   unnest(list_filter(string_split_regex(lower(text), ' +'),
                     x -> x <> '')) AS token
@@ -803,7 +806,32 @@ object MiningOps extends QueryModule {
                 FROM p a JOIN p b
                   ON a.doc_id = b.doc_id AND a.token < b.token
                 GROUP BY 1, 2)
-              WHERE (n_ab * 10000) // n_min >= 8200),
+              WHERE (n_ab * 10000) // n_min >= 8200)"""
+
+  /** The Spark side of the same edge build. */
+  private def tokenGraphEdges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val tok = barrier(t(spark, dir, "documents")
+      .select($"doc_id",
+        explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+      .distinct())
+    val df = tok.groupBy($"token").agg(count(lit(1)).as("n"))
+    val voc = df.orderBy($"n".desc, $"token").limit(100)
+    val p = tok.join(broadcast(voc), "token")
+    val a = p.select($"doc_id", $"token".as("a_tok"), $"n".as("a_n"))
+    val b = p.select($"doc_id".as("doc2"), $"token".as("b_tok"), $"n".as("b_n"))
+    a.join(b, $"doc_id" === $"doc2" && $"a_tok" < $"b_tok")
+      .groupBy($"a_tok", $"b_tok")
+      .agg(count(lit(1)).as("n_ab"),
+        least(first($"a_n"), first($"b_n")).as("n_min"))
+      .where(expr("(n_ab * 10000) DIV n_min >= 8200"))
+      .select($"a_tok", $"b_tok")
+  }
+
+  private val graphTriangles = Q(
+    "x_graph_triangles",
+    Some(s"""WITH $graphEdgeCtes,
             d AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
                     SELECT a AS id FROM e UNION ALL SELECT b FROM e)
                   GROUP BY id),
@@ -819,27 +847,59 @@ object MiningOps extends QueryModule {
                    AS BIGINT)
                  ELSE CAST(0 AS BIGINT) END FROM tri) AS gcc_bp"""),
     (spark, dir) => {
+      graft.operators.Triangles.summary(tokenGraphEdges(spark, dir))
+    })
+
+  /** Per-node community embedding: local clustering coefficient of the
+    * top-20 most-clustered tokens in the co-occurrence graph — which
+    * vocabulary terms sit inside tight cliques (template/boilerplate
+    * families) vs hub terms that bridge unrelated contexts. Triangle
+    * participation comes from the SAME degree-ordered enumeration as
+    * x_graph_triangles (each triangle explodes to its three corners —
+    * corner identity is orientation-independent, so the oracle's naive
+    * a<b<c enumeration explodes to the identical multiset); LCC is the
+    * exact integer 2·tri·10000 DIV (dg·(dg−1)) over nodes with dg ≥ 2.
+    * Final top-20 is a TakeOrdered on (lcc, dg, token) — no global
+    * sort. */
+  private val graphLcc = Q(
+    "x_graph_lcc",
+    Some(s"""WITH $graphEdgeCtes,
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tn AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+                     SELECT unnest([x, y, z]) AS node FROM tri)
+                   GROUP BY node),
+            d AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM (
+                    SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+                  GROUP BY id)
+            SELECT d.id AS token, d.dg,
+              CAST(coalesce(tn.t, 0) AS BIGINT) AS n_tri,
+              CAST((2 * coalesce(tn.t, 0) * 10000) // (d.dg * (d.dg - 1))
+                AS BIGINT) AS lcc_bp
+            FROM d LEFT JOIN tn ON tn.node = d.id
+            WHERE d.dg >= 2
+            ORDER BY lcc_bp DESC, dg DESC, token LIMIT 20"""),
+    (spark, dir) => {
       import spark.implicits._
-      val tok = barrier(t(spark, dir, "documents")
-        .select($"doc_id",
-          explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
-        .distinct())
-      val df = tok.groupBy($"token").agg(count(lit(1)).as("n"))
-      val voc = df.orderBy($"n".desc, $"token").limit(100)
-      val p = tok.join(broadcast(voc), "token")
-      val a = p.select($"doc_id", $"token".as("a_tok"), $"n".as("a_n"))
-      val b = p.select($"doc_id".as("doc2"), $"token".as("b_tok"), $"n".as("b_n"))
-      val edges = a.join(b, $"doc_id" === $"doc2" && $"a_tok" < $"b_tok")
-        .groupBy($"a_tok", $"b_tok")
-        .agg(count(lit(1)).as("n_ab"),
-          least(first($"a_n"), first($"b_n")).as("n_min"))
-        .where(expr("(n_ab * 10000) DIV n_min >= 8200"))
-        .select($"a_tok", $"b_tok")
-      graft.operators.Triangles.summary(edges)
+      val edges = tokenGraphEdges(spark, dir)
+      val tn = graft.operators.Triangles.enumerate(edges)
+        .select(explode(array($"apex", $"u", $"v")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("t"))
+      val d = edges.select(explode(array($"a_tok", $"b_tok")).as("id"))
+        .groupBy($"id").agg(count(lit(1)).as("dg"))
+      d.join(tn, $"node" === $"id", "left")
+        .where($"dg" >= 2)
+        .select($"id".as("token"), $"dg",
+          coalesce($"t", lit(0L)).as("n_tri"),
+          expr("(2 * coalesce(t, 0L) * 10000) DIV (dg * (dg - 1))")
+            .as("lcc_bp"))
+        .orderBy($"lcc_bp".desc, $"dg".desc, $"token")
+        .limit(20)
     })
 
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
-    graphTriangles)
+    graphTriangles, graphLcc)
 }
