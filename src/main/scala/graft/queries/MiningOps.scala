@@ -898,8 +898,26 @@ object MiningOps extends QueryModule {
         .limit(20)
     })
 
+  /** Core-number distribution of the token co-occurrence graph — the
+    * community-density profile (how much of the vocabulary survives
+    * into the densest subgraph). No SQL oracle: k-core is an iterative
+    * fixpoint DuckDB's SQL cannot express; correctness is pinned by
+    * KCoreSpec (closed forms on K4/star/path/diamond, the exact
+    * driver peel vs the distributed h-index fixpoint on THIS graph,
+    * and the core ≤ degree invariant). */
+  private val graphKcore = Q(
+    "x_graph_kcore",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      graft.operators.KCore
+        .coreNumbers(tokenGraphEdges(spark, dir), "a_tok", "b_tok")
+        .groupBy($"core").agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"core")
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
-    graphTriangles, graphLcc)
+    graphTriangles, graphLcc, graphKcore)
 }
