@@ -355,8 +355,33 @@ object Relational extends QueryModule {
            ORDER BY o_orderkey""")
     })
 
+  /** UNPIVOT (melt): the wide per-type aggregate turned into long
+    * (type, metric, value) rows via Dataset.unpivot — r_pivot's inverse,
+    * closing the reshape pair. The oracle states the same melt as the
+    * portable UNION ALL. */
+  private val unpivot = Q(
+    "r_unpivot",
+    Some("""WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+                       FROM events GROUP BY 1)
+            SELECT event_type, metric, val FROM (
+              SELECT event_type, 'n_events' AS metric, n_events AS val FROM s
+              UNION ALL
+              SELECT event_type, 'n_users', n_users FROM s)
+            ORDER BY event_type, metric"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"))
+        .unpivot(Array($"event_type"), Array($"n_events", $"n_users"),
+          "metric", "val")
+        .orderBy($"event_type", $"metric")
+    })
+
   override def all: Seq[Q] = Seq(filterProject, aggHash, aggDistinct,
     aggRollup, aggCube, groupingSets, sortTopk, setOps, hllDistinct,
     pivot, joinFullOuter, scalarConditional, aggPercentile, approxQuantile,
-    subqueryScalar, subqueryCorrelated)
+    subqueryScalar, subqueryCorrelated, unpivot)
 }

@@ -183,6 +183,30 @@ object Windows extends QueryModule {
         .orderBy($"ws_ms", $"event_type")
     })
 
+  /** Distribution-position windows: cume_dist and percent_rank per
+    * nation over supplier account balances. The (s_acctbal, s_suppkey)
+    * ordering is total, so every row is its own peer group and both
+    * functions reduce to exact rank ratios — one IEEE division each,
+    * floored to basis points (the cross-engine float rule). */
+  private val windowCume = Q(
+    "r_window_cume",
+    Some("""SELECT s_nationkey, s_suppkey,
+              CAST(floor(cume_dist() OVER (PARTITION BY s_nationkey
+                ORDER BY s_acctbal, s_suppkey) * 10000) AS BIGINT) AS cume_bp,
+              CAST(floor(percent_rank() OVER (PARTITION BY s_nationkey
+                ORDER BY s_acctbal, s_suppkey) * 10000) AS BIGINT) AS prank_bp
+            FROM supplier ORDER BY s_nationkey, s_suppkey"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"s_nationkey")
+        .orderBy($"s_acctbal", $"s_suppkey")
+      t(spark, dir, "supplier")
+        .select($"s_nationkey", $"s_suppkey",
+          floor(cume_dist().over(w) * 10000).cast("long").as("cume_bp"),
+          floor(percent_rank().over(w) * 10000).cast("long").as("prank_bp"))
+        .orderBy($"s_nationkey", $"s_suppkey")
+    })
+
   override def all: Seq[Q] = Seq(windowRank, windowFrame, windowLag,
-    streamTumbling, streamSession, windowNtile, streamSliding)
+    streamTumbling, streamSession, windowNtile, streamSliding, windowCume)
 }
