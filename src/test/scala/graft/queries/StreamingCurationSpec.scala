@@ -768,4 +768,46 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
     } finally q.stop()
   }
+
+  test("live type-mix drift matches batch x_drift_tvd per week") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val weekly = spark.read.parquet(s"$sf/events.parquet")
+      .select(expr("(ts DIV 1000000) DIV 604800000").as("w"), $"event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val w0 = weekly.map(_._1).min
+    // the frozen reference: the baseline week's type mix, computed once
+    val baseline = weekly.filter(_._1 == w0)
+      .groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val feed = weekly.filter(_._1 > w0)
+      .map { case (w, t) => (w - w0, t) }
+
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDrift.drift(
+        mem.toDS().toDF("week_idx", "event_type"), baseline)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("drift1").start()
+    try {
+      val half = feed.length / 2
+      mem.addData(feed.take(half).toIndexedSeq); q.processAllAvailable()
+      mem.addData(feed.drop(half).toIndexedSeq); q.processAllAvailable()
+
+      // final snapshot per week (n_seen grows strictly across a week's
+      // emissions) vs the batch query's per-week tvd_bp
+      val wLast = org.apache.spark.sql.expressions.Window
+        .partitionBy($"week_idx").orderBy($"n_seen".desc)
+      val streamed = spark.table("drift1")
+        .withColumn("rn", row_number().over(wLast)).where($"rn" === 1)
+        .select($"week_idx", $"tvd_bp")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.SparkEntry.queries("x_drift_tvd")(spark, sf)
+        .select($"week_idx", $"tvd_bp").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
 }
