@@ -793,7 +793,60 @@ object EventAnalytics extends QueryModule {
         .orderBy($"week_idx", $"event_type")
     })
 
+  /** Inter-arrival-time histogram per event type: the gap between a
+    * user's consecutive events of the same type, bucketed into seven
+    * fixed spans (sub-second through ≥ 1 day) — the cadence profile
+    * that separates heartbeat-like streams from human-paced ones, and
+    * the read that sizes session-gap and burst thresholds from data
+    * instead of folklore. Buckets are CASE chains on integer ms (both
+    * engines branch identically; bucket labels carry a sort prefix so
+    * the output ordering is total without any float).
+    *
+    * Scale shape: one (user, type)-keyed lag window (per-group size
+    * bounded by a user's events of one type — the same spill envelope
+    * as every per-user window here) into a types×7 aggregate. */
+  private val interarrival = Q(
+    "x_interarrival",
+    Some("""WITH e AS (SELECT user_id, event_type, event_id,
+                         epoch_ms(ts) AS ms FROM events),
+            g AS (SELECT event_type,
+                    ms - lag(ms) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ms, event_id) AS gap
+                  FROM e),
+            b AS (SELECT event_type,
+                    CASE WHEN gap < 1000 THEN 'a_lt_1s'
+                         WHEN gap < 60000 THEN 'b_lt_1m'
+                         WHEN gap < 600000 THEN 'c_lt_10m'
+                         WHEN gap < 3600000 THEN 'd_lt_1h'
+                         WHEN gap < 21600000 THEN 'e_lt_6h'
+                         WHEN gap < 86400000 THEN 'f_lt_1d'
+                         ELSE 'g_ge_1d' END AS bucket
+                  FROM g WHERE gap IS NOT NULL)
+            SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY 1, 2 ORDER BY event_type, bucket"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val wUT = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ms", $"event_id")
+      t(spark, dir, "events")
+        .select($"user_id", $"event_type", $"event_id",
+          unix_millis($"ts").as("ms"))
+        .withColumn("gap", $"ms" - lag($"ms", 1).over(wUT))
+        .where($"gap".isNotNull)
+        .select($"event_type",
+          when($"gap" < 1000, "a_lt_1s")
+            .when($"gap" < 60000, "b_lt_1m")
+            .when($"gap" < 600000, "c_lt_10m")
+            .when($"gap" < 3600000, "d_lt_1h")
+            .when($"gap" < 21600000, "e_lt_6h")
+            .when($"gap" < 86400000, "f_lt_1d")
+            .otherwise("g_ge_1d").as("bucket"))
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type", $"bucket")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
-    attribution, changepoint, cohortLtv, autocorr, driftTvd)
+    attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival)
 }

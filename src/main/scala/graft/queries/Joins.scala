@@ -207,6 +207,34 @@ object Joins extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** LATERAL join: top-2 suppliers by balance per nation, expressed as
+    * a correlated LIMIT subquery via Dataset.lateralJoin +
+    * Column.outer() (Spark 4's lateral API). Catalyst decorrelates the
+    * per-row subquery into a DomainJoin → window-rank plan — the
+    * per-group-top-k idiom stated relationally, never executed as N
+    * driver-side subqueries. The (s_acctbal DESC, s_suppkey) ordering is
+    * total, so both engines pick the identical two rows per nation. */
+  private val joinLateral = Q(
+    "r_join_lateral",
+    Some("""SELECT n.n_name, s.s_suppkey, s.s_acctbal AS bal
+            FROM nation n, LATERAL (
+              SELECT s_suppkey, s_acctbal FROM supplier
+              WHERE s_nationkey = n.n_nationkey
+              ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) s
+            ORDER BY n.n_name, bal DESC, s.s_suppkey"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val topk = t(spark, dir, "supplier")
+        .where($"s_nationkey" === col("n_nationkey").outer())
+        .orderBy($"s_acctbal".desc, $"s_suppkey")
+        .limit(2)
+        .select($"s_suppkey", $"s_acctbal")
+      t(spark, dir, "nation")
+        .lateralJoin(topk)
+        .select($"n_name", $"s_suppkey", $"s_acctbal".as("bal"))
+        .orderBy($"n_name", $"bal".desc, $"s_suppkey")
+    })
+
   override def all: Seq[Q] = Seq(joinBroadcast, joinShuffle, joinSemi,
-    joinAnti, joinRange, joinAsof, joinMulti, joinSalted)
+    joinAnti, joinRange, joinAsof, joinMulti, joinSalted, joinLateral)
 }
