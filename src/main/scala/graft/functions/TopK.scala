@@ -50,6 +50,33 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** One string-keyed ranked entry (token rankings etc.). */
+  final case class SEnt(id: String, a: Double)
+
+  /** String-id variant of [[TopKAgg]]: keep the k entries ranked
+    * highest by `a`, ties broken by ascending id (= `(metric DESC,
+    * token ASC)`, the repo's ranking convention). Same bounded-buffer
+    * amortization as the Long variant. */
+  final case class StrTopKAgg(k: Int)
+      extends Aggregator[SEnt, Seq[SEnt], Seq[SEnt]] {
+
+    private def ord(e: SEnt): (Double, String) = (-e.a, e.id)
+    private def trim(s: Seq[SEnt]): Seq[SEnt] = s.sortBy(ord).take(k)
+
+    override def zero: Seq[SEnt] = Nil
+    override def reduce(b: Seq[SEnt], x: SEnt): Seq[SEnt] = {
+      val grown = b :+ x
+      if (grown.length >= 2 * k) trim(grown) else grown
+    }
+    override def merge(a: Seq[SEnt], b: Seq[SEnt]): Seq[SEnt] = trim(a ++ b)
+    override def finish(r: Seq[SEnt]): Seq[SEnt] = trim(r)
+
+    override def bufferEncoder: Encoder[Seq[SEnt]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[SEnt]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
 

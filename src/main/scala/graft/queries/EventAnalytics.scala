@@ -846,7 +846,103 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type", $"bucket")
     })
 
+  /** Per-type Gini coefficient of events-per-user — the concentration
+    * read behind both capacity planning (is 1% of users 90% of load?)
+    * and the salting decision x_user_skew's p99/max preview feeds.
+    * Computed from the COUNT HISTOGRAM, not the user list: per-user
+    * counts collapse to (count value → user frequency) first, so the
+    * cumulative-sum window runs over the distinct-count-value
+    * histogram — a post-aggregation of a post-aggregation whose row
+    * count is bounded by the largest per-user count, not by users or
+    * events. On sorted values v with frequency f and items-before C,
+    * Σ rank·x over a tied run is v·(f·C + f(f+1)/2) exactly, and
+    * G = 2·Σ/(n·S) − (n+1)/n = (2·Σ − (n+1)·S)/(n·S) is non-negative,
+    * so basis points come out of ONE integer floor-division — no
+    * floating point anywhere (the round()-on-exact-ties trap). The
+    * BIGINT numerator holds to ~10¹⁴ user·events; past that it wants
+    * DECIMAL(38,0), noted rather than paid (same envelope as
+    * x_autocorr's moments). */
+  private val gini = Q(
+    "x_gini",
+    Some("""WITH c AS (SELECT event_type, user_id,
+                         CAST(count(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1, 2),
+            h AS (SELECT event_type, cnt AS v, CAST(count(*) AS BIGINT) AS f
+                  FROM c GROUP BY 1, 2),
+            w AS (SELECT event_type, v, f,
+                    CAST(coalesce(sum(f) OVER (PARTITION BY event_type
+                      ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS cum0
+                  FROM h),
+            t AS (SELECT event_type,
+                    CAST(sum(v * (f * cum0 + (f * (f + 1)) // 2)) AS BIGINT) AS a,
+                    CAST(sum(f) AS BIGINT) AS n_users,
+                    CAST(sum(v * f) AS BIGINT) AS n_events
+                  FROM w GROUP BY 1)
+            SELECT event_type, n_users, n_events,
+              CAST((10000 * (2 * a - (n_users + 1) * n_events))
+                   // (n_users * n_events) AS BIGINT) AS gini_bp
+            FROM t ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val hist = t(spark, dir, "events")
+        .groupBy($"event_type", $"user_id")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"event_type", $"cnt".as("v"))
+        .agg(count(lit(1)).as("f"))
+      val wCum = Window.partitionBy($"event_type").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("cum0", coalesce(sum($"f").over(wCum), lit(0L)))
+        .groupBy($"event_type")
+        .agg(
+          sum($"v" * ($"f" * $"cum0" + expr("(f * (f + 1)) DIV 2"))).as("a"),
+          sum($"f").as("n_users"),
+          sum($"v" * $"f").as("n_events"))
+        .select($"event_type", $"n_users", $"n_events",
+          expr("(10000 * (2 * a - (n_users + 1) * n_events))" +
+            " DIV (n_users * n_events)").as("gini_bp"))
+        .orderBy($"event_type")
+    })
+
+  /** Hour-of-week seasonality profile: event counts and traffic share
+    * per (day-of-week, hour-of-day) cell, plus each cell's ratio to
+    * the uniform 1/168 expectation in basis points — the load-shape
+    * read behind batch-window scheduling and anomaly baselines (a
+    * spike detector that ignores weekly seasonality pages on every
+    * Monday morning). All bucketing is integer floor math on epoch-ms
+    * (day 0 = Thursday, so dow = (day+4) % 7 makes 0=Sunday in both
+    * engines); shares are integer basis points. One map-side-combined
+    * aggregate to a fixed 168-row output at any scale. */
+  private val hourProfile = Q(
+    "x_hour_profile",
+    Some("""WITH e AS (SELECT ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
+                         (epoch_ms(ts) // 3600000) % 24 AS hod
+                       FROM events),
+            c AS (SELECT dow, hod, CAST(count(*) AS BIGINT) AS n
+                  FROM e GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+            SELECT dow, hod, n,
+              CAST((n * 10000) // total AS BIGINT) AS share_bp,
+              CAST((n * 168 * 10000) // total AS BIGINT) AS vs_uniform_bp
+            FROM c, t ORDER BY dow, hod"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val c = t(spark, dir, "events")
+        .select(expr("((unix_millis(ts) DIV 86400000) + 4) % 7").as("dow"),
+          expr("(unix_millis(ts) DIV 3600000) % 24").as("hod"))
+        .groupBy($"dow", $"hod")
+        .agg(count(lit(1)).as("n"))
+      val tot = c.agg(sum($"n").as("total"))
+      c.crossJoin(broadcast(tot))
+        .select($"dow", $"hod", $"n",
+          expr("(n * 10000) DIV total").as("share_bp"),
+          expr("(n * 168 * 10000) DIV total").as("vs_uniform_bp"))
+        .orderBy($"dow", $"hod")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
-    attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival)
+    attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
+    gini, hourProfile)
 }

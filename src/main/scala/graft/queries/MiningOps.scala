@@ -916,8 +916,64 @@ object MiningOps extends QueryModule {
         .orderBy($"core")
     })
 
+  /** Zipf-law fit per language: least-squares slope/intercept/R² of
+    * ln(frequency) against ln(rank) over each language's top-1000
+    * tokens — the corpus-health read behind "is this source natural
+    * language or templated junk" (natural text sits near slope −1;
+    * template/boilerplate corpora flatten, random noise steepens, and
+    * a low R² means no power law at all — each a different curation
+    * decision). Complements x_freq_spectrum (band histogram) with the
+    * actual fitted exponent.
+    *
+    * Scale shape: one vocabulary aggregate (map-side combined,
+    * Heaps-sublinear output), then a BOUNDED per-language top-k via
+    * StrTopKAgg — every map-side partial carries ≤ k entries, so no
+    * vocabulary-sized sort or single-partition window ever runs (the
+    * x_dim_error lesson) — and a ≤ 1000-row-per-language regression
+    * aggregate. ln() is the one non-integer step; both engines'
+    * libm-quality ln plus a ≤ 1000-term sum differ at ~1e-13 while the
+    * contract rounds at 1e-4, the established double rule. */
+  private val zipfSlope = Q(
+    "x_zipf_slope",
+    Some("""WITH tok AS (SELECT lang, unnest(list_filter(
+                string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+              FROM documents),
+            c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY 1, 2),
+            r AS (SELECT lang, n, row_number() OVER (PARTITION BY lang
+                    ORDER BY n DESC, token) AS rk
+                  FROM c QUALIFY rk <= 1000)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_points,
+              round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4)
+                AS zipf_slope,
+              round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4)
+                AS zipf_intercept,
+              round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4)
+                AS zipf_r2
+            FROM r GROUP BY lang ORDER BY lang"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val top = udaf(graft.functions.TopK.StrTopKAgg(1000))
+      t(spark, dir, "documents")
+        .select($"lang", explode(expr(
+          "filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .groupBy($"lang", $"token")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"lang")
+        .agg(top($"token", $"n".cast("double")).as("top"))
+        .select($"lang", posexplode($"top"))
+        .select($"lang", log(($"pos" + 1).cast("double")).as("ln_rk"),
+          log($"col.a").as("ln_n"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_points"),
+          round(expr("regr_slope(ln_n, ln_rk)"), 4).as("zipf_slope"),
+          round(expr("regr_intercept(ln_n, ln_rk)"), 4).as("zipf_intercept"),
+          round(expr("regr_r2(ln_n, ln_rk)"), 4).as("zipf_r2"))
+        .orderBy($"lang")
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
-    graphTriangles, graphLcc, graphKcore)
+    graphTriangles, graphLcc, graphKcore, zipfSlope)
 }

@@ -311,4 +311,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"expected exactly one user-keyed exchange, got $userExchanges:\n$finalPlan")
     assert(!finalPlan.contains("Join"), s"sessionization must not join:\n$finalPlan")
   }
+
+  test("x_zipf_slope: bounded per-lang top-k, no vocabulary-wide window or sort") {
+    // the ranking must be the StrTopKAgg bounded aggregate — a
+    // row_number window here shuffles the whole vocabulary into
+    // |langs| partitions and sorts each in one task
+    val p = plan("x_zipf_slope")
+    assert(!p.contains("Window"), s"zipf rank regressed to a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"bounded TopK aggregate missing:\n$p")
+  }
+
+  test("x_gini/x_hour_profile: histogram-first — partial aggs, no per-user window") {
+    val pg = plan("x_gini")
+    // the only window input is the (event_type, count-value) histogram;
+    // a window keyed on user_id would mean the cumsum runs pre-aggregation
+    assert(!pg.contains("hashpartitioning(user_id"),
+      s"gini window runs over users, not the count histogram:\n$pg")
+    assert("HashAggregate".r.findAllIn(pg).length >= 2,
+      s"no partial aggregate below the exchange:\n$pg")
+    val ph = plan("x_hour_profile")
+    assert(!ph.contains("Join") || ph.contains("BroadcastNestedLoopJoin"),
+      s"hour profile total must broadcast, not SMJ:\n$ph")
+    assert("HashAggregate".r.findAllIn(ph).length >= 2,
+      s"no partial aggregate below the exchange:\n$ph")
+  }
 }
