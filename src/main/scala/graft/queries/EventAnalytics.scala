@@ -941,8 +941,56 @@ object EventAnalytics extends QueryModule {
         .orderBy($"dow", $"hod")
     })
 
+  /** Weekly JSON payload key-set drift: for each epoch week, how often
+    * each top-level `props` key appears and its share of that week's
+    * events — the schema-evolution monitor an event-store ingest runs
+    * so a producer silently dropping or adding a field pages before
+    * downstream projections break (the relational restatement of the
+    * reference's live schema-inference surface, reference
+    * handler.clj:256-263, over time instead of point-in-time).
+    * Weeks are integer epoch-ms floor division re-based to the
+    * corpus's first week; shares are integer basis points of the
+    * week's EVENT count (not key occurrences), so a key present on
+    * every event reads 10000 regardless of how many other keys exist.
+    *
+    * Scale shape: one JSON-keys explode (O(events × keys/event),
+    * map-side combined into a (week × key)-bounded aggregate), week
+    * totals from a second calendar-bounded aggregate broadcast back;
+    * the min-week scalar rides a 1-row broadcast. All integer. */
+  private val schemaDrift = Q(
+    "x_schema_drift",
+    Some("""WITH e AS (SELECT epoch_ms(ts) // 604800000 AS w, props
+                       FROM events),
+            w0 AS (SELECT min(w) AS w0 FROM e),
+            wt AS (SELECT w, CAST(count(*) AS BIGINT) AS n_events
+                   FROM e GROUP BY w),
+            k AS (SELECT w, unnest(json_keys(props)) AS key FROM e),
+            kc AS (SELECT w, key, CAST(count(*) AS BIGINT) AS n
+                   FROM k GROUP BY 1, 2)
+            SELECT CAST(kc.w - w0.w0 AS BIGINT) AS week_idx, key, n,
+              CAST((n * 10000) // n_events AS BIGINT) AS share_bp
+            FROM kc JOIN wt ON wt.w = kc.w CROSS JOIN w0
+            ORDER BY week_idx, key"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "events")
+        .select(expr("unix_millis(ts) DIV 604800000").as("w"), $"props")
+      val w0 = e.agg(min($"w").as("w0"))
+      val wt = e.groupBy($"w").agg(count(lit(1)).as("n_events"))
+        .select($"w".as("wt_w"), $"n_events")
+      val kc = e
+        .select($"w", explode(expr("json_object_keys(props)")).as("key"))
+        .groupBy($"w", $"key")
+        .agg(count(lit(1)).as("n"))
+      kc.join(broadcast(wt), $"wt_w" === $"w")
+        .crossJoin(broadcast(w0))
+        .select(($"w" - $"w0").as("week_idx"), $"key", $"n",
+          expr("(n * 10000) DIV n_events").as("share_bp"))
+        .orderBy($"week_idx", $"key")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
-    gini, hourProfile)
+    gini, hourProfile, schemaDrift)
 }

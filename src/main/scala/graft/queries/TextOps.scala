@@ -693,8 +693,97 @@ object TextOps extends QueryModule {
         .limit(20)
     })
 
+  /** Bigram language-model quality screen — the KenLM-perplexity
+    * filter of the classic curation stack, restated relationally: a
+    * corpus-trained add-one-smoothed bigram model scores every
+    * document by mean negative log2-likelihood, and each source
+    * reports its doc count, mean NLL and how many docs land in the
+    * high-NLL (gibberish/ocr-noise) tail. P(w2|w1) = (C12+1)/(C1+V);
+    * a doc's NLL = −mean log2 P over its adjacent token pairs.
+    *
+    * Determinism: per-doc NLL is floored to integer "centibits"
+    * (×10000 basis-point convention) BEFORE any cross-doc aggregation,
+    * so the only FP steps are per-doc log2 sums whose ~1e-12 engine
+    * disagreement sits eight orders below the floor granularity; the
+    * source rollup is then pure BIGINT (the round-on-ties trap never
+    * arises).
+    *
+    * Scale shape: the model IS two vocabulary-bounded aggregates
+    * (bigram and unigram counts, both Heaps-sublinear, map-side
+    * combined); scoring is two keyed equi-joins of per-doc bigram
+    * GROUPS (not occurrences — dup pairs within a doc collapse first)
+    * against those tables — AQE broadcasts them at gate SF and
+    * degrades to hash joins on token keys at 100 TB. No windows, no
+    * driver state; V rides a 1-row broadcast. */
+  private val ngramLm = Q(
+    "x_ngram_lm",
+    Some("""WITH toks AS (SELECT doc_id, source,
+                list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS tk
+              FROM documents),
+            bg AS (SELECT doc_id, source,
+                unnest(list_transform(range(1, greatest(len(tk), 1)),
+                  i -> concat_ws(' ', tk[i], tk[i+1]))) AS bigram
+              FROM toks WHERE len(tk) >= 2),
+            dbg AS (SELECT doc_id, source, bigram,
+                      CAST(count(*) AS BIGINT) AS occ,
+                      string_split(bigram, ' ')[1] AS w1
+                    FROM bg GROUP BY 1, 2, 3),
+            cb AS (SELECT bigram AS cb_bigram, CAST(count(*) AS BIGINT) AS c12
+                   FROM bg GROUP BY 1),
+            uni AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+            cu AS (SELECT token AS cu_token, CAST(count(*) AS BIGINT) AS c1
+                   FROM uni GROUP BY 1),
+            v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM cu),
+            doc AS (SELECT doc_id, source,
+                      CAST(floor(-10000.0 * sum(occ * log2(
+                          CAST(c12 + 1 AS DOUBLE) / CAST(c1 + vsz AS DOUBLE)))
+                        / sum(occ)) AS BIGINT) AS nll_bp
+                    FROM dbg
+                    JOIN cb ON cb_bigram = bigram
+                    JOIN cu ON cu_token = w1
+                    CROSS JOIN v
+                    GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(nll_bp) // count(*) AS BIGINT) AS mean_nll_bp,
+              CAST(sum(CASE WHEN nll_bp > 120000 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_high_nll
+            FROM doc GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = barrier(t(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk")))
+      val bg = barrier(toks.where(size($"tk") >= 2)
+        .select($"doc_id", $"source", explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+          .as("bigram")))
+      val dbg = bg.groupBy($"doc_id", $"source", $"bigram")
+        .agg(count(lit(1)).as("occ"))
+        .withColumn("w1", expr("split(bigram, ' ')[0]"))
+      val cb = bg.groupBy($"bigram".as("cb_bigram"))
+        .agg(count(lit(1)).as("c12"))
+      val uni = toks.select(explode($"tk").as("token"))
+      val cu = uni.groupBy($"token".as("cu_token"))
+        .agg(count(lit(1)).as("c1"))
+      val v = cu.agg(count(lit(1)).as("vsz"))
+      val doc = dbg
+        .join(cb, $"cb_bigram" === $"bigram")
+        .join(cu, $"cu_token" === $"w1")
+        .crossJoin(broadcast(v))
+        .groupBy($"doc_id", $"source")
+        .agg(floor(lit(-10000.0) *
+            sum($"occ" * log2(($"c12" + 1).cast("double") /
+              ($"c1" + $"vsz").cast("double"))) /
+            sum($"occ")).cast("long").as("nll_bp"))
+      doc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(nll_bp) DIV count(1)").cast("long").as("mean_nll_bp"),
+          sum(when($"nll_bp" > 120000L, 1L).otherwise(0L)).as("n_high_nll"))
+        .orderBy($"source")
+    })
+
   override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
     dedupSampled, dedupWinnow, winnowVsSampled, dedupCross, langConfusion,
-    tokenFertility, templatePrefix)
+    tokenFertility, templatePrefix, ngramLm)
 }
