@@ -972,8 +972,80 @@ object MiningOps extends QueryModule {
         .orderBy($"lang")
     })
 
+  /** Heaps'-law fit: vocabulary size V as a function of corpus size N
+    * over a 10-step doc-id prefix ladder, with the fitted growth
+    * exponent β (V ≈ K·N^β) — the read that sizes tokenizer
+    * vocabularies and predicts how much NEW vocabulary the next 10×
+    * of corpus will bring (β≈0.5 natural text; β→1 means unbounded
+    * novel tokens = noise; β→0 means a closed template vocabulary).
+    * Complements x_vocab_growth (point-in-time TTR) with the curve.
+    *
+    * Prefix math without any corpus-sized window or sort: a token's
+    * membership in prefix i is `first_seen ≤ T_i` where first_seen =
+    * min(doc_id) — one vocabulary aggregate; prefix token mass comes
+    * from per-doc counts × the 10-row ladder. Both ladders are
+    * broadcast cross joins against aggregates, so the plan is three
+    * map-side-combined aggregates and two tiny-side joins; the fit is
+    * a 10-point regression (same ln/regr determinism envelope as
+    * x_zipf_slope: ~1e-15 engine skew vs a 1e-4 rounding contract). */
+  private val heapsFit = Q(
+    "x_heaps_fit",
+    Some("""WITH mx AS (SELECT max(doc_id) AS maxid FROM documents),
+            lad AS (SELECT i, (maxid * i) // 10 AS t_i
+                    FROM range(1, 11) r(i) CROSS JOIN mx),
+            dc AS (SELECT doc_id, CAST(len(list_filter(
+                     string_split_regex(lower(text), ' +'), x -> x <> ''))
+                     AS BIGINT) AS ntok
+                   FROM documents),
+            fs AS (SELECT token, min(doc_id) AS first_seen
+                   FROM (SELECT doc_id, unnest(list_filter(
+                           string_split_regex(lower(text), ' +'),
+                           x -> x <> '')) AS token
+                         FROM documents)
+                   GROUP BY token),
+            nn AS (SELECT i, CAST(sum(ntok) AS BIGINT) AS n_tokens
+                   FROM lad JOIN dc ON dc.doc_id <= lad.t_i GROUP BY i),
+            vv AS (SELECT i, CAST(count(*) AS BIGINT) AS n_types
+                   FROM lad JOIN fs ON fs.first_seen <= lad.t_i GROUP BY i),
+            pts AS (SELECT nn.i AS p_idx, n_tokens, n_types
+                    FROM nn JOIN vv ON vv.i = nn.i),
+            fit AS (SELECT round(regr_slope(ln(CAST(n_types AS DOUBLE)),
+                             ln(CAST(n_tokens AS DOUBLE))), 4) AS beta,
+                           round(regr_r2(ln(CAST(n_types AS DOUBLE)),
+                             ln(CAST(n_tokens AS DOUBLE))), 4) AS r2
+                    FROM pts)
+            SELECT CAST(p_idx AS BIGINT) AS p_idx, n_tokens, n_types, beta, r2
+            FROM pts CROSS JOIN fit ORDER BY p_idx"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      val mx = docs.agg(max($"doc_id").as("maxid"))
+      val lad = spark.range(1, 11).toDF("i")
+        .crossJoin(broadcast(mx))
+        .select($"i", expr("(maxid * i) DIV 10").as("t_i"))
+      val dc = docs.select($"doc_id", expr(
+        "CAST(size(filter(split(lower(text), ' +'), x -> x != '')) AS BIGINT)")
+        .as("ntok"))
+      val fs = docs
+        .select($"doc_id", explode(expr(
+          "filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .groupBy($"token").agg(min($"doc_id").as("first_seen"))
+      val nn = dc.crossJoin(broadcast(lad)).where($"doc_id" <= $"t_i")
+        .groupBy($"i").agg(sum($"ntok").as("n_tokens"))
+      val vv = fs.crossJoin(broadcast(lad)).where($"first_seen" <= $"t_i")
+        .groupBy($"i".as("v_i")).agg(count(lit(1)).as("n_types"))
+      val pts = nn.join(broadcast(vv), $"v_i" === $"i")
+        .select($"i".as("p_idx"), $"n_tokens", $"n_types")
+      val fit = pts.agg(
+        round(expr("regr_slope(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))"), 4).as("beta"),
+        round(expr("regr_r2(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))"), 4).as("r2"))
+      pts.crossJoin(broadcast(fit))
+        .select($"p_idx", $"n_tokens", $"n_types", $"beta", $"r2")
+        .orderBy($"p_idx")
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
-    graphTriangles, graphLcc, graphKcore, zipfSlope)
+    graphTriangles, graphLcc, graphKcore, zipfSlope, heapsFit)
 }

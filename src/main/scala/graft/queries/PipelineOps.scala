@@ -878,10 +878,69 @@ object PipelineOps extends QueryModule {
         .orderBy($"bucket")
     })
 
+  /** PII scrub audit — the redaction pre-pass a training-data pipeline
+    * runs before any other stage touches raw text: per source, how
+    * many documents contain emails / dashed phones / IPv4s, total
+    * match counts and the characters the scrub would remove
+    * (graft.functions.Pii holds the patterns + the scrub() rewriter;
+    * PiiSpec pins detection and redaction on constructed positives —
+    * this corpus is synthetic word-salad, so the declared query's
+    * hash-verified answer is the all-clear audit, which is exactly
+    * what the screen should say here).
+    *
+    * Scale shape: three codegen regex automaton passes fused into one
+    * narrow projection, then one source-keyed map-side-combined
+    * aggregate; integers end to end. */
+  private val piiScrub = Q(
+    "x_pii_scrub",
+    Some("""WITH d AS (SELECT source,
+              len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS n_phone,
+              len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+              coalesce(list_sum(list_transform(
+                regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+                m -> length(m))), 0)
+              + coalesce(list_sum(list_transform(
+                regexp_extract_all(text, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}'),
+                m -> length(m))), 0)
+              + coalesce(list_sum(list_transform(
+                regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'),
+                m -> length(m))), 0) AS hit_chars
+            FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+              CAST(sum(n_email) AS BIGINT) AS n_email,
+              CAST(sum(n_phone) AS BIGINT) AS n_phone,
+              CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+              CAST(sum(hit_chars) AS BIGINT) AS scrub_chars
+            FROM d GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.functions.Pii
+      val d = t(spark, dir, "documents")
+        .select($"source",
+          Pii.count($"text", Pii.emailPat).as("n_email"),
+          Pii.count($"text", Pii.phonePat).as("n_phone"),
+          Pii.count($"text", Pii.ipv4Pat).as("n_ipv4"),
+          (Pii.matchedChars($"text", Pii.emailPat) +
+            Pii.matchedChars($"text", Pii.phonePat) +
+            Pii.matchedChars($"text", Pii.ipv4Pat)).as("hit_chars"))
+      d.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_email" + $"n_phone" + $"n_ipv4" > 0, 1L)
+            .otherwise(0L)).as("n_docs_flagged"),
+          sum($"n_email").as("n_email"),
+          sum($"n_phone").as("n_phone"),
+          sum($"n_ipv4").as("n_ipv4"),
+          sum($"hit_chars").as("scrub_chars"))
+        .orderBy($"source")
+    })
+
   override def all: Seq[Q] =
     Seq(decontaminate, decontamBloom, sampleStratified, repetition,
       filterChain, tokenBudget, sampleTemperature, dedupKeepBest,
       curationE2e, shardAssign, packSequences, sampleQuality,
       sampleReservoir, statsProfile, lengthHistogram, chunkDocs, epochPlan,
-      qualityVsDup)
+      qualityVsDup, piiScrub)
 }

@@ -782,8 +782,70 @@ object TextOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Asymmetric shingle containment: |A∩B| / min(|A|,|B|) — the
+    * sub-document duplication screen. Jaccard misses a short doc
+    * embedded verbatim in a long one (union is dominated by the long
+    * doc), which is exactly the quote/boilerplate-inclusion case a
+    * curation pass wants to see; containment reads 10000 bp for any
+    * full inclusion regardless of length ratio. Reports pairs with
+    * containment ≥ 80% TOGETHER WITH their Jaccard, so the interesting
+    * rows are the high-containment/low-Jaccard gap Jaccard-keyed dedup
+    * (x_dedup_ngram) cannot find.
+    *
+    * Scale shape: the same Σdf²-bounded posting-list self-join as
+    * x_dedup_ngram (shared shingle exchange, pairs sharing ≥ 1 shingle
+    * only — any pair at 80% containment shares shingles, so this
+    * equals the all-pairs definition); integer basis points. */
+  private val containment = Q(
+    "x_containment",
+    Some("""WITH s AS (
+              SELECT doc_id, lang,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+              FROM (SELECT doc_id, lang,
+                      list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3),
+            p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                    len(list_intersect(a.sh, b.sh)) AS inter,
+                    len(a.sh) AS a_sz, len(b.sh) AS b_sz
+                  FROM s a JOIN s b
+                    ON a.lang = b.lang AND a.doc_id < b.doc_id)
+            SELECT a_id, b_id,
+              CAST((inter * 10000) // least(a_sz, b_sz) AS BIGINT) AS cont_bp,
+              CAST((inter * 10000) // (a_sz + b_sz - inter) AS BIGINT) AS jac_bp
+            FROM p
+            WHERE (inter * 10000) // least(a_sz, b_sz) >= 8000
+            ORDER BY a_id, b_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.Shingles.register(spark)
+      val toks = barrier(t(spark, dir, "documents")
+        .select($"doc_id", $"lang",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") >= 3))
+      val sh = barrier(toks
+        .select($"doc_id", $"lang", expr("shingle_hashes(toks, 3)").as("sh"))
+        .withColumn("sz", size($"sh"))
+        .where($"sz" > 0))
+      val post = sh.select($"doc_id", $"lang", $"sz", explode($"sh").as("s"))
+        .repartition($"s", $"lang")
+      val a = post.select($"s", $"lang".as("a_lang"),
+        $"doc_id".as("a_id"), $"sz".as("a_sz"))
+      val b = post.select($"s".as("s2"), $"lang".as("b_lang"),
+        $"doc_id".as("b_id"), $"sz".as("b_sz"))
+      a.join(b, $"s" === $"s2" && $"a_lang" === $"b_lang" && $"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id", $"a_sz", $"b_sz")
+        .agg(count(lit(1)).as("inter"))
+        .select($"a_id", $"b_id",
+          expr("(inter * 10000) DIV least(a_sz, b_sz)").as("cont_bp"),
+          expr("(inter * 10000) DIV (a_sz + b_sz - inter)").as("jac_bp"))
+        .where($"cont_bp" >= 8000)
+        .orderBy($"a_id", $"b_id")
+    })
+
   override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
     dedupSampled, dedupWinnow, winnowVsSampled, dedupCross, langConfusion,
-    tokenFertility, templatePrefix, ngramLm)
+    tokenFertility, templatePrefix, ngramLm, containment)
 }
