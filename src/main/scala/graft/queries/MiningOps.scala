@@ -1044,8 +1044,67 @@ object MiningOps extends QueryModule {
         .orderBy($"p_idx")
     })
 
+  /** Per-source KL divergence of the token distribution from the
+    * corpus-wide distribution (nats) — the domain-skew read a data
+    * mixer runs before weighting sources: a source whose unigram
+    * distribution sits far from the mixture is a different register
+    * (code, tables, another language) and shifts the trained model's
+    * token statistics in proportion to its weight.
+    * KL(p_s‖p) = Σ_t (c_st/N_s)·ln(c_st·N/(N_s·c_t)), summed over the
+    * source's own tokens (p_s(t)=0 terms vanish; p(t)>0 whenever
+    * p_s(t)>0 since corpus counts dominate source counts).
+    *
+    * Scale shape: one (source, token) aggregate and one token
+    * aggregate — both vocabulary-bounded, map-side combined — joined
+    * on the token key; scalars ride 1-row broadcasts. The only FP is
+    * ln over exact integer ratios summed per source (~1e-12 engine
+    * skew vs the 1e-4 rounding contract — the x_zipf_slope envelope). */
+  private val tokenKl = Q(
+    "x_token_kl",
+    Some("""WITH tok AS (SELECT source, unnest(list_filter(
+                string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+              FROM documents),
+            st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c_st
+                   FROM tok GROUP BY 1, 2),
+            ct AS (SELECT token AS ct_token, CAST(count(*) AS BIGINT) AS c_t
+                   FROM tok GROUP BY 1),
+            ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+                   FROM st GROUP BY 1),
+            nn AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct)
+            SELECT st.source, n_s AS n_tokens,
+              round(sum((CAST(c_st AS DOUBLE) / n_s)
+                * ln(CAST(c_st AS DOUBLE) * n
+                     / (CAST(n_s AS DOUBLE) * c_t))), 4) AS kl_nats
+            FROM st
+            JOIN ct ON ct_token = token
+            JOIN ns ON ns.source = st.source
+            CROSS JOIN nn
+            GROUP BY st.source, n_s ORDER BY st.source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val tok = t(spark, dir, "documents")
+        .select($"source", explode(expr(
+          "filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+      val st = tok.groupBy($"source", $"token")
+        .agg(count(lit(1)).as("c_st"))
+      val ct = tok.groupBy($"token".as("ct_token"))
+        .agg(count(lit(1)).as("c_t"))
+      val ns = st.groupBy($"source".as("ns_source"))
+        .agg(sum($"c_st").as("n_s"))
+      val nn = ct.agg(sum($"c_t").as("n"))
+      st.join(ct, $"ct_token" === $"token")
+        .join(broadcast(ns), $"ns_source" === $"source")
+        .crossJoin(broadcast(nn))
+        .groupBy($"source", $"n_s")
+        .agg(round(sum(($"c_st".cast("double") / $"n_s") *
+          log($"c_st".cast("double") * $"n" /
+            ($"n_s".cast("double") * $"c_t"))), 4).as("kl_nats"))
+        .select($"source", $"n_s".as("n_tokens"), $"kl_nats")
+        .orderBy($"source")
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
-    graphTriangles, graphLcc, graphKcore, zipfSlope, heapsFit)
+    graphTriangles, graphLcc, graphKcore, zipfSlope, heapsFit, tokenKl)
 }

@@ -380,8 +380,36 @@ object Relational extends QueryModule {
         .orderBy($"event_type", $"metric")
     })
 
+  /** Conditional (FILTER-clause) aggregation: one scan producing
+    * differently-predicated aggregates side by side — the idiom that
+    * replaces N filtered sub-scans with one pass (Spark plans each
+    * FILTER aggregate as a conditional inside the same hash-aggregate
+    * operator, so the lineitem scan happens once). Money through the
+    * exact DECIMAL path; counts BIGINT. */
+  private val aggFilter = Q(
+    "r_agg_filter",
+    Some("""SELECT l_returnflag,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+              CAST(count(*) FILTER (WHERE l_discount >= 0.05) AS BIGINT) AS n_disc,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   FILTER (WHERE l_tax > 0.03) AS DOUBLE) AS taxed_price
+            FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when($"l_quantity" >= 25, 1)).as("n_bulk"),
+          count(when($"l_discount" >= 0.05, 1)).as("n_disc"),
+          dbl(sum(when($"l_tax" > 0.03, money($"l_extendedprice"))))
+            .as("taxed_price"))
+        .orderBy($"l_returnflag")
+    })
+
   override def all: Seq[Q] = Seq(filterProject, aggHash, aggDistinct,
     aggRollup, aggCube, groupingSets, sortTopk, setOps, hllDistinct,
     pivot, joinFullOuter, scalarConditional, aggPercentile, approxQuantile,
-    subqueryScalar, subqueryCorrelated, unpivot)
+    subqueryScalar, subqueryCorrelated, unpivot, aggFilter)
 }

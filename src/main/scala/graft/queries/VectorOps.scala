@@ -303,13 +303,13 @@ object VectorOps extends QueryModule {
       val e = emb(spark, dir)
       val p = broadcast(e.where($"vec_id" < 5)
         .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm")))
-      val w = Window.partitionBy($"p_id").orderBy($"sim".desc, $"vec_id")
-      val cand = p.join(e, $"vec_id" =!= $"p_id")
-        .withColumn("sim", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .where($"rk" <= 5)
-        .select($"p_id", $"rk", $"vec_id",
-          floor($"sim" * 10000.0).cast("long").as("sim_bp"))
+      // bounded TopK aggregate, not a probe window (5 partitions would
+      // each sort the whole candidate set — the x_dim_error lesson)
+      val cand = graft.functions.TopK.rankBySim(
+        p.join(e, $"vec_id" =!= $"p_id")
+          .withColumn("sim", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
+          .select($"p_id", $"vec_id", $"sim"),
+        "sim", 5)
       val docs = t(spark, dir, "documents")
         .select($"doc_id", $"source", $"lang",
           expr("ws_token_count(text)").as("n_tokens"))
@@ -654,8 +654,50 @@ object VectorOps extends QueryModule {
         .orderBy($"dim")
     })
 
+  /** MMR diversity re-rank (operators/Mmr): top-20 cosine candidates
+    * per probe, greedily re-ranked to top-5 by
+    * λ·sim(q,d) − (1−λ)·max cos(d, selected), λ=0.7 — the serving
+    * stage that stops near-duplicate documents crowding a retrieval
+    * page. Declared rows-only (greedy selection is not practically
+    * SQL-expressible); MmrSpec pins determinism, input-order
+    * independence, rank-1 = plain top-1, and the diversity behavior
+    * on a constructed near-dup triple.
+    *
+    * Scale shape: candidate generation is the bounded TopK aggregate
+    * (at 100 TB: any ANN operator with the same output contract); the
+    * MMR pass itself touches |probes|·k ≤ 100 rows — the per-probe
+    * group fold is over an already-bounded set, not the corpus. */
+  private val mmrRerank = Q(
+    "x_mmr_rerank",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val e = emb(spark, dir)
+      val p = broadcast(e.where($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm")))
+      val top = udaf(graft.functions.TopK.TopKAgg(20, byA = true))
+      val cand = p.join(e, $"vec_id" =!= $"p_id")
+        .withColumn("sim", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
+        .groupBy($"p_id")
+        .agg(top($"vec_id", $"sim", $"sim").as("top"))
+        .select($"p_id", explode($"top").as("c"))
+        .select($"p_id", $"c.id".as("vec_id"), $"c.a".as("sim"))
+      val withV = broadcast(cand)
+        .join(e.select($"vec_id".as("e_id"), $"v"), $"e_id" === $"vec_id")
+        .select($"p_id", $"vec_id", $"sim", $"v")
+        .as[(Long, Long, Double, Seq[Double])]
+      withV.groupByKey(_._1)
+        .flatMapGroups { (pid: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+          val cands = it.map(t => graft.operators.Mmr.CandIn(t._2, t._3, t._4)).toSeq
+          graft.operators.Mmr.select(cands, 0.7, 5)
+            .map(s => (pid, s.rk, s.id, math.floor(s.score * 10000.0).toLong))
+        }
+        .toDF("p_id", "rk", "vec_id", "mmr_bp")
+        .orderBy($"p_id", $"rk")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
-      embedOutliers, dimError, dimStats)
+      embedOutliers, dimError, dimStats, mmrRerank)
 }
