@@ -989,8 +989,57 @@ object EventAnalytics extends QueryModule {
         .orderBy($"week_idx", $"key")
     })
 
+  /** Hill tail-index estimate of the event-value distribution per
+    * type: α̂ = 1 / mean(ln x_(i) − ln x_(k+1)) over the top k=200
+    * order statistics — the heavy-tail read that tells capacity
+    * planning whether extreme values have finite variance (α > 2) or
+    * a single event can dominate any aggregate (α ≤ 2); pairs with
+    * x_value_outliers (which screens points) by characterizing the
+    * whole tail. Types with fewer than k+1 positive values are
+    * dropped rather than estimated from a vacuous tail.
+    *
+    * Scale shape: the k+1 top values per type come from the bounded
+    * TopK aggregate (map-side ≤ k+1 rows per partial — never a
+    * per-type window sorting the corpus); the estimator then runs on
+    * a ≤ 201-element array. FP is ln over corpus doubles + a 200-term
+    * mean (the established ~1e-13 skew vs 1e-4 rounding envelope). */
+  private val hillTail = Q(
+    "x_hill_tail",
+    Some("""WITH v AS (SELECT event_type, event_id, value FROM events
+                       WHERE value > 0),
+            r AS (SELECT event_type, value,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY value DESC, event_id) AS rk
+                  FROM v QUALIFY rk <= 201),
+            ok AS (SELECT event_type FROM r GROUP BY event_type
+                   HAVING count(*) = 201),
+            xk AS (SELECT r.event_type, value AS x_k1 FROM r
+                   JOIN ok ON ok.event_type = r.event_type
+                   WHERE rk = 201)
+            SELECT r.event_type, CAST(200 AS BIGINT) AS k,
+              round(1.0 / avg(ln(value / x_k1)), 4) AS hill_alpha
+            FROM r JOIN xk ON xk.event_type = r.event_type
+            WHERE rk <= 200
+            GROUP BY r.event_type ORDER BY r.event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val top = udaf(graft.functions.TopK.TopKAgg(201, byA = true))
+      val tops = t(spark, dir, "events")
+        .where($"value" > 0)
+        .groupBy($"event_type")
+        .agg(top($"event_id", $"value", $"value").as("top"))
+        .where(size($"top") === 201)
+      tops
+        .select($"event_type", element_at($"top", 201).getField("a").as("x_k1"),
+          explode(expr("slice(top, 1, 200)")).as("c"))
+        .groupBy($"event_type")
+        .agg(round(lit(1.0) / avg(log($"c.a" / $"x_k1")), 4).as("hill_alpha"))
+        .select($"event_type", lit(200L).as("k"), $"hill_alpha")
+        .orderBy($"event_type")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
-    gini, hourProfile, schemaDrift)
+    gini, hourProfile, schemaDrift, hillTail)
 }

@@ -937,10 +937,66 @@ object PipelineOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Dataset card — the one-row corpus summary a dataset release ships
+    * (docs/tokens/chars, vocabulary, source+language counts, exact-dup
+    * rate, language-mix entropy): the headline numbers every other
+    * query here details. One doc-level pass (count/chars/digest), one
+    * token pass (mass + vocabulary), one lang rollup — each map-side
+    * combined, glued by 1-row broadcasts; the dup rate keys on
+    * sha2(text) like the whole exact-dedup family (no text exchange).
+    * Entropy is the one free double, rounded per contract. */
+  private val datasetCard = Q(
+    "x_dataset_card",
+    Some("""WITH d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                         CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_uniq,
+                         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+                       FROM documents),
+            tk AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(DISTINCT token) AS BIGINT) AS vocab_size
+                   FROM (SELECT unnest(list_filter(
+                       string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+                     FROM documents)),
+            lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY lang),
+            le AS (SELECT round(sum(-(CAST(c AS DOUBLE) / n_docs)
+                       * ln(CAST(c AS DOUBLE) / n_docs)), 4) AS lang_entropy
+                   FROM lc CROSS JOIN d)
+            SELECT n_docs, n_chars, n_tokens, vocab_size, n_sources, n_langs,
+              CAST(((n_docs - n_uniq) * 10000) // n_docs AS BIGINT) AS dup_bp,
+              CAST(n_tokens // n_docs AS BIGINT) AS mean_doc_tokens,
+              lang_entropy
+            FROM d CROSS JOIN tk CROSS JOIN le"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      val d = docs.agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars"),
+        count_distinct(sha2($"text", 256)).as("n_uniq"),
+        count_distinct($"source").as("n_sources"),
+        count_distinct($"lang").as("n_langs"))
+      val tk = docs
+        .select(explode(expr(
+          "filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct($"token").as("vocab_size"))
+      val le = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(d.select($"n_docs".as("nd"))))
+        .agg(round(sum((-$"c".cast("double") / $"nd") *
+          log($"c".cast("double") / $"nd")), 4).as("lang_entropy"))
+      d.crossJoin(broadcast(tk)).crossJoin(broadcast(le))
+        .select($"n_docs", $"n_chars", $"n_tokens", $"vocab_size",
+          $"n_sources", $"n_langs",
+          expr("((n_docs - n_uniq) * 10000) DIV n_docs").as("dup_bp"),
+          expr("n_tokens DIV n_docs").as("mean_doc_tokens"),
+          $"lang_entropy")
+    })
+
   override def all: Seq[Q] =
     Seq(decontaminate, decontamBloom, sampleStratified, repetition,
       filterChain, tokenBudget, sampleTemperature, dedupKeepBest,
       curationE2e, shardAssign, packSequences, sampleQuality,
       sampleReservoir, statsProfile, lengthHistogram, chunkDocs, epochPlan,
-      qualityVsDup, piiScrub)
+      qualityVsDup, piiScrub, datasetCard)
 }
