@@ -1038,8 +1038,54 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Audience overlap between event types: Jaccard (and both
+    * containments) of the USER SETS of every type pair — the
+    * segmentation read behind "do purchasers come from clickers"
+    * and the cross-sell targeting matrix. Distinct (type, user)
+    * first (per-user volume never inflates anything), then a
+    * user-keyed self-join — pair rows are bounded by Σ_u types(u)²
+    * with types(u) ≤ |types| (a handful), NOT by event volume; set
+    * sizes broadcast back onto the |types|²-row result. Integer bp. */
+  private val userOverlap = Q(
+    "x_user_overlap",
+    Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+            sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM tu GROUP BY 1),
+            pair AS (SELECT a.event_type AS t_a, b.event_type AS t_b,
+                       CAST(count(*) AS BIGINT) AS inter
+                     FROM tu a JOIN tu b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+                     GROUP BY 1, 2)
+            SELECT t_a, t_b, inter,
+              CAST((inter * 10000) // (sa.n + sb.n - inter) AS BIGINT) AS jac_bp,
+              CAST((inter * 10000) // least(sa.n, sb.n) AS BIGINT) AS cont_bp
+            FROM pair
+            JOIN sz sa ON sa.event_type = t_a
+            JOIN sz sb ON sb.event_type = t_b
+            ORDER BY t_a, t_b"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val tu = t(spark, dir, "events")
+        .select($"event_type", $"user_id").distinct()
+      val sz = tu.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val b = tu.select($"event_type".as("t_b"), $"user_id".as("u_b"))
+      val pair = tu.join(b, $"u_b" === $"user_id" &&
+          $"event_type" < $"t_b")
+        .groupBy($"event_type".as("t_a"), $"t_b")
+        .agg(count(lit(1)).as("inter"))
+      pair
+        .join(broadcast(sz.select($"event_type".as("s_a"), $"n".as("n_a"))),
+          $"s_a" === $"t_a")
+        .join(broadcast(sz.select($"event_type".as("s_b"), $"n".as("n_b"))),
+          $"s_b" === $"t_b")
+        .select($"t_a", $"t_b", $"inter",
+          expr("(inter * 10000) DIV (n_a + n_b - inter)").as("jac_bp"),
+          expr("(inter * 10000) DIV least(n_a, n_b)").as("cont_bp"))
+        .orderBy($"t_a", $"t_b")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
-    gini, hourProfile, schemaDrift, hillTail)
+    gini, hourProfile, schemaDrift, hillTail, userOverlap)
 }

@@ -103,6 +103,52 @@ object ScaleOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Shingle document-frequency spectrum: per power-of-two df band,
+    * how many distinct 3-gram shingles fall there, their df mass and
+    * their Σdf² — the COST PREDICTOR for every posting-list similarity
+    * join in this repo (x_dedup_ngram/x_containment/the span families
+    * all generate exactly Σ df(s)² candidate pair-rows): run this
+    * first on a new corpus and the top band tells you whether a
+    * frequent-shingle cap (MinHashDedup's strategy) is needed before
+    * the join is affordable. Band = length(bin(df)) — the all-integer
+    * log2 (the x_freq_spectrum convention).
+    *
+    * Scale shape: per-doc distinct shingles via the codegen kernel
+    * (oracle spells the exact string sets), one shingle-keyed df
+    * aggregate (map-side combined), one band rollup. No joins. */
+  private val shingleProfile = Q(
+    "x_shingle_profile",
+    Some("""WITH s AS (SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS sh
+              FROM (SELECT doc_id, list_filter(
+                      string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3),
+            df AS (SELECT sh, CAST(count(*) AS BIGINT) AS d
+                   FROM s GROUP BY sh)
+            SELECT CAST(length(bin(d)) AS BIGINT) AS band,
+              CAST(count(*) AS BIGINT) AS n_shingles,
+              CAST(sum(d) AS BIGINT) AS df_mass,
+              CAST(sum(d * d) AS BIGINT) AS pair_rows
+            FROM df GROUP BY 1 ORDER BY band"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.Shingles.register(spark)
+      val toks = barrier(t(spark, dir, "documents")
+        .select($"doc_id",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") >= 3))
+      toks
+        .select($"doc_id", explode(expr("shingle_hashes(toks, 3)")).as("sh"))
+        .groupBy($"sh").agg(count(lit(1)).as("d"))
+        .withColumn("band", length(expr("bin(d)")).cast("long"))
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_shingles"), sum($"d").as("df_mass"),
+          sum($"d" * $"d").as("pair_rows"))
+        .orderBy($"band")
+    })
+
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
-    minhashError, compressRatio)
+    minhashError, compressRatio, shingleProfile)
 }

@@ -844,8 +844,61 @@ object TextOps extends QueryModule {
         .orderBy($"a_id", $"b_id")
     })
 
+  /** Rare-token (OOV-heavy) document screen: per source, the mean
+    * share of token occurrences whose CORPUS frequency is ≤ 2, and
+    * how many docs exceed 30% rare mass — the OCR-noise/mojibake
+    * detector that complements x_ngram_lm (which scores sequence
+    * plausibility; this scores lexicon membership — a doc of real
+    * words in scrambled order fools this screen but not that one,
+    * and vice versa for garbled spellings in fluent patterns).
+    *
+    * Scale shape: one vocabulary aggregate, then doc-token GROUPS
+    * (dup tokens within a doc collapse first) joined token-keyed
+    * against it — Heaps-sublinear join sides, map-side combined
+    * everywhere; per-doc shares floored to integer bp before the
+    * source rollup (pure BIGINT from there). */
+  private val rareTokenDocs = Q(
+    "x_rare_token_docs",
+    Some("""WITH tok AS (SELECT doc_id, source, unnest(list_filter(
+                string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+              FROM documents),
+            dt AS (SELECT doc_id, source, token,
+                     CAST(count(*) AS BIGINT) AS occ
+                   FROM tok GROUP BY 1, 2, 3),
+            cf AS (SELECT token AS cf_token, CAST(count(*) AS BIGINT) AS c
+                   FROM tok GROUP BY 1),
+            doc AS (SELECT doc_id, source,
+                      CAST((sum(CASE WHEN c <= 2 THEN occ ELSE 0 END) * 10000)
+                        // sum(occ) AS BIGINT) AS rare_bp
+                    FROM dt JOIN cf ON cf_token = token
+                    GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(rare_bp) // count(*) AS BIGINT) AS mean_rare_bp,
+              CAST(sum(CASE WHEN rare_bp > 3000 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_flagged
+            FROM doc GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val tok = t(spark, dir, "documents")
+        .select($"doc_id", $"source", explode(expr(
+          "filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+      val dt = tok.groupBy($"doc_id", $"source", $"token")
+        .agg(count(lit(1)).as("occ"))
+      val cf = tok.groupBy($"token".as("cf_token"))
+        .agg(count(lit(1)).as("c"))
+      val doc = dt.join(cf, $"cf_token" === $"token")
+        .groupBy($"doc_id", $"source")
+        .agg(expr("(sum(CASE WHEN c <= 2 THEN occ ELSE 0 END) * 10000)" +
+          " DIV sum(occ)").as("rare_bp"))
+      doc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(rare_bp) DIV count(1)").cast("long").as("mean_rare_bp"),
+          sum(when($"rare_bp" > 3000, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy($"source")
+    })
+
   override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
     dedupSampled, dedupWinnow, winnowVsSampled, dedupCross, langConfusion,
-    tokenFertility, templatePrefix, ngramLm, containment)
+    tokenFertility, templatePrefix, ngramLm, containment, rareTokenDocs)
 }
