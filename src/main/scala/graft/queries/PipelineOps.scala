@@ -967,7 +967,7 @@ object PipelineOps extends QueryModule {
               CAST(((n_docs - n_uniq) * 10000) // n_docs AS BIGINT) AS dup_bp,
               CAST(n_tokens // n_docs AS BIGINT) AS mean_doc_tokens,
               lang_entropy
-            FROM d CROSS JOIN tk CROSS JOIN le"""),
+            FROM d CROSS JOIN tk CROSS JOIN le ORDER BY n_docs"""),
     (spark, dir) => {
       import spark.implicits._
       val docs = t(spark, dir, "documents")

@@ -897,8 +897,65 @@ object TextOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Near-dup threshold sweep: how many doc pairs sit at Jaccard ≥
+    * 0.5/0.6/0.7/0.8/0.9 — the tuning read that picks both the dedup
+    * threshold and the MinHash banding scheme (bands×rows are chosen
+    * to put the S-curve's knee at the threshold; this table says
+    * where the corpus's own knee is, and how many pairs each choice
+    * would merge). One posting join (the x_dedup_ngram machinery at
+    * its lowest threshold) then a 5-row CASE rollup — cumulative
+    * counts, all integer. */
+  private val thresholdSweep = Q(
+    "x_threshold_sweep",
+    Some("""WITH s AS (
+              SELECT doc_id, lang,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+              FROM (SELECT doc_id, lang,
+                      list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3),
+            p AS (SELECT (len(list_intersect(a.sh, b.sh)) * 10000)
+                      // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                      AS jac_bp
+                  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+            th AS (SELECT unnest([5000, 6000, 7000, 8000, 9000]) AS thresh_bp)
+            SELECT CAST(thresh_bp AS BIGINT) AS thresh_bp,
+              CAST(count(*) FILTER (WHERE jac_bp >= thresh_bp) AS BIGINT) AS n_pairs
+            FROM th CROSS JOIN p GROUP BY 1 ORDER BY thresh_bp"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.Shingles.register(spark)
+      val toks = barrier(t(spark, dir, "documents")
+        .select($"doc_id", $"lang",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") >= 3))
+      val sh = barrier(toks
+        .select($"doc_id", $"lang", expr("shingle_hashes(toks, 3)").as("sh"))
+        .withColumn("sz", size($"sh"))
+        .where($"sz" > 0))
+      val post = sh.select($"doc_id", $"lang", $"sz", explode($"sh").as("s"))
+        .repartition($"s", $"lang")
+      val a = post.select($"s", $"lang".as("a_lang"),
+        $"doc_id".as("a_id"), $"sz".as("a_sz"))
+      val b = post.select($"s".as("s2"), $"lang".as("b_lang"),
+        $"doc_id".as("b_id"), $"sz".as("b_sz"))
+      val pairs = a.join(b, $"s" === $"s2" && $"a_lang" === $"b_lang" &&
+          $"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id", $"a_sz", $"b_sz")
+        .agg(count(lit(1)).as("inter"))
+        .select(expr("(inter * 10000) DIV (a_sz + b_sz - inter)").as("jac_bp"))
+      val th = Seq(5000L, 6000L, 7000L, 8000L, 9000L).toDF("thresh_bp")
+      pairs.crossJoin(broadcast(th))
+        .groupBy($"thresh_bp")
+        .agg(count(when($"jac_bp" >= $"thresh_bp", 1)).as("n_pairs"))
+        .orderBy($"thresh_bp")
+    })
+
   override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
     dedupSampled, dedupWinnow, winnowVsSampled, dedupCross, langConfusion,
-    tokenFertility, templatePrefix, ngramLm, containment, rareTokenDocs)
+    tokenFertility, templatePrefix, ngramLm, containment, rareTokenDocs,
+    thresholdSweep)
 }

@@ -696,8 +696,47 @@ object VectorOps extends QueryModule {
         .orderBy($"p_id", $"rk")
     })
 
+  /** Label balance + per-label geometry: share of each label in basis
+    * points and its mean embedding norm — the class-imbalance read a
+    * labeled-embedding consumer (kNN auto-labeling, cluster-purity
+    * scoring) runs first, with the norm column catching a label whose
+    * vectors were produced by a different encoder run (norm drift is
+    * the cheapest such tell). One narrow pass (norm is the codegen
+    * vec_dot kernel), one label-keyed map-side-combined aggregate;
+    * the corpus total rides a 1-row broadcast. Norm means floored to
+    * bp per label AFTER the exact double sum — the strict-fold dot
+    * product is bit-identical in both engines, and a ≤ N-term sum of
+    * such doubles sits in the established rounding envelope. */
+  private val labelBalance = Q(
+    "x_label_balance",
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                        FROM embeddings),
+             n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                     round(avg(sqrt(${dotSql("v", "v")})), 4) AS mean_norm
+                   FROM e GROUP BY label),
+             t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM n)
+             SELECT CAST(label AS BIGINT) AS label, n_vecs,
+               CAST((n_vecs * 10000) // total AS BIGINT) AS share_bp,
+               mean_norm
+             FROM n CROSS JOIN t ORDER BY label"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "embeddings")
+        .select($"vec_id", $"label",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      graft.functions.VecDot.register(spark)
+      val n = e.groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(sqrt(dotCol("v", "v"))), 4).as("mean_norm"))
+      val tot = n.agg(sum($"n_vecs").as("total"))
+      n.crossJoin(broadcast(tot))
+        .select($"label".cast("long").as("label"), $"n_vecs",
+          expr("(n_vecs * 10000) DIV total").as("share_bp"), $"mean_norm")
+        .orderBy($"label")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
-      embedOutliers, dimError, dimStats, mmrRerank)
+      embedOutliers, dimError, dimStats, mmrRerank, labelBalance)
 }
