@@ -1011,8 +1011,12 @@ object MiningOps extends QueryModule {
                     FROM nn JOIN vv ON vv.i = nn.i),
             fit AS (SELECT round(regr_slope(ln(CAST(n_types AS DOUBLE)),
                              ln(CAST(n_tokens AS DOUBLE))), 4) AS beta,
-                           round(regr_r2(ln(CAST(n_types AS DOUBLE)),
-                             ln(CAST(n_tokens AS DOUBLE))), 4) AS r2
+                           round(CASE WHEN var_pop(ln(CAST(n_types AS DOUBLE))) = 0
+                             THEN 1.0
+                             ELSE covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
+                                  * covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
+                                  / (var_pop(ln(CAST(n_tokens AS DOUBLE)))
+                                     * var_pop(ln(CAST(n_types AS DOUBLE)))) END, 4) AS r2
                     FROM pts)
             SELECT CAST(p_idx AS BIGINT) AS p_idx, n_tokens, n_types, beta, r2
             FROM pts CROSS JOIN fit ORDER BY p_idx"""),
@@ -1036,9 +1040,23 @@ object MiningOps extends QueryModule {
         .groupBy($"i".as("v_i")).agg(count(lit(1)).as("n_types"))
       val pts = nn.join(broadcast(vv), $"v_i" === $"i")
         .select($"i".as("p_idx"), $"n_tokens", $"n_types")
+      // r2 is 0/0 when the vocabulary saturates before the first ladder
+      // step (n_types constant ⇒ var(y) = 0 — the engines invent
+      // different answers from the cancellation noise of their internal
+      // formulas). The horizontal line y = ȳ then IS the least-squares
+      // fit with zero residual, so r2 is defined as 1.0; the else branch
+      // uses explicitly centered one-pass-stable aggregates (var_pop /
+      // covar_pop accumulate (x−x̄) terms, so a constant column yields
+      // an EXACT 0.0, making the CASE test engine-portable).
+      val r2Sql =
+        """CASE WHEN var_pop(ln(CAST(n_types AS DOUBLE))) = 0 THEN 1.0
+           ELSE covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
+                * covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
+                / (var_pop(ln(CAST(n_tokens AS DOUBLE)))
+                   * var_pop(ln(CAST(n_types AS DOUBLE)))) END"""
       val fit = pts.agg(
         round(expr("regr_slope(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))"), 4).as("beta"),
-        round(expr("regr_r2(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))"), 4).as("r2"))
+        round(expr(r2Sql), 4).as("r2"))
       pts.crossJoin(broadcast(fit))
         .select($"p_idx", $"n_tokens", $"n_types", $"beta", $"r2")
         .orderBy($"p_idx")

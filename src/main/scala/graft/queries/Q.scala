@@ -21,18 +21,27 @@ trait QueryModule {
 
   /** Load one of the driver parquet tables from the scale-factor dir.
     *
-    * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses to read natively; with the nanosAsLong legacy conf
-    * it arrives as a LONG of epoch-nanos, which we floor-truncate to
-    * microseconds — exactly what Spark's own ns→µs narrowing would do.
+    * Timestamp normalization (the queries are written against session-TZ
+    * TIMESTAMP): TIMESTAMP(NANOS) parquet — which Spark 4 refuses to read
+    * natively — arrives as a LONG of epoch-nanos under the nanosAsLong
+    * legacy conf and is floor-truncated to microseconds (Spark's own
+    * ns→µs narrowing); plain TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * parquet arrives as TIMESTAMP_NTZ and is cast to TIMESTAMP — the
+    * session runs in UTC, so the cast preserves the stored wall-clock as
+    * the same instant the NANOS path produced. Both generations of the
+    * driver testdata therefore present one schema to every query.
     */
   protected def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case None => df
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType if f.name == "ts" =>
+          d.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast("timestamp"))
+        case _ => d
+      }
     }
   }
 

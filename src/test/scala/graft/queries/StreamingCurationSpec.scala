@@ -15,6 +15,23 @@ import graft.SparkTestBase
   */
 class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
 
+  /** events.parquet with `ts` normalized to LONG epoch-nanos whichever
+    * physical type the driver testdata generation used —
+    * TIMESTAMP(NANOS) arrives as LONG under nanosAsLong;
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ
+    * and is widened back to nanos (UTC session, same instants). The
+    * per-test `ts DIV 1000` / `DIV 1000000` arithmetic then reads the
+    * same values either way. */
+  private def eventsNanos(sf: String): org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sf/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+      case _ => df
+    }
+  }
+
   test("quality/lang/length gates + exact dedup run incrementally over a document stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -322,8 +339,7 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val prepared = spark.read.parquet(s"$sf/events.parquet")
+        val prepared = eventsNanos(sf)
       .select($"user_id",
         expr("unix_millis(timestamp_micros(ts DIV 1000))").as("ms"),
         $"event_id", $"event_type")
@@ -360,8 +376,7 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     val sf = "/root/testdata/sf0.001"
 
     // the exact rows the batch query sees (same ns→µs→ms flooring)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val prepared = spark.read.parquet(s"$sf/events.parquet")
+        val prepared = eventsNanos(sf)
       .select($"user_id",
         expr("unix_millis(timestamp_micros(ts DIV 1000))").as("ms"))
       .orderBy($"ms")
@@ -405,8 +420,7 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
 
     // events in event-time order (the in-order delivery contract the
     // live folds document), split across three micro-batches
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val prepared = spark.read.parquet(s"$sf/events.parquet")
+        val prepared = eventsNanos(sf)
       .select($"user_id", $"event_type",
         expr("timestamp_micros(ts DIV 1000)").as("tts"))
       .select($"user_id", $"event_type", expr("unix_millis(tts)").as("ms"))
@@ -450,8 +464,7 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val prepared = spark.read.parquet(s"$sf/events.parquet")
+        val prepared = eventsNanos(sf)
       .select($"user_id", expr("ts DIV 1000000").as("ms"))
       .orderBy($"ms")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -607,8 +620,7 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     val sf = "/root/testdata/sf0.001"
 
     // the same hourly rollup x_spike_detect starts from, hour-ordered
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rollup = spark.read.parquet(s"$sf/events.parquet")
+        val rollup = eventsNanos(sf)
       .select($"event_type", expr("ts DIV 3600000000000").as("hour"))
       .groupBy($"event_type", $"hour")
       .agg(count(lit(1)).as("n"))
@@ -646,8 +658,7 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
 
     // the raw event feed, (ms, event_id)-ordered — the in-order-per-user
     // delivery contract the live fold assumes
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val feed = spark.read.parquet(s"$sf/events.parquet")
+        val feed = eventsNanos(sf)
       .select($"user_id", $"event_id", expr("ts DIV 1000000").as("ms"))
       .orderBy($"ms", $"event_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -733,8 +744,7 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     // the raw feed in the batch window's exact (ts_us, event_id) order;
     // sequential splits preserve per-user order across batches (the
     // in-order delivery contract all live folds assume)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val feed = spark.read.parquet(s"$sf/events.parquet")
+        val feed = eventsNanos(sf)
       .select($"user_id", $"event_id", expr("ts DIV 1000").as("ts_us"),
         $"event_type", $"value")
       .orderBy($"ts_us", $"event_id")
@@ -775,8 +785,7 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val weekly = spark.read.parquet(s"$sf/events.parquet")
+        val weekly = eventsNanos(sf)
       .select(expr("(ts DIV 1000000) DIV 604800000").as("w"), $"event_type")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val w0 = weekly.map(_._1).min
