@@ -1121,8 +1121,51 @@ object MiningOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Per-source unigram Shannon entropy (nats) and its perplexity —
+    * the information-density read that complements x_token_kl
+    * (distance FROM the mixture) with each source's own spread: a
+    * source whose entropy sits far below ln(vocab) is
+    * template/boilerplate-heavy no matter how its distribution
+    * compares to the corpus. H = ln N − (Σ c·ln c)/N computed from
+    * exact integer counts so the only FP is ln over int64 and one
+    * division (the x_token_kl envelope); ppl = e^H.
+    *
+    * Scale shape: one (source, token) aggregate (vocabulary-bounded,
+    * map-side combined), one source rollup. No joins. */
+  private val tokenEntropy = Q(
+    "x_token_entropy",
+    Some("""WITH tok AS (SELECT source, unnest(list_filter(
+                string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+              FROM documents),
+            st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+                   FROM tok GROUP BY 1, 2)
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_types,
+              round(ln(CAST(sum(c) AS DOUBLE))
+                - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_nats,
+              round(exp(ln(CAST(sum(c) AS DOUBLE))
+                - sum(c * ln(CAST(c AS DOUBLE))) / sum(c)), 4) AS ppl
+            FROM st GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val st = t(spark, dir, "documents")
+        .select($"source", explode(expr(
+          "filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .groupBy($"source", $"token")
+        .agg(count(lit(1)).as("c"))
+      st.groupBy($"source")
+        .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+          round(log(sum($"c").cast("double")) -
+            sum($"c" * log($"c".cast("double"))) / sum($"c"), 4)
+            .as("entropy_nats"),
+          round(exp(log(sum($"c").cast("double")) -
+            sum($"c" * log($"c".cast("double"))) / sum($"c")), 4).as("ppl"))
+        .orderBy($"source")
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
-    graphTriangles, graphLcc, graphKcore, zipfSlope, heapsFit, tokenKl)
+    graphTriangles, graphLcc, graphKcore, zipfSlope, heapsFit, tokenKl,
+    tokenEntropy)
 }

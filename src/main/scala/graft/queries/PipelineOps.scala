@@ -993,10 +993,173 @@ object PipelineOps extends QueryModule {
           $"lang_entropy")
     })
 
+  /** Gopher-style quality-rule ensemble: per-source pass rate of each of
+    * five document rules — token-count window, mean-word-length window,
+    * alpha-character share, stop-word floor, top-bigram repetition cap —
+    * plus the all-rules conjunction (the production corpus filter
+    * REPORT, where x_filter_chain is the filter itself; per-rule rates
+    * say WHICH rule to retune on a new corpus before any doc is
+    * dropped). Thresholds sit inside this corpus's observed spread so
+    * every rule exercises both branches.
+    *
+    * Scale shape: every signal is a per-row byte-scan kernel or integer
+    * comparison computed once in one narrow projection (mean word
+    * length as the cross-multiplied 4·toks ≤ chars ≤ 5·toks — no
+    * division), then ONE source-keyed map-side-combined aggregate.
+    * Integer bp throughout; no joins, no windows. */
+  private val gopherRules = Q(
+    "x_gopher_rules",
+    Some("""WITH f AS (SELECT doc_id, source,
+              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks,
+              length(replace(text, ' ', '')) AS ns_chars,
+              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+              length(text) AS n_chars,
+              len(list_filter(string_split_regex(lower(text), ' +'),
+                x -> x IN ('the','and','of','a','in','to','is'))) AS stops
+              FROM documents WHERE length(text) > 0),
+            bg AS (SELECT doc_id, unnest(list_transform(
+                     range(1, greatest(len(toks), 1)),
+                     i -> concat_ws(' ', toks[i], toks[i+1]))) AS ng
+                   FROM f WHERE len(toks) >= 2),
+            bm AS (SELECT doc_id, max(n) AS mx FROM
+                     (SELECT doc_id, ng, count(*) AS n FROM bg GROUP BY doc_id, ng)
+                   GROUP BY doc_id),
+            ff AS (SELECT source, len(toks) AS n_toks, ns_chars, alpha,
+                     n_chars, stops, coalesce(mx, 0) AS mx
+                   FROM f LEFT JOIN bm USING (doc_id)),
+            r AS (SELECT source,
+              CASE WHEN n_toks BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS p_len,
+              CASE WHEN 4 * n_toks <= ns_chars AND ns_chars <= 5 * n_toks THEN 1 ELSE 0 END AS p_wl,
+              CASE WHEN alpha * 10000 >= 8200 * n_chars THEN 1 ELSE 0 END AS p_al,
+              CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS p_st,
+              CASE WHEN n_toks >= 2 AND mx * 10000 < 600 * (n_toks - 1) THEN 1 ELSE 0 END AS p_rep
+              FROM ff)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST((sum(p_len) * 10000) // count(*) AS BIGINT) AS pass_len_bp,
+              CAST((sum(p_wl) * 10000) // count(*) AS BIGINT) AS pass_wordlen_bp,
+              CAST((sum(p_al) * 10000) // count(*) AS BIGINT) AS pass_alpha_bp,
+              CAST((sum(p_st) * 10000) // count(*) AS BIGINT) AS pass_stop_bp,
+              CAST((sum(p_rep) * 10000) // count(*) AS BIGINT) AS pass_rep_bp,
+              CAST((sum(p_len * p_wl * p_al * p_st * p_rep) * 10000) // count(*) AS BIGINT) AS pass_all_bp
+            FROM r GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      graft.functions.Shingles.register(spark)
+      val f = barrier(t(spark, dir, "documents")
+        .where(length($"text") > 0)
+        .select($"source",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"),
+          expr("length(replace(text, ' ', ''))").as("ns_chars"),
+          length(regexp_replace($"text", "[^A-Za-z]", "")).as("alpha"),
+          length($"text").as("n_chars"),
+          expr("stop_token_count(text)").as("stops")))
+        .select($"source", size($"toks").cast("long").as("n_toks"),
+          $"ns_chars", $"alpha", $"n_chars", $"stops",
+          expr("ngram_top_count(toks, 2)").as("mx"))
+      val r = f.select($"source",
+        when($"n_toks".between(20, 80), 1L).otherwise(0L).as("p_len"),
+        when(lit(4) * $"n_toks" <= $"ns_chars" &&
+          $"ns_chars" <= lit(5) * $"n_toks", 1L).otherwise(0L).as("p_wl"),
+        when($"alpha" * 10000 >= lit(8200) * $"n_chars", 1L).otherwise(0L)
+          .as("p_al"),
+        when($"stops" >= 2, 1L).otherwise(0L).as("p_st"),
+        when($"n_toks" >= 2 &&
+          $"mx" * 10000 < lit(600) * ($"n_toks" - 1), 1L).otherwise(0L)
+          .as("p_rep"))
+      r.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("(sum(p_len) * 10000) DIV count(1)").as("pass_len_bp"),
+          expr("(sum(p_wl) * 10000) DIV count(1)").as("pass_wordlen_bp"),
+          expr("(sum(p_al) * 10000) DIV count(1)").as("pass_alpha_bp"),
+          expr("(sum(p_st) * 10000) DIV count(1)").as("pass_stop_bp"),
+          expr("(sum(p_rep) * 10000) DIV count(1)").as("pass_rep_bp"),
+          expr("(sum(p_len * p_wl * p_al * p_st * p_rep) * 10000) DIV count(1)")
+            .as("pass_all_bp"))
+        .orderBy($"source")
+    })
+
+  /** Train/val/test split assignment + digest leakage audit: documents
+    * land in 90/5/5 splits by the same arithmetic-hash bucket rule as
+    * x_sample_stratified (deterministic, no rand), and each split
+    * reports docs, token mass, and how many of its documents share an
+    * exact content digest with ANOTHER split — the eval-leakage number
+    * a release gate turns into "dedup before you split". Keyed on
+    * sha2(text) like the whole exact-dup family.
+    *
+    * Scale shape: one digest-keyed aggregate (map-side combined; token
+    * count rides first() since text ⇒ tokens is constant per digest)
+    * collapses the corpus to digest rows carrying per-split counts
+    * (split cardinality is 3, so the row is 4 integers); ONE further
+    * 1-row aggregate + a 3-row stack — no joins, no second corpus
+    * pass. */
+  private val splitLeakage = Q(
+    "x_split_leakage",
+    Some("""WITH d AS (SELECT
+              CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 90 THEN 'train'
+                   WHEN ((doc_id % 1000003) * 2654435761) % 1000003 % 100 < 95 THEN 'val'
+                   ELSE 'test' END AS split,
+              sha256(text) AS dg,
+              len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS ntok
+              FROM documents),
+            g AS (SELECT dg, min(ntok) AS tok,
+              sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_tr,
+              sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS c_va,
+              sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS c_te
+              FROM d GROUP BY dg),
+            s AS (SELECT
+              CAST(sum(c_tr) AS BIGINT) AS d_tr, CAST(sum(c_tr * tok) AS BIGINT) AS t_tr,
+              CAST(sum(CASE WHEN c_va + c_te > 0 THEN c_tr ELSE 0 END) AS BIGINT) AS l_tr,
+              CAST(sum(c_va) AS BIGINT) AS d_va, CAST(sum(c_va * tok) AS BIGINT) AS t_va,
+              CAST(sum(CASE WHEN c_tr + c_te > 0 THEN c_va ELSE 0 END) AS BIGINT) AS l_va,
+              CAST(sum(c_te) AS BIGINT) AS d_te, CAST(sum(c_te * tok) AS BIGINT) AS t_te,
+              CAST(sum(CASE WHEN c_tr + c_va > 0 THEN c_te ELSE 0 END) AS BIGINT) AS l_te
+              FROM g)
+            SELECT split, n_docs, n_tokens, leaked_docs,
+              CAST((leaked_docs * 10000) // n_docs AS BIGINT) AS leaked_bp
+            FROM (SELECT 'train' AS split, d_tr AS n_docs, t_tr AS n_tokens, l_tr AS leaked_docs FROM s
+                  UNION ALL
+                  SELECT 'val', d_va, t_va, l_va FROM s
+                  UNION ALL
+                  SELECT 'test', d_te, t_te, l_te FROM s)
+            ORDER BY split"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.TokenCounts.register(spark)
+      val d = t(spark, dir, "documents")
+        .select(
+          when(expr("((doc_id % 1000003) * 2654435761) % 1000003 % 100") < 90, "train")
+            .when(expr("((doc_id % 1000003) * 2654435761) % 1000003 % 100") < 95, "val")
+            .otherwise("test").as("split"),
+          sha2($"text", 256).as("dg"),
+          expr("ws_token_count(text)").as("ntok"))
+      val g = d.groupBy($"dg")
+        .agg(min($"ntok").as("tok"),
+          sum(when($"split" === "train", 1L).otherwise(0L)).as("c_tr"),
+          sum(when($"split" === "val", 1L).otherwise(0L)).as("c_va"),
+          sum(when($"split" === "test", 1L).otherwise(0L)).as("c_te"))
+      val s = g.agg(
+        sum($"c_tr").as("d_tr"), sum($"c_tr" * $"tok").as("t_tr"),
+        sum(when($"c_va" + $"c_te" > 0, $"c_tr").otherwise(0L)).as("l_tr"),
+        sum($"c_va").as("d_va"), sum($"c_va" * $"tok").as("t_va"),
+        sum(when($"c_tr" + $"c_te" > 0, $"c_va").otherwise(0L)).as("l_va"),
+        sum($"c_te").as("d_te"), sum($"c_te" * $"tok").as("t_te"),
+        sum(when($"c_tr" + $"c_va" > 0, $"c_te").otherwise(0L)).as("l_te"))
+      s.select(expr(
+        """stack(3,
+             'train', d_tr, t_tr, l_tr,
+             'val',   d_va, t_va, l_va,
+             'test',  d_te, t_te, l_te)
+           AS (split, n_docs, n_tokens, leaked_docs)"""))
+        .select($"split", $"n_docs", $"n_tokens", $"leaked_docs",
+          expr("(leaked_docs * 10000) DIV n_docs").as("leaked_bp"))
+        .orderBy($"split")
+    })
+
   override def all: Seq[Q] =
     Seq(decontaminate, decontamBloom, sampleStratified, repetition,
       filterChain, tokenBudget, sampleTemperature, dedupKeepBest,
       curationE2e, shardAssign, packSequences, sampleQuality,
       sampleReservoir, statsProfile, lengthHistogram, chunkDocs, epochPlan,
-      qualityVsDup, piiScrub, datasetCard)
+      qualityVsDup, piiScrub, datasetCard, gopherRules, splitLeakage)
 }

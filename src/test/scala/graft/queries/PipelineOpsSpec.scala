@@ -259,4 +259,48 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
     }
   }
+
+  test("x_gopher_rules: join-free single-aggregate plan; conjunction bounded by every rule") {
+    val phys = run("x_gopher_rules").queryExecution.executedPlan
+    assert(phys.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      !phys.toString.contains("Join"), s"rule ensemble must not join:\n$phys")
+    assert(phys.collect { case w: WindowExec => w }.isEmpty)
+    val rows = run("x_gopher_rules").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bps = (2 to 7).map(r.getLong)
+      assert(bps.forall(b => b >= 0 && b <= 10000), r.toString)
+      // pass_all is a conjunction: can't beat any individual rule
+      assert(bps.last <= bps.init.min, r.toString)
+    }
+    // the corpus spread must exercise both branches of ≥1 rule
+    assert(rows.exists(r => (2 to 6).map(r.getLong).exists(b => b > 0 && b < 10000)))
+  }
+
+  test("x_split_leakage: constructed cross-split duplicates are counted on every side") {
+    import spark.implicits._
+    // bucket((doc_id % 1000003) * 2654435761 % 1000003 % 100):
+    // 5-10 → train, 3/4 → val, 1/2 → test (precomputed)
+    val dir = tmpDir("splitleak")
+    Seq(
+      (5L, "alpha beta gamma", "en", "s", 15L),   // train ┐ dup pair
+      (3L, "alpha beta gamma", "en", "s", 15L),   // val   ┘ leaks both ways
+      (6L, "delta epsilon", "en", "s", 13L),      // train ┐
+      (1L, "delta epsilon", "en", "s", 13L),      // test  ┘
+      (7L, "unique one", "en", "s", 10L),         // train, clean
+      (8L, "unique two", "en", "s", 10L),         // train, clean
+      (4L, "unique three", "en", "s", 12L),       // val, clean
+      (2L, "unique four", "en", "s", 11L))        // test, clean
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("x_split_leakage")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("train") == ((4L, 3L + 2L + 2L + 2L, 2L)), out.toString) // both dup docs leaked
+    assert(out("val") == ((2L, 3L + 2L, 1L)), out.toString)
+    assert(out("test") == ((2L, 2L + 2L, 1L)), out.toString)
+    // and determinism on the real corpus
+    val a = run("x_split_leakage").collect().map(_.toString)
+    val b = run("x_split_leakage").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
 }
