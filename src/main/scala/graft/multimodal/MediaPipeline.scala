@@ -21,6 +21,14 @@ final case class MediaRow(
     width: Int,
     height: Int)
 
+final case class FrameSummary(
+    media_id: Long,
+    kind: String,
+    n_bytes: Long,
+    n_frames: Long,
+    n_sampled: Long,
+    probe_sum: Long)
+
 final case class MediaFeatures(
     media_id: Long,
     kind: String,
@@ -100,6 +108,34 @@ object MediaPipeline {
     * filter (no shuffle). */
   def sample(media: Dataset[MediaRow], stride: Long): Dataset[MediaRow] =
     media.filter(_.media_id % stride == 0)
+
+  /** INTRA-payload frame sampling — the video-decode stage shape: the
+    * payload splits into fixed `frameBytes` frames, every `stride`-th
+    * frame is "decoded" (stub: its first byte is probed), and the row
+    * reduces to a summary the downstream pipeline keys on. Like
+    * extractFeatures this is a narrow batched mapPartitions pass — a
+    * real frame decoder replaces the probe without touching the plan. */
+  def frameSummary(media: Dataset[MediaRow], frameBytes: Int,
+      stride: Int): Dataset[FrameSummary] = {
+    require(frameBytes > 0 && stride > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { r =>
+        val nb = r.media.length.toLong
+        val nf = (nb + frameBytes - 1) / frameBytes
+        var i = 0L
+        var ns = 0L
+        var ps = 0L
+        while (i < nf) {
+          ns += 1
+          ps += (r.media((i * frameBytes).toInt) & 0xFF)
+          i += stride
+        }
+        FrameSummary(r.media_id, r.kind, nb, nf, ns, ps)
+      })
+    }
+  }
 
   /** Batched resize to a uniform target — the standard normalize-before-
     * embed stage. Narrow like extractFeatures: rows stream through the

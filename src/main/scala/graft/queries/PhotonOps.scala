@@ -181,7 +181,33 @@ object PhotonOps extends QueryModule {
         .orderBy($"user_id")
     })
 
+  /** O5's bounded slice: replay one stream between [from, to) — the
+    * reference's from-ts subscribe with the catch-up window a consumer
+    * actually asks for ("give me yesterday's clicks"), stated so BOTH
+    * bounds push into the scan (p_cold_scan pins only the lower bound).
+    * At 100 TB the date-bucketed log layout (eventstore/Ingest) turns
+    * the ts window into partition pruning before any row is read. */
+  private val streamSlice = Q(
+    "p_stream_slice",
+    Some("""SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms
+            FROM events
+            WHERE event_type = 'click'
+              AND ts >= TIMESTAMP '2024-01-03'
+              AND ts < TIMESTAMP '2024-01-10'
+            ORDER BY event_id LIMIT 200"""),
+    (spark, dir) => {
+      import spark.implicits._
+      t(spark, dir, "events")
+        .where($"event_type" === "click" &&
+          $"ts" >= to_timestamp(lit("2024-01-03")) &&
+          $"ts" < to_timestamp(lit("2024-01-10")))
+        .select($"event_id", $"user_id", $"value",
+          unix_millis($"ts").as("ts_ms"))
+        .orderBy($"event_id")
+        .limit(200)
+    })
+
   override def all: Seq[Q] = Seq(coldScan, pointLookup, streamsCatalog,
     latestState, foldCount, distinctStreams, jsonPayload, payloadPromote,
-    stateAsof)
+    stateAsof, streamSlice)
 }

@@ -149,6 +149,44 @@ object ScaleOps extends QueryModule {
         .orderBy($"band")
     })
 
+  /** Intra-payload frame sampling (the video-pipeline decode stage
+    * shape): each opaque payload splits into fixed 64-byte frames,
+    * every 2nd frame is "decoded" (stub probe of its first byte), and
+    * the row reduces to counts + probe checksum — the plumbing a real
+    * frame decoder drops into (MediaPipeline.frameSummary, batched
+    * narrow mapPartitions, no shuffle until the output sort).
+    * Oracle-checkable like x_multimodal_meta: the corpus is ASCII, so
+    * frame boundaries land on characters and the byte probe is
+    * `ascii(substring(...))`. */
+  private val mediaFrames = Q(
+    "x_media_frames",
+    Some("""WITH f AS (SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_bytes,
+              CAST((length(text) + 63) // 64 AS BIGINT) AS n_frames
+              FROM documents WHERE length(text) > 0)
+            SELECT doc_id, n_bytes, n_frames,
+              CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled,
+              CAST(list_sum(list_transform(range(0, n_frames),
+                i -> CASE WHEN i % 2 = 0
+                  THEN CAST(ascii(substring(text, CAST(i * 64 + 1 AS INT), 1)) AS BIGINT)
+                  ELSE 0 END)) AS BIGINT) AS probe_sum
+            FROM f JOIN documents USING (doc_id)
+            ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val media = t(spark, dir, "documents")
+        .where(length($"text") > 0)
+        .select($"doc_id".as("media_id"), lit("video").as("kind"),
+          $"text".cast("binary").as("media"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[MediaRow]
+      MediaPipeline.frameSummary(media, frameBytes = 64, stride = 2)
+        .toDF()
+        .select($"media_id".as("doc_id"), $"n_bytes", $"n_frames",
+          $"n_sampled", $"probe_sum")
+        .orderBy($"doc_id")
+    })
+
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
-    minhashError, compressRatio, shingleProfile)
+    minhashError, compressRatio, shingleProfile, mediaFrames)
 }

@@ -735,8 +735,55 @@ object VectorOps extends QueryModule {
         .orderBy($"label")
     })
 
+  /** ANN recall@5 calibration: every approximate family (seeded IVF,
+    * k-means IVF, hyperplane LSH, PQ-ADC, IVF-PQ) scored against the
+    * brute-force exact top-5 on the same probes — the one-table trust
+    * read that picks the serving index before any ANN result is
+    * believed (the x_minhash_error of the vector side). Per family:
+    * probe count, mean/min recall bp, and how many probes got a perfect
+    * top-5. Rows-only: bucket/codebook membership is hash-geometry
+    * (the same reason x_ann_lsh and the PQ family are rows-only);
+    * VectorOpsSpec pins the floors — every family ≥ its spec'd recall,
+    * and the exact control row is 10000 by construction.
+    *
+    * Scale shape: each family's candidate pass is the SAME bounded
+    * machinery its own query runs (fixed-k seeds / bounded training /
+    * TopK aggregates); the scoring join touches |probes|·k ≤ 25 rows
+    * per family. */
+  private val annRecall = Q(
+    "x_ann_recall",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val exact = simTopk.run(spark, dir)
+        .select($"p_id", $"vec_id")
+      val fams: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "exact" -> simTopk.run(spark, dir),
+        "ivf_seeded" -> annIvf.run(spark, dir),
+        "ivf_kmeans" -> annIvfKmeans.run(spark, dir),
+        "lsh_hyperplane" -> annLsh.run(spark, dir),
+        "pq_adc" -> annPq.run(spark, dir),
+        "ivf_pq" -> annIvfPq.run(spark, dir))
+      fams.map { case (fam, df) =>
+        df.select($"p_id", $"vec_id")
+          .join(exact.withColumnRenamed("vec_id", "e_vec"),
+            Seq("p_id"), "left")
+          .groupBy($"p_id")
+          .agg((sum(when($"vec_id" === $"e_vec", 1L).otherwise(0L)) /
+            lit(5)).as("hits5")) // ranked lists are 5-deep by contract
+          .agg(lit(fam).as("family"),
+            count(lit(1)).as("n_probes"),
+            expr("CAST(floor(avg(hits5) * 10000) AS BIGINT)")
+              .as("mean_recall_bp"),
+            expr("CAST(floor(min(hits5) * 10000) AS BIGINT)")
+              .as("min_recall_bp"),
+            sum(when($"hits5" >= 1.0, 1L).otherwise(0L)).as("n_perfect"))
+      }.reduce(_ unionAll _)
+        .orderBy($"family")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
-      embedOutliers, dimError, dimStats, mmrRerank, labelBalance)
+      embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall)
 }

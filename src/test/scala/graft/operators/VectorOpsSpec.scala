@@ -399,4 +399,31 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a.sameElements(b))
     assert(a.forall(x => x >= -1.0 && x <= 1.0))
   }
+
+  test("x_ann_recall: exact control is perfect, every family clears its floor, deterministic") {
+    def table() = graft.SparkEntry.queries("x_ann_recall")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val t = table()
+    assert(t.keySet == Set("exact", "ivf_seeded", "ivf_kmeans",
+      "lsh_hyperplane", "pq_adc", "ivf_pq"))
+    // the control row: brute force against itself is recall 1.0
+    assert(t("exact") == ((5L, 10000L, 10000L, 5L)), t.toString)
+    t.foreach { case (fam, (n, mean, min, perfect)) =>
+      assert(n == 5L, fam)
+      assert(mean >= min && mean <= 10000 && min >= 0, fam)
+      assert(perfect <= n, fam)
+    }
+    // every family must beat random guessing by a wide margin (5 of N
+    // corpus vectors would be ~0 bp); floors chosen below each family's
+    // observed value at both gate SFs so regressions — not noise — trip
+    assert(t("ivf_kmeans")._2 >= 5000, t.toString)
+    assert(t("pq_adc")._2 >= 5000, t.toString)
+    assert(t("ivf_pq")._2 >= 5000, t.toString)
+    assert(t("ivf_seeded")._2 >= 2000, t.toString)
+    assert(t("lsh_hyperplane")._2 >= 2000, t.toString)
+    // hash-geometry is deterministic: two runs, same table
+    assert(table() == t)
+  }
 }
