@@ -187,6 +187,82 @@ object ScaleOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
+  /** MinHash banding S-curve: candidate probability
+    * P = 1 − (1 − s^r)^b for every 32-signature banding scheme
+    * (32×1, 16×2, 8×4, 4×8) over a Jaccard grid — the third leg of the
+    * LSH design workflow (x_shingle_profile says what a posting join
+    * costs, x_threshold_sweep says where the corpus's knee is, this
+    * table says which banding puts the S-curve's knee there; 8×4 is
+    * what MinHashDedup ships with). Cross-engine float determinism
+    * without trusting pow(): r and b are powers of two, so s^r and
+    * (1−s^r)^b are explicit squaring chains — IEEE multiplication is
+    * exactly rounded, so both engines produce bit-identical doubles
+    * from the same exact-decimal s. Output floored to bp.
+    *
+    * Scale: a 36-row constant table (the one declared query with no
+    * input) — it tunes the operators that DO scale. */
+  private val lshScurve = Q(
+    "x_lsh_scurve",
+    Some("""WITH sch AS (SELECT * FROM (VALUES (32, 1), (16, 2), (8, 4), (4, 8))
+                         AS t(bands, rows_per_band)),
+            grid AS (SELECT k FROM range(1, 10) r(k)),
+            e AS (SELECT bands, rows_per_band, k,
+                    CAST(k AS DOUBLE) / 10 AS s
+                  FROM sch CROSS JOIN grid),
+            p1 AS (SELECT bands, rows_per_band, k, s,
+                     CASE rows_per_band
+                       WHEN 1 THEN s
+                       WHEN 2 THEN s * s
+                       WHEN 4 THEN (s * s) * (s * s)
+                       ELSE ((s * s) * (s * s)) * ((s * s) * (s * s)) END AS sr
+                   FROM e),
+            p2 AS (SELECT bands, rows_per_band, k, 1 - sr AS q FROM p1),
+            p3 AS (SELECT bands, rows_per_band, k,
+                     CASE bands
+                       WHEN 4 THEN (q * q) * (q * q)
+                       WHEN 8 THEN ((q * q) * (q * q)) * ((q * q) * (q * q))
+                       WHEN 16 THEN (((q * q) * (q * q)) * ((q * q) * (q * q)))
+                         * (((q * q) * (q * q)) * ((q * q) * (q * q)))
+                       ELSE ((((q * q) * (q * q)) * ((q * q) * (q * q)))
+                         * (((q * q) * (q * q)) * ((q * q) * (q * q))))
+                         * ((((q * q) * (q * q)) * ((q * q) * (q * q)))
+                         * (((q * q) * (q * q)) * ((q * q) * (q * q)))) END AS qb
+                   FROM p2)
+            SELECT CAST(bands AS BIGINT) AS bands,
+              CAST(rows_per_band AS BIGINT) AS rows_per_band,
+              CAST(k * 1000 AS BIGINT) AS jaccard_bp,
+              CAST(floor((1 - qb) * 10000) AS BIGINT) AS p_collide_bp
+            FROM p3 ORDER BY rows_per_band, jaccard_bp"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val sch = Seq((32L, 1L), (16L, 2L), (8L, 4L), (4L, 8L))
+        .toDF("bands", "rows_per_band")
+      val grid = spark.range(1, 10).toDF("k")
+      sch.crossJoin(grid)
+        .withColumn("s", $"k".cast("double") / 10)
+        .withColumn("sr", expr(
+          """CASE rows_per_band
+               WHEN 1 THEN s
+               WHEN 2 THEN s * s
+               WHEN 4 THEN (s * s) * (s * s)
+               ELSE ((s * s) * (s * s)) * ((s * s) * (s * s)) END"""))
+        .withColumn("q", lit(1) - $"sr")
+        .withColumn("qb", expr(
+          """CASE bands
+               WHEN 4 THEN (q * q) * (q * q)
+               WHEN 8 THEN ((q * q) * (q * q)) * ((q * q) * (q * q))
+               WHEN 16 THEN (((q * q) * (q * q)) * ((q * q) * (q * q)))
+                 * (((q * q) * (q * q)) * ((q * q) * (q * q)))
+               ELSE ((((q * q) * (q * q)) * ((q * q) * (q * q)))
+                 * (((q * q) * (q * q)) * ((q * q) * (q * q))))
+                 * ((((q * q) * (q * q)) * ((q * q) * (q * q)))
+                 * (((q * q) * (q * q)) * ((q * q) * (q * q)))) END"""))
+        .select($"bands", $"rows_per_band",
+          ($"k" * 1000).cast("long").as("jaccard_bp"),
+          floor((lit(1) - $"qb") * 10000).cast("long").as("p_collide_bp"))
+        .orderBy($"rows_per_band", $"jaccard_bp")
+    })
+
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
-    minhashError, compressRatio, shingleProfile, mediaFrames)
+    minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve)
 }

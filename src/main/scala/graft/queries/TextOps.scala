@@ -897,6 +897,63 @@ object TextOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Duplicated-n-gram mass (the RefinedWeb/FineWeb-style duplication
+    * filter): per document, the share of its DISTINCT 3-grams that also
+    * appear in at least one other document, rolled up per source (mean
+    * + count of mostly-duplicated docs). Pairwise dedup asks "which
+    * pairs match"; this asks "how much of each DOC is recycled text" —
+    * the gram-granularity signal that catches mosaics stitched from
+    * many sources, which no single pair ever flags.
+    *
+    * Scale shape: per-doc distinct grams via the shingle-hash kernel
+    * (the same within-doc dedup the posting-join family rides;
+    * collision-free at these sizes — the oracle spells the string
+    * sets), gram df from one vocabulary-bounded aggregate, one
+    * gram-keyed equi-join of the two Heaps-sublinear sides, per-doc bp
+    * floored before the pure-BIGINT source rollup — the
+    * x_rare_token_docs machinery at gram granularity. */
+  private val dupGramMass = Q(
+    "x_dup_gram_mass",
+    Some("""WITH toks AS (SELECT doc_id, source,
+              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS tk
+              FROM documents),
+            dg AS (SELECT DISTINCT doc_id, source, unnest(list_distinct(
+                list_transform(range(1, greatest(len(tk) - 1, 1)),
+                i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS gram
+              FROM toks WHERE len(tk) >= 3),
+            df AS (SELECT gram, CAST(count(*) AS BIGINT) AS d
+                   FROM dg GROUP BY 1),
+            doc AS (SELECT doc_id, source,
+                CAST((sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) * 10000)
+                  // count(*) AS BIGINT) AS dup_bp
+              FROM dg JOIN df USING (gram) GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(dup_bp) // count(*) AS BIGINT) AS mean_dup_bp,
+              CAST(sum(CASE WHEN dup_bp > 8000 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_flagged
+            FROM doc GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.Shingles.register(spark)
+      val dg = barrier(t(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"))
+        .where(size($"tk") >= 3))
+        .select($"doc_id", $"source",
+          explode(expr("shingle_hashes(tk, 3)")).as("gram"))
+      val df = dg.groupBy($"gram".as("df_gram"))
+        .agg(count(lit(1)).as("d"))
+      val doc = dg.join(df, $"df_gram" === $"gram")
+        .groupBy($"doc_id", $"source")
+        .agg(expr("(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) * 10000)" +
+          " DIV count(1)").as("dup_bp"))
+      doc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(dup_bp) DIV count(1)").cast("long").as("mean_dup_bp"),
+          sum(when($"dup_bp" > 8000, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy($"source")
+    })
+
   /** Near-dup threshold sweep: how many doc pairs sit at Jaccard ≥
     * 0.5/0.6/0.7/0.8/0.9 — the tuning read that picks both the dedup
     * threshold and the MinHash banding scheme (bands×rows are chosen
@@ -957,5 +1014,5 @@ object TextOps extends QueryModule {
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
     dedupSampled, dedupWinnow, winnowVsSampled, dedupCross, langConfusion,
     tokenFertility, templatePrefix, ngramLm, containment, rareTokenDocs,
-    thresholdSweep)
+    thresholdSweep, dupGramMass)
 }
