@@ -1011,7 +1011,7 @@ object MiningOps extends QueryModule {
                     FROM nn JOIN vv ON vv.i = nn.i),
             fit AS (SELECT round(regr_slope(ln(CAST(n_types AS DOUBLE)),
                              ln(CAST(n_tokens AS DOUBLE))), 4) AS beta,
-                           round(CASE WHEN var_pop(ln(CAST(n_types AS DOUBLE))) = 0
+                           round(CASE WHEN count(DISTINCT n_types) = 1
                              THEN 1.0
                              ELSE covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
                                   * covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
@@ -1043,13 +1043,15 @@ object MiningOps extends QueryModule {
       // r2 is 0/0 when the vocabulary saturates before the first ladder
       // step (n_types constant ⇒ var(y) = 0 — the engines invent
       // different answers from the cancellation noise of their internal
-      // formulas). The horizontal line y = ȳ then IS the least-squares
-      // fit with zero residual, so r2 is defined as 1.0; the else branch
-      // uses explicitly centered one-pass-stable aggregates (var_pop /
-      // covar_pop accumulate (x−x̄) terms, so a constant column yields
-      // an EXACT 0.0, making the CASE test engine-portable).
+      // formulas, and DuckDB's var_pop over a constant column returns
+      // run-varying noise rather than an exact 0, so the degeneracy
+      // test must be INTEGER: count(DISTINCT n_types) = 1). The
+      // horizontal line y = ȳ then IS the least-squares fit with zero
+      // residual, so r2 is defined as 1.0; the else branch only runs on
+      // genuinely varying data, where centered covar/var agree across
+      // engines to ~1e-12 under the 1e-4 rounding contract.
       val r2Sql =
-        """CASE WHEN var_pop(ln(CAST(n_types AS DOUBLE))) = 0 THEN 1.0
+        """CASE WHEN count(DISTINCT n_types) = 1 THEN 1.0
            ELSE covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
                 * covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
                 / (var_pop(ln(CAST(n_tokens AS DOUBLE)))
