@@ -207,7 +207,41 @@ object PhotonOps extends QueryModule {
         .limit(200)
     })
 
+  /** O11/O24's per-stream schema read, relationally: for every
+    * (stream, top-level payload key), how many events carry the key and
+    * its presence share — the point-in-time schema-by-stream catalog
+    * the reference infers statistically (handler.clj:256-263,
+    * SchemaInfer is the engine-side sampled twin; x_schema_drift is the
+    * same read over time). One json-keys explode into a
+    * (streams × keys)-bounded aggregate; per-stream totals broadcast
+    * back. All integer. */
+  private val schemaKeys = Q(
+    "p_schema_keys",
+    Some("""WITH t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY 1),
+            k AS (SELECT event_type, unnest(json_keys(props)) AS key
+                  FROM events),
+            kc AS (SELECT event_type, key, CAST(count(*) AS BIGINT) AS n
+                   FROM k GROUP BY 1, 2)
+            SELECT kc.event_type, kc.key, kc.n,
+              CAST((kc.n * 10000) // t.n_events AS BIGINT) AS share_bp
+            FROM kc JOIN t ON t.event_type = kc.event_type
+            ORDER BY kc.event_type, kc.key"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+      val tot = ev.groupBy($"event_type".as("t_type"))
+        .agg(count(lit(1)).as("n_events"))
+      ev.select($"event_type", explode(expr("json_object_keys(props)")).as("key"))
+        .groupBy($"event_type", $"key")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(tot), $"t_type" === $"event_type")
+        .select($"event_type", $"key", $"n",
+          expr("(n * 10000) DIV n_events").as("share_bp"))
+        .orderBy($"event_type", $"key")
+    })
+
   override def all: Seq[Q] = Seq(coldScan, pointLookup, streamsCatalog,
     latestState, foldCount, distinctStreams, jsonPayload, payloadPromote,
-    stateAsof, streamSlice)
+    stateAsof, streamSlice, schemaKeys)
 }

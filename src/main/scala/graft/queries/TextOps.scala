@@ -954,6 +954,102 @@ object TextOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Cheap-filter vs LM-proxy agreement: quality-score decile × bigram
+    * NLL cross-read — per x_quality_score bucket, doc count, mean NLL
+    * (centibits, the x_ngram_lm metric) and the high-NLL share. The
+    * policy read before replacing an expensive LM filter with the cheap
+    * composite: buckets where the two disagree are exactly the docs one
+    * filter passes and the other kills (complement of x_quality_vs_dup,
+    * which crosses quality with DUPLICATION). Monotone-decreasing mean
+    * NLL over buckets = the cheap score is a usable LM stand-in.
+    *
+    * Scale shape: the x_ngram_lm machinery verbatim (two vocabulary-
+    * bounded model aggregates, gram-keyed scoring joins of doc-bigram
+    * GROUPS) with the quality bucket — constant per doc — computed in
+    * the same initial projection and carried through the group keys, so
+    * the cross costs NO extra pass or join over x_ngram_lm itself;
+    * 10-row output. */
+  private val qualityVsLm = Q(
+    "x_quality_vs_lm",
+    Some("""WITH toks AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS tk,
+              least(9, CAST(floor((least(
+                  len(list_filter(string_split_regex(lower(text), ' +'),
+                    x -> x <> '')), 100)
+                * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                * 10000.0) / (100.0 * length(text))) AS BIGINT) // 1000)
+                AS bucket
+              FROM documents WHERE length(text) > 0),
+            bg AS (SELECT doc_id, bucket, unnest(list_transform(
+                range(1, greatest(len(tk), 1)),
+                i -> concat_ws(' ', tk[i], tk[i+1]))) AS bigram
+              FROM toks WHERE len(tk) >= 2),
+            dbg AS (SELECT doc_id, bucket, bigram,
+                CAST(count(*) AS BIGINT) AS occ,
+                string_split(bigram, ' ')[1] AS w1
+              FROM bg GROUP BY 1, 2, 3),
+            cb AS (SELECT bigram AS cb_bigram, CAST(count(*) AS BIGINT) AS c12
+                   FROM bg GROUP BY 1),
+            uni AS (SELECT unnest(tk) AS token FROM toks),
+            cu AS (SELECT token AS cu_token, CAST(count(*) AS BIGINT) AS c1
+                   FROM uni GROUP BY 1),
+            v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM cu),
+            doc AS (SELECT doc_id, bucket,
+                CAST(floor(-10000.0 * sum(occ * log2(CAST(c12 + 1 AS DOUBLE)
+                  / CAST(c1 + vsz AS DOUBLE))) / sum(occ)) AS BIGINT) AS nll_bp
+              FROM dbg
+              JOIN cb ON cb_bigram = bigram
+              JOIN cu ON cu_token = w1
+              CROSS JOIN v
+              GROUP BY 1, 2)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(nll_bp) // count(*) AS BIGINT) AS mean_nll_bp,
+              CAST((sum(CASE WHEN nll_bp > 120000 THEN 1 ELSE 0 END) * 10000)
+                // count(*) AS BIGINT) AS high_nll_bp
+            FROM doc GROUP BY bucket ORDER BY bucket"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = barrier(t(spark, dir, "documents")
+        .where(length($"text") > 0)
+        .select($"doc_id",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"),
+          least(lit(9),
+            expr("""CAST(floor((least(size(filter(split(lower(text), ' +'),
+                      x -> x != '')), 100)
+                  * length(regexp_replace(text, '[^A-Za-z]', ''))
+                  * 10000.0) / (100.0 * length(text))) AS BIGINT)
+                  DIV 1000"""))
+            .as("bucket")))
+      val bg = barrier(toks.where(size($"tk") >= 2)
+        .select($"doc_id", $"bucket", explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+          .as("bigram")))
+      val dbg = bg.groupBy($"doc_id", $"bucket", $"bigram")
+        .agg(count(lit(1)).as("occ"))
+        .withColumn("w1", expr("split(bigram, ' ')[0]"))
+      val cb = bg.groupBy($"bigram".as("cb_bigram"))
+        .agg(count(lit(1)).as("c12"))
+      val cu = toks.select(explode($"tk").as("token"))
+        .groupBy($"token".as("cu_token"))
+        .agg(count(lit(1)).as("c1"))
+      val v = cu.agg(count(lit(1)).as("vsz"))
+      val doc = dbg
+        .join(cb, $"cb_bigram" === $"bigram")
+        .join(cu, $"cu_token" === $"w1")
+        .crossJoin(broadcast(v))
+        .groupBy($"doc_id", $"bucket")
+        .agg(floor(lit(-10000.0) *
+            sum($"occ" * log2(($"c12" + 1).cast("double") /
+              ($"c1" + $"vsz").cast("double"))) /
+            sum($"occ")).cast("long").as("nll_bp"))
+      doc.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(nll_bp) DIV count(1)").cast("long").as("mean_nll_bp"),
+          expr("(sum(CASE WHEN nll_bp > 120000 THEN 1 ELSE 0 END) * 10000)" +
+            " DIV count(1)").as("high_nll_bp"))
+        .orderBy($"bucket")
+    })
+
   /** Near-dup threshold sweep: how many doc pairs sit at Jaccard ≥
     * 0.5/0.6/0.7/0.8/0.9 — the tuning read that picks both the dedup
     * threshold and the MinHash banding scheme (bands×rows are chosen
@@ -1014,5 +1110,5 @@ object TextOps extends QueryModule {
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
     dedupSampled, dedupWinnow, winnowVsSampled, dedupCross, langConfusion,
     tokenFertility, templatePrefix, ngramLm, containment, rareTokenDocs,
-    thresholdSweep, dupGramMass)
+    thresholdSweep, dupGramMass, qualityVsLm)
 }
