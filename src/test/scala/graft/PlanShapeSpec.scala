@@ -335,4 +335,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert("HashAggregate".r.findAllIn(ph).length >= 2,
       s"no partial aggregate below the exchange:\n$ph")
   }
+
+  test("x_dup_gram_mass: gram-keyed equi-join only — no pair rows, no cartesian") {
+    val p = plan("x_dup_gram_mass")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"gram mass fell back to all-pairs:\n$p")
+    // the join key is the gram hash — a doc-keyed join would mean the
+    // df table was built per doc instead of once
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
+  test("x_split_leakage: one digest aggregate, a scalar rollup, no joins") {
+    val p = plan("x_split_leakage")
+    assert(!p.contains("Join"), s"split audit must not self-join:\n$p")
+    assert(!p.contains("Window"), s"split audit must not window:\n$p")
+    // digest exchange + single-partition rollup + output sort are the
+    // only shuffles (tree nodes print as "Exchange (n)"; the details
+    // section repeats them as "(n) Exchange", so count the former)
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).length <= 3,
+      s"unexpected extra exchanges:\n$p")
+  }
+
+  test("x_media_frames: narrow mapPartitions — no shuffle before the output sort") {
+    val p = plan("x_media_frames")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"frame sampling must stay narrow:\n$p")
+    val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(p).length
+    assert(exchanges <= 1, s"only the output sort may move data:\n$p")
+  }
 }
