@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) tokenizer induction — the full
+  * greedy merge loop x_bpe_pairs only takes the first step of
+  * (Sennrich et al. 2016, the published algorithm; no reference-engine
+  * counterpart — the reference has no tokenizer surface).
+  *
+  * Vocabulary-first, like every tokenizer read in this repo: training
+  * state is the (word, count) table — Heaps-sublinear in the corpus —
+  * never the token stream, so a merge step costs O(vocab × word length)
+  * regardless of corpus size. Each step is
+  *   1. one distributed pair-count aggregate over adjacent symbol pairs
+  *      (map-side combined, weighted by word count),
+  *   2. a TakeOrdered(1) for the argmax pair — (count DESC, left ASC,
+  *      right ASC) total order, so training is deterministic on any
+  *      cluster/partitioning,
+  *   3. a narrow per-row merge pass rewriting symbol arrays.
+  * The driver holds ONE (pair, count) row per step plus the merge
+  * table — never the vocabulary. The loop materializes each generation
+  * (localCheckpoint) so step N's lineage does not replay steps 1..N-1.
+  *
+  * Stopping: after `steps` merges or when no pair occurs twice
+  * (weighted), whichever comes first — the classic termination rule.
+  */
+object BpeTrainer {
+
+  final case class Merge(step: Int, left: String, right: String, count: Long)
+
+  /** One merge application: replace every non-overlapping left-to-right
+    * occurrence of (l, r) adjacent symbols with l+r. Pure function on a
+    * word's symbol array (exposed for the spec). */
+  def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Train `steps` merges over a (word, n) vocabulary table.
+    * Returns the ordered merge table and the final per-word
+    * segmentation (word, n, symbols). */
+  def train(vocab: DataFrame, steps: Int): (Seq[Merge], DataFrame) = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    require(steps >= 0)
+
+    var state: Dataset[(String, Long, Seq[String])] = vocab
+      .select(col("word").cast("string"), col("n").cast("long"))
+      .as[(String, Long)]
+      .map { case (w, n) => (w, n, w.map(_.toString): Seq[String]) }
+      .localCheckpoint(eager = true)
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      // adjacent-pair counts, weighted by word frequency
+      val top = state.flatMap { case (_, n, syms) =>
+        if (syms.length < 2) Iterator.empty
+        else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => ((a, b), n) }
+      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((l, r), c) => (l, r, c) }
+        .toDF("l", "r", "c")
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(step, l, r, c)
+        val next = state
+          .map { case (w, n, syms) => (w, n, applyMerge(syms, l, r)) }
+          .localCheckpoint(eager = true)
+        state.unpersist()
+        state = next
+        step += 1
+      }
+    }
+    (merges.toSeq, state.toDF("word", "n", "symbols"))
+  }
+}

@@ -1165,9 +1165,37 @@ object MiningOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** Full BPE tokenizer induction (operators/BpeTrainer): the greedy
+    * merge loop x_bpe_pairs only step-0's, run 10 steps over the
+    * corpus vocabulary — the merge table IS the trained tokenizer.
+    * Vocabulary-first (state = (word, count), Heaps-sublinear): each
+    * step is one map-side-combined pair aggregate + a TakeOrdered(1)
+    * argmax + a narrow merge rewrite, so a step's cost is independent
+    * of corpus size; only the 1-row argmax and the merge table touch
+    * the driver. Rows-only: an iterative greedy fixpoint is not
+    * SQL-expressible in one oracle query (the x_graph_kcore
+    * precedent); BpeTrainerSpec pins the published algorithm's merges
+    * on the Sennrich corpus, determinism, segmentation round-trips and
+    * the count-monotonicity invariant. */
+  private val bpeTrain = Q(
+    "x_bpe_train",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val vocab = t(spark, dir, "documents")
+        .select(explode(expr(
+          "filter(split(lower(text), ' +'), x -> x != '')")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("n"))
+      val (merges, _) = graft.operators.BpeTrainer.train(vocab, steps = 10)
+      merges.toDF()
+        .select($"step".cast("long").as("step"), $"left", $"right",
+          $"count".as("n"))
+        .orderBy($"step")
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
     graphTriangles, graphLcc, graphKcore, zipfSlope, heapsFit, tokenKl,
-    tokenEntropy)
+    tokenEntropy, bpeTrain)
 }

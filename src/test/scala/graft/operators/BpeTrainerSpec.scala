@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** BPE induction pinned to the published algorithm (Sennrich et al.
+  * 2016): greedy argmax over weighted adjacent-pair counts, merge,
+  * repeat. The classic worked corpus has a known merge sequence, so the
+  * trainer is testable against the literature, not against itself. */
+class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
+
+  private def sennrichVocab() = {
+    import spark.implicits._
+    Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "n")
+  }
+
+  test("applyMerge rewrites non-overlapping occurrences left to right") {
+    assert(BpeTrainer.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(BpeTrainer.applyMerge(Seq("l", "o", "w"), "l", "o") == Seq("lo", "w"))
+    assert(BpeTrainer.applyMerge(Seq("x"), "a", "b") == Seq("x"))
+    assert(BpeTrainer.applyMerge(Nil, "a", "b") == Nil)
+  }
+
+  test("the Sennrich corpus trains the published first merges") {
+    val (merges, segs) = BpeTrainer.train(sennrichVocab(), steps = 4)
+    // pair counts: (e,s)=9 (newest 6 + widest 3) is the unique argmax;
+    // then (es,t)=9; then (est,.)... with no </w> marker the next
+    // argmax is (l,o)=7 (low 5 + lower 2), then (lo,w)=7.
+    val asTuples = merges.map(m => (m.left, m.right, m.count))
+    assert(asTuples.take(4) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)),
+      merges.toString)
+    // final segmentation: "newest" = [n, e, w, est]
+    val newest = segs.where(segs("word") === "newest")
+      .collect()(0).getSeq[String](2)
+    assert(newest == Seq("n", "e", "w", "est"), newest.toString)
+  }
+
+  test("merge counts are non-increasing and training is deterministic") {
+    val (a, _) = BpeTrainer.train(sennrichVocab(), steps = 8)
+    val (b, _) = BpeTrainer.train(sennrichVocab(), steps = 8)
+    assert(a == b)
+    // greedy argmax: each step's count can't exceed the previous step's
+    a.sliding(2).foreach {
+      case Seq(x, y) => assert(y.count <= x.count, a.toString)
+      case _ =>
+    }
+    // every merge must have fired at least twice (the stop rule)
+    assert(a.forall(_.count >= 2))
+  }
+
+  test("training stops when no pair repeats") {
+    import spark.implicits._
+    val tiny = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "n")
+    val (merges, _) = BpeTrainer.train(tiny, steps = 5)
+    assert(merges.isEmpty, merges.toString)
+  }
+}
