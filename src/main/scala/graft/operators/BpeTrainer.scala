@@ -47,6 +47,16 @@ object BpeTrainer {
     out.toSeq
   }
 
+  /** BPE ENCODE: segment a word with a trained merge table — the
+    * serving side. Standard BPE applies learned merges in training
+    * order, which is exactly a fold of applyMerge over the table (pure
+    * per-word function: broadcast the ≤`steps`-entry table and encode
+    * anywhere, no driver involvement). */
+  def encode(word: String, merges: Seq[Merge]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) { (syms, m) =>
+      applyMerge(syms, m.left, m.right)
+    }
+
   /** Train `steps` merges over a (word, n) vocabulary table.
     * Returns the ordered merge table and the final per-word
     * segmentation (word, n, symbols). */

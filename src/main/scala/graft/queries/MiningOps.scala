@@ -1193,9 +1193,47 @@ object MiningOps extends QueryModule {
         .orderBy($"step")
     })
 
+  /** Fertility of the freshly-trained BPE tokenizer (the serving-side
+    * read closing the induction loop: train → encode → measure): per
+    * language, vocabulary size, token mass, mean trained-BPE symbols
+    * per word and mean characters per symbol (both occurrence-weighted
+    * integer bp) — the "did N merges buy anything, and evenly across
+    * languages?" decision table for choosing the merge budget
+    * (x_token_fertility measures a FIXED regex tokenizer; this one
+    * measures the corpus's own trained merges). Rows-only like
+    * x_bpe_train (the merges are the fixpoint's output).
+    *
+    * Scale shape: training as x_bpe_train; the ≤10-entry merge table
+    * then broadcasts into ONE narrow encode pass over the
+    * (lang, word, n) vocabulary — Heaps-sublinear, never the corpus —
+    * and a lang-cardinality aggregate. */
+  private val bpeFertility = Q(
+    "x_bpe_fertility",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val lv = t(spark, dir, "documents")
+        .select($"lang", explode(expr(
+          "filter(split(lower(text), ' +'), x -> x != '')")).as("word"))
+        .groupBy($"lang", $"word").agg(count(lit(1)).as("n"))
+      val vocab = lv.groupBy($"word").agg(sum($"n").as("n"))
+      val (merges, _) = graft.operators.BpeTrainer.train(vocab, steps = 10)
+      val bcMerges = spark.sparkContext.broadcast(merges)
+      val enc = lv.as[(String, String, Long)].map { case (lang, w, n) =>
+        val syms = graft.operators.BpeTrainer.encode(w, bcMerges.value)
+        (lang, n, syms.length.toLong * n, w.length.toLong * n)
+      }.toDF("lang", "n", "sym_mass", "char_mass")
+      enc.groupBy($"lang")
+        .agg(count(lit(1)).as("n_words"), sum($"n").as("token_mass"),
+          expr("(sum(sym_mass) * 10000) DIV sum(n)").as("syms_per_word_bp"),
+          expr("(sum(char_mass) * 10000) DIV sum(sym_mass)")
+            .as("chars_per_sym_bp"))
+        .orderBy($"lang")
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
     graphTriangles, graphLcc, graphKcore, zipfSlope, heapsFit, tokenKl,
-    tokenEntropy, bpeTrain)
+    tokenEntropy, bpeTrain, bpeFertility)
 }

@@ -57,4 +57,31 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
     val (merges, _) = BpeTrainer.train(tiny, steps = 5)
     assert(merges.isEmpty, merges.toString)
   }
+
+  test("encode folds the merge table exactly like training segmentation") {
+    val (merges, segs) = BpeTrainer.train(sennrichVocab(), steps = 4)
+    // serving-side encode must reproduce the training-side segmentation
+    segs.collect().foreach { r =>
+      val w = r.getString(0)
+      assert(BpeTrainer.encode(w, merges) == r.getSeq[String](2), w)
+    }
+    // no merges = character segmentation
+    assert(BpeTrainer.encode("low", Nil) == Seq("l", "o", "w"))
+    // an unseen word still encodes with whatever merges apply
+    assert(BpeTrainer.encode("lowest", merges) == Seq("low", "est"))
+  }
+
+  test("x_bpe_fertility: bounded ratios, trained merges strictly compress") {
+    val rows = graft.SparkEntry.queries("x_bpe_fertility")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (syms, chars) = (r.getLong(3), r.getLong(4))
+      // at least one symbol per word; merges never split below 1
+      assert(syms >= 10000, r.toString)
+      // each symbol holds at least one char, and >1 on average once
+      // any merge fired (10 merges over this corpus always fire)
+      assert(chars > 10000, r.toString)
+    }
+  }
 }
