@@ -1084,8 +1084,67 @@ object EventAnalytics extends QueryModule {
         .orderBy($"t_a", $"t_b")
     })
 
+  /** One-step-ahead simple-exponential-smoothing forecast (α = 1/2) of
+    * the per-type daily event count, with its backtest MAE — the
+    * capacity-planning + alert-baseline read (x_spike_detect compares
+    * against a trailing MEAN; an SES level discounts history, so it
+    * tracks drifting series without x_changepoint's re-fit). α = 1/2 is
+    * deliberate: every smoothing step is an EXACT dyadic halving of
+    * integer-born doubles, so the recurrence — run as the same strict
+    * left fold in both engines (the vec_dot convention, carried through
+    * a (level, abs-error) struct accumulator) — is bit-identical, and
+    * the only inexact ops are the final /(n−1) and round(4).
+    *
+    * Scale shape: one calendar-bounded (type, day) aggregate; the fold
+    * runs over each type's ≤ days-span array (the exact-percentile
+    * family's documented bound) — a types-cardinality task, never a
+    * corpus window. */
+  private val forecastSes = Q(
+    "x_forecast_ses",
+    Some("""WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type,
+                    list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+                  FROM d GROUP BY 1),
+            -- running levels as a LIST fold of scalars (a struct
+            -- accumulator is unsafe here: DuckDB's lambda evaluates
+            -- struct_pack fields sequentially, so a later field can see
+            -- an earlier field's UPDATED value); every op is an exact
+            -- dyadic halving, so the error sum is order-exact too
+            f AS (SELECT event_type, xs, len(xs) AS n_days,
+                    list_reduce(list_transform(xs, x -> [x]),
+                      (acc, x) -> list_append(acc, (acc[-1] + x[1]) / 2)) AS lv
+                  FROM s)
+            SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+              round(lv[-1], 4) AS ses_level,
+              round(list_sum(list_transform(range(2, len(xs) + 1),
+                  i -> abs(xs[i] - lv[i - 1]))) / (n_days - 1), 4) AS mae
+            FROM f ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .groupBy($"event_type", expr("unix_millis(ts) DIV 86400000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      d.groupBy($"event_type")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(day, n))), p -> CAST(p.n AS DOUBLE))")
+          .as("xs"))
+        .select($"event_type", size($"xs").cast("long").as("n_days"),
+          // xs[0]: Spark's [] is 0-based (slice() is 1-based) — the
+          // seed is the FIRST day's count
+          expr("""aggregate(slice(xs, 2, size(xs) - 1),
+                    named_struct('s', xs[0], 'e', CAST(0.0 AS DOUBLE)),
+                    (acc, x) -> named_struct('s', (acc.s + x) / 2,
+                      'e', acc.e + abs(x - acc.s)))""").as("r"))
+        .select($"event_type", $"n_days",
+          round($"r.s", 4).as("ses_level"),
+          round($"r.e" / ($"n_days" - 1), 4).as("mae"))
+        .orderBy($"event_type")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
-    gini, hourProfile, schemaDrift, hillTail, userOverlap)
+    gini, hourProfile, schemaDrift, hillTail, userOverlap, forecastSes)
 }
