@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The multimodal pipeline stages are narrow batched mapPartitions
+  * passes, so the same code runs unchanged under Structured Streaming —
+  * media arriving as a stream is decoded/frame-sampled incrementally
+  * with zero state. This pins that property (the ingest-time shape of a
+  * media pipeline: per-arrival codec work, no shuffle, batch parity). */
+class StreamingMediaSpec extends AnyFunSuite with SparkTestBase {
+
+  private def mediaRows(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("media_id", "payload")
+      .select($"media_id", org.apache.spark.sql.functions.lit("video").as("kind"),
+        $"payload".cast("binary").as("media"),
+        org.apache.spark.sql.functions.lit(0).as("width"),
+        org.apache.spark.sql.functions.lit(0).as("height"))
+      .as[MediaRow]
+  }
+
+  test("frameSummary over a media stream reproduces the batch summaries across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch1 = Seq(1L -> ("x" * 200), 2L -> ("ab" * 40))
+    val batch2 = Seq(3L -> ("frame payload " * 30), 4L -> "tiny")
+    val all = batch1 ++ batch2
+
+    val mem = MemoryStream[(Long, String)]
+    val streamed = MediaPipeline.frameSummary(
+      mem.toDS().toDF("media_id", "payload")
+        .select($"media_id", org.apache.spark.sql.functions.lit("video").as("kind"),
+          $"payload".cast("binary").as("media"),
+          org.apache.spark.sql.functions.lit(0).as("width"),
+          org.apache.spark.sql.functions.lit(0).as("height"))
+        .as[MediaRow],
+      frameBytes = 64, stride = 2)
+
+    val q = streamed.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("mediastream1").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val live = spark.table("mediastream1").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).sortBy(_._1)
+      val batch = MediaPipeline.frameSummary(mediaRows(all), 64, 2)
+        .collect()
+        .map(f => (f.media_id, f.n_bytes, f.n_frames, f.n_sampled, f.probe_sum))
+        .sortBy(_._1)
+      assert(live.sameElements(batch),
+        s"live=${live.mkString(",")} batch=${batch.mkString(",")}")
+      // spot-check one row's arithmetic: 200 bytes → 4 frames → 2 sampled
+      val r1 = batch.find(_._1 == 1L).get
+      assert(r1 == ((1L, 200L, 4L, 2L, 2L * 'x'.toLong)), r1.toString)
+    } finally q.stop()
+  }
+
+  test("streaming resize + extractFeatures stay stateless and match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Seq(10L -> ("abcd" * 32), 11L -> ("zzzz" * 8))
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDS().toDF("media_id", "payload")
+      .select($"media_id", org.apache.spark.sql.functions.lit("image").as("kind"),
+        $"payload".cast("binary").as("media"),
+        org.apache.spark.sql.functions.lit(8).as("width"),
+        org.apache.spark.sql.functions.lit(4).as("height"))
+      .as[MediaRow]
+    val live = MediaPipeline.extractFeatures(
+      MediaPipeline.resizeAll(src, targetW = 4, targetH = 2))
+
+    val q = live.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("mediastream2").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("mediastream2").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      val batchSrc = rows.toDF("media_id", "payload")
+        .select($"media_id", org.apache.spark.sql.functions.lit("image").as("kind"),
+          $"payload".cast("binary").as("media"),
+          org.apache.spark.sql.functions.lit(8).as("width"),
+          org.apache.spark.sql.functions.lit(4).as("height"))
+        .as[MediaRow]
+      val want = MediaPipeline.extractFeatures(
+        MediaPipeline.resizeAll(batchSrc, 4, 2)).collect()
+        .map(f => (f.media_id, f.n_bytes, f.checksum)).sortBy(_._1)
+      assert(got.sameElements(want))
+    } finally q.stop()
+  }
+}
