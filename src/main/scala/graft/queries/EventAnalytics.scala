@@ -551,6 +551,87 @@ object EventAnalytics extends QueryModule {
         .orderBy($"channel")
     })
 
+  /** Linear multi-touch attribution — x_attribution's last-touch rule
+    * spread over EVERY prior touch: each purchase divides its credit
+    * across the user's earlier non-purchase events in proportion to
+    * per-channel touch counts (the classic linear model; last-touch
+    * over-credits the final click). Credit is exact integer
+    * arithmetic: purchase credit in bp (n_c·10000 DIV n_tot) and
+    * revenue in floored integer cents (cents·n_c DIV n_tot) — both
+    * engines produce identical splits, with the sub-cent remainder
+    * dropped (documented, bounded by n_channels−1 cents/purchase).
+    * Touchless purchases credit 'direct' in full. Channels are the
+    * explicit non-purchase type list (the r_pivot value-list
+    * convention).
+    *
+    * Scale shape: ONE user-keyed window sort carries four conditional
+    * running counts (constant state per row); each purchase then emits
+    * ≤ 5 bounded credit rows via stack — no purchase×history self-join
+    * at any scale. */
+  private val attribLinear = Q(
+    "x_attrib_linear",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                epoch_us(ts) AS ts_us FROM events),
+            r AS (SELECT event_type, cents,
+                    count(*) FILTER (WHERE event_type = 'click') OVER w AS n_click,
+                    count(*) FILTER (WHERE event_type = 'error') OVER w AS n_error,
+                    count(*) FILTER (WHERE event_type = 'signup') OVER w AS n_signup,
+                    count(*) FILTER (WHERE event_type = 'view') OVER w AS n_view
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            p AS (SELECT cents, n_click, n_error, n_signup, n_view,
+                    n_click + n_error + n_signup + n_view AS n_tot
+                  FROM r WHERE event_type = 'purchase'),
+            c AS (SELECT 'click' AS channel, n_click AS n_c, cents, n_tot FROM p
+                  UNION ALL SELECT 'error', n_error, cents, n_tot FROM p
+                  UNION ALL SELECT 'signup', n_signup, cents, n_tot FROM p
+                  UNION ALL SELECT 'view', n_view, cents, n_tot FROM p
+                  UNION ALL SELECT 'direct',
+                    CASE WHEN n_tot = 0 THEN 1 ELSE 0 END,
+                    cents, CASE WHEN n_tot = 0 THEN 1 ELSE 0 END FROM p)
+            SELECT channel,
+              CAST(count(*) FILTER (WHERE n_c > 0) AS BIGINT) AS touched_purchases,
+              CAST(sum((n_c * 10000) // n_tot) FILTER (WHERE n_c > 0) AS BIGINT)
+                AS credit_purch_bp,
+              CAST(CAST(sum((cents * n_c) // n_tot) FILTER (WHERE n_c > 0)
+                AS DOUBLE) / 100 AS DOUBLE) AS credited_revenue
+            FROM c WHERE n_tot > 0 GROUP BY channel ORDER BY channel"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val wU = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = t(spark, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          (money($"value") * 100).cast("long").as("cents"),
+          expr("unix_micros(ts)").as("ts_us"))
+      val r = e
+        .withColumn("n_click", count(when($"event_type" === "click", 1)).over(wU))
+        .withColumn("n_error", count(when($"event_type" === "error", 1)).over(wU))
+        .withColumn("n_signup", count(when($"event_type" === "signup", 1)).over(wU))
+        .withColumn("n_view", count(when($"event_type" === "view", 1)).over(wU))
+        .where($"event_type" === "purchase")
+        .withColumn("n_tot", $"n_click" + $"n_error" + $"n_signup" + $"n_view")
+      val c = r.select(expr(
+        """stack(5,
+             'click',  n_click,  cents, n_tot,
+             'error',  n_error,  cents, n_tot,
+             'signup', n_signup, cents, n_tot,
+             'view',   n_view,   cents, n_tot,
+             'direct', CASE WHEN n_tot = 0 THEN 1L ELSE 0L END, cents,
+                       CASE WHEN n_tot = 0 THEN 1L ELSE 0L END)
+           AS (channel, n_c, p_cents, p_tot)"""))
+      c.where($"p_tot" > 0)
+        .groupBy($"channel")
+        .agg(count(when($"n_c" > 0, 1)).cast("long").as("touched_purchases"),
+          sum(when($"n_c" > 0, expr("(n_c * 10000) DIV p_tot"))).cast("long")
+            .as("credit_purch_bp"),
+          (sum(when($"n_c" > 0, expr("(p_cents * n_c) DIV p_tot")))
+            .cast("double") / 100).as("credited_revenue"))
+        .orderBy($"channel")
+    })
+
   /** CUSUM changepoint detection on the per-type daily event series:
     * the day where the cumulative deviation from the series mean peaks
     * — the "when did the rate shift" read that complements
@@ -1146,5 +1227,6 @@ object EventAnalytics extends QueryModule {
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
-    gini, hourProfile, schemaDrift, hillTail, userOverlap, forecastSes)
+    gini, hourProfile, schemaDrift, hillTail, userOverlap, forecastSes,
+    attribLinear)
 }
