@@ -650,6 +650,55 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("live SES level matches batch x_forecast_ses across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // the same daily rollup x_forecast_ses folds, day-ordered
+    val rollup = eventsNanos(sf)
+      .select($"event_type", expr("ts DIV 86400000000000").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"day", $"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamingSes.levels(
+        mem.toDS().toDF("event_type", "day", "n"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ses1").start()
+    try {
+      val third = rollup.length / 3
+      mem.addData(rollup.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(rollup.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(rollup.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      val pts = spark.table("ses1").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
+      // final level per type = the batch fold's level (exact dyadic
+      // halvings → bit-identical); Σ abs_err/(n−1) = the batch MAE
+      val lastLevel = pts.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.maxBy(_._2)._4
+      }
+      val errSum = pts.groupBy(_._1).map { case (t, rs) =>
+        t -> (rs.map(_._3).sum, rs.length)
+      }
+      val batch = graft.SparkEntry.queries("x_forecast_ses")(spark, sf)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      batch.foreach { case (t, (nDays, level, mae)) =>
+        assert(errSum(t)._2 == nDays, s"$t day count")
+        assert(math.abs(lastLevel(t) -
+          BigDecimal(level).toDouble) < 1e-3, s"$t level: ${lastLevel(t)} vs $level")
+        val liveMae = errSum(t)._1 / (nDays - 1)
+        assert(math.abs(liveMae - mae) < 1e-3, s"$t mae: $liveMae vs $mae")
+      }
+    } finally q.stop()
+  }
+
   test("live burstiness screen matches batch x_bot_burst across batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
