@@ -37,11 +37,11 @@ object MinHashDedup {
 
   /** doc df (idCol, tokens array) → verified near-dup pairs
     * (a_id, b_id, jac_bp) with exact Jaccard >= threshold. */
-  def nearDuplicates(
-      docs: DataFrame,
-      idCol: String,
-      tokensCol: String,
-      jaccardBp: Int = 6000): DataFrame = {
+  /** The shared banding pipeline: (id, sh, band, bkey) rows — one band
+    * row per (doc, band), bkey = one 64-bit hash of the band's R
+    * signature entries. Barriers as documented in nearDuplicates. */
+  private def bandedRows(
+      docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.Shingles.register(spark)
@@ -52,14 +52,27 @@ object MinHashDedup {
       .select(col(idCol).as("id"), col(tokensCol).as("toks"))
       .where(size($"toks") >= 3)
       .repartition(spark.sparkContext.defaultParallelism)
-    val sh = toks
+    toks
       .select($"id", shingleHashes($"toks").as("sh"))
       .where(size($"sh") > 0)
       .withColumn("sig", signature("sh"))
       // barrier: keep the banding HOF below from pulling sh/sig aliases
       // into its per-band lambda (re-evaluating the kernels per band)
       .repartition(spark.sparkContext.defaultParallelism)
+      .select($"id", $"sh", posexplode(expr(
+        s"transform(sequence(0, ${Bands - 1}), b -> " +
+          s"xxhash64(b, ${(0 until Rows).map(r => s"sig[b * $Rows + $r]").mkString(", ")}))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+  }
 
+  def nearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      jaccardBp: Int = 6000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // band key: one 64-bit hash of the band's R signature entries.
     // Both legs of the candidate self-join read this — rather than
     // persist() (cached blocks leak into long-lived sessions; a 100 TB
@@ -67,12 +80,7 @@ object MinHashDedup {
     // the legs share ONE ReusedExchange: the shingle+signature pipeline
     // runs once as the map side of a single shuffle and the self-join
     // reads its shuffle files, already clustered on (band, bkey).
-    val banded = sh
-      .select($"id", $"sh", posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> " +
-          s"xxhash64(b, ${(0 until Rows).map(r => s"sig[b * $Rows + $r]").mkString(", ")}))")))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bkey")
+    val banded = bandedRows(docs, idCol, tokensCol)
       .repartition($"band", $"bkey")
 
     val a = banded.select($"band".as("a_band"), $"bkey".as("a_bkey"),
@@ -93,6 +101,48 @@ object MinHashDedup {
       .where($"jac_bp" >= jaccardBp)
       .select($"a_id", $"b_id", $"jac_bp")
       .orderBy($"a_id", $"b_id")
+  }
+
+  /** Persist the banded index — the INCREMENTAL dedup shape: band the
+    * corpus once, write (id, sh, band, bkey) parquet, and every future
+    * batch dedups against it by equi-join without rescanning or
+    * re-signing the corpus (the batch complement of StreamingNearDup's
+    * online state). `append = true` adds a new batch's rows to the
+    * index (ids must be globally unique across appends). */
+  def saveIndex(
+      docs: DataFrame, idCol: String, tokensCol: String, path: String,
+      append: Boolean = false): Unit =
+    bandedRows(docs, idCol, tokensCol)
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("band").parquet(path)
+
+  /** Near-dup pairs between a NEW batch and a persisted index: the new
+    * rows band with the same kernels, join the index on (band, bkey),
+    * and exact-verify — cost is the new batch's bucket collisions, not
+    * the corpus (new-vs-new pairs inside the batch are nearDuplicates
+    * on the batch, by design). Returns (new_id, index_id, jac_bp). */
+  def dedupAgainstIndex(
+      newDocs: DataFrame, idCol: String, tokensCol: String,
+      indexPath: String, jaccardBp: Int = 6000): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val idx = spark.read.parquet(indexPath)
+      .select($"band".as("i_band"), $"bkey".as("i_bkey"),
+        $"id".as("index_id"), $"sh".as("i_sh"))
+    val fresh = bandedRows(newDocs, idCol, tokensCol)
+      .select($"band", $"bkey", $"id".as("new_id"), $"sh".as("n_sh"))
+    fresh.join(idx,
+        $"band" === $"i_band" && $"bkey" === $"i_bkey" &&
+          $"new_id" =!= $"index_id")
+      .select($"new_id", $"index_id", $"n_sh", $"i_sh")
+      .dropDuplicates("new_id", "index_id")
+      .withColumn("inter", size(array_intersect($"n_sh", $"i_sh")))
+      .withColumn("jac_bp",
+        floor(($"inter" * 10000.0) / (size($"n_sh") + size($"i_sh") - $"inter"))
+          .cast("long"))
+      .where($"jac_bp" >= jaccardBp)
+      .select($"new_id", $"index_id", $"jac_bp")
+      .orderBy($"new_id", $"index_id")
   }
 
   /** Sketch-trust calibration (x_minhash_error): for every LSH
