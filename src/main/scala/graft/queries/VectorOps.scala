@@ -755,10 +755,11 @@ object VectorOps extends QueryModule {
     None,
     (spark, dir) => {
       import spark.implicits._
-      val exact = simTopk.run(spark, dir)
-        .select($"p_id", $"vec_id")
+      val exactDf = simTopk.run(spark, dir)
+      val exact = exactDf.select($"p_id", $"vec_id")
       val fams: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-        "exact" -> simTopk.run(spark, dir),
+        // control row reuses the truth DataFrame — one brute-force pass
+        "exact" -> exactDf,
         "ivf_seeded" -> annIvf.run(spark, dir),
         "ivf_kmeans" -> annIvfKmeans.run(spark, dir),
         "lsh_hyperplane" -> annLsh.run(spark, dir),
