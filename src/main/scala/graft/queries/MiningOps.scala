@@ -1231,9 +1231,65 @@ object MiningOps extends QueryModule {
         .orderBy($"lang")
     })
 
+  /** Source vocabulary overlap: Jaccard + both containments of the
+    * DISTINCT-token SETS of every source pair — the register/domain
+    * segmentation read complementing x_token_kl (which measures
+    * DISTRIBUTION distance; two sources can share a vocabulary yet
+    * weight it differently, or barely overlap at all — different mixing
+    * decisions). Reported for pairs above 1000 bp Jaccard with a total
+    * order; x_user_overlap's machinery moved from (type, user) to
+    * (source, token).
+    *
+    * Scale shape: distinct (source, token) first (occurrences collapse
+    * map-side; output is Heaps-sublinear × sources), token-keyed
+    * self-join bounded by Σ_t sources(t)² ≤ \|sources\|²·vocab, set
+    * sizes broadcast onto the \|sources\|²-row result. Integer bp. */
+  private val sourceOverlap = Q(
+    "x_source_overlap",
+    Some("""WITH st AS (SELECT DISTINCT source, unnest(list_filter(
+                string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+              FROM documents),
+            sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                   FROM st GROUP BY 1),
+            pr AS (SELECT a.source AS a_src, b.source AS b_src,
+                     CAST(count(*) AS BIGINT) AS inter
+                   FROM st a JOIN st b
+                     ON a.token = b.token AND a.source < b.source
+                   GROUP BY 1, 2)
+            SELECT a_src, b_src, inter,
+              CAST((inter * 10000) // (sa.n + sb.n - inter) AS BIGINT) AS jac_bp,
+              CAST((inter * 10000) // least(sa.n, sb.n) AS BIGINT) AS cont_bp
+            FROM pr
+            JOIN sz sa ON sa.source = a_src
+            JOIN sz sb ON sb.source = b_src
+            WHERE (inter * 10000) // (sa.n + sb.n - inter) >= 1000
+            ORDER BY a_src, b_src"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val st = t(spark, dir, "documents")
+        .select($"source", explode(expr(
+          "filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
+        .distinct()
+      val sz = st.groupBy($"source").agg(count(lit(1)).as("n"))
+      val pr = st.select($"source".as("a_src"), $"token")
+        .join(st.select($"source".as("b_src"), $"token".as("b_tok")),
+          $"token" === $"b_tok" && $"a_src" < $"b_src")
+        .groupBy($"a_src", $"b_src")
+        .agg(count(lit(1)).as("inter"))
+      pr.join(broadcast(sz.select($"source".as("sa_src"), $"n".as("sa_n"))),
+          $"sa_src" === $"a_src")
+        .join(broadcast(sz.select($"source".as("sb_src"), $"n".as("sb_n"))),
+          $"sb_src" === $"b_src")
+        .select($"a_src", $"b_src", $"inter",
+          expr("(inter * 10000) DIV (sa_n + sb_n - inter)").as("jac_bp"),
+          expr("(inter * 10000) DIV least(sa_n, sb_n)").as("cont_bp"))
+        .where($"jac_bp" >= 1000)
+        .orderBy($"a_src", $"b_src")
+    })
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
     graphTriangles, graphLcc, graphKcore, zipfSlope, heapsFit, tokenKl,
-    tokenEntropy, bpeTrain, bpeFertility)
+    tokenEntropy, bpeTrain, bpeFertility, sourceOverlap)
 }
