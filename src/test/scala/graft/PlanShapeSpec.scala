@@ -363,4 +363,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val exchanges = "Exchange \\(\\d+\\)".r.findAllIn(p).length
     assert(exchanges <= 1, s"only the output sort may move data:\n$p")
   }
+
+  test("x_source_overlap: token-keyed equi-join, sizes broadcast — no cartesian") {
+    val p = plan("x_source_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"overlap fell back to all-pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"set sizes must broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
+  test("x_forecast_ses: calendar-bounded rollup + per-type fold — no corpus window/join") {
+    val p = plan("x_forecast_ses")
+    assert(!p.contains("Join"), s"SES must not join:\n$p")
+    assert(!p.contains("Window"), s"the fold is an aggregate HOF, not a window:\n$p")
+    // (type, day) rollup partial-aggregates below its exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial aggregate below the exchange:\n$p")
+  }
+
+  test("x_attrib_linear: one user-keyed window exchange; credits never join back") {
+    val p = plan("x_attrib_linear")
+    assert(!p.contains("Join"), s"attribution must not self-join:\n$p")
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("hashpartitioning(user_id") && !l.contains("ReusedExchange"))
+    assert(userExchanges <= 1,
+      s"all four running counts must share one user window exchange:\n$p")
+  }
 }
