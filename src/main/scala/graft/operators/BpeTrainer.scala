@@ -5,8 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair-encoding) tokenizer induction — the full
   * greedy merge loop x_bpe_pairs only takes the first step of
-  * (Sennrich et al. 2016, the published algorithm; no reference-engine
-  * counterpart — the reference has no tokenizer surface).
+  * (Sennrich et al. 2016; no reference-engine counterpart — the
+  * reference has no tokenizer surface).
+  *
+  * Deviation from the paper, stated up front: words are NOT suffixed
+  * with the end-of-word marker (`</w>`), so merges conflate
+  * word-internal and word-final contexts (e.g. the "es" in "есть" vs
+  * "goes" count as the same pair). The marker only matters when the
+  * detokenizer must reconstruct word boundaries; the queries built on
+  * this trainer (x_bpe_train / x_bpe_fertility) consume whitespace
+  * pre-tokenized words where boundaries are already explicit, so the
+  * simplification changes merge ORDER only in corpora where final and
+  * internal contexts genuinely diverge — BpeTrainerSpec pins the merge
+  * order this no-marker variant produces.
   *
   * Vocabulary-first, like every tokenizer read in this repo: training
   * state is the (word, count) table — Heaps-sublinear in the corpus —

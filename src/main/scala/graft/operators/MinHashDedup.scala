@@ -37,10 +37,9 @@ object MinHashDedup {
 
   /** doc df (idCol, tokens array) → verified near-dup pairs
     * (a_id, b_id, jac_bp) with exact Jaccard >= threshold. */
-  /** The shared banding pipeline: (id, sh, band, bkey) rows — one band
-    * row per (doc, band), bkey = one 64-bit hash of the band's R
-    * signature entries. Barriers as documented in nearDuplicates. */
-  private def bandedRows(
+  /** Per-doc signature rows (id, sh, sig) — one kernel pass. Barriers as
+    * documented in nearDuplicates. */
+  private def signedDocs(
       docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -59,12 +58,29 @@ object MinHashDedup {
       // barrier: keep the banding HOF below from pulling sh/sig aliases
       // into its per-band lambda (re-evaluating the kernels per band)
       .repartition(spark.sparkContext.defaultParallelism)
-      .select($"id", $"sh", posexplode(expr(
+  }
+
+  /** Band explosion over signed docs: one (id, [sh,] band, bkey) row per
+    * (doc, band); bkey = one 64-bit hash of the band's R signature
+    * entries. */
+  private def explodeBands(signed: DataFrame, keepSh: Boolean): DataFrame = {
+    val spark = signed.sparkSession
+    import spark.implicits._
+    val base = if (keepSh) signed.select($"id", $"sh", $"sig")
+               else signed.select($"id", $"sig")
+    val carried = if (keepSh) Seq($"id", $"sh") else Seq($"id")
+    base
+      .select(carried :+ posexplode(expr(
         s"transform(sequence(0, ${Bands - 1}), b -> " +
-          s"xxhash64(b, ${(0 until Rows).map(r => s"sig[b * $Rows + $r]").mkString(", ")}))")))
+          s"xxhash64(b, ${(0 until Rows).map(r => s"sig[b * $Rows + $r]").mkString(", ")}))")): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bkey")
   }
+
+  /** The shared banding pipeline: (id, sh, band, bkey) rows. */
+  private def bandedRows(
+      docs: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    explodeBands(signedDocs(docs, idCol, tokensCol), keepSh = true)
 
   def nearDuplicates(
       docs: DataFrame,
@@ -104,38 +120,51 @@ object MinHashDedup {
   }
 
   /** Persist the banded index — the INCREMENTAL dedup shape: band the
-    * corpus once, write (id, sh, band, bkey) parquet, and every future
-    * batch dedups against it by equi-join without rescanning or
-    * re-signing the corpus (the batch complement of StreamingNearDup's
-    * online state). `append = true` adds a new batch's rows to the
-    * index (ids must be globally unique across appends). */
+    * corpus once and every future batch dedups against it by equi-join
+    * without rescanning or re-signing the corpus (the batch complement
+    * of StreamingNearDup's online state). Layout: each document's
+    * shingle-hash set is written ONCE to `path/shingles` (id, sh) and
+    * the Bands band rows to `path/bands` (id, band, bkey) — NOT one sh
+    * copy per band row, which would amplify the index Bands× on disk
+    * and Bands× again in every probe scan. The two writes share one
+    * computed signature pass via localCheckpoint. `append = true` adds
+    * a new batch's rows (ids must be globally unique across appends). */
   def saveIndex(
       docs: DataFrame, idCol: String, tokensCol: String, path: String,
-      append: Boolean = false): Unit =
-    bandedRows(docs, idCol, tokensCol)
-      .write.mode(if (append) "append" else "overwrite")
-      .partitionBy("band").parquet(path)
+      append: Boolean = false): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    val signed = signedDocs(docs, idCol, tokensCol).localCheckpoint()
+    signed.select("id", "sh").write.mode(mode).parquet(s"$path/shingles")
+    explodeBands(signed, keepSh = false)
+      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+  }
 
   /** Near-dup pairs between a NEW batch and a persisted index: the new
-    * rows band with the same kernels, join the index on (band, bkey),
-    * and exact-verify — cost is the new batch's bucket collisions, not
-    * the corpus (new-vs-new pairs inside the batch are nearDuplicates
-    * on the batch, by design). Returns (new_id, index_id, jac_bp). */
+    * rows band with the same kernels, join the index's slim band rows on
+    * (band, bkey), and exact-verify — cost is the new batch's bucket
+    * collisions, not the corpus (new-vs-new pairs inside the batch are
+    * nearDuplicates on the batch, by design). The index side's shingle
+    * sets are fetched by id-join ONLY for colliding candidates — the
+    * probe never scans the full shingle store's array payload.
+    * Returns (new_id, index_id, jac_bp). */
   def dedupAgainstIndex(
       newDocs: DataFrame, idCol: String, tokensCol: String,
       indexPath: String, jaccardBp: Int = 6000): DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    val idx = spark.read.parquet(indexPath)
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
       .select($"band".as("i_band"), $"bkey".as("i_bkey"),
-        $"id".as("index_id"), $"sh".as("i_sh"))
+        $"id".as("index_id"))
+    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+      .select($"id".as("sh_id"), $"sh".as("i_sh"))
     val fresh = bandedRows(newDocs, idCol, tokensCol)
       .select($"band", $"bkey", $"id".as("new_id"), $"sh".as("n_sh"))
-    fresh.join(idx,
+    fresh.join(idxBands,
         $"band" === $"i_band" && $"bkey" === $"i_bkey" &&
           $"new_id" =!= $"index_id")
-      .select($"new_id", $"index_id", $"n_sh", $"i_sh")
+      .select($"new_id", $"index_id", $"n_sh")
       .dropDuplicates("new_id", "index_id")
+      .join(idxSh, $"sh_id" === $"index_id")
       .withColumn("inter", size(array_intersect($"n_sh", $"i_sh")))
       .withColumn("jac_bp",
         floor(($"inter" * 10000.0) / (size($"n_sh") + size($"i_sh") - $"inter"))

@@ -1101,7 +1101,9 @@ object EventAnalytics extends QueryModule {
               round(1.0 / avg(ln(value / x_k1)), 4) AS hill_alpha
             FROM r JOIN xk ON xk.event_type = r.event_type
             WHERE rk <= 200
-            GROUP BY r.event_type ORDER BY r.event_type"""),
+            GROUP BY r.event_type
+            HAVING max(value) > min(x_k1)
+            ORDER BY r.event_type"""),
     (spark, dir) => {
       import spark.implicits._
       val top = udaf(graft.functions.TopK.TopKAgg(201, byA = true))
@@ -1110,11 +1112,20 @@ object EventAnalytics extends QueryModule {
         .groupBy($"event_type")
         .agg(top($"event_id", $"value", $"value").as("top"))
         .where(size($"top") === 201)
+      // Degeneracy guard (the x_heaps_fit lesson): if ALL top-200 values
+      // tie with x_(k+1), every ln(x_i/x_k1) term is exactly 0 and
+      // α = 1/0 = Infinity — an undefined tail, not an estimate. Such
+      // types are DROPPED (same convention as the <k+1-values drop
+      // above). The test is exact double equality (max of the tied
+      // order statistics vs x_k1 — both read unmodified from parquet),
+      // not a moment ratio, so it cannot ride rounding noise.
       tops
         .select($"event_type", element_at($"top", 201).getField("a").as("x_k1"),
           explode(expr("slice(top, 1, 200)")).as("c"))
         .groupBy($"event_type")
-        .agg(round(lit(1.0) / avg(log($"c.a" / $"x_k1")), 4).as("hill_alpha"))
+        .agg(round(lit(1.0) / avg(log($"c.a" / $"x_k1")), 4).as("hill_alpha"),
+          (max($"c.a") > max($"x_k1")).as("has_tail"))
+        .where($"has_tail")
         .select($"event_type", lit(200L).as("k"), $"hill_alpha")
         .orderBy($"event_type")
     })

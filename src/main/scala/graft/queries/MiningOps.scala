@@ -944,12 +944,15 @@ object MiningOps extends QueryModule {
                     ORDER BY n DESC, token) AS rk
                   FROM c QUALIFY rk <= 1000)
             SELECT lang, CAST(count(*) AS BIGINT) AS n_points,
-              round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4)
-                AS zipf_slope,
-              round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4)
-                AS zipf_intercept,
-              round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4)
-                AS zipf_r2
+              round(CASE WHEN count(DISTINCT n) = 1 THEN 0.0
+                ELSE regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))) END, 4)
+                + 0.0 AS zipf_slope,
+              round(CASE WHEN count(DISTINCT n) = 1 THEN max(ln(CAST(n AS DOUBLE)))
+                ELSE regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))) END, 4)
+                + 0.0 AS zipf_intercept,
+              round(CASE WHEN count(DISTINCT n) = 1 THEN 1.0
+                ELSE regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))) END, 4)
+                + 0.0 AS zipf_r2
             FROM r GROUP BY lang ORDER BY lang"""),
     (spark, dir) => {
       import spark.implicits._
@@ -965,10 +968,24 @@ object MiningOps extends QueryModule {
         .select($"lang", log(($"pos" + 1).cast("double")).as("ln_rk"),
           log($"col.a").as("ln_n"))
         .groupBy($"lang")
+        // Degeneracy guard (the x_heaps_fit lesson): when every count in
+        // a language ties (constant y — legal under a closed vocabulary),
+        // regr_slope's numerator and regr_r2's denominator are pure
+        // cancellation noise — and DuckDB's moment aggregates over
+        // constant columns return RUN-VARYING noise, so the test must be
+        // INTEGER-exact (count(DISTINCT n) = 1; ln is injective so
+        // DISTINCT ln_n ≡ DISTINCT n). Convention on that branch: the
+        // flat line IS the least-squares fit — slope 0.0, intercept = the
+        // common ln_n (max() is exact on a constant column, unlike avg),
+        // r2 = 1.0. `+ 0.0` normalizes IEEE -0.0 from tiny-negative
+        // rounding in the live branch.
         .agg(count(lit(1)).as("n_points"),
-          round(expr("regr_slope(ln_n, ln_rk)"), 4).as("zipf_slope"),
-          round(expr("regr_intercept(ln_n, ln_rk)"), 4).as("zipf_intercept"),
-          round(expr("regr_r2(ln_n, ln_rk)"), 4).as("zipf_r2"))
+          (round(expr("CASE WHEN count(DISTINCT ln_n) = 1 THEN 0.0 " +
+            "ELSE regr_slope(ln_n, ln_rk) END"), 4) + lit(0.0)).as("zipf_slope"),
+          (round(expr("CASE WHEN count(DISTINCT ln_n) = 1 THEN max(ln_n) " +
+            "ELSE regr_intercept(ln_n, ln_rk) END"), 4) + lit(0.0)).as("zipf_intercept"),
+          (round(expr("CASE WHEN count(DISTINCT ln_n) = 1 THEN 1.0 " +
+            "ELSE regr_r2(ln_n, ln_rk) END"), 4) + lit(0.0)).as("zipf_r2"))
         .orderBy($"lang")
     })
 
@@ -1009,16 +1026,20 @@ object MiningOps extends QueryModule {
                    FROM lad JOIN fs ON fs.first_seen <= lad.t_i GROUP BY i),
             pts AS (SELECT nn.i AS p_idx, n_tokens, n_types
                     FROM nn JOIN vv ON vv.i = nn.i),
-            fit AS (SELECT round(regr_slope(ln(CAST(n_types AS DOUBLE)),
-                             ln(CAST(n_tokens AS DOUBLE))), 4) AS beta,
+            fit AS (SELECT round(CASE WHEN count(DISTINCT n_types) = 1
+                             THEN 0.0
+                             ELSE regr_slope(ln(CAST(n_types AS DOUBLE)),
+                                  ln(CAST(n_tokens AS DOUBLE))) END, 4) + 0.0 AS beta,
                            round(CASE WHEN count(DISTINCT n_types) = 1
                              THEN 1.0
                              ELSE covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
                                   * covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
                                   / (var_pop(ln(CAST(n_tokens AS DOUBLE)))
-                                     * var_pop(ln(CAST(n_types AS DOUBLE)))) END, 4) AS r2
+                                     * var_pop(ln(CAST(n_types AS DOUBLE)))) END, 4) + 0.0 AS r2,
+                           count(DISTINCT n_types) = 1 AS saturated
                     FROM pts)
-            SELECT CAST(p_idx AS BIGINT) AS p_idx, n_tokens, n_types, beta, r2
+            SELECT CAST(p_idx AS BIGINT) AS p_idx, n_tokens, n_types, beta, r2,
+                   saturated
             FROM pts CROSS JOIN fit ORDER BY p_idx"""),
     (spark, dir) => {
       import spark.implicits._
@@ -1040,16 +1061,25 @@ object MiningOps extends QueryModule {
         .groupBy($"i".as("v_i")).agg(count(lit(1)).as("n_types"))
       val pts = nn.join(broadcast(vv), $"v_i" === $"i")
         .select($"i".as("p_idx"), $"n_tokens", $"n_types")
-      // r2 is 0/0 when the vocabulary saturates before the first ladder
-      // step (n_types constant ⇒ var(y) = 0 — the engines invent
-      // different answers from the cancellation noise of their internal
-      // formulas, and DuckDB's var_pop over a constant column returns
-      // run-varying noise rather than an exact 0, so the degeneracy
-      // test must be INTEGER: count(DISTINCT n_types) = 1). The
-      // horizontal line y = ȳ then IS the least-squares fit with zero
-      // residual, so r2 is defined as 1.0; the else branch only runs on
-      // genuinely varying data, where centered covar/var agree across
-      // engines to ~1e-12 under the 1e-4 rounding contract.
+      // EVERY moment-ratio output (slope AND r2) is 0/0-adjacent when
+      // the vocabulary saturates before the first ladder step (n_types
+      // constant ⇒ var(y) = 0 — the engines invent different answers
+      // from the cancellation noise of their internal formulas, and
+      // DuckDB's moment aggregates over a constant column return
+      // RUN-VARYING noise rather than an exact 0, so the degeneracy
+      // test must be INTEGER: count(DISTINCT n_types) = 1). On that
+      // branch the horizontal line y = ȳ IS the least-squares fit:
+      // beta = 0.0 exactly, zero residual so r2 is defined as 1.0, and
+      // the `saturated` flag marks the convention so a closed
+      // vocabulary is distinguishable from a genuine perfect power-law
+      // fit. `+ 0.0` normalizes IEEE -0.0 (a tiny negative slope can
+      // round to -0.0, which hashes differently across engines). The
+      // else branches only run on genuinely varying data, where
+      // centered covar/var agree across engines to ~1e-12 under the
+      // 1e-4 rounding contract.
+      val betaSql =
+        """CASE WHEN count(DISTINCT n_types) = 1 THEN 0.0
+           ELSE regr_slope(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE))) END"""
       val r2Sql =
         """CASE WHEN count(DISTINCT n_types) = 1 THEN 1.0
            ELSE covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
@@ -1057,10 +1087,11 @@ object MiningOps extends QueryModule {
                 / (var_pop(ln(CAST(n_tokens AS DOUBLE)))
                    * var_pop(ln(CAST(n_types AS DOUBLE)))) END"""
       val fit = pts.agg(
-        round(expr("regr_slope(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))"), 4).as("beta"),
-        round(expr(r2Sql), 4).as("r2"))
+        (round(expr(betaSql), 4) + lit(0.0)).as("beta"),
+        (round(expr(r2Sql), 4) + lit(0.0)).as("r2"),
+        (countDistinct($"n_types") === 1).as("saturated"))
       pts.crossJoin(broadcast(fit))
-        .select($"p_idx", $"n_tokens", $"n_types", $"beta", $"r2")
+        .select($"p_idx", $"n_tokens", $"n_types", $"beta", $"r2", $"saturated")
         .orderBy($"p_idx")
     })
 

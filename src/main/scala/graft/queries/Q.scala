@@ -36,8 +36,13 @@ trait QueryModule {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
-        case org.apache.spark.sql.types.LongType if f.name == "ts" =>
-          d.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        // Any KNOWN timestamp column arriving as LONG is TIMESTAMP(NANOS)
+        // parquet read under nanosAsLong — not just events.ts: a testdata
+        // regeneration that emits the date columns as NANOS would
+        // otherwise hand raw epoch-longs to every date predicate.
+        case org.apache.spark.sql.types.LongType
+            if QueryModule.nanosTimestampCols(f.name) =>
+          d.withColumn(f.name, expr(s"timestamp_micros(${f.name} DIV 1000)"))
         case org.apache.spark.sql.types.TimestampNTZType =>
           d.withColumn(f.name, col(f.name).cast("timestamp"))
         case _ => d
@@ -84,4 +89,10 @@ trait QueryModule {
     * pipelines). Also spreads small single-file tables across cores. */
   protected def barrier(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+}
+
+object QueryModule {
+  /** Every timestamp-typed column the driver testdata has ever shipped
+    * (TESTDATA.md + ROUND_NOTES regeneration log). */
+  val nanosTimestampCols: Set[String] = Set("ts", "l_shipdate", "o_orderdate")
 }

@@ -97,11 +97,17 @@ object VectorOps extends QueryModule {
 
   /** Embedding-cosine near-duplicate pairs (cos >= 0.45).
     *
-    * Spark side runs banded-LSH candidate generation + exact verify
-    * (graft.operators.EmbedNearDup) — no O(n²) pair materialization; the
-    * oracle KEEPS the brute-force all-pairs SQL as the definition of
-    * correctness, so the hash-match doubles as the recall proof
-    * (VectorOpsSpec additionally dual-runs both Spark paths). */
+    * Spark side is the size-probed two-regime dispatch
+    * (graft.operators.EmbedNearDup.pairsAuto): gate-SF corpora take the
+    * exact broadcast scan (one narrow codegen pass, zero shuffles — at
+    * threshold 0.45 LSH is in its no-gain regime and candidate volume
+    * is ~all pairs, so the banded pipeline's shuffle+dedup+re-join
+    * plumbing is pure overhead at small n); past BruteForceMaxRows the
+    * banded-LSH candidate generation + exact verify takes over — no
+    * O(n²) row materialization at scale. The oracle KEEPS the
+    * brute-force all-pairs SQL as the definition of correctness, so the
+    * hash-match doubles as the recall proof (VectorOpsSpec additionally
+    * dual-runs both Spark paths). */
   private val embedNeardup = Q(
     "x_embed_neardup",
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -112,7 +118,7 @@ object VectorOps extends QueryModule {
              ORDER BY a_id, b_id"""),
     (spark, dir) => {
       import spark.implicits._
-      graft.operators.EmbedNearDup.pairs(emb(spark, dir), threshold = 0.45)
+      graft.operators.EmbedNearDup.pairsAuto(emb(spark, dir), threshold = 0.45)
         .select($"a_id", $"b_id", floor($"cos" * 10000.0).cast("long").as("cos_bp"))
         .orderBy($"a_id", $"b_id")
     })
@@ -766,9 +772,14 @@ object VectorOps extends QueryModule {
         "pq_adc" -> annPq.run(spark, dir),
         "ivf_pq" -> annIvfPq.run(spark, dir))
       fams.map { case (fam, df) =>
+        // RIGHT join: the exact truth side drives, so a probe for which
+        // this family returns NO candidates still appears (vec_id null ⇒
+        // zero hits) and scores recall 0 instead of silently dropping out
+        // of n_probes — exactly the case where an index degrades to empty
+        // buckets and the calibration table must show it.
         df.select($"p_id", $"vec_id")
           .join(exact.withColumnRenamed("vec_id", "e_vec"),
-            Seq("p_id"), "left")
+            Seq("p_id"), "right")
           .groupBy($"p_id")
           .agg((sum(when($"vec_id" === $"e_vec", 1L).otherwise(0L)) /
             lit(5)).as("hits5")) // ranked lists are 5-deep by contract

@@ -235,6 +235,26 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("embed near-dup: pairsAuto dispatch — both regimes, identical verified output") {
+    // the size probe changes COST, never answers: the small-corpus
+    // brute regime and the forced-LSH regime must agree pair-for-pair
+    val e = embAt("/root/testdata/sf0.01")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("a_id"), col("b_id"),
+        floor(col("cos") * 10000.0).cast("long").as("cos_bp"))
+      .collect().map(_.toString).sorted
+    val auto = canon(EmbedNearDup.pairsAuto(e, threshold = 0.45))
+    val lsh = canon(EmbedNearDup.pairs(e, threshold = 0.45))
+    val brute = canon(EmbedNearDup.bruteForcePairs(e, threshold = 0.45))
+    assert(auto.nonEmpty && auto.sameElements(lsh) && auto.sameElements(brute))
+    // gate corpora sit under the bound -> the dispatch picks the scan
+    assert(e.count() <= EmbedNearDup.BruteForceMaxRows)
+    val plan = EmbedNearDup.bruteForcePairs(e, threshold = 0.45)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"brute regime must stay shuffle-free:\n$plan")
+  }
+
   test("embed near-dup: every true pair collides in multiple bands (recall margin)") {
     // margin guard: if a plane-set or banding change ever drops the
     // min collision count to 1, recall is one unlucky band from breaking
