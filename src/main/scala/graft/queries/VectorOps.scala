@@ -354,6 +354,10 @@ object VectorOps extends QueryModule {
              FROM w WHERE vr = 1 ORDER BY p_id"""),
     (spark, dir) => {
       import spark.implicits._
+      // register the (stateless) dot kernel: this query builds its own
+      // projection rather than emb(), so it must not depend on another
+      // query having registered vec_dot on the shared session first
+      graft.functions.VecDot.register(spark)
       val e = barrier(t(spark, dir, "embeddings")
         .select($"vec_id", $"label",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
