@@ -63,6 +63,56 @@ class StreamingMediaSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("frameSummary stream survives a query restart (checkpoint resume, no re-emission)") {
+    // the stage is stateless, so the restart contract is about the
+    // CHECKPOINT's source offsets: rows processed before the stop must
+    // not re-emit on resume, rows arriving after must process — i.e.
+    // each media payload's codec work happens exactly once across the
+    // outage, the property a day-long media ingest actually relies on
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("mediackpt")
+    val mem = MemoryStream[(Long, String)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def start() = MediaPipeline.frameSummary(
+        mem.toDS().toDF("media_id", "payload")
+          .select($"media_id", org.apache.spark.sql.functions.lit("video").as("kind"),
+            $"payload".cast("binary").as("media"),
+            org.apache.spark.sql.functions.lit(0).as("width"),
+            org.apache.spark.sql.functions.lit(0).as("height"))
+          .as[MediaRow],
+        frameBytes = 64, stride = 2)
+      .toDF().writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          seen.add((r.getLong(0), r.getLong(2), r.getLong(3))))
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      mem.addData(1L -> ("x" * 200), 2L -> ("ab" * 40))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.size == 2, s"first run must emit both rows: $seen")
+
+    val q2 = start()
+    try {
+      mem.addData(3L -> ("frame payload " * 30))
+      q2.processAllAvailable()
+      val ids = seen.toArray(Array.empty[(Long, Long, Long)]).toSeq.sortBy(_._1)
+      assert(ids.map(_._1) == Seq(1L, 2L, 3L),
+        s"resume must process exactly the new row, once: $ids")
+      // and the resumed row's summary matches the batch pipeline's
+      val want = MediaPipeline.frameSummary(
+          mediaRows(Seq(3L -> ("frame payload " * 30))), 64, 2)
+        .collect().map(f => (f.media_id, f.n_bytes, f.n_frames)).head
+      assert(ids.last == want, s"got ${ids.last}, want $want")
+    } finally q2.stop()
+  }
+
   test("streaming resize + extractFeatures stay stateless and match batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
