@@ -74,6 +74,24 @@ object PqCodec {
     acc
   }
 
+  /** SDC (symmetric-distance) approximate inner product of two CODE
+    * arrays: Σ_m lut[m][a_m][b_m], where the lut holds the exact dots
+    * of codebook centroids with each other — [m][a][b] →
+    * lut((s*ks + a)*ks + b). Unlike ADC there is no per-probe table, so
+    * a whole batch of new vectors can score against an encoded corpus
+    * distributively (the incremental-index probe path); the price is
+    * quantization error on BOTH sides instead of one. */
+  def sdc(a: ArrayData, b: ArrayData, lut: Array[Double],
+      mCnt: Int, ks: Int): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < mCnt) {
+      acc += lut((s * ks + a.getInt(s)) * ks + b.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   /** Register `pq_encode(v, nrm)` over this codebook and
     * `pq_adc(codes, p_idx)` over these probe LUTs. Builders close over
     * the arrays — they are baked into expressions at DataFrame
@@ -116,6 +134,14 @@ object PqCodec {
     import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
     ExpressionUtils.column(PqAdc(ExpressionUtils.expression(codes),
       ExpressionUtils.expression(pIdx), luts.toSeq, m, ks))
+  }
+
+  /** `pq_sdc` as a Column over THIS centroid-dot LUT (registry-free). */
+  def sdcCol(aCodes: org.apache.spark.sql.Column, bCodes: org.apache.spark.sql.Column,
+      lut: Array[Double], m: Int, ks: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+    ExpressionUtils.column(PqSdc(ExpressionUtils.expression(aCodes),
+      ExpressionUtils.expression(bCodes), lut.toSeq, m, ks))
   }
 }
 
@@ -189,4 +215,41 @@ case class PqAdc(
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "pq_adc"
+}
+
+case class PqSdc(
+    left: Expression,
+    right: Expression,
+    lut: Seq[Double],
+    m: Int,
+    ks: Int) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_sdc needs (array<int>, array<int>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  @transient private lazy val lutArr = lut.toArray
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PqCodec.sdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      lutArr, m, ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("pqSdcLut", lutArr, "double[]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PqCodec.sdc($a, $b, $lutRef, $m, $ks)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqSdc =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "pq_sdc"
 }

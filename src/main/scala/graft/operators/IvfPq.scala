@@ -50,6 +50,114 @@ object IvfPq {
       KMeansIVF.load(spark, s"$path/coarse"),
       ProductQuantizer.load(spark, s"$path/pq"))
 
+  /** SDC lookup table for [[probeAgainstIndex]]: exact inner products
+    * of every codebook-centroid pair per subspace, flat [m][a][b] →
+    * lut((s*ks + a)*ks + b). m·ks² doubles (2 048 at the defaults) —
+    * one broadcast constant regardless of corpus or batch size. */
+  def sdcLut(pq: ProductQuantizer.Model): Array[Double] = {
+    val lut = new Array[Double](pq.m * pq.ks * pq.ks)
+    var s = 0
+    while (s < pq.m) {
+      var a = 0
+      while (a < pq.ks) {
+        var b = 0
+        while (b < pq.ks) {
+          var acc = 0.0
+          var d = 0
+          while (d < pq.dsub) {
+            acc += pq.codebook(s * pq.ks * pq.dsub + a * pq.dsub + d) *
+              pq.codebook(s * pq.ks * pq.dsub + b * pq.dsub + d)
+            d += 1
+          }
+          lut((s * pq.ks + a) * pq.ks + b) = acc
+          b += 1
+        }
+        a += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** Persist the SERVING index — quantizers AND per-vector assignments
+    * (vec_id, cid, codes; ~8 bytes of codes per vector) — the
+    * incremental-ANN shape: index the corpus once, and every future
+    * batch probes it without rescanning or re-encoding a single corpus
+    * vector (the vector analogue of MinHashDedup.saveIndex).
+    * Assignments are PARTITIONED BY CELL, so a probe's nProbe cells
+    * prune to nProbe/k of the index files on disk — the IVF promise
+    * realized as parquet partition pruning. `append = true` adds a new
+    * batch's assignments under the EXISTING quantizers (encode drift is
+    * the caller's tradeoff; ids must stay globally unique). */
+  def saveIndexed(emb: DataFrame, index: Index, path: String,
+      append: Boolean = false): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    if (!append) save(spark, index, path)
+    val pq = index.pq
+    emb
+      .withColumn("cid",
+        graft.functions.Centroids.nearestCol($"v", $"nrm", index.cents.toSeq))
+      .withColumn("codes", graft.functions.PqCodec.encodeCol(
+        $"v", $"nrm", pq.codebook, pq.m, pq.ks, pq.dsub))
+      .select($"vec_id", $"cid", $"codes")
+      // cluster by cell before the partitioned write: one file per cell
+      // per batch instead of (tasks × cells) shards
+      .repartition($"cid")
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("cid").parquet(s"$path/assignments")
+  }
+
+  /** Top-k index neighbours for every vector of a NEW batch, served
+    * from a persisted index: the batch encodes with the SAVED
+    * quantizers (narrow kernels), fans out to its nProbe nearest cells,
+    * and scores cell-mates code-to-code (SDC — no per-probe driver
+    * table, so the batch can be any size), keeping top-k per new vector
+    * through the bounded TopK aggregate. The corpus side reads ONLY the
+    * probed cells' (vec_id, codes) rows — never a raw corpus vector.
+    * Output (new_id, rk, index_id, approx_bp); scores are symmetric PQ
+    * approximations (both sides quantized), the serving tradeoff for
+    * corpus-free probing — re-rank against stored vectors by joining
+    * index_id back to the corpus table when exactness matters. */
+  def probeAgainstIndex(newEmb: DataFrame, path: String, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val spark = newEmb.sparkSession
+    import spark.implicits._
+    val index = load(spark, path)
+    val pq = index.pq
+    val cents = index.cents.toSeq
+    val lut = sdcLut(pq)
+    // encode the batch once (localCheckpoint: the cell probe below and
+    // the join both read it — one kernel pass, not two)
+    val fresh = newEmb
+      .withColumn("codes", graft.functions.PqCodec.encodeCol(
+        $"v", $"nrm", pq.codebook, pq.m, pq.ks, pq.dsub))
+      .select($"vec_id".as("p_id"), $"codes",
+        explode(graft.functions.Centroids.nearestCol(
+          $"v", $"nrm", cents, nProbe)).as("p_cid"))
+      .localCheckpoint()
+    // the probed-cell set is bounded by the trained cell count k (tiny
+    // by construction), so collecting it is driver-safe at ANY batch
+    // size — and pushing it as an IN filter turns the cell partitioning
+    // of the stored assignments into real partition pruning on disk
+    val probedCells = fresh.select($"p_cid").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val asg = spark.read.parquet(s"$path/assignments")
+      .where($"cid".isin(probedCells: _*))
+      .select($"cid".as("i_cid"), $"vec_id".as("index_id"),
+        $"codes".as("i_codes"))
+    // broadcast the batch side: new batches are small next to the
+    // index, and the broadcast carries only (id, 8 codes, cell) rows
+    val scored = broadcast(fresh).join(asg,
+        $"p_cid" === $"i_cid" && $"p_id" =!= $"index_id")
+      .select($"p_id", $"index_id".as("vec_id"),
+        graft.functions.PqCodec.sdcCol($"codes", $"i_codes", lut, pq.m, pq.ks)
+          .as("approx"))
+    graft.functions.TopK.rankBySim(scored, "approx", k)
+      .select($"p_id".as("new_id"), $"rk", $"vec_id".as("index_id"),
+        $"sim_bp".as("approx_bp"))
+  }
+
   /** Top-k per probe: nProbe cells → ADC walk → top-`rerank` → exact
     * cosine. Output (p_id, rk, vec_id, sim_bp), exact sims — the same
     * contract as every other ANN operator here. */

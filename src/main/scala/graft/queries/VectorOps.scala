@@ -798,8 +798,41 @@ object VectorOps extends QueryModule {
         .orderBy($"family")
     })
 
+  /** Incremental ANN serving lifecycle (graft.operators.IvfPq
+    * .saveIndexed / probeAgainstIndex): nine tenths of the corpus is
+    * indexed ONCE to a persisted cell-partitioned code table; the
+    * held-out tenth then probes that index as "tomorrow's batch" —
+    * encode with the saved quantizers, read only the probed cells'
+    * ~8-byte code rows, score code-to-code (SDC), top-3 per new
+    * vector. The vector analogue of the MinHash incremental dedup
+    * index, and the lifecycle a daily-crawl ANN pipeline actually
+    * runs: corpus vectors are never rescanned or re-encoded.
+    * Rows-only: cell/code geometry is hash- and training-dependent
+    * (same reason as the other trained-index families); the roundtrip,
+    * planted-duplicate top-1, determinism and append semantics are
+    * pinned by VectorOpsSpec. */
+  private val annIncremental = Q(
+    "x_ann_incremental",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      // one materialized scan: train's sample collect, PQ's sample
+      // collect and the index write all read `corpus` — localCheckpoint
+      // stops each action from re-running the parquet+transform lineage
+      val e = emb(spark, dir).localCheckpoint()
+      val corpus = e.where($"vec_id" % 10 =!= 0)
+      val batch = e.where($"vec_id" % 10 === 0)
+      val path = java.nio.file.Files
+        .createTempDirectory("annincr").toFile.getAbsolutePath
+      val index = graft.operators.IvfPq.train(corpus)
+      graft.operators.IvfPq.saveIndexed(corpus, index, path)
+      graft.operators.IvfPq.probeAgainstIndex(batch, path, k = 3)
+        .orderBy($"new_id", $"rk")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
-      embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall)
+      embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall,
+      annIncremental)
 }

@@ -235,6 +235,44 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("incremental ANN index: persisted probe roundtrip, planted-dup top-1, append") {
+    import spark.implicits._
+    val e = embAt("/root/testdata/sf0.01")
+    val corpus = e.where(col("vec_id") < 150)
+    val dir = tmpDir("ivfpqincr")
+    val index = IvfPq.train(corpus)
+    IvfPq.saveIndexed(corpus, index, s"$dir/idx")
+
+    // batch: exact copies of three corpus vectors under fresh ids — a
+    // copy shares its source's cells AND codes, so SDC scores it
+    // maximal and top-1 must be the source (rank ties broken by id)
+    val copies = corpus.where(col("vec_id").isin(3L, 7L, 11L))
+      .select((col("vec_id") + 1000L).as("vec_id"), col("v"), col("nrm"))
+    val out = IvfPq.probeAgainstIndex(copies, s"$dir/idx", k = 3)
+      .collect()
+    val top1 = out.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1 == Map(1003L -> 3L, 1007L -> 7L, 1011L -> 11L), top1.toString)
+    // deterministic: the probe is a pure function of index + batch
+    val again = IvfPq.probeAgainstIndex(copies, s"$dir/idx", k = 3).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+
+    // the probe reads codes only — the index side has no vector column
+    // on disk at all, so the strongest check is the stored schema itself
+    val idxSchema = spark.read.parquet(s"$dir/idx/assignments").schema
+    assert(idxSchema.fieldNames.toSet == Set("vec_id", "cid", "codes"),
+      s"index must store only assignments: $idxSchema")
+
+    // append: index the copies themselves, then a copy-of-a-copy probe
+    // must find BOTH its corpus source and the appended twin
+    IvfPq.saveIndexed(copies, index, s"$dir/idx", append = true)
+    val probe2 = copies.where(col("vec_id") === 1003L)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("v"), col("nrm"))
+    val hits = IvfPq.probeAgainstIndex(probe2, s"$dir/idx", k = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(hits == Set(3L, 1003L), s"append not probed: $hits")
+  }
+
   test("embed near-dup: pairsAuto dispatch — both regimes, identical verified output") {
     // the size probe changes COST, never answers: the small-corpus
     // brute regime and the forced-LSH regime must agree pair-for-pair
