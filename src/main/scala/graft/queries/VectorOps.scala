@@ -780,8 +780,11 @@ object VectorOps extends QueryModule {
         // this family returns NO candidates still appears (vec_id null ⇒
         // zero hits) and scores recall 0 instead of silently dropping out
         // of n_probes — exactly the case where an index degrades to empty
-        // buckets and the calibration table must show it.
-        df.select($"p_id", $"vec_id")
+        // buckets and the calibration table must show it. The candidate
+        // side broadcasts explicitly (≤ |probes|·k rows, but statless
+        // after its index pipeline, so without the hint all six scoring
+        // joins fall back to SortMergeJoin).
+        broadcast(df.select($"p_id", $"vec_id"))
           .join(exact.withColumnRenamed("vec_id", "e_vec"),
             Seq("p_id"), "right")
           .groupBy($"p_id")
