@@ -35,8 +35,21 @@ import org.apache.spark.sql.functions._
   *
   * Stopping: after `steps` merges or when no pair occurs twice
   * (weighted), whichever comes first — the classic termination rule.
+  *
+  * Two regimes, like KCore/ConnectedComponents: the vocabulary is
+  * Heaps-sublinear, so at bench scale it is a handful of rows and the
+  * 10-step distributed loop would be ~20 Spark jobs of pure scheduling
+  * overhead. `train` size-probes the vocabulary (one bounded collect);
+  * at or under `driverLimit` words the identical greedy loop runs
+  * driver-local (same argmax total order, same applyMerge — spec pins
+  * regime equality), above it the distributed loop runs. A 100 TB
+  * English corpus has a ~10M+ word vocabulary → distributed path.
   */
 object BpeTrainer {
+
+  /** Vocabulary rows at or under which training runs driver-local
+    * (≈256k words × ~10 chars ≈ a few MB on the driver). */
+  val DriverVocabLimit: Int = 1 << 18
 
   final case class Merge(step: Int, left: String, right: String, count: Long)
 
@@ -70,15 +83,67 @@ object BpeTrainer {
 
   /** Train `steps` merges over a (word, n) vocabulary table.
     * Returns the ordered merge table and the final per-word
-    * segmentation (word, n, symbols). */
-  def train(vocab: DataFrame, steps: Int): (Seq[Merge], DataFrame) = {
+    * segmentation (word, n, symbols). `driverLimit` picks the regime
+    * (see object scaladoc); pass 0 to force the distributed loop. */
+  def train(vocab: DataFrame, steps: Int,
+            driverLimit: Int = DriverVocabLimit): (Seq[Merge], DataFrame) = {
     val spark = vocab.sparkSession
     import spark.implicits._
     require(steps >= 0)
 
-    var state: Dataset[(String, Long, Seq[String])] = vocab
-      .select(col("word").cast("string"), col("n").cast("long"))
-      .as[(String, Long)]
+    val typed = vocab.select(col("word").cast("string"), col("n").cast("long"))
+    if (driverLimit > 0) {
+      // Size probe doubling as the collect: one bounded fetch of at most
+      // driverLimit+1 rows decides the regime AND supplies the local input.
+      val probe = typed.limit(driverLimit + 1).as[(String, Long)].collect()
+      if (probe.length <= driverLimit) {
+        val (merges, segs) = localTrain(probe, steps)
+        return (merges,
+          spark.createDataset(segs.toIndexedSeq).toDF("word", "n", "symbols"))
+      }
+    }
+    trainDistributed(typed.as[(String, Long)], steps)
+  }
+
+  /** The identical greedy loop run on the driver: pair counts weighted
+    * by word frequency, (count DESC, left ASC, right ASC) argmax, stop
+    * when no pair occurs twice. */
+  private def localTrain(words: Array[(String, Long)], steps: Int)
+      : (Seq[Merge], Array[(String, Long, Seq[String])]) = {
+    var state = words.map { case (w, n) => (w, n, w.map(_.toString): Seq[String]) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      state.foreach { case (_, n, syms) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        if (c < 2) done = true
+        else {
+          merges += Merge(step, l, r, c)
+          state = state.map { case (w, n, syms) => (w, n, applyMerge(syms, l, r)) }
+          step += 1
+        }
+      }
+    }
+    (merges.toSeq, state)
+  }
+
+  private def trainDistributed(words: Dataset[(String, Long)], steps: Int)
+      : (Seq[Merge], DataFrame) = {
+    val spark = words.sparkSession
+    import spark.implicits._
+
+    var state: Dataset[(String, Long, Seq[String])] = words
       .map { case (w, n) => (w, n, w.map(_.toString): Seq[String]) }
       .localCheckpoint(eager = true)
 

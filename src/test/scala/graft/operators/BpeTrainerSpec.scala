@@ -51,6 +51,18 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
     assert(a.forall(_.count >= 2))
   }
 
+  test("driver-local and distributed regimes train identical merge tables") {
+    // default driverLimit routes this tiny vocab to the local loop;
+    // driverLimit = 0 forces the distributed loop — results must match
+    // merge-for-merge and segmentation-for-segmentation.
+    val (local, lsegs) = BpeTrainer.train(sennrichVocab(), steps = 8)
+    val (dist, dsegs) = BpeTrainer.train(sennrichVocab(), steps = 8, driverLimit = 0)
+    assert(local == dist, s"local=$local dist=$dist")
+    val l = lsegs.collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).sortBy(_._1)
+    val d = dsegs.collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).sortBy(_._1)
+    assert(l.toSeq == d.toSeq)
+  }
+
   test("training stops when no pair repeats") {
     import spark.implicits._
     val tiny = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "n")
