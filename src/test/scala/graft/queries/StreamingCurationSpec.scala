@@ -699,6 +699,47 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("live CUSUM changepoint matches batch x_changepoint across batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // split the RAW event stream (not pre-closed days): boundary days
+    // land partial counts in two batches, exercising the merge-by-sum
+    val pairs = eventsNanos(sf)
+      .select($"event_type", expr("ts DIV 86400000000000").as("day"))
+      .orderBy($"day", $"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def rollup(part: Array[(String, Long)]): Seq[(String, Long, Long)] =
+      part.groupBy(identity).map { case ((t, d), g) => (t, d, g.length.toLong) }.toSeq
+
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamingChangepoint.points(
+        mem.toDS().toDF("event_type", "day", "c"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cp1").start()
+    try {
+      val third = pairs.length / 3
+      mem.addData(rollup(pairs.take(third))); q.processAllAvailable()
+      mem.addData(rollup(pairs.slice(third, 2 * third))); q.processAllAvailable()
+      mem.addData(rollup(pairs.drop(2 * third))); q.processAllAvailable()
+
+      // latest emission per type = the one with the max obs (monotone)
+      val live = spark.table("cp1").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).map { case (t, rs) =>
+          val last = rs.maxBy(_._5)
+          t -> ((last._2, last._3, last._4))
+        }
+      val batch = graft.SparkEntry.queries("x_changepoint")(spark, sf)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(live == batch, s"live=$live\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("live burstiness screen matches batch x_bot_burst across batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -780,6 +821,50 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       assert(seen.asScala.exists(s =>
           s.user_id == 9L && s.n_gaps == 2L && s.n_burst == 2L &&
           s.min_gap_ms == 20000L && s.burst_bp == 10000L),
+        s"state not resumed across restart: $seen")
+    } finally q2.stop()
+  }
+
+  test("live changepoint state survives a query restart (checkpoint resume)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("cpckpt")
+    val mem = MemoryStream[(String, Long, Long)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.streaming.StreamingChangepoint.CpPoint]()
+    def start() = graft.streaming.StreamingChangepoint.points(
+        mem.toDS().toDF("event_type", "day", "c"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamingChangepoint.CpPoint],
+         _: Long) => batch.collect().foreach(seen.add)
+      }
+      .start()
+
+    // run 1: flat series 10,10 — changepoint stat over 2 days
+    val q1 = start()
+    try {
+      mem.addData(("a", 100L, 10L), ("a", 101L, 10L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.asScala.exists(p => p.event_type == "a" && p.n_days == 2L && p.obs == 20L),
+      s"no emission before restart: $seen")
+
+    // run 2, same checkpoint: a level shift lands — the resumed
+    // day-count map must place the changepoint at the last flat day
+    val q2 = start()
+    try {
+      mem.addData(("a", 102L, 40L), ("a", 103L, 40L))
+      q2.processAllAvailable()
+      // series 10,10,40,40: T=100, D=4; k=2 (day 101): |4*20-2*100|=120
+      // is the argmax → cp_day=101, obs=100 proves the pre-restart
+      // counts were resumed, not rebuilt from batch 2 alone
+      assert(seen.asScala.exists(p =>
+          p.event_type == "a" && p.cp_day == 101L && p.cusum_abs == 120L &&
+          p.n_days == 4L && p.obs == 100L),
         s"state not resumed across restart: $seen")
     } finally q2.stop()
   }
