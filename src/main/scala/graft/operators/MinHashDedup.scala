@@ -44,37 +44,39 @@ object MinHashDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.Shingles.register(spark)
-    // barrier: materialize the (HOF-computed, interpreted) token arrays
-    // once and spread rows across cores; the shingle+signature projection
-    // above it is pure codegen kernels
-    val toks = docs
+    // No anti-inline barriers here: the shingle/signature kernels inline
+    // at most 3× per row after projection collapse (filter + sh output +
+    // sig input) — a LINEAR recompute of codegen kernels, strictly
+    // cheaper than the two full-corpus round-robin exchanges this
+    // pipeline used to pay to keep them single-evaluation. The per-band
+    // inlining hazard (×Bands) is gone structurally: banding now crosses
+    // a Generate boundary (explodeBands), which CollapseProject cannot
+    // see through, so sh/sig reach the band rows as attributes.
+    docs
       .select(col(idCol).as("id"), col(tokensCol).as("toks"))
       .where(size($"toks") >= 3)
-      .repartition(spark.sparkContext.defaultParallelism)
-    toks
       .select($"id", shingleHashes($"toks").as("sh"))
       .where(size($"sh") > 0)
       .withColumn("sig", signature("sh"))
-      // barrier: keep the banding HOF below from pulling sh/sig aliases
-      // into its per-band lambda (re-evaluating the kernels per band)
-      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   /** Band explosion over signed docs: one (id, [sh,] band, bkey) row per
     * (doc, band); bkey = one 64-bit hash of the band's R signature
-    * entries. */
+    * entries. The band index comes from a LITERAL sequence explode and
+    * bkey is computed in the projection ABOVE the Generate, so `sig` is
+    * evaluated once per document and carried to its Bands rows as an
+    * attribute (the earlier in-generator lambda shape re-evaluated the
+    * signature kernel per band unless fenced by an exchange). */
   private def explodeBands(signed: DataFrame, keepSh: Boolean): DataFrame = {
     val spark = signed.sparkSession
     import spark.implicits._
-    val base = if (keepSh) signed.select($"id", $"sh", $"sig")
-               else signed.select($"id", $"sig")
-    val carried = if (keepSh) Seq($"id", $"sh") else Seq($"id")
-    base
-      .select(carried :+ posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> " +
-          s"xxhash64(b, ${(0 until Rows).map(r => s"sig[b * $Rows + $r]").mkString(", ")}))")): _*)
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bkey")
+    val carried =
+      (if (keepSh) Seq($"id", $"sh") else Seq($"id")) :+ $"sig"
+    signed
+      .select(carried :+ explode(expr(s"sequence(0, ${Bands - 1})")).as("band"): _*)
+      .withColumn("bkey", expr(s"xxhash64(band, " +
+        (0 until Rows).map(r => s"sig[band * $Rows + $r]").mkString(", ") + ")"))
+      .drop("sig")
   }
 
   /** The shared banding pipeline: (id, sh, band, bkey) rows. */
@@ -192,21 +194,14 @@ object MinHashDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.Shingles.register(spark)
-    val toks = docs
-      .select(col(idCol).as("id"), col(tokensCol).as("toks"))
-      .where(size($"toks") >= 3)
-      .repartition(spark.sparkContext.defaultParallelism)
-    val sh = toks
-      .select($"id", shingleHashes($"toks").as("sh"))
-      .where(size($"sh") > 0)
-      .withColumn("sig", signature("sh"))
-      .repartition(spark.sparkContext.defaultParallelism)
-    val banded = sh
-      .select($"id", $"sh", $"sig", posexplode(expr(
-        s"transform(sequence(0, ${Bands - 1}), b -> " +
-          s"xxhash64(b, ${(0 until Rows).map(r => s"sig[b * $Rows + $r]").mkString(", ")}))")))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bkey")
+    // same barrier-free shape as signedDocs/explodeBands (sig carried
+    // across the Generate boundary as an attribute), keeping sig in the
+    // band rows because the estimate needs signature agreement per pair
+    val banded = signedDocs(docs, idCol, tokensCol)
+      .select($"id", $"sh", $"sig",
+        explode(expr(s"sequence(0, ${Bands - 1})")).as("band"))
+      .withColumn("bkey", expr(s"xxhash64(band, " +
+        (0 until Rows).map(r => s"sig[band * $Rows + $r]").mkString(", ") + ")"))
       .repartition($"band", $"bkey")
     val a = banded.select($"band".as("a_band"), $"bkey".as("a_bkey"),
       $"id".as("a_id"), $"sh".as("a_sh"), $"sig".as("a_sig"))

@@ -28,19 +28,23 @@ object SimHashDedup {
     import spark.implicits._
     SimHash.register(spark)
 
-    // barrier AFTER the signature: stop the banding lambda below from
-    // inlining the sig alias and recomputing simhash per band chunk
     val sigs = docs
       .select(col(idCol).as("id"), col(tokensCol).as("toks"))
       .where(size(col("toks")) > 0)
-      .withColumn("sig", expr("simhash64(toks)"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"id", expr("simhash64(toks)").as("sig"))
 
-    val banded = sigs.select($"id", $"sig",
-      posexplode(expr(s"transform(sequence(0, ${Chunks - 1}), " +
-        s"b -> shiftrightunsigned(sig, b * 16) & 65535)")))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "chunk")
+    // Band index from a LITERAL sequence explode, chunk extracted in the
+    // projection ABOVE the Generate: `sig` crosses the Generate boundary
+    // as an attribute, so it is computed once per document and carried to
+    // the 4 band rows — the earlier shape (chunks inside the generator
+    // lambda) inlined the simhash call per chunk, and the repartition
+    // barrier it needed to stop that cost a full corpus exchange, which
+    // is strictly worse than the attribute boundary doing it for free.
+    val banded = sigs
+      .select($"id", $"sig",
+        explode(expr(s"sequence(0, ${Chunks - 1})")).as("band"))
+      .withColumn("chunk",
+        expr("shiftrightunsigned(sig, band * 16) & 65535"))
       // both self-join legs read this: repartition on the join key so
       // they share ONE ReusedExchange (shuffle files, not cached blocks
       // — nothing to unpersist, and the join arrives pre-clustered)

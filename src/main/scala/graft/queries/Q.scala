@@ -33,7 +33,17 @@ trait QueryModule {
     */
   protected def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Schema-inference job only on the FIRST read of a table per JVM: a
+    // footer-read Spark job per t() call is how a metastore-less engine
+    // burns 50 ms × (queries × tables × reps) of pure driver latency —
+    // production catalogs cache table schemas for exactly this reason.
+    // Keyed by path; thread-safe for Verify's query pool. The cached
+    // schema reflects the nanosAsLong conf set above (it is inferred
+    // under it), so the LongType/NTZ normalization below is unaffected.
+    val path = s"$dir/$name.parquet"
+    val schema = QueryModule.schemaCache.computeIfAbsent(
+      path, p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
         // Any KNOWN timestamp column arriving as LONG is TIMESTAMP(NANOS)
@@ -95,4 +105,11 @@ object QueryModule {
   /** Every timestamp-typed column the driver testdata has ever shipped
     * (TESTDATA.md + ROUND_NOTES regeneration log). */
   val nanosTimestampCols: Set[String] = Set("ts", "l_shipdate", "o_orderdate")
+
+  /** Per-JVM table-schema cache (path → inferred schema), the catalog
+    * role a metastore plays in production: without it every t() call
+    * runs a footer-inference job before the query proper. */
+  private[queries] val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
 }

@@ -23,6 +23,16 @@ object ScaleOps extends QueryModule {
       .select(col("doc_id"), col("lang"),
         expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks")))
 
+  /** Unbarriered tokens for consumers that reference `toks` O(1) times
+    * per row (SimHash: the size guard + one kernel call — tokenize
+    * inlines twice, a linear recompute that is cheaper than the
+    * barrier's full-corpus exchange; the barrier exists for the
+    * shingle lambdas that would otherwise go quadratic). */
+  private def docTokensRaw(spark: SparkSession, dir: String) =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+
   /** MinHash/LSH candidates, exact-Jaccard verified (same output contract
     * as x_dedup_ngram; one band-bucket shuffle instead of an O(n²) join). */
   private val dedupMinhash = Q(
@@ -45,7 +55,7 @@ object ScaleOps extends QueryModule {
     "x_dedup_simhash",
     None,
     (spark, dir) =>
-      SimHashDedup.nearDuplicates(docTokens(spark, dir), "doc_id", "toks"))
+      SimHashDedup.nearDuplicates(docTokensRaw(spark, dir), "doc_id", "toks"))
 
   /** Multimodal plumbing: documents as opaque binary media through the
     * batched mapPartitions decode (stubbed codec, deterministic), output

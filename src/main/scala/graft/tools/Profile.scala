@@ -16,7 +16,7 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     spark.range(1000).selectExpr("sum(id)").collect() // warm JIT/codegen
     val fn = graft.SparkEntry.queries(name)
     (1 to reps).foreach { i =>
