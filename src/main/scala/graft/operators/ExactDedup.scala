@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted EXACT-dedup digest index — the cheapest member of the
+  * incremental-index family (exact here, MinHashDedup.saveIndex for
+  * near-dup shingles, IvfPq.saveIndexed for embeddings): digest the
+  * corpus once, then dedup every future batch against the stored
+  * digests without rescanning or re-hashing the corpus.
+  *
+  * Layout: one row per DISTINCT text — (digest, keeper_id), where
+  * keeper_id is the minimum document id bearing that text (the
+  * canonical-survivor convention the batch queries use). 32 bytes +
+  * one long per distinct document: at 100 TB of documents the index is
+  * a few hundred GB of digests, scanned column-pruned; the probe join
+  * shuffles the NEW BATCH (small) and the index side by digest — never
+  * document text.
+  *
+  * Append mode adds a new batch's digests; duplicate digests across
+  * appends are tolerated (probes dropDuplicates on digest), min-id
+  * keeper semantics stay exact only when ids are globally unique and
+  * batches arrive in id order (the ingest contract).
+  */
+object ExactDedup {
+
+  /** Write (overwrite or append) the digest index for `docs`. */
+  def saveIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      append: Boolean = false): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    docs
+      .select(sha2(col(textCol), 256).as("digest"), col(idCol).as("id"))
+      .groupBy(col("digest"))
+      .agg(min(col("id")).as("keeper_id"))
+      .write.mode(mode).parquet(path)
+  }
+
+  /** Batch probe: rows of `newDocs` whose text already exists in the
+    * index → (new_id, keeper_id). The batch digests with the same
+    * kernel, joins the index on the 32-byte digest, and never touches
+    * corpus text. Intra-batch duplicates are the caller's
+    * nearDuplicates-style concern (exact groupBy on the batch). */
+  def dedupAgainstIndex(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      indexPath: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idx = spark.read.parquet(indexPath)
+      .groupBy(col("digest"))
+      .agg(min(col("keeper_id")).as("keeper_id"))
+    newDocs
+      .select(col(idCol).as("new_id"), sha2(col(textCol), 256).as("digest"))
+      .join(idx, "digest")
+      .select(col("new_id"), col("keeper_id"))
+  }
+}

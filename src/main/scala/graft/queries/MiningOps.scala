@@ -812,13 +812,20 @@ object MiningOps extends QueryModule {
   private def tokenGraphEdges(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val tok = barrier(t(spark, dir, "documents")
+    // no barrier: distinct() IS an exchange (hash on both columns), and
+    // `token` leaves the explode's Generate as an attribute — wrapping
+    // it in barrier() stacked a second, redundant full exchange that
+    // every graph query paid
+    val tok = t(spark, dir, "documents")
       .select($"doc_id",
         explode(expr("filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
-      .distinct())
+      .distinct()
     val df = tok.groupBy($"token").agg(count(lit(1)).as("n"))
     val voc = df.orderBy($"n".desc, $"token").limit(100)
+    // pre-partition on the self-join key so both legs read ONE shared
+    // exchange (ReusedExchange) instead of shuffling p twice
     val p = tok.join(broadcast(voc), "token")
+      .repartition($"doc_id")
     val a = p.select($"doc_id", $"token".as("a_tok"), $"n".as("a_n"))
     val b = p.select($"doc_id".as("doc2"), $"token".as("b_tok"), $"n".as("b_n"))
     a.join(b, $"doc_id" === $"doc2" && $"a_tok" < $"b_tok")

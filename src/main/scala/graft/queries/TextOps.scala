@@ -40,6 +40,48 @@ object TextOps extends QueryModule {
         .orderBy($"lang")
     })
 
+  /** Incremental EXACT dedup against a persisted digest index
+    * (operators/ExactDedup — the exact member of the incremental-index
+    * family, with MinHashDedup.saveIndex and IvfPq.saveIndexed): the
+    * corpus (doc_id % 10 != 0) is digested ONCE into a (digest,
+    * keeper_id) parquet index, then "tomorrow's batch" (doc_id % 10 =
+    * 0) probes it by digest equi-join — the corpus text is never
+    * rescanned. Report: per-lang batch size and how many batch docs
+    * already exist verbatim in the corpus. Oracle-backed: unlike the
+    * hash-geometry indexes, exact digest membership is plain SQL (the
+    * oracle spells it as a distinct-text left join). The driver corpus
+    * has no cross-split exact dups at gate SF (n_dup = 0 rows are the
+    * honest all-clear, as with x_split_leakage); the nonzero path,
+    * append mode and keeper-id convention are pinned by
+    * ExactDedupSpec on constructed corpora. */
+  private val dedupIncremental = Q(
+    "x_dedup_incremental",
+    Some("""SELECT b.lang, CAST(count(*) AS BIGINT) AS n_batch,
+              CAST(sum(CASE WHEN c.text IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup
+            FROM (SELECT doc_id, lang, text FROM documents
+                  WHERE doc_id % 10 = 0) b
+            LEFT JOIN (SELECT DISTINCT text FROM documents
+                       WHERE doc_id % 10 <> 0) c ON b.text = c.text
+            GROUP BY b.lang ORDER BY b.lang"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      val corpus = docs.where($"doc_id" % 10 =!= 0)
+      val batch = docs.where($"doc_id" % 10 === 0)
+      val path = java.nio.file.Files
+        .createTempDirectory("exactidx").toFile.getAbsolutePath
+      graft.operators.ExactDedup.saveIndex(corpus, "doc_id", "text", path)
+      val hits = graft.operators.ExactDedup
+        .dedupAgainstIndex(batch, "doc_id", "text", path)
+      batch.select($"doc_id".as("new_id"), $"lang")
+        .join(hits.select($"new_id", lit(1).as("hit")), Seq("new_id"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_batch"),
+          sum(coalesce($"hit", lit(0))).cast("long").as("n_dup"))
+        .orderBy($"lang")
+    })
+
   /** Near-dup detection by exact token-3-gram Jaccard, blocked by lang.
     * This is the exact-verification stage; the MinHash/LSH candidate
     * generation that replaces the O(n²) pair join at scale lives in
@@ -753,15 +795,19 @@ object TextOps extends QueryModule {
       val toks = barrier(t(spark, dir, "documents")
         .select($"doc_id", $"source",
           expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk")))
-      val bg = barrier(toks.where(size($"tk") >= 2)
+      // `bigram` leaves the Generate as an attribute (no inline hazard,
+      // no barrier needed); the corpus-wide count cb is the sum of
+      // per-doc occ over dbg — same value, one bigram-stream aggregate
+      // instead of two.
+      val bg = toks.where(size($"tk") >= 2)
         .select($"doc_id", $"source", explode(expr(
           "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
-          .as("bigram")))
+          .as("bigram"))
       val dbg = bg.groupBy($"doc_id", $"source", $"bigram")
         .agg(count(lit(1)).as("occ"))
         .withColumn("w1", expr("split(bigram, ' ')[0]"))
-      val cb = bg.groupBy($"bigram".as("cb_bigram"))
-        .agg(count(lit(1)).as("c12"))
+      val cb = dbg.groupBy($"bigram".as("cb_bigram"))
+        .agg(sum($"occ").as("c12"))
       val uni = toks.select(explode($"tk").as("token"))
       val cu = uni.groupBy($"token".as("cu_token"))
         .agg(count(lit(1)).as("c1"))
@@ -1020,15 +1066,20 @@ object TextOps extends QueryModule {
                   * 10000.0) / (100.0 * length(text))) AS BIGINT)
                   DIV 1000"""))
             .as("bucket")))
-      val bg = barrier(toks.where(size($"tk") >= 2)
+      // `bigram` leaves the Generate as an attribute (no inline hazard,
+      // no barrier needed) and is aggregated ONCE: the corpus-wide count
+      // cb is the sum of per-doc occ over dbg — same value, but the
+      // second aggregate runs over the collapsed per-doc groups instead
+      // of re-scanning every bigram occurrence.
+      val bg = toks.where(size($"tk") >= 2)
         .select($"doc_id", $"bucket", explode(expr(
           "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
-          .as("bigram")))
+          .as("bigram"))
       val dbg = bg.groupBy($"doc_id", $"bucket", $"bigram")
         .agg(count(lit(1)).as("occ"))
         .withColumn("w1", expr("split(bigram, ' ')[0]"))
-      val cb = bg.groupBy($"bigram".as("cb_bigram"))
-        .agg(count(lit(1)).as("c12"))
+      val cb = dbg.groupBy($"bigram".as("cb_bigram"))
+        .agg(sum($"occ").as("c12"))
       val cu = toks.select(explode($"tk").as("token"))
         .groupBy($"token".as("cu_token"))
         .agg(count(lit(1)).as("c1"))
@@ -1110,5 +1161,5 @@ object TextOps extends QueryModule {
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
     dedupSampled, dedupWinnow, winnowVsSampled, dedupCross, langConfusion,
     tokenFertility, templatePrefix, ngramLm, containment, rareTokenDocs,
-    thresholdSweep, dupGramMass, qualityVsLm)
+    thresholdSweep, dupGramMass, qualityVsLm, dedupIncremental)
 }

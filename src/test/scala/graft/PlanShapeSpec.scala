@@ -389,4 +389,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(userExchanges <= 1,
       s"all four running counts must share one user window exchange:\n$p")
   }
+
+  test("LSH banding needs no anti-inline barriers: signatures cross a Generate") {
+    // band keys are computed ABOVE a literal-sequence explode, so
+    // signatures reach the band rows as attributes and the per-band
+    // kernel re-evaluation the old in-generator lambdas forced (fenced
+    // by repartition barriers) is structurally impossible. simhash runs
+    // with zero round-robin exchanges; minhash keeps exactly ONE — the
+    // documented tokenize materialization/spread (each unexecuted join
+    // leg shows its own copy, so the pre-execution plan may show ≤ 2).
+    val ps = plan("x_dedup_simhash")
+    assert(!ps.contains("RoundRobinPartitioning"),
+      s"x_dedup_simhash re-grew a round-robin barrier exchange:\n$ps")
+    val pm = plan("x_dedup_minhash")
+    val rr = pm.linesIterator.count(_.contains("RoundRobinPartitioning"))
+    assert(rr <= 2,
+      s"x_dedup_minhash re-grew a post-signature barrier (got $rr round-robins):\n$pm")
+  }
+
+  test("x_dedup_incremental: digest-only probe join — corpus text never joined") {
+    val p = plan("x_dedup_incremental")
+    // the probe joins 32-byte digests and ids; joining on raw text would
+    // ship document bodies through the exchange
+    assert(!p.contains("SortMergeJoin [text"),
+      s"probe join must key on digest, not text:\n$p")
+    assert(p.contains("sha2"), s"digest kernel missing from the plan:\n$p")
+  }
+
+  test("r_join_shuffle: lineitem pre-aggregates by order key — no count-distinct expand") {
+    val p = plan("r_join_shuffle")
+    assert(!p.contains("Expand"),
+      s"count-distinct expand is back — the per-order rollup was lost:\n$p")
+    // the per-order partial aggregate must sit below the first join
+    assert("HashAggregate".r.findAllIn(p).length >= 3,
+      s"missing the order-key pre-aggregation:\n$p")
+  }
 }
