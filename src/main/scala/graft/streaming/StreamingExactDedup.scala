@@ -1,0 +1,51 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Ingest-time EXACT dedup — the streaming twin of
+  * [[graft.operators.ExactDedup]]: documents arriving on a stream are
+  * digested with the same sha2 kernel and checked against the set of
+  * digests seen so far, within and ACROSS micro-batches. The first
+  * arrival of a text is the keeper; every later verbatim copy emits a
+  * (dup_id, keeper_id) row the moment it lands — the online complement
+  * of the batch index probe.
+  *
+  * State is ONE long (the keeper id) PER DISTINCT TEXT, keyed by the
+  * 32-byte digest — the same asymptotic footprint as the persisted
+  * batch index, sharded by digest across executors (RocksDB at scale);
+  * a crawl with d distinct documents carries d entries no matter how
+  * many duplicates flow past. Intra-batch copies resolve in arrival
+  * (id) order, so keeper semantics equal the batch operator's min-id
+  * convention whenever ids are assigned in ingest order.
+  */
+object StreamingExactDedup {
+
+  final case class Dup(dup_id: Long, keeper_id: Long)
+
+  /** docs: (doc_id bigint, text string) stream → duplicate arrivals. */
+  def dups(docs: DataFrame): Dataset[Dup] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(sha2($"text", 256).as("digest"), $"doc_id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, Dup](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val out = ArrayBuffer.empty[Dup]
+          val ids = rows.map(_._2).toArray.sorted
+          var keeper = state.getOption.getOrElse(Long.MinValue)
+          ids.foreach { id =>
+            if (keeper == Long.MinValue) keeper = id
+            else out += Dup(id, keeper)
+          }
+          state.update(keeper)
+          out.iterator
+      }
+  }
+}
