@@ -43,12 +43,26 @@ object StreamingNearDup {
 
   final case class Pair(a_id: Long, b_id: Long, jac_bp: Long)
 
-  /** docs: (doc_id bigint, toks array<string>) stream. */
+  /** docs: (doc_id bigint, toks array<string>) stream.
+    *
+    * `bootstrapIndex`: path of a [[MinHashDedup.saveIndex]] corpus index
+    * to PRELOAD as initial state — the stream then reports near-dups of
+    * yesterday's batch-indexed corpus from the FIRST micro-batch, with
+    * none of the corpus ever flowing through the stream (the
+    * online/batch handoff a re-crawl pipeline needs: index nightly,
+    * dedup the live firehose against it). Bucket membership and band
+    * keys are identical by construction (same kernels, same banding),
+    * so a bootstrapped stream behaves exactly like one that had
+    * ingested the corpus, except bootstrapped members carry the
+    * query-start wall clock as their insertion time — under a
+    * `retention` window they age from stream start, not their original
+    * crawl date. */
   def pairs(
       docs: DataFrame,
       jaccardBp: Int = 6000,
       maxBucket: Int = 10000,
-      retention: Option[java.time.Duration] = None): Dataset[Pair] = {
+      retention: Option[java.time.Duration] = None,
+      bootstrapIndex: Option[String] = None): Dataset[Pair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.Shingles.register(spark)
@@ -67,10 +81,7 @@ object StreamingNearDup {
       .select($"pos".as("band"), $"col".as("bkey"), $"doc_id", $"sh")
       .as[(Int, Long, Long, Seq[Long])]
 
-    banded
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[List[(Long, Long, Array[Long])], Pair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+    val fold = {
         (key: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long])],
          state: GroupState[List[(Long, Long, Array[Long])]]) =>
           val now = System.currentTimeMillis()
@@ -105,6 +116,32 @@ object StreamingNearDup {
           }
           if (bucket.isEmpty) state.remove() else state.update(bucket)
           out.iterator
-      }
+    }: ((Int, Long), Iterator[(Int, Long, Long, Seq[Long])],
+        GroupState[List[(Long, Long, Array[Long])]]) => Iterator[Pair]
+
+    val grouped = banded.groupByKey(r => (r._1, r._2))
+    bootstrapIndex match {
+      case None =>
+        grouped.flatMapGroupsWithState[List[(Long, Long, Array[Long])], Pair](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+      case Some(path) =>
+        // rebuild each bucket's member list from the persisted slim band
+        // rows + once-stored shingle sets (the saveIndex layout); one
+        // state row per (band, bucket) key, stamped at query start
+        val t0 = System.currentTimeMillis()
+        val members = spark.read.parquet(s"$path/bands")
+          .join(spark.read.parquet(s"$path/shingles"), "id")
+          .select($"band".cast("int"), $"bkey", $"id", $"sh")
+          .as[(Int, Long, Long, Seq[Long])]
+        val initial = members
+          .groupByKey(r => (r._1, r._2))
+          .mapGroups { (k, it) =>
+            (k, it.map(r => (r._3, t0, r._4.toArray)).toList)
+          }
+          .groupByKey(_._1)
+          .mapValues(_._2)
+        grouped.flatMapGroupsWithState[List[(Long, Long, Array[Long])], Pair](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial)(fold)
+    }
   }
 }

@@ -192,6 +192,48 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("near-dup stream bootstrapped from a saved index matches dedupAgainstIndex") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .where($"doc_id" < 300)
+      .select($"doc_id",
+        expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+      .where(size($"toks") >= 3)
+    val dir = tmpDir("ndbootstrap")
+    graft.operators.MinHashDedup.saveIndex(corpus, "doc_id", "toks", s"$dir/idx")
+
+    // "tomorrow's crawl": exact copies of two indexed docs, ids shifted
+    val batchDocs = corpus.where($"doc_id".isin(7L, 11L))
+      .select(($"doc_id" + 100000L).as("doc_id"), $"toks")
+    val rows = batchDocs.collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    // batch ground truth from the index probe
+    val expected = graft.operators.MinHashDedup
+      .dedupAgainstIndex(batchDocs, "doc_id", "toks", s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val mem = MemoryStream[(Long, Seq[String])]
+    val q = graft.streaming.StreamingNearDup.pairs(
+        mem.toDS().toDF("doc_id", "toks"),
+        bootstrapIndex = Some(s"$dir/idx"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ndboot").start()
+    try {
+      // FIRST batch: the corpus never flowed through the stream, yet the
+      // bootstrapped buckets must surface the cross pairs immediately
+      mem.addData(rows.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("ndboot").collect()
+        .map(r => (math.max(r.getLong(0), r.getLong(1)),
+          math.min(r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+      assert(streamed == expected,
+        s"bootstrapped stream ${streamed.size} vs index probe ${expected.size}: " +
+          s"missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("near-dup retention window: idle buckets expire, old docs stop matching") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
