@@ -45,12 +45,14 @@ object ExactDedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       indexPath: String): DataFrame = {
     val spark = newDocs.sparkSession
-    val idx = spark.read.parquet(indexPath)
-      .groupBy(col("digest"))
-      .agg(min(col("keeper_id")).as("keeper_id"))
+    // duplicate digests only exist ACROSS appends; resolve the min
+    // keeper AFTER the join — the aggregate then runs over the hits
+    // (batch-bounded) instead of re-aggregating the full index on every
+    // probe, which at corpus scale would be the dominant shuffle
     newDocs
       .select(col(idCol).as("new_id"), sha2(col(textCol), 256).as("digest"))
-      .join(idx, "digest")
-      .select(col("new_id"), col("keeper_id"))
+      .join(spark.read.parquet(indexPath), "digest")
+      .groupBy(col("new_id"))
+      .agg(min(col("keeper_id")).as("keeper_id"))
   }
 }

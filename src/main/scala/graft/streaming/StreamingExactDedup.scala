@@ -26,26 +26,49 @@ object StreamingExactDedup {
 
   final case class Dup(dup_id: Long, keeper_id: Long)
 
-  /** docs: (doc_id bigint, text string) stream → duplicate arrivals. */
-  def dups(docs: DataFrame): Dataset[Dup] = {
+  /** docs: (doc_id bigint, text string) stream → duplicate arrivals.
+    *
+    * `bootstrapIndex`: path of an [[graft.operators.ExactDedup]] index
+    * to preload as initial state — the stream then reports verbatim
+    * copies of the batch-indexed corpus from the first micro-batch,
+    * resolving to the INDEX keeper ids, with the corpus never flowing
+    * through the stream (same online/batch handoff as
+    * StreamingNearDup's bootstrapIndex). */
+  def dups(
+      docs: DataFrame,
+      bootstrapIndex: Option[String] = None): Dataset[Dup] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    val fold = {
+      (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+        val out = ArrayBuffer.empty[Dup]
+        val ids = rows.map(_._2).toArray.sorted
+        var keeper = state.getOption.getOrElse(Long.MinValue)
+        ids.foreach { id =>
+          if (keeper == Long.MinValue) keeper = id
+          else out += Dup(id, keeper)
+        }
+        state.update(keeper)
+        out.iterator
+    }: (String, Iterator[(String, Long)], GroupState[Long]) => Iterator[Dup]
+    val grouped = docs
       .select(sha2($"text", 256).as("digest"), $"doc_id")
       .as[(String, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, Dup](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
-          val out = ArrayBuffer.empty[Dup]
-          val ids = rows.map(_._2).toArray.sorted
-          var keeper = state.getOption.getOrElse(Long.MinValue)
-          ids.foreach { id =>
-            if (keeper == Long.MinValue) keeper = id
-            else out += Dup(id, keeper)
-          }
-          state.update(keeper)
-          out.iterator
-      }
+    bootstrapIndex match {
+      case None =>
+        grouped.flatMapGroupsWithState[Long, Dup](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
+      case Some(path) =>
+        // one state row per digest; min across appends, as in the batch
+        // probe
+        val initial = spark.read.parquet(path)
+          .groupBy($"digest").agg(min($"keeper_id").as("keeper_id"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+        grouped.flatMapGroupsWithState[Long, Dup](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial)(fold)
+    }
   }
 }

@@ -62,6 +62,32 @@ class StreamingExactDedupSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream bootstrapped from an ExactDedup index resolves to index keepers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "indexed text one"), (2L, "indexed text two"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("exactboot")
+    graft.operators.ExactDedup.saveIndex(corpus, "doc_id", "text", s"$dir/idx")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingExactDedup.dups(
+        mem.toDS().toDF("doc_id", "text"),
+        bootstrapIndex = Some(s"$dir/idx"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("exactboot").start()
+    try {
+      // first batch: copies of indexed docs report against INDEX keepers
+      // without the corpus ever streaming; a fresh text keeps silently
+      mem.addData((100L, "indexed text two"), (101L, "brand new text"))
+      q.processAllAvailable()
+      val got = spark.table("exactboot").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((100L, 2L)))
+    } finally q.stop()
+  }
+
   test("keeper state survives a query restart (checkpoint resume)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
