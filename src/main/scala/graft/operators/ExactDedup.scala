@@ -24,12 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object ExactDedup {
 
-  /** Write (overwrite or append) the digest index for `docs`. */
+  /** Write (overwrite or append) the digest index for `docs`. NULL
+    * texts are excluded on BOTH sides (here and in the probe): a null
+    * digest never equi-joins anyway (SQL null semantics), so indexing
+    * it would only add a dead row that looks like coverage. */
   def saveIndex(
       docs: DataFrame, idCol: String, textCol: String, path: String,
       append: Boolean = false): Unit = {
     val mode = if (append) "append" else "overwrite"
     docs
+      .where(col(textCol).isNotNull)
       .select(sha2(col(textCol), 256).as("digest"), col(idCol).as("id"))
       .groupBy(col("digest"))
       .agg(min(col("id")).as("keeper_id"))
@@ -50,6 +54,7 @@ object ExactDedup {
     // (batch-bounded) instead of re-aggregating the full index on every
     // probe, which at corpus scale would be the dominant shuffle
     newDocs
+      .where(col(textCol).isNotNull)
       .select(col(idCol).as("new_id"), sha2(col(textCol), 256).as("digest"))
       .join(spark.read.parquet(indexPath), "digest")
       .groupBy(col("new_id"))

@@ -52,6 +52,7 @@ object StreamingExactDedup {
         out.iterator
     }: (String, Iterator[(String, Long)], GroupState[Long]) => Iterator[Dup]
     val grouped = docs
+      .where($"text".isNotNull)
       .select(sha2($"text", 256).as("digest"), $"doc_id")
       .as[(String, Long)]
       .groupByKey(_._1)
