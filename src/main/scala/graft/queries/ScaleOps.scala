@@ -18,21 +18,18 @@ import graft.operators.{MinHashDedup, SimHashDedup}
   */
 object ScaleOps extends QueryModule {
 
-  private def docTokens(spark: SparkSession, dir: String) =
-    barrier(t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks")))
-
   /** Unbarriered tokens for consumers that reference `toks` O(1) times
-    * per row (SimHash: the size guard + one kernel call — tokenize
-    * inlines twice, a linear recompute that is cheaper than the
-    * barrier's full-corpus exchange; the barrier exists for the
-    * shingle lambdas that would otherwise go quadratic). MEASURED, not
-    * assumed (tools/InlineCost, 1M synthetic 50-token docs, min of 6
-    * reps): barrier shape 2.06 s vs inline shape 1.35 s — the exchange
-    * costs more than the duplicated interpreted tokenize, and both
-    * sides scale linearly with the corpus, so the ratio holds at
-    * 100 TB. */
+    * per row — every LSH query here: the dedup operators' kernels
+    * (simhash64 / shingle_hashes + minhash_sig) each consume `toks` a
+    * bounded number of times, so tokenize inlines ≤3× per row — a
+    * linear recompute that is CHEAPER than an anti-inline barrier's
+    * full-corpus exchange. MEASURED, not assumed (tools/InlineCost, 1M
+    * synthetic 50-token docs, min of 6 reps under host steal):
+    * simhash barrier 2.06 s vs inline 1.35 s; minhash barrier 1.49 s
+    * vs inline 0.84 s. Both sides scale linearly with the corpus, so
+    * the ratio holds at 100 TB. Barriers remain only where a lambda
+    * would multiply references (none of these paths — banding crosses
+    * a Generate boundary since round 8). */
   private def docTokensRaw(spark: SparkSession, dir: String) =
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
@@ -44,7 +41,7 @@ object ScaleOps extends QueryModule {
     "x_dedup_minhash",
     None,
     (spark, dir) =>
-      MinHashDedup.nearDuplicates(docTokens(spark, dir), "doc_id", "toks"))
+      MinHashDedup.nearDuplicates(docTokensRaw(spark, dir), "doc_id", "toks"))
 
   /** MinHash estimate-vs-exact calibration per estimate decile — the
     * sketch-trust report (rows-only: the estimate is hash-geometry;
@@ -53,7 +50,7 @@ object ScaleOps extends QueryModule {
     "x_minhash_error",
     None,
     (spark, dir) =>
-      MinHashDedup.calibration(docTokens(spark, dir), "doc_id", "toks"))
+      MinHashDedup.calibration(docTokensRaw(spark, dir), "doc_id", "toks"))
 
   /** SimHash 4×16-bit banding, Hamming ≤ 3. */
   private val dedupSimhash = Q(

@@ -56,6 +56,22 @@ object InlineCost {
         .where(size($"toks") > 0)
         .select($"id", expr("simhash64(toks)").as("sig")))
 
+    // same comparison for the heavier MinHash pipeline (shingle kernel
+    // + K-pass signature), the shape signedDocs uses
+    graft.functions.Shingles.register(spark)
+    time("mh-barrier")(
+      tokens.repartition(32)
+        .where(size($"toks") >= 3)
+        .select($"id", expr("shingle_hashes(toks, 3)").as("sh"))
+        .where(size($"sh") > 0)
+        .withColumn("sig", expr("minhash_sig(sh, 32)")))
+    time("mh-inline ")(
+      tokens
+        .where(size($"toks") >= 3)
+        .select($"id", expr("shingle_hashes(toks, 3)").as("sh"))
+        .where(size($"sh") > 0)
+        .withColumn("sig", expr("minhash_sig(sh, 32)")))
+
     spark.stop()
   }
 }
