@@ -792,9 +792,13 @@ object TextOps extends QueryModule {
             FROM doc GROUP BY source ORDER BY source"""),
     (spark, dir) => {
       import spark.implicits._
-      val toks = barrier(t(spark, dir, "documents")
+      // two consumers (bigram branch, unigram branch) each inline the
+      // tokenize once: two column-pruned parquet scans, no exchange —
+      // the InlineCost-measured trade (a scan is cheaper than a full
+      // shuffle of the tokenized corpus)
+      val toks = t(spark, dir, "documents")
         .select($"doc_id", $"source",
-          expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk")))
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"))
       // `bigram` leaves the Generate as an attribute (no inline hazard,
       // no barrier needed); the corpus-wide count cb is the sum of
       // per-doc occ over dbg — same value, one bigram-stream aggregate
@@ -1055,7 +1059,8 @@ object TextOps extends QueryModule {
             FROM doc GROUP BY bucket ORDER BY bucket"""),
     (spark, dir) => {
       import spark.implicits._
-      val toks = barrier(t(spark, dir, "documents")
+      // same two-consumer inline trade as x_ngram_lm (no barrier)
+      val toks = t(spark, dir, "documents")
         .where(length($"text") > 0)
         .select($"doc_id",
           expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"),
@@ -1065,7 +1070,7 @@ object TextOps extends QueryModule {
                   * length(regexp_replace(text, '[^A-Za-z]', ''))
                   * 10000.0) / (100.0 * length(text))) AS BIGINT)
                   DIV 1000"""))
-            .as("bucket")))
+            .as("bucket"))
       // `bigram` leaves the Generate as an attribute (no inline hazard,
       // no barrier needed) and is aggregated ONCE: the corpus-wide count
       // cb is the sum of per-doc occ over dbg — same value, but the
