@@ -26,9 +26,28 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       // drop per-query cached/broadcast state so one rep's leftovers
-      // don't tax the next
+      // don't tax the next. clearCache() only covers catalog-cached
+      // relations — localCheckpoint() blocks (x_ann_recall, the
+      // incremental-index builds) live as persistent RDDs OUTSIDE the
+      // catalog and would otherwise accumulate across all ~500 query
+      // executions, pressuring the block manager/GC for exactly the
+      // late-alphabet lines (the r8 x_zipf_slope anomaly).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    // Block-manager state probe, printed every 50 queries (stderr, not
+    // part of the JSON contract): makes end-of-run storage pressure a
+    // measurement instead of a hypothesis.
+    def storageProbe(i: Int, name: String): Unit = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val mem = infos.map(_.memSize).sum / (1024 * 1024)
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+      System.err.println(
+        s"[bench] storage@$i ($name): persistedRDDs=${infos.length} " +
+        s"storageMemMB=$mem heapUsedMB=$heapMb")
     }
     // Two reps per query, headline = min of the two. One cold rep on a
     // shared JVM swings 2-3x with JIT/GC/page-cache state (ROUND_NOTES
@@ -42,7 +61,9 @@ object Bench {
     // rep — both slow reps may have landed in one steal window. Bounded
     // extra wall: only lines over the threshold re-run once.
     val slowRepThreshold = 1.2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
+      if (i % 50 == 0) storageProbe(i, name)
       val (cold, okCold) = timeOne(name, fn)
       val (warm, okWarm) = timeOne(name, fn)
       val ok = okCold && okWarm
@@ -54,6 +75,7 @@ object Bench {
         } else math.min(cold, warm)
       (name, cold, best, ok)
     }
+    storageProbe(results.length, "END")
     // failed queries are self-describing in the JSON (value -1 + a
     // `failed` list), not just a stderr line a JSON consumer never sees
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)

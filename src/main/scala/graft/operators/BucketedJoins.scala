@@ -33,14 +33,20 @@ object BucketedJoins {
     * (the small-files explosion), and Spark only trusts `sortBy`
     * ordering — eliding the join-side SortExec — when a bucket is a
     * single file. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.repartition(buckets, org.apache.spark.sql.functions.col(key))
       .write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    // path → EXTERNAL bucketed table: catalog metadata (in-memory here,
+    // metastore in production) + data files at the caller's location —
+    // lets callers own the data lifecycle (temp-dir cleanup, ingest
+    // landing zones) while keeping the bucket spec queryable
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Inner equi-join of two bucketed tables on `key`. Caller must have
     * written both via `writeBucketed` with the SAME bucket count; the

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * document text.
   *
   * Append mode adds a new batch's digests; duplicate digests across
-  * appends are tolerated (probes dropDuplicates on digest), min-id
-  * keeper semantics stay exact only when ids are globally unique and
-  * batches arrive in id order (the ingest contract).
+  * appends are tolerated — the probe resolves them AFTER its join via
+  * groupBy(new_id).agg(min(keeper_id)), a batch-bounded aggregate —
+  * and min-id keeper semantics stay exact only when ids are globally
+  * unique and batches arrive in id order (the ingest contract).
   */
 object ExactDedup {
 

@@ -136,9 +136,13 @@ object MinHashDedup {
       append: Boolean = false): Unit = {
     val mode = if (append) "append" else "overwrite"
     val signed = signedDocs(docs, idCol, tokensCol).localCheckpoint()
-    signed.select("id", "sh").write.mode(mode).parquet(s"$path/shingles")
-    explodeBands(signed, keepSh = false)
-      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+    try {
+      signed.select("id", "sh").write.mode(mode).parquet(s"$path/shingles")
+      explodeBands(signed, keepSh = false)
+        .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+    } finally CheckpointHygiene.release(signed)
+    // both consumers of the checkpoint are the two writes above, so the
+    // blocks are releasable the moment the second write returns
   }
 
   /** Near-dup pairs between a NEW batch and a persisted index: the new

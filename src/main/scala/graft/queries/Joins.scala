@@ -66,6 +66,54 @@ object Joins extends QueryModule {
         .orderBy($"c_mktsegment")
     })
 
+  /** Fact-fact join served from PRE-BUCKETED tables
+    * (operators/BucketedJoins): lineitem and orders are written ONCE per
+    * JVM bucketed-and-sorted by order key (external tables over a cached
+    * temp path — QueryModule.cachedIndex, the same once-per-JVM
+    * discipline as the incremental indexes), and the join then runs with
+    * NO shuffle exchange on either side — task i merge-joins bucket i
+    * against bucket i (plan-pinned by PlanShapeSpec). This is the
+    * PERSISTED shuffle lever r_join_shuffle pays per-query: at 100 TB,
+    * tables joined repeatedly on the same key pay their exchange once at
+    * ingest, and the bucketed write also pre-prunes to exactly the
+    * columns the repeated join needs. Oracle-backed: bucketing changes
+    * the plan, never the result — the oracle runs the plain join. */
+  private val joinBucketed = Q(
+    "r_join_bucketed",
+    Some("""SELECT o_orderpriority,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+            count(*) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    (spark, dir) => {
+      import spark.implicits._
+      // table names + cache key carry the Spark application id: the
+      // in-memory catalog dies with the SparkContext, so a fresh context
+      // must re-register (re-build) its own external tables even though
+      // the JVM-wide cachedIndex survives
+      val tag = s"${Integer.toHexString(dir.hashCode)}_" +
+        spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      val lt = s"graft_bkt_lineitem_$tag"
+      val ot = s"graft_bkt_orders_$tag"
+      QueryModule.cachedIndex(s"bucketed:$dir:$tag") { p =>
+        graft.operators.BucketedJoins.writeBucketed(
+          t(spark, dir, "lineitem")
+            .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+          lt, "l_orderkey", 8, Some(s"$p/lineitem"))
+        graft.operators.BucketedJoins.writeBucketed(
+          t(spark, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+          ot, "o_orderkey", 8, Some(s"$p/orders"))
+      }
+      spark.table(lt).join(spark.table(ot), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          dbl(sum(money($"l_extendedprice")
+            * (lit(1) - $"l_discount".cast("decimal(4,2)")))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"o_orderpriority")
+    })
+
   /** LEFT SEMI — customers with at least one order (EXISTS). */
   private val joinSemi = Q(
     "r_join_semi",
@@ -249,6 +297,6 @@ object Joins extends QueryModule {
         .orderBy($"n_name", $"bal".desc, $"s_suppkey")
     })
 
-  override def all: Seq[Q] = Seq(joinBroadcast, joinShuffle, joinSemi,
+  override def all: Seq[Q] = Seq(joinBroadcast, joinShuffle, joinBucketed, joinSemi,
     joinAnti, joinRange, joinAsof, joinMulti, joinSalted, joinLateral)
 }

@@ -41,8 +41,14 @@ trait QueryModule {
     // schema reflects the nanosAsLong conf set above (it is inferred
     // under it), so the LongType/NTZ normalization below is unaffected.
     val path = s"$dir/$name.parquet"
+    // Cache key carries the dataset directory's mtime: regenerating the
+    // parquet at the same path (the repo's testdata drills) invalidates
+    // the entry instead of silently serving a stale schema — a stale
+    // spark.read.schema(old) would yield NULLs for renamed/retyped
+    // columns with no error. One local stat per t() call, no Spark job.
+    val cacheKey = s"$path@${new java.io.File(path).lastModified}"
     val schema = QueryModule.schemaCache.computeIfAbsent(
-      path, p => spark.read.parquet(p).schema)
+      cacheKey, _ => spark.read.parquet(path).schema)
     val df = spark.read.schema(schema).parquet(path)
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
@@ -112,4 +118,34 @@ object QueryModule {
   private[queries] val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.types.StructType]()
+
+  /** Per-JVM cache of side-written temp indexes, keyed by
+    * (query, sfDir): the incremental-index queries (x_dedup_incremental,
+    * x_ann_incremental, …) build their persisted index ONCE per JVM
+    * instead of re-running the corpus write on every invocation — every
+    * bench rep / verify call / plan-shape read was previously a fresh
+    * temp dir plus a full corpus-digest Spark job at DataFrame-CONSTRUCTION
+    * time, and the dirs were never deleted (unbounded /tmp growth across
+    * rounds). The build stays eager-on-first-call because the probe reads
+    * the index parquet's footer at plan time — the index must exist
+    * before the DataFrame can even be constructed. All cached dirs are
+    * removed by one JVM shutdown hook. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      indexCache.values.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }))
+  private[queries] def cachedIndex(key: String)(build: String => Unit): String = {
+    cleanupHook
+    indexCache.computeIfAbsent(key, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graftidx")
+      build(dir.toString)
+      dir.toString
+    })
+  }
 }

@@ -43,12 +43,20 @@ object StreamingExactDedup {
       (_: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
         val out = ArrayBuffer.empty[Dup]
         val ids = rows.map(_._2).toArray.sorted
-        var keeper = state.getOption.getOrElse(Long.MinValue)
+        // Option state — no in-band sentinel, so every Long is a legal
+        // doc_id. The `id != keeper` guard keeps at-least-once redelivery
+        // of the keeper itself (or a stream replaying the bootstrapped
+        // corpus) from emitting a self-pair Dup(id, id) — the same guard
+        // StreamingNearDup carries.
+        var keeper: Option[Long] = state.getOption
         ids.foreach { id =>
-          if (keeper == Long.MinValue) keeper = id
-          else out += Dup(id, keeper)
+          keeper match {
+            case None            => keeper = Some(id)
+            case Some(k) if id != k => out += Dup(id, k)
+            case _               => ()
+          }
         }
-        state.update(keeper)
+        keeper.foreach(state.update)
         out.iterator
     }: (String, Iterator[(String, Long)], GroupState[Long]) => Iterator[Dup]
     val grouped = docs

@@ -394,17 +394,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // band keys are computed ABOVE a literal-sequence explode, so
     // signatures reach the band rows as attributes and the per-band
     // kernel re-evaluation the old in-generator lambdas forced (fenced
-    // by repartition barriers) is structurally impossible. simhash runs
-    // with zero round-robin exchanges; minhash keeps exactly ONE — the
-    // documented tokenize materialization/spread (each unexecuted join
-    // leg shows its own copy, so the pre-execution plan may show ≤ 2).
+    // by repartition barriers) is structurally impossible. BOTH hash
+    // families now run completely barrier-free (the r8 InlineCost
+    // measurement removed the last minhash tokenize barrier), so any
+    // round-robin exchange in either plan is a regression.
     val ps = plan("x_dedup_simhash")
     assert(!ps.contains("RoundRobinPartitioning"),
       s"x_dedup_simhash re-grew a round-robin barrier exchange:\n$ps")
     val pm = plan("x_dedup_minhash")
     val rr = pm.linesIterator.count(_.contains("RoundRobinPartitioning"))
-    assert(rr <= 2,
-      s"x_dedup_minhash re-grew a post-signature barrier (got $rr round-robins):\n$pm")
+    assert(rr == 0,
+      s"x_dedup_minhash re-grew a barrier exchange (got $rr round-robins):\n$pm")
   }
 
   test("x_dedup_incremental: digest-only probe join — corpus text never joined") {
@@ -414,6 +414,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin [text"),
       s"probe join must key on digest, not text:\n$p")
     assert(p.contains("sha2"), s"digest kernel missing from the plan:\n$p")
+  }
+
+  test("r_join_bucketed: bucketed scans satisfy the join — no exchange on either side") {
+    // broadcast disabled so partitioning (not a broadcast) must satisfy
+    // the join — the property the bucketed tables exist for; at real
+    // scale neither fact side would broadcast anyway
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("r_join_bucketed")
+      assert(!p.contains("hashpartitioning(l_orderkey") &&
+             !p.contains("hashpartitioning(o_orderkey"),
+        s"bucketed join re-exchanged a side:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected co-located SMJ:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan did not use bucketing:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("x_ann_incremental_exact: batch broadcasts; ranking is the bounded TopK aggregate") {
+    val p = plan("x_ann_incremental_exact")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe batch not broadcast:\n$p")
+    assert(!p.contains("Window"), s"ranking regressed to a probe window:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"bounded TopK aggregate missing:\n$p")
   }
 
   test("r_join_shuffle: lineitem pre-aggregates by order key — no count-distinct expand") {

@@ -41,6 +41,14 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
     val edges = spark.createDataFrame(Seq((1L, 2L), (2L, 3L), (7L, 8L)))
       .toDF("a_id", "b_id")
     assert(ConnectedComponents.components(edges, "a_id", "b_id").collect().length == 5)
+    // the index writers run localCheckpoint internally and must release
+    // it before returning (CheckpointHygiene) — clearCache() would NOT
+    // free those blocks in a long session
+    val idxDir = tmpDir("hygieneidx")
+    MinHashDedup.saveIndex(docToks, "doc_id", "toks", s"$idxDir/mh")
+    ExactAnn.saveIndex(emb, s"$idxDir/ea")
+    assert(ExactAnn.probeAgainstIndex(emb.limit(2), s"$idxDir/ea", 2)
+      .collect().nonEmpty)
 
     val leaked = spark.sparkContext.getPersistentRDDs
     assert(leaked.isEmpty,

@@ -234,6 +234,107 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("bootstrapped near-dup state survives a query restart (checkpoint resume)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      1L -> Seq("alpha", "beta", "gamma", "delta", "epsilon"),
+      2L -> Seq("one", "two", "three", "four", "five", "six"))
+      .toDF("doc_id", "toks")
+    val dir = tmpDir("ndbootrestart")
+    graft.operators.MinHashDedup.saveIndex(corpus, "doc_id", "toks", s"$dir/idx")
+
+    val ckpt = tmpDir("ndbootckpt")
+    val mem = MemoryStream[(Long, Seq[String])]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def start() = graft.streaming.StreamingNearDup.pairs(
+        mem.toDS().toDF("doc_id", "toks"),
+        bootstrapIndex = Some(s"$dir/idx"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingNearDup.Pair],
+         _: Long) =>
+          b.collect().foreach(p => seen.add((p.a_id, p.b_id, p.jac_bp)))
+      }
+      .start()
+
+    // run 1: a verbatim copy of indexed doc 1 matches from the FIRST batch
+    val q1 = start()
+    try {
+      mem.addData((100L, Seq("alpha", "beta", "gamma", "delta", "epsilon")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.iterator.asScala.toSet == Set((1L, 100L, 10000L)),
+      s"bootstrapped match missing before restart: $seen")
+
+    // run 2, same checkpoint: the resumed query is NOT re-bootstrapped
+    // (initial state applies to batch 0 only) — a copy of indexed doc 2,
+    // never streamed before the restart, must match from CHECKPOINTED
+    // state alone, proving the bootstrap members persisted
+    seen.clear()
+    val q2 = start()
+    try {
+      mem.addData((200L, Seq("one", "two", "three", "four", "five", "six")))
+      q2.processAllAvailable()
+      assert(seen.iterator.asScala.toSet.contains((2L, 200L, 10000L)),
+        s"bootstrap state lost across restart: $seen")
+      // pre-restart pairs must not re-emit
+      assert(!seen.iterator.asScala.exists(_._2 == 100L),
+        s"pre-restart pair re-emitted: $seen")
+    } finally q2.stop()
+  }
+
+  test("bootstrapped members age out under retention — including across a restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(1L -> Seq("red", "green", "blue", "cyan", "magenta"))
+      .toDF("doc_id", "toks")
+    val dir = tmpDir("ndage")
+    graft.operators.MinHashDedup.saveIndex(corpus, "doc_id", "toks", s"$dir/idx")
+
+    val ckpt = tmpDir("ndageckpt")
+    val mem = MemoryStream[(Long, Seq[String])]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = graft.streaming.StreamingNearDup.pairs(
+        mem.toDS().toDF("doc_id", "toks"),
+        retention = Some(java.time.Duration.ofMillis(1)),
+        bootstrapIndex = Some(s"$dir/idx"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.StreamingNearDup.Pair],
+         _: Long) =>
+          b.collect().foreach(p => seen.add((p.a_id, p.b_id)))
+      }
+      .start()
+
+    // bootstrapped members are stamped at query start; by the time the
+    // first batch touches their bucket the 1 ms window has passed, so
+    // the lazy prune drops them BEFORE comparison — same aging rule as
+    // streamed members
+    val q1 = start()
+    try {
+      Thread.sleep(50)
+      mem.addData((100L, Seq("red", "green", "blue", "cyan", "magenta")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.isEmpty, s"aged-out bootstrap member still matched: $seen")
+
+    // and the expiry survives a restart: the resumed state holds doc 100
+    // (inserted last batch, itself now expired) but not doc 1
+    val q2 = start()
+    try {
+      Thread.sleep(50)
+      mem.addData((200L, Seq("red", "green", "blue", "cyan", "magenta")))
+      q2.processAllAvailable()
+      assert(seen.isEmpty, s"expired members matched after restart: $seen")
+    } finally q2.stop()
+  }
+
   test("near-dup retention window: idle buckets expire, old docs stop matching") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
