@@ -120,7 +120,26 @@ object IvfPq {
     * corpus-free probing — re-rank against stored vectors by joining
     * index_id back to the corpus table when exactness matters. */
   def probeAgainstIndex(newEmb: DataFrame, path: String, k: Int,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2): DataFrame = probePlan(newEmb, path, k, nProbe)._2
+
+  /** As [[probeAgainstIndex]], but runs `consume` on the result within
+    * the call and releases the per-batch encode checkpoint before
+    * returning — the shape a per-micro-batch caller needs
+    * (graft.streaming.StreamingAnnProbe): a long-running stream calling
+    * the lazy variant would retain one checkpoint block per micro-batch
+    * for the life of the query. */
+  def probeAndConsume(newEmb: DataFrame, path: String, k: Int,
+      nProbe: Int = 2)(consume: DataFrame => Unit): Unit = {
+    val (fresh, result) = probePlan(newEmb, path, k, nProbe)
+    try consume(result)
+    finally CheckpointHygiene.release(fresh)
+  }
+
+  /** Shared probe pipeline: returns (the checkpointed encoded batch —
+    * for callers that can release it once the result is consumed — and
+    * the lazy scored result). */
+  private def probePlan(newEmb: DataFrame, path: String, k: Int,
+      nProbe: Int): (DataFrame, DataFrame) = {
     val spark = newEmb.sparkSession
     import spark.implicits._
     val index = load(spark, path)
@@ -153,9 +172,9 @@ object IvfPq {
       .select($"p_id", $"index_id".as("vec_id"),
         graft.functions.PqCodec.sdcCol($"codes", $"i_codes", lut, pq.m, pq.ks)
           .as("approx"))
-    graft.functions.TopK.rankBySim(scored, "approx", k)
+    (fresh, graft.functions.TopK.rankBySim(scored, "approx", k)
       .select($"p_id".as("new_id"), $"rk", $"vec_id".as("index_id"),
-        $"sim_bp".as("approx_bp"))
+        $"sim_bp".as("approx_bp")))
   }
 
   /** Top-k per probe: nProbe cells → ADC walk → top-`rerank` → exact

@@ -43,6 +43,33 @@ object ScaleOps extends QueryModule {
     (spark, dir) =>
       MinHashDedup.nearDuplicates(docTokensRaw(spark, dir), "doc_id", "toks"))
 
+  /** Incremental NEAR-dup lifecycle against the persisted MinHash index
+    * (operators/MinHashDedup.saveIndex / dedupAgainstIndex): the corpus
+    * (doc_id % 10 != 0) is shingled+banded ONCE into the slim
+    * shingles/bands layout, then "tomorrow's batch" (doc_id % 10 = 0)
+    * bands with the same kernels, equi-joins the index's band rows, and
+    * exact-Jaccard-verifies only colliding candidates — the corpus is
+    * never rescanned or re-signed. Completes the DECLARED
+    * incremental-probe set across all three index modalities
+    * (x_dedup_incremental exact digests, this one near-dup shingles,
+    * x_ann_incremental / _exact embeddings). Rows-only (band collisions
+    * are hash-geometry, like x_dedup_minhash); MinHashIndexSpec pins
+    * probe-equals-self-join-cross-pairs and append semantics, and the
+    * index build is once-per-JVM (QueryModule.cachedIndex). */
+  private val dedupIncrementalNear = Q(
+    "x_dedup_incremental_near",
+    None,
+    (spark, dir) => {
+      val toks = docTokensRaw(spark, dir)
+      val path = QueryModule.cachedIndex(s"mhidx:$dir") { p =>
+        MinHashDedup.saveIndex(
+          toks.where(col("doc_id") % 10 =!= 0), "doc_id", "toks", p)
+      }
+      MinHashDedup.dedupAgainstIndex(
+          toks.where(col("doc_id") % 10 === 0), "doc_id", "toks", path)
+        .orderBy(col("new_id"), col("index_id"))
+    })
+
   /** MinHash estimate-vs-exact calibration per estimate decile — the
     * sketch-trust report (rows-only: the estimate is hash-geometry;
     * OperatorsSpec pins the error bounds and determinism). */
@@ -276,5 +303,6 @@ object ScaleOps extends QueryModule {
     })
 
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
-    minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve)
+    minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
+    dedupIncrementalNear)
 }

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.{ExactAnn, IvfPq}
+
+/** Online ANN serving: a stream of new embeddings probed per
+  * micro-batch against a persisted static index must reproduce the
+  * batch probe exactly (the probe is stateless — neighbours depend only
+  * on the index), leave no block-manager state behind, and not re-emit
+  * across a checkpoint restart. */
+class StreamingAnnProbeSpec extends AnyFunSuite with SparkTestBase {
+
+  private def embAll = {
+    graft.functions.VecDot.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+
+  test("exact probe: streamed micro-batches equal the batch probe of their union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = embAll
+    val dir = tmpDir("annstream")
+    ExactAnn.saveIndex(e.where($"vec_id" < 150), s"$dir/idx")
+    val batch = e.where($"vec_id" >= 150 && $"vec_id" < 170)
+    val expected = ExactAnn.probeAgainstIndex(batch, s"$dir/idx", k = 3)
+      .collect().map(_.toString).sorted
+
+    val mem = MemoryStream[(Long, Seq[Double], Double)]
+    val q = StreamingAnnProbe.start(
+      mem.toDS().toDF("vec_id", "v", "nrm"),
+      s"$dir/idx", k = 3, outDir = s"$dir/out", checkpoint = s"$dir/ckpt",
+      exact = true)
+    try {
+      val (h, t) = rows(batch).splitAt(10)
+      mem.addData(h.toIndexedSeq); q.processAllAvailable()
+      mem.addData(t.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(expected),
+      s"stream ${got.length} rows vs batch ${expected.length}")
+  }
+
+  test("IVF-PQ probe: streamed result equals batch probe; encode checkpoints released") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = embAll
+    val corpus = e.where($"vec_id" < 150)
+    val dir = tmpDir("annstreampq")
+    IvfPq.saveIndexed(corpus, IvfPq.train(corpus), s"$dir/idx")
+    val batch = e.where($"vec_id" >= 150 && $"vec_id" < 160)
+    val expected = IvfPq.probeAgainstIndex(batch, s"$dir/idx", k = 3)
+      .collect().map(_.toString).sorted
+
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val mem = MemoryStream[(Long, Seq[Double], Double)]
+    val q = StreamingAnnProbe.start(
+      mem.toDS().toDF("vec_id", "v", "nrm"),
+      s"$dir/idx", k = 3, outDir = s"$dir/out", checkpoint = s"$dir/ckpt")
+    try {
+      val (h, t) = rows(batch).splitAt(5)
+      mem.addData(h.toIndexedSeq); q.processAllAvailable()
+      mem.addData(t.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(expected),
+      s"stream ${got.length} rows vs batch ${expected.length}")
+    // probeAndConsume must have released each micro-batch's encode
+    // checkpoint — a serving stream runs for months
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "streamed probes leaked checkpoint blocks")
+  }
+
+  test("probe output is not re-emitted across a checkpoint restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = embAll
+    val dir = tmpDir("annstreamrs")
+    ExactAnn.saveIndex(e.where($"vec_id" < 100), s"$dir/idx")
+    val mem = MemoryStream[(Long, Seq[Double], Double)]
+    def start() = StreamingAnnProbe.start(
+      mem.toDS().toDF("vec_id", "v", "nrm"),
+      s"$dir/idx", k = 1, outDir = s"$dir/out", checkpoint = s"$dir/ckpt",
+      exact = true)
+
+    val probes = rows(e.where($"vec_id" >= 100 && $"vec_id" < 104))
+    val q1 = start()
+    try { mem.addData(probes.take(2).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+
+    val q2 = start()
+    try { mem.addData(probes.drop(2).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val got = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getLong(0)).sorted
+    assert(got.toSeq == probes.map(_._1).sorted.toSeq,
+      s"restart duplicated or dropped probes: ${got.toSeq}")
+  }
+}
