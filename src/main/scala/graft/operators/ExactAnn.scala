@@ -26,7 +26,15 @@ object ExactAnn {
   /** Write (overwrite or append) the exact index: one (vec_id, v, nrm)
     * row per corpus vector. `emb` must carry `vec_id`, `v`
     * (array<double>) and `nrm` (precomputed L2 norm — stored so probes
-    * never recompute corpus norms). */
+    * never recompute corpus norms).
+    *
+    * Ingest contract (same as MinHashDedup.saveIndex): vec_ids must be
+    * globally unique across appends. The probe does NOT dedup the index
+    * side — at corpus scale that would be a full (vec_id, v, nrm)
+    * exchange per batch — so re-appending an id makes its duplicate
+    * rows occupy multiple top-k slots and evict a true neighbour.
+    * Idempotent re-ingest belongs at the writer (stage the batch, check
+    * a high-water id mark, or rewrite the affected partition). */
   def saveIndex(emb: DataFrame, path: String, append: Boolean = false): Unit =
     emb.select(col("vec_id"), col("v"), col("nrm"))
       .write.mode(if (append) "append" else "overwrite").parquet(path)
@@ -35,11 +43,16 @@ object ExactAnn {
     * (new_id, rk, index_id, sim_bp), ranked by exact cosine (ties by
     * index id), sim floored to basis points. Requires the vec_dot
     * kernel registered on the session (graft.functions.VecDot). */
-  def probeAgainstIndex(batch: DataFrame, path: String, k: Int): DataFrame = {
+  def probeAgainstIndex(batch: DataFrame, path: String, k: Int): DataFrame =
+    probeAgainstIndex(batch, batch.sparkSession.read.parquet(path), k)
+
+  /** As above, over a pre-loaded index DataFrame — a per-micro-batch
+    * server (StreamingAnnProbe) resolves the scan (footer inference)
+    * once at query start instead of per batch. */
+  def probeAgainstIndex(batch: DataFrame, index: DataFrame, k: Int): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val idx = spark.read.parquet(path)
-      .select($"vec_id", $"v".as("iv"), $"nrm".as("i_nrm"))
+    val idx = index.select($"vec_id", $"v".as("iv"), $"nrm".as("i_nrm"))
     val scored = broadcast(
         batch.select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm")))
       .join(idx, $"p_id" =!= $"vec_id")

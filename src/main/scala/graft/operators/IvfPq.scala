@@ -120,17 +120,32 @@ object IvfPq {
     * corpus-free probing — re-rank against stored vectors by joining
     * index_id back to the corpus table when exactness matters. */
   def probeAgainstIndex(newEmb: DataFrame, path: String, k: Int,
-      nProbe: Int = 2): DataFrame = probePlan(newEmb, path, k, nProbe)._2
+      nProbe: Int = 2): DataFrame =
+    probePlan(newEmb, loadForServing(newEmb.sparkSession, path), k, nProbe)._2
 
-  /** As [[probeAgainstIndex]], but runs `consume` on the result within
-    * the call and releases the per-batch encode checkpoint before
-    * returning — the shape a per-micro-batch caller needs
-    * (graft.streaming.StreamingAnnProbe): a long-running stream calling
-    * the lazy variant would retain one checkpoint block per micro-batch
-    * for the life of the query. */
-  def probeAndConsume(newEmb: DataFrame, path: String, k: Int,
+  /** Everything a probe needs, resolved ONCE: quantizers collected to
+    * the driver, the SDC LUT built, the assignments table's footer
+    * inferred. A per-micro-batch server (StreamingAnnProbe) resolves
+    * this at query start instead of re-running two driver-side parquet
+    * collects + LUT construction on every batch. */
+  final case class Serving(index: Index, lut: Array[Double], asg: DataFrame)
+
+  def loadForServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Serving = {
+    val index = load(spark, path)
+    Serving(index, sdcLut(index.pq),
+      spark.read.parquet(s"$path/assignments"))
+  }
+
+  /** As [[probeAgainstIndex]], but over a pre-loaded [[Serving]] handle
+    * AND running `consume` on the result within the call, releasing the
+    * per-batch encode checkpoint before returning — the shape a
+    * per-micro-batch caller needs (graft.streaming.StreamingAnnProbe):
+    * a long-running stream calling the lazy variant would retain one
+    * checkpoint block per micro-batch for the life of the query. */
+  def probeAndConsume(newEmb: DataFrame, srv: Serving, k: Int,
       nProbe: Int = 2)(consume: DataFrame => Unit): Unit = {
-    val (fresh, result) = probePlan(newEmb, path, k, nProbe)
+    val (fresh, result) = probePlan(newEmb, srv, k, nProbe)
     try consume(result)
     finally CheckpointHygiene.release(fresh)
   }
@@ -138,14 +153,13 @@ object IvfPq {
   /** Shared probe pipeline: returns (the checkpointed encoded batch —
     * for callers that can release it once the result is consumed — and
     * the lazy scored result). */
-  private def probePlan(newEmb: DataFrame, path: String, k: Int,
+  private def probePlan(newEmb: DataFrame, srv: Serving, k: Int,
       nProbe: Int): (DataFrame, DataFrame) = {
     val spark = newEmb.sparkSession
     import spark.implicits._
-    val index = load(spark, path)
-    val pq = index.pq
-    val cents = index.cents.toSeq
-    val lut = sdcLut(pq)
+    val pq = srv.index.pq
+    val cents = srv.index.cents.toSeq
+    val lut = srv.lut
     // encode the batch once (localCheckpoint: the cell probe below and
     // the join both read it — one kernel pass, not two)
     val fresh = newEmb
@@ -161,7 +175,7 @@ object IvfPq {
     // of the stored assignments into real partition pruning on disk
     val probedCells = fresh.select($"p_cid").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val asg = spark.read.parquet(s"$path/assignments")
+    val asg = srv.asg
       .where($"cid".isin(probedCells: _*))
       .select($"cid".as("i_cid"), $"vec_id".as("index_id"),
         $"codes".as("i_codes"))

@@ -92,11 +92,12 @@ object Joins extends QueryModule {
       // in-memory catalog dies with the SparkContext, so a fresh context
       // must re-register (re-build) its own external tables even though
       // the JVM-wide cachedIndex survives
-      val tag = s"${Integer.toHexString(dir.hashCode)}_" +
+      val stamp = s"${tableStamp(dir, "lineitem")}:${tableStamp(dir, "orders")}"
+      val tag = s"${Integer.toHexString(stamp.hashCode)}_" +
         spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
       val lt = s"graft_bkt_lineitem_$tag"
       val ot = s"graft_bkt_orders_$tag"
-      QueryModule.cachedIndex(s"bucketed:$dir:$tag") { p =>
+      QueryModule.cachedIndex(s"bucketed:$stamp:$tag") { p =>
         graft.operators.BucketedJoins.writeBucketed(
           t(spark, dir, "lineitem")
             .select($"l_orderkey", $"l_extendedprice", $"l_discount"),

@@ -37,18 +37,19 @@ trait QueryModule {
     // footer-read Spark job per t() call is how a metastore-less engine
     // burns 50 ms × (queries × tables × reps) of pure driver latency —
     // production catalogs cache table schemas for exactly this reason.
-    // Keyed by path; thread-safe for Verify's query pool. The cached
-    // schema reflects the nanosAsLong conf set above (it is inferred
-    // under it), so the LongType/NTZ normalization below is unaffected.
+    // Keyed by path with the dataset dir's mtime stored alongside:
+    // regenerating the parquet at the same path (the repo's testdata
+    // drills) REPLACES the entry — one live entry per table, no stale
+    // schema served (spark.read.schema(stale) would yield NULLs for
+    // renamed/retyped columns with no error) and no unbounded growth of
+    // superseded keys. One local stat per t() call, no Spark job. The
+    // cached schema reflects the nanosAsLong conf set above (it is
+    // inferred under it), so the normalization below is unaffected.
     val path = s"$dir/$name.parquet"
-    // Cache key carries the dataset directory's mtime: regenerating the
-    // parquet at the same path (the repo's testdata drills) invalidates
-    // the entry instead of silently serving a stale schema — a stale
-    // spark.read.schema(old) would yield NULLs for renamed/retyped
-    // columns with no error. One local stat per t() call, no Spark job.
-    val cacheKey = s"$path@${new java.io.File(path).lastModified}"
-    val schema = QueryModule.schemaCache.computeIfAbsent(
-      cacheKey, _ => spark.read.parquet(path).schema)
+    val mtime = new java.io.File(path).lastModified
+    val schema = QueryModule.schemaCache.compute(path, (_, old) =>
+      if (old != null && old._1 == mtime) old
+      else (mtime, spark.read.parquet(path).schema))._2
     val df = spark.read.schema(schema).parquet(path)
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
@@ -65,6 +66,14 @@ trait QueryModule {
       }
     }
   }
+
+  /** Cache-key stamp of a driver table: path + dataset-dir mtime. A
+    * testdata regeneration changes the stamp, so per-JVM caches keyed
+    * through it (QueryModule.cachedIndex) REBUILD instead of silently
+    * probing an index built from the old data — the same invalidation
+    * rule the schema cache applies. */
+  protected def tableStamp(dir: String, name: String): String =
+    s"$dir/$name.parquet@${new java.io.File(s"$dir/$name.parquet").lastModified}"
 
   /** Exact money arithmetic: the testdata stores 2-decimal prices as
     * DOUBLE; casting to DECIMAL(18,2) recovers the exact decimal value in
@@ -112,12 +121,14 @@ object QueryModule {
     * (TESTDATA.md + ROUND_NOTES regeneration log). */
   val nanosTimestampCols: Set[String] = Set("ts", "l_shipdate", "o_orderdate")
 
-  /** Per-JVM table-schema cache (path → inferred schema), the catalog
-    * role a metastore plays in production: without it every t() call
-    * runs a footer-inference job before the query proper. */
+  /** Per-JVM table-schema cache (path → (dir mtime, inferred schema)),
+    * the catalog role a metastore plays in production: without it every
+    * t() call runs a footer-inference job before the query proper. The
+    * mtime rides in the VALUE so a regeneration replaces the entry
+    * in place — one live entry per table. */
   private[queries] val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[
-      String, org.apache.spark.sql.types.StructType]()
+      String, (Long, org.apache.spark.sql.types.StructType)]()
 
   /** Per-JVM cache of side-written temp indexes, keyed by
     * (query, sfDir): the incremental-index queries (x_dedup_incremental,

@@ -61,13 +61,15 @@ object ScaleOps extends QueryModule {
     None,
     (spark, dir) => {
       val toks = docTokensRaw(spark, dir)
-      val path = QueryModule.cachedIndex(s"mhidx:$dir") { p =>
+      val path = QueryModule.cachedIndex(
+          s"mhidx:${tableStamp(dir, "documents")}") { p =>
         MinHashDedup.saveIndex(
           toks.where(col("doc_id") % 10 =!= 0), "doc_id", "toks", p)
       }
+      // no query-level orderBy: dedupAgainstIndex already ends in the
+      // total (new_id, index_id) ordering (its output contract)
       MinHashDedup.dedupAgainstIndex(
-          toks.where(col("doc_id") % 10 === 0), "doc_id", "toks", path)
-        .orderBy(col("new_id"), col("index_id"))
+        toks.where(col("doc_id") % 10 === 0), "doc_id", "toks", path)
     })
 
   /** MinHash estimate-vs-exact calibration per estimate decile — the

@@ -69,10 +69,13 @@ object TextOps extends QueryModule {
       val docs = t(spark, dir, "documents")
       val corpus = docs.where($"doc_id" % 10 =!= 0)
       val batch = docs.where($"doc_id" % 10 === 0)
-      // index written once per JVM per sfDir (QueryModule.cachedIndex):
-      // reps probe the SAME persisted index, which is the lifecycle the
-      // query models anyway — build nightly, probe every batch
-      val path = QueryModule.cachedIndex(s"exactidx:$dir") { p =>
+      // index written once per JVM per table generation
+      // (QueryModule.cachedIndex; tableStamp invalidates on testdata
+      // regeneration): reps probe the SAME persisted index, which is the
+      // lifecycle the query models anyway — build nightly, probe every
+      // batch
+      val path = QueryModule.cachedIndex(
+          s"exactidx:${tableStamp(dir, "documents")}") { p =>
         graft.operators.ExactDedup.saveIndex(corpus, "doc_id", "text", p)
       }
       val hits = graft.operators.ExactDedup

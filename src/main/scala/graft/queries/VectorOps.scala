@@ -835,7 +835,8 @@ object VectorOps extends QueryModule {
       // sample collect, PQ's sample collect and the index write from
       // each re-running the parquet+transform lineage; the blocks are
       // released as soon as the build completes.
-      val path = QueryModule.cachedIndex(s"annincr:$dir") { p =>
+      val path = QueryModule.cachedIndex(
+          s"annincr:${tableStamp(dir, "embeddings")}") { p =>
         val e = emb(spark, dir).localCheckpoint()
         try {
           val corpus = e.where($"vec_id" % 10 =!= 0)
@@ -882,7 +883,8 @@ object VectorOps extends QueryModule {
       import spark.implicits._
       // index written once per JVM per sfDir (QueryModule.cachedIndex),
       // as in the other two incremental-index queries
-      val path = QueryModule.cachedIndex(s"exactann:$dir") { p =>
+      val path = QueryModule.cachedIndex(
+          s"exactann:${tableStamp(dir, "embeddings")}") { p =>
         graft.operators.ExactAnn.saveIndex(
           emb(spark, dir).where($"vec_id" % 10 =!= 0), p)
       }

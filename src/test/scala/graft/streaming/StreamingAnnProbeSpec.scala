@@ -46,6 +46,7 @@ class StreamingAnnProbeSpec extends AnyFunSuite with SparkTestBase {
       mem.addData(t.toIndexedSeq); q.processAllAvailable()
     } finally q.stop()
     val got = spark.read.parquet(s"$dir/out")
+      .select("new_id", "rk", "index_id", "sim_bp") // drop the batch_id partition col
       .collect().map(_.toString).sorted
     assert(got.nonEmpty && got.sameElements(expected),
       s"stream ${got.length} rows vs batch ${expected.length}")
@@ -75,6 +76,7 @@ class StreamingAnnProbeSpec extends AnyFunSuite with SparkTestBase {
       mem.addData(t.toIndexedSeq); q.processAllAvailable()
     } finally q.stop()
     val got = spark.read.parquet(s"$dir/out")
+      .select("new_id", "rk", "index_id", "approx_bp")
       .collect().map(_.toString).sorted
     assert(got.nonEmpty && got.sameElements(expected),
       s"stream ${got.length} rows vs batch ${expected.length}")
