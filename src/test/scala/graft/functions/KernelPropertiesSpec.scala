@@ -155,6 +155,37 @@ class KernelPropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: token-count byte scanners equal their regex/split references") {
+    TokenCounts.register(spark)
+    import spark.implicits._
+    // ASCII soup: letters, digits, punctuation, multi-space runs, and
+    // mixed-case stop words woven in; plus the fixed edge cases
+    val soupGen = Gen.chooseNum(0, 120).flatMap(n => Gen.stringOfN(n,
+      Gen.frequency(6 -> Gen.const(' '), 12 -> Gen.alphaNumChar,
+        3 -> Gen.oneOf('.', ',', '!', '-', '\''), 2 -> Gen.const('9'))))
+    val stopGen = Gen.oneOf("the", "The", "THE", "and", "OF", "a", "In",
+      "to", "iS", "thee", "land", "off")
+    val gen = Gen.zip(soupGen, Gen.listOfN(4, stopGen)).map {
+      case (s, ws) => (s.split(' ') ++ ws).mkString(" ")
+    }
+    val docs = "" :: "   " :: " a " :: samples(gen, 60, seed = 17L)
+    def wsRef(s: String): Long = "[^ ]+".r.findAllIn(s).length.toLong
+    def bpeRef(s: String): Long =
+      "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]".r.findAllIn(s).length.toLong
+    val stops = Set("the", "and", "of", "a", "in", "to", "is")
+    def stopRef(s: String): Long =
+      "[^ ]+".r.findAllIn(s).count(t => stops(t.toLowerCase)).toLong
+    val got = docs.toDF("s")
+      .selectExpr("s", "ws_token_count(s) AS w", "bpe_token_count(s) AS b",
+        "stop_token_count(s) AS st")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (s, w, b, st) =>
+      assert(w == wsRef(s), s"ws_token_count('$s') = $w, want ${wsRef(s)}")
+      assert(b == bpeRef(s), s"bpe_token_count('$s') = $b, want ${bpeRef(s)}")
+      assert(st == stopRef(s), s"stop_token_count('$s') = $st, want ${stopRef(s)}")
+    }
+  }
+
   test("property: TopKAgg under shuffled partitions equals the sort reference (ties by id)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
