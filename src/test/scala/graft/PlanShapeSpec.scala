@@ -276,22 +276,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), s"transition matrix must not join:\n$p")
   }
 
-  test("x_graph_triangles: the corpus pipeline is materialized once, then reused") {
-    // the summary derives four scalars from a tokenize → posting-join →
-    // overlap-filter pipeline; everything past the first materialization
-    // must resolve to ReusedExchange — a fresh documents scan per scalar
-    // is the O(scalars × corpus) anti-plan
+  test("x_graph_triangles: the bounded edge list is localized — zero corpus scans in the plan") {
+    // the edge build (tokenize → distinct → self-join → overlap filter)
+    // runs ONCE at query construction and yields a ≤ C(100,2)-row local
+    // relation; the executed summary plan must therefore contain NO
+    // documents scan at all — a corpus FileScan here means a branch
+    // re-grew its own edge pipeline (the O(branches × corpus)
+    // anti-plan localization exists to forbid structurally)
     val df = SparkEntry.queries("x_graph_triangles")(spark, sf)
     df.collect()
     val full = df.queryExecution
       .explainString(org.apache.spark.sql.execution.SimpleMode)
     val finalPlan = full.split("== Initial Plan ==")(0)
-    assert(finalPlan.contains("ReusedExchange"),
-      s"no ReusedExchange — the edge pipeline is recomputed per scalar:\n$finalPlan")
     val liveScans = finalPlan.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains("documents"))
-    assert(liveScans <= 2,
-      s"expected ≤2 live documents scans in the final plan, got $liveScans:\n$finalPlan")
+    assert(liveScans == 0,
+      s"corpus scan leaked into the graph-summary plan ($liveScans):\n$finalPlan")
+    assert(finalPlan.contains("LocalTableScan"),
+      s"edge list is not a local relation:\n$finalPlan")
   }
 
   test("x_session_stats: one exchange serves both session windows") {
