@@ -554,26 +554,15 @@ object MiningOps extends QueryModule {
             ORDER BY rank_bp DESC, doc_id LIMIT 20"""),
     (spark, dir) => {
       import spark.implicits._
-      val pairs = TextOps.ngramPairs(spark, dir).select($"a_id", $"b_id")
-      // one exchange under the whole iteration stack: every reference
-      // to `edges` below reuses this shuffle, so the posting join that
-      // materializes the graph runs exactly once (ReusedExchange)
-      val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
-        .unionAll(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
-        .repartition($"src")
-      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-      val edgesD = edges.join(deg, "src")
-      var rank = deg.select($"src".as("id"), lit(10000L).as("rank"))
-      for (_ <- 1 to 3) {
-        rank = edgesD.join(rank, $"src" === $"id")
-          .select($"dst", expr("rank DIV deg").as("contrib"))
-          .groupBy($"dst")
-          .agg(sum($"contrib").as("s"))
-          .select($"dst".as("id"),
-            expr("CAST(1500 + (8500 * s) DIV 10000 AS BIGINT)").as("rank"))
-      }
-      rank.join(deg, $"id" === $"src")
-        .select($"id".as("doc_id"), $"deg", $"rank".as("rank_bp"))
+      // two-regime operator (graft.operators.PageRank): gate-SF graphs
+      // run the integer recurrence as a driver-local loop (the posting
+      // join that BUILDS the pair list still runs distributed and
+      // dominates); past DriverEdgeLimit the distributed join stack
+      // takes over with one reused edge exchange under all iterations.
+      // Cross-regime equality is PageRankSpec-pinned.
+      graft.operators.PageRank
+        .ranksBp(TextOps.ngramPairs(spark, dir), "a_id", "b_id", iters = 3)
+        .select($"id".as("doc_id"), $"deg", $"rank_bp")
         .orderBy($"rank_bp".desc, $"doc_id")
         .limit(20)
     })

@@ -213,16 +213,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), s"burst screen must not join:\n$p")
   }
 
-  test("x_dup_pagerank: the edge-list exchange is built once and reused per iteration") {
-    // three power iterations over the near-dup graph must NOT recompute
-    // the shingle posting join — every reference below the edge-list
-    // repartition has to resolve to a ReusedExchange
+  test("x_dup_pagerank: gate-SF graphs take the driver regime — no iteration joins in the plan") {
+    // the two-regime PageRank (operators/PageRank) runs the posting
+    // join ONCE to build the pair list, then — under DriverEdgeLimit —
+    // folds the 3 iterations driver-side: the final plan ranks a local
+    // relation, so any Join here means the dispatch regressed to the
+    // distributed stack at a scale where scheduling would dominate
+    // (the distributed branch's reused-exchange shape is pinned by
+    // PageRankSpec's cross-regime equality instead)
     val df = SparkEntry.queries("x_dup_pagerank")(spark, sf)
-    df.collect() // AQE only materializes reuse in the FINAL plan
+    df.collect()
     val p = df.queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(p.contains("ReusedExchange"),
-      s"no ReusedExchange — the pair graph is being recomputed per iteration:\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"gate-SF pagerank must rank a local relation:\n$p")
+    assert(!p.contains("Join"),
+      s"iteration joins leaked into the driver-regime plan:\n$p")
   }
 
   test("x_doc_diversity: staged aggregates only — no joins, no windows") {
