@@ -22,20 +22,38 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** pairs(aCol, bCol): distinct undirected pairs. Returns one row per
-    * node — (id, deg, rank_bp) after `iters` iterations, unordered
-    * (callers add their own top-k). */
+  /** pairs(aCol, bCol): distinct undirected pairs over INTEGRAL node
+    * ids (byte/short/int/long — enforced loudly below: a silent
+    * cast("long") of string tokens would yield all-null ids, an NPE on
+    * the driver path and one phantom null node with garbage ranks on
+    * the distributed path; rank a string-keyed graph by mapping tokens
+    * to dense ids first). Returns one row per node — (id, deg, rank_bp)
+    * after `iters` iterations, unordered (callers add their own top-k).
+    * `driverLimit` exists for tests to force the distributed regime
+    * (the KCore pattern). */
   def ranksBp(pairs0: DataFrame, aCol: String, bCol: String,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      driverLimit: Long = ConnectedComponents.DriverEdgeLimit): DataFrame = {
     val spark = pairs0.sparkSession
     import spark.implicits._
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = pairs0.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"PageRank.ranksBp needs integral node ids; column '$c' is " +
+          s"${pairs0.schema(c).dataType.catalogString} — map tokens to " +
+          "dense ids before ranking")
+    }
     val pairs = pairs0.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b"))
       // the size probe and the chosen path both re-read the pair set
       .persist()
     val probeCount = pairs
-      .limit(ConnectedComponents.DriverEdgeLimit.toInt + 1).count()
-    if (probeCount <= ConnectedComponents.DriverEdgeLimit) {
+      .limit(math.min(driverLimit, Int.MaxValue - 1L).toInt + 1).count()
+    if (probeCount <= driverLimit) {
       val probe = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
       pairs.unpersist()
       // doubled edge list, same multiset as the distributed unionAll

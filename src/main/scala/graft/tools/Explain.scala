@@ -7,7 +7,14 @@ import org.apache.spark.sql.SparkSession
 /** Dump the formatted physical plan of every declared query (or one) for
   * plan auditing: pushed filters, pruned schemas, join strategies,
   * whole-stage-codegen spans.
-  * sbt "runMain graft.tools.Explain [out.txt] [queryName]" */
+  * sbt "runMain graft.tools.Explain [out.txt] [queryName]"
+  *
+  * Cost caveat: the two-regime/bounded-localization queries
+  * (x_graph_*, x_dup_pagerank, x_dedup_clusters, the incremental-index
+  * probes) run their size probe / bounded build EAGERLY at
+  * DataFrame-construction time, so "dumping the plan" executes those
+  * pipelines at SPARK_GRAFT_SF_DIR scale — keep the default sf0.01
+  * (seconds) unless auditing a specific query at sf0.1. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/plans.txt")

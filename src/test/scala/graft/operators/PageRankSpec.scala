@@ -36,38 +36,39 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     Seq(1L, 2L, 3L).foreach(l => assert(got(l) == (1L, 4333L), got.toString))
   }
 
-  test("regime equality on the real corpus pairs: driver loop vs the distributed stack") {
+  test("regime equality on the real corpus pairs: driver loop vs the distributed branch") {
     import spark.implicits._
     // the testdata near-dup graph is small, so the public entry point
-    // takes the DRIVER regime; the distributed branch is exercised here
-    // as the identical DataFrame stack over the same pairs (inflating
-    // the pair list past the probe limit would change degrees, i.e.
-    // the answer — so the scale branch is pinned by construction, not
-    // by forcing the dispatch)
+    // takes the DRIVER regime; driverLimit = 0 forces the OPERATOR'S
+    // OWN distributed branch over the same pairs (the KCore pattern —
+    // an inline copy of the stack would silently drift from the code
+    // it claims to pin)
     val pairs = graft.SparkEntry
       .queries("x_dedup_ngram")(spark, "/root/testdata/sf0.001")
       .select($"a_id", $"b_id")
     val pub = PageRank.ranksBp(pairs, "a_id", "b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
-      .unionAll(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
-      .repartition($"src")
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val edgesD = edges.join(deg, "src")
-    var rank = deg.select($"src".as("id"), lit(10000L).as("rank"))
-    for (_ <- 1 to 3) {
-      rank = edgesD.join(rank, $"src" === $"id")
-        .select($"dst", expr("rank DIV deg").as("contrib"))
-        .groupBy($"dst")
-        .agg(sum($"contrib").as("s"))
-        .select($"dst".as("id"),
-          expr("CAST(1500 + (8500 * s) DIV 10000 AS BIGINT)").as("rank"))
-    }
-    val dist = rank.join(deg, $"id" === $"src")
-      .select($"id", $"deg", $"rank".as("rank_bp"))
+    val dist = PageRank.ranksBp(pairs, "a_id", "b_id", driverLimit = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pub.nonEmpty && pub == dist,
-      s"driver regime diverged from the distributed stack: " +
+      s"driver regime diverged from the distributed branch: " +
         s"${(pub -- dist).take(3)} vs ${(dist -- pub).take(3)}")
+  }
+
+  test("distributed branch on a constructed graph matches the star closed form") {
+    val got = PageRank.ranksBp(
+        pairsDf(Seq((0L, 1L), (0L, 2L), (0L, 3L))), "a_id", "b_id",
+        iters = 1, driverLimit = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == (3L, 27000L) && got(1L) == (1L, 4333L), got.toString)
+  }
+
+  test("string-keyed pairs are rejected loudly, not silently nulled") {
+    import spark.implicits._
+    val strPairs = Seq(("tok_a", "tok_b")).toDF("a_id", "b_id")
+    val e = intercept[IllegalArgumentException] {
+      PageRank.ranksBp(strPairs, "a_id", "b_id")
+    }
+    assert(e.getMessage.contains("integral node ids"), e.getMessage)
   }
 }
