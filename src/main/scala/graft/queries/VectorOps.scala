@@ -800,10 +800,10 @@ object VectorOps extends QueryModule {
         // this family returns NO candidates still appears (vec_id null ⇒
         // zero hits) and scores recall 0 instead of silently dropping out
         // of n_probes — exactly the case where an index degrades to empty
-        // buckets and the calibration table must show it. The candidate
-        // side broadcasts explicitly (≤ |probes|·k rows, but statless
-        // after its index pipeline, so without the hint all six scoring
-        // joins fall back to SortMergeJoin).
+        // buckets and the calibration table must show it. Both sides are
+        // ≤ 25-row LOCAL relations after the collects above; the hint
+        // keeps the join a broadcast even if a future edit re-laxifies
+        // a side (a stats-less lazy side would fall back to SMJ).
         broadcast(df.select($"p_id", $"vec_id"))
           .join(exact.withColumnRenamed("vec_id", "e_vec"),
             Seq("p_id"), "right")
