@@ -24,6 +24,31 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("the whole surface constructs and executes 8-wide concurrently (registry-race pin)") {
+    // graft.Verify runs queries on a thread pool over ONE session; the
+    // r7 gate caught a session-global registry race (an interleaved
+    // Centroids.register swapping another query's centroid set mid-
+    // construction), which is why operator code uses registry-free
+    // Column builders. This pins that discipline for the FULL declared
+    // surface: every query built AND executed concurrently, no
+    // exceptions, non-oracle queries still non-empty.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = fn(spark, sf).count()
+        })
+      }
+      futs.foreach { case (name, f) =>
+        val n = try f.get() catch {
+          case e: Throwable => fail(s"$name failed under concurrency: $e")
+        }
+        if (!SparkEntry.oracleSql.contains(name))
+          assert(n > 0, s"non-oracle query $name empty under concurrency")
+      }
+    } finally pool.shutdown()
+  }
+
   test("driver contract: every oracle key names a query; names are unique and well-formed") {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- qs
