@@ -159,4 +159,14 @@ object QueryModule {
       dir.toString
     })
   }
+
+  /** Per-JVM cache for small CONSTANT-SIZE derived artifacts (a bloom
+    * sketch's bytes, a trained quantizer) keyed like [[cachedIndex]] —
+    * a static benchmark's sketch is built once per table generation,
+    * not once per query invocation. Values are driver-sized by the
+    * caller's contract (numBits/8 bytes etc.), so the map stays tiny. */
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  private[queries] def cachedBytes(key: String)(build: => Array[Byte]): Array[Byte] =
+    bytesCache.computeIfAbsent(key, _ => build)
 }
