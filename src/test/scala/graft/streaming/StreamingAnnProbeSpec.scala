@@ -86,6 +86,46 @@ class StreamingAnnProbeSpec extends AnyFunSuite with SparkTestBase {
       "streamed probes leaked checkpoint blocks")
   }
 
+  test("a REPLAYED micro-batch overwrites its own output instead of duplicating it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = embAll
+    val dir = tmpDir("annstreamreplay")
+    ExactAnn.saveIndex(e.where($"vec_id" < 100), s"$dir/idx")
+    val mem = MemoryStream[(Long, Seq[Double], Double)]
+    def start() = StreamingAnnProbe.start(
+      mem.toDS().toDF("vec_id", "v", "nrm"),
+      s"$dir/idx", k = 2, outDir = s"$dir/out", checkpoint = s"$dir/ckpt",
+      exact = true)
+
+    val probes = rows(e.where($"vec_id" >= 100 && $"vec_id" < 103))
+    val q1 = start()
+    try { mem.addData(probes.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+
+    // simulate the at-least-once crash window foreachBatch is documented
+    // for: the source OFFSETS for batch 0 are committed but the batch
+    // COMMIT marker is lost — on restart Spark re-runs batch 0 with the
+    // same batchId, and a blind-append sink would double every row
+    val commit = new java.io.File(s"$dir/ckpt/commits/0")
+    assert(commit.exists, "expected batch-0 commit marker in the checkpoint")
+    assert(commit.delete())
+    // the local FS is a ChecksumFileSystem: a stale .crc sidecar makes
+    // the re-commit's rename look like a concurrent writer — remove it
+    // with the marker, as a real crash would have left neither
+    new java.io.File(s"$dir/ckpt/commits/.0.crc").delete()
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val out = spark.read.parquet(s"$dir/out")
+      .select("new_id", "rk", "index_id", "sim_bp").collect().map(_.toString)
+    assert(out.length == probes.length * 2, // 3 probes × k=2, exactly once
+      s"replayed batch duplicated or dropped rows: ${out.length} rows")
+    assert(out.distinct.length == out.length, "duplicate neighbour rows")
+  }
+
   test("probe output is not re-emitted across a checkpoint restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
