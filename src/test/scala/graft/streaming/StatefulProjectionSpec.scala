@@ -218,6 +218,43 @@ class StatefulProjectionSpec extends AnyFunSuite with SparkTestBase {
     } finally q2.stop()
   }
 
+  test("ordered SQL fold does not double-apply a REPLAYED batch (at-least-once retry)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmpDir("replaytable") + "/state"
+    val ckpt = tmpDir("replayckpt")
+    val fold = graft.eventstore.OrderedSqlFold(
+      "journal", "''", "concat(acc, x.local_id, ';')")
+    val mem = MemoryStream[Event]
+    def start() = ProjectionSink.startOrderedSql(mem.toDS().toDF(), fold, table, ckpt)
+
+    val q1 = start()
+    try {
+      mem.addData(ev("a", 1), ev("a", 2))
+      q1.processAllAvailable()
+      assert(ProjectionSink.value(spark, table, "a").contains("l1;l2;"))
+    } finally q1.stop()
+
+    // force the documented at-least-once window: source offsets for
+    // batch 0 committed, batch commit marker lost → restart re-runs
+    // batch 0 with the SAME batch id (the .crc sidecar goes with the
+    // marker, as a real crash would have left neither)
+    assert(new java.io.File(s"$ckpt/commits/0").delete())
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the replayed fold read "the newest version STRICTLY BELOW batch
+      // 0" = none → re-folded from init and overwrote v0: same value,
+      // not l1;l2;l1;l2;
+      assert(ProjectionSink.value(spark, table, "a").contains("l1;l2;"),
+        s"replayed batch double-applied: ${ProjectionSink.value(spark, table, "a")}")
+      mem.addData(ev("a", 3))
+      q2.processAllAvailable()
+      assert(ProjectionSink.value(spark, table, "a").contains("l1;l2;l3;"))
+    } finally q2.stop()
+  }
+
   test("fresh checkpoint against an existing descriptor table fails fast (no silent reset)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
