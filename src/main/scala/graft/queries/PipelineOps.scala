@@ -101,7 +101,7 @@ object PipelineOps extends QueryModule {
       // artifact, not per-invocation work — the lifecycle the pipeline
       // actually runs, and one less src0 scan per bench rep.
       val bf = QueryModule.cachedBytes(
-          s"benchbloom:${tableStamp(dir, "documents")}") {
+          s"benchbloom:$dir", tableStamp(dir, "documents")) {
         bench.agg(expr("bloom_agg(ng, 100000L, 800000L)").as("bf"))
           .collect().head.getAs[Array[Byte]]("bf")
       }

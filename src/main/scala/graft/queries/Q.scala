@@ -161,12 +161,15 @@ object QueryModule {
   }
 
   /** Per-JVM cache for small CONSTANT-SIZE derived artifacts (a bloom
-    * sketch's bytes, a trained quantizer) keyed like [[cachedIndex]] —
-    * a static benchmark's sketch is built once per table generation,
-    * not once per query invocation. Values are driver-sized by the
-    * caller's contract (numBits/8 bytes etc.), so the map stays tiny. */
+    * sketch's bytes, a trained quantizer) — a static benchmark's sketch
+    * is built once per table generation, not once per query invocation.
+    * The generation `stamp` (tableStamp) rides in the VALUE, same as
+    * the schema cache: a regeneration REPLACES the entry in place, so
+    * superseded sketches are not stranded under dead stamped keys. */
   private val bytesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
-  private[queries] def cachedBytes(key: String)(build: => Array[Byte]): Array[Byte] =
-    bytesCache.computeIfAbsent(key, _ => build)
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Byte])]()
+  private[queries] def cachedBytes(key: String, stamp: String)(
+      build: => Array[Byte]): Array[Byte] =
+    bytesCache.compute(key, (_, old) =>
+      if (old != null && old._1 == stamp) old else (stamp, build))._2
 }

@@ -776,12 +776,18 @@ object VectorOps extends QueryModule {
       // run serially the calibration pays the SUM of six pipeline
       // latencies instead of their makespan — measured 5.8 vs 2.x s
       // isolated at sf0.1.
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{blocking, Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
+      // blocking{}: the global pool is cores-sized — without the hint,
+      // six blocked collect threads would starve it (and cap the
+      // intended 6-way concurrency on small hosts); with it the pool
+      // compensates while the Spark jobs run
       def local(mk: => org.apache.spark.sql.DataFrame) = Future {
-        mk.select($"p_id", $"vec_id")
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        blocking {
+          mk.select($"p_id", $"vec_id")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        }
       }
       val famFuts: Seq[(String, Future[Seq[(Long, Long)]])] = Seq(
         "exact" -> local(simTopk.run(spark, dir)),
@@ -790,11 +796,12 @@ object VectorOps extends QueryModule {
         "lsh_hyperplane" -> local(annLsh.run(spark, dir)),
         "pq_adc" -> local(annPq.run(spark, dir)),
         "ivf_pq" -> local(annIvfPq.run(spark, dir)))
-      val exact = Await
-        .result(famFuts.head._2, Duration.Inf).toDF("p_id", "vec_id")
       val fams: Seq[(String, org.apache.spark.sql.DataFrame)] =
         famFuts.map { case (n, f) =>
           n -> Await.result(f, Duration.Inf).toDF("p_id", "vec_id") }
+      // the "exact" family IS the truth table — one Await, one
+      // LocalRelation, reused as both control row and join side
+      val exact = fams.head._2
       fams.map { case (fam, df) =>
         // RIGHT join: the exact truth side drives, so a probe for which
         // this family returns NO candidates still appears (vec_id null ⇒

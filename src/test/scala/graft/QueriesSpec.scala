@@ -11,19 +11,6 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("every declared query runs and the oracle-less ones return rows") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf).count()
-      assert(n >= 0, s"$name failed")
-      if (!SparkEntry.oracleSql.contains(name))
-        assert(n > 0, s"non-oracle query $name returned no rows (untestable)")
-    }
-  }
-
-  test("entry() (driver smoke) returns rows") {
-    assert(SparkEntry.entry(spark).count() > 0)
-  }
-
   test("the whole surface constructs and executes 8-wide concurrently (registry-race pin)") {
     // graft.Verify runs queries on a thread pool over ONE session; the
     // r7 gate caught a session-global registry race (an interleaved
@@ -31,7 +18,10 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     // construction), which is why operator code uses registry-free
     // Column builders. This pins that discipline for the FULL declared
     // surface: every query built AND executed concurrently, no
-    // exceptions, non-oracle queries still non-empty.
+    // exceptions, non-oracle queries still non-empty. Declared FIRST in
+    // the suite so the per-JVM caches (schemaCache, cachedIndex,
+    // cachedBytes) are COLD — the concurrent run exercises first-build
+    // races, not the warmed fast path.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     try {
       val futs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -47,6 +37,19 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
           assert(n > 0, s"non-oracle query $name empty under concurrency")
       }
     } finally pool.shutdown()
+  }
+
+  test("every declared query runs and the oracle-less ones return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+      if (!SparkEntry.oracleSql.contains(name))
+        assert(n > 0, s"non-oracle query $name returned no rows (untestable)")
+    }
+  }
+
+  test("entry() (driver smoke) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
   }
 
   test("driver contract: every oracle key names a query; names are unique and well-formed") {
