@@ -25,4 +25,48 @@ object CheckpointHygiene {
       case l: LogicalRDD => l.rdd.unpersist(blocking = false)
       case _             => ()
     }
+
+  /** Transfer checkpoint-block ownership to the CALLER'S first action:
+    * a one-shot QueryExecutionListener watches for the first completed
+    * (or failed) execution whose plan reads this checkpoint RDD and
+    * unpersists it then — the probeAndConsume pattern without forcing
+    * the callee into continuation style, for operators (PageRank's
+    * distributed branch) that must RETURN a lazily-consumed frame but
+    * have no post-action hook of their own. Contract: the returned
+    * frame is SINGLE-CONSUMPTION — local-checkpoint lineage is
+    * truncated, so a second action over it would find the blocks gone
+    * and fail rather than recompute (the same contract release()
+    * documents; both prod consumers — Verify's parquet write, Bench's
+    * noop write — run exactly one action per run() invocation). A
+    * frame that is never consumed leaks one listener + its blocks,
+    * exactly what the un-instrumented checkpoint leaked before. */
+  def releaseAfterFirstAction(df: DataFrame): DataFrame = {
+    df.queryExecution.logical match {
+      case l: LogicalRDD =>
+        val spark = df.sparkSession
+        val rddId = l.rdd.id
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+          private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+            val touches = qe.analyzed.exists {
+              case x: LogicalRDD => x.rdd.id == rddId
+              case _             => false
+            }
+            if (touches && fired.compareAndSet(false, true)) {
+              l.rdd.unpersist(blocking = false)
+              spark.listenerManager.unregister(this)
+            }
+          }
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = maybe(qe)
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = maybe(qe)
+        }
+        spark.listenerManager.register(listener)
+      case _ => ()
+    }
+    df
+  }
 }

@@ -89,11 +89,18 @@ object PageRank {
           .select($"dst".as("id"),
             expr("CAST(1500 + (8500 * s) DIV 10000 AS BIGINT)").as("rank"))
       }
+      // localCheckpoint materializes the iteration ONCE (the pairs
+      // persist can then be dropped before return without the caller's
+      // action re-running the whole pair build); ownership of the
+      // checkpoint blocks transfers to the caller's first action via
+      // the one-shot listener — a long non-bench session (a notebook,
+      // Verify's pool) no longer strands one block per invocation.
+      // Single-consumption contract: see releaseAfterFirstAction.
       val out = rank.join(deg, $"id" === $"src")
         .select($"id", $"deg", $"rank".as("rank_bp"))
         .localCheckpoint()
       pairs.unpersist()
-      out
+      CheckpointHygiene.releaseAfterFirstAction(out)
     }
   }
 }

@@ -93,11 +93,18 @@ object Joins extends QueryModule {
       // must re-register (re-build) its own external tables even though
       // the JVM-wide cachedIndex survives
       val stamp = s"${tableStamp(dir, "lineitem")}:${tableStamp(dir, "orders")}"
-      val tag = s"${Integer.toHexString(stamp.hashCode)}_" +
+      // 64-bit SHA-256 prefix of the stamp in the table name: a 32-bit
+      // String.hashCode collision between two dataset stamps in one
+      // application would silently re-point the first query's catalog
+      // table at different data on the second build
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(stamp.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+      val tag = s"${sha}_" +
         spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
       val lt = s"graft_bkt_lineitem_$tag"
       val ot = s"graft_bkt_orders_$tag"
-      QueryModule.cachedIndex(s"bucketed:$stamp:$tag") { p =>
+      QueryModule.cachedIndex(s"bucketed:$dir:$tag", stamp) { p =>
         graft.operators.BucketedJoins.writeBucketed(
           t(spark, dir, "lineitem")
             .select($"l_orderkey", $"l_extendedprice", $"l_discount"),

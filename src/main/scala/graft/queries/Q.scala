@@ -46,10 +46,10 @@ trait QueryModule {
     // cached schema reflects the nanosAsLong conf set above (it is
     // inferred under it), so the normalization below is unaffected.
     val path = s"$dir/$name.parquet"
-    val mtime = new java.io.File(path).lastModified
+    val fp = QueryModule.fingerprint(path)
     val schema = QueryModule.schemaCache.compute(path, (_, old) =>
-      if (old != null && old._1 == mtime) old
-      else (mtime, spark.read.parquet(path).schema))._2
+      if (old != null && old._1 == fp) old
+      else (fp, spark.read.parquet(path).schema))._2
     val df = spark.read.schema(schema).parquet(path)
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
@@ -67,13 +67,13 @@ trait QueryModule {
     }
   }
 
-  /** Cache-key stamp of a driver table: path + dataset-dir mtime. A
+  /** Cache-key stamp of a driver table: path + generation fingerprint. A
     * testdata regeneration changes the stamp, so per-JVM caches keyed
     * through it (QueryModule.cachedIndex) REBUILD instead of silently
     * probing an index built from the old data — the same invalidation
     * rule the schema cache applies. */
   protected def tableStamp(dir: String, name: String): String =
-    s"$dir/$name.parquet@${new java.io.File(s"$dir/$name.parquet").lastModified}"
+    s"$dir/$name.parquet@${QueryModule.fingerprint(s"$dir/$name.parquet")}"
 
   /** Exact money arithmetic: the testdata stores 2-decimal prices as
     * DOUBLE; casting to DECIMAL(18,2) recovers the exact decimal value in
@@ -121,43 +121,78 @@ object QueryModule {
     * (TESTDATA.md + ROUND_NOTES regeneration log). */
   val nanosTimestampCols: Set[String] = Set("ts", "l_shipdate", "o_orderdate")
 
-  /** Per-JVM table-schema cache (path → (dir mtime, inferred schema)),
+  /** Generation fingerprint of a local dataset path: mtime PLUS total
+    * byte length (recursive for directory-shaped parquet). lastModified
+    * alone has second-level granularity on many filesystems — a
+    * same-second regeneration at the same path would serve a stale
+    * schema (silent NULLs for renamed/retyped columns); the length term
+    * breaks that tie for any content-size change. LOCAL-FS assumption
+    * (documented): on non-local filesystems java.io.File stats return 0
+    * and invalidation degrades to build-once-per-JVM — acceptable for
+    * the gate harness, a metastore owns this in production. */
+  private[queries] def fingerprint(path: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      Option(f.listFiles) match {
+        case Some(kids) =>
+          kids.foldLeft((f.lastModified, 0L)) { case ((m, l), k) =>
+            val (km, kl) = walk(k); (math.max(m, km), l + kl)
+          }
+        case None => (f.lastModified, f.length)
+      }
+    val (m, l) = walk(new java.io.File(path))
+    s"$m:$l"
+  }
+
+  /** Per-JVM table-schema cache (path → (fingerprint, inferred schema)),
     * the catalog role a metastore plays in production: without it every
     * t() call runs a footer-inference job before the query proper. The
-    * mtime rides in the VALUE so a regeneration replaces the entry
+    * fingerprint rides in the VALUE so a regeneration replaces the entry
     * in place — one live entry per table. */
   private[queries] val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[
-      String, (Long, org.apache.spark.sql.types.StructType)]()
+      String, (String, org.apache.spark.sql.types.StructType)]()
 
   /** Per-JVM cache of side-written temp indexes, keyed by
-    * (query, sfDir): the incremental-index queries (x_dedup_incremental,
-    * x_ann_incremental, …) build their persisted index ONCE per JVM
-    * instead of re-running the corpus write on every invocation — every
-    * bench rep / verify call / plan-shape read was previously a fresh
-    * temp dir plus a full corpus-digest Spark job at DataFrame-CONSTRUCTION
-    * time, and the dirs were never deleted (unbounded /tmp growth across
-    * rounds). The build stays eager-on-first-call because the probe reads
-    * the index parquet's footer at plan time — the index must exist
-    * before the DataFrame can even be constructed. All cached dirs are
-    * removed by one JVM shutdown hook. */
+    * (query, sfDir) with the table-generation stamp in the VALUE: the
+    * incremental-index queries (x_dedup_incremental, x_ann_incremental,
+    * …) build their persisted index ONCE per JVM instead of re-running
+    * the corpus write on every invocation — every bench rep / verify
+    * call / plan-shape read was previously a fresh temp dir plus a full
+    * corpus-digest Spark job at DataFrame-CONSTRUCTION time, and the
+    * dirs were never deleted (unbounded /tmp growth across rounds). The
+    * build stays eager-on-first-call because the probe reads the index
+    * parquet's footer at plan time — the index must exist before the
+    * DataFrame can even be constructed. Stamp-in-value (the
+    * schemaCache/cachedBytes rule): a testdata regeneration REPLACES
+    * the entry and deletes the superseded dir instead of stranding it
+    * under a dead stamped key. A build that THROWS deletes its partial
+    * dir before rethrowing, so the next call retries from scratch and
+    * no orphan dir escapes the shutdown hook. All live dirs are removed
+    * by one JVM shutdown hook. */
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def rmTree(d: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(d))
+  }
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      indexCache.values.forEach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(d))
-      }))
-  private[queries] def cachedIndex(key: String)(build: String => Unit): String = {
+      indexCache.values.forEach(v => rmTree(v._2))))
+  private[queries] def cachedIndex(key: String, stamp: String)(
+      build: String => Unit): String = {
     cleanupHook
-    indexCache.computeIfAbsent(key, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graftidx")
-      build(dir.toString)
-      dir.toString
-    })
+    indexCache.compute(key, { (_, old) =>
+      if (old != null && old._1 == stamp) old
+      else {
+        if (old != null) rmTree(old._2)
+        val dir = java.nio.file.Files.createTempDirectory("graftidx")
+        try build(dir.toString)
+        catch { case e: Throwable => rmTree(dir.toString); throw e }
+        (stamp, dir.toString)
+      }
+    })._2
   }
 
   /** Per-JVM cache for small CONSTANT-SIZE derived artifacts (a bloom

@@ -62,7 +62,7 @@ object ScaleOps extends QueryModule {
     (spark, dir) => {
       val toks = docTokensRaw(spark, dir)
       val path = QueryModule.cachedIndex(
-          s"mhidx:${tableStamp(dir, "documents")}") { p =>
+          s"mhidx:$dir", tableStamp(dir, "documents")) { p =>
         MinHashDedup.saveIndex(
           toks.where(col("doc_id") % 10 =!= 0), "doc_id", "toks", p)
       }

@@ -75,7 +75,7 @@ object TextOps extends QueryModule {
       // lifecycle the query models anyway — build nightly, probe every
       // batch
       val path = QueryModule.cachedIndex(
-          s"exactidx:${tableStamp(dir, "documents")}") { p =>
+          s"exactidx:$dir", tableStamp(dir, "documents")) { p =>
         graft.operators.ExactDedup.saveIndex(corpus, "doc_id", "text", p)
       }
       val hits = graft.operators.ExactDedup

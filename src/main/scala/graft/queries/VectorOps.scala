@@ -796,9 +796,12 @@ object VectorOps extends QueryModule {
         "lsh_hyperplane" -> local(annLsh.run(spark, dir)),
         "pq_adc" -> local(annPq.run(spark, dir)),
         "ivf_pq" -> local(annIvfPq.run(spark, dir)))
+      // generous FINITE timeout: a wedged family pipeline surfaces as
+      // this query's failure (Bench's per-query try/catch fires) instead
+      // of hanging the whole bench/verify process forever
       val fams: Seq[(String, org.apache.spark.sql.DataFrame)] =
         famFuts.map { case (n, f) =>
-          n -> Await.result(f, Duration.Inf).toDF("p_id", "vec_id") }
+          n -> Await.result(f, Duration(10, "min")).toDF("p_id", "vec_id") }
       // the "exact" family IS the truth table — one Await, one
       // LocalRelation, reused as both control row and join side
       val exact = fams.head._2
@@ -854,7 +857,7 @@ object VectorOps extends QueryModule {
       // each re-running the parquet+transform lineage; the blocks are
       // released as soon as the build completes.
       val path = QueryModule.cachedIndex(
-          s"annincr:${tableStamp(dir, "embeddings")}") { p =>
+          s"annincr:$dir", tableStamp(dir, "embeddings")) { p =>
         val e = emb(spark, dir).localCheckpoint()
         try {
           val corpus = e.where($"vec_id" % 10 =!= 0)
@@ -902,7 +905,7 @@ object VectorOps extends QueryModule {
       // index written once per JVM per sfDir (QueryModule.cachedIndex),
       // as in the other two incremental-index queries
       val path = QueryModule.cachedIndex(
-          s"exactann:${tableStamp(dir, "embeddings")}") { p =>
+          s"exactann:$dir", tableStamp(dir, "embeddings")) { p =>
         graft.operators.ExactAnn.saveIndex(
           emb(spark, dir).where($"vec_id" % 10 =!= 0), p)
       }

@@ -56,6 +56,27 @@ class CacheHygieneSpec extends AnyFunSuite with SparkTestBase {
         leaked.values.map(r => s"${r.id}:${r.name}").mkString(", "))
   }
 
+  test("PageRank leaves zero persistent RDDs after consumption in BOTH regimes") {
+    val pairs = spark.createDataFrame(
+        Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (4L, 5L)))
+      .toDF("a_id", "b_id")
+    for (limit <- Seq(ConnectedComponents.DriverEdgeLimit, 0L)) {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val got = PageRank.ranksBp(pairs, "a_id", "b_id", driverLimit = limit)
+        .collect() // the caller's single terminal action
+      assert(got.nonEmpty)
+      // the distributed branch releases via a one-shot listener on the
+      // async listener bus — poll briefly instead of racing it
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+          System.nanoTime < deadline) Thread.sleep(50)
+      val leaked = spark.sparkContext.getPersistentRDDs
+      assert(leaked.isEmpty,
+        s"regime(limit=$limit) stranded ${leaked.size} RDDs: " +
+          leaked.values.map(r => s"${r.id}:${r.name}").mkString(", "))
+    }
+  }
+
   test("self-join inputs are shared through one reused exchange, not a cache") {
     for ((name, df) <- Seq(
         "minhash" -> MinHashDedup.nearDuplicates(docToks, "doc_id", "toks"),
