@@ -147,4 +147,35 @@ object MediaPipeline {
       it.grouped(BatchSize).flatMap(_.map(FakeCodec.resize(_, targetW, targetH)))
     }
   }
+
+  /** REAL decode ([[ImageCodec]], JDK ImageIO — PNG/JPEG/BMP/GIF):
+    * bytes → pixel raster → integer-exact dimensions/channels/mean-luma.
+    * Same narrow batched shape as the stub stages (a GPU codec would
+    * take the batch whole); payloads no reader accepts come back as
+    * `ok = false` rows instead of failing the task — a crawl's corrupt
+    * tail is data, not an outage. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map(r => ImageCodec.decodeMeta(r.media_id, r.media)))
+    }
+  }
+
+  /** REAL resize through the codec: decode → nearest-neighbor re-sample
+    * (exact index math) → re-encode PNG. Undecodable payloads pass
+    * through UNCHANGED with their original dims (observable downstream
+    * via decodeImages' ok flag) rather than killing the batch. */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { r =>
+        ImageCodec.resizeNearest(r.media, targetW, targetH) match {
+          case Some(png) => r.copy(media = png, width = targetW, height = targetH)
+          case None      => r
+        }
+      })
+    }
+  }
 }

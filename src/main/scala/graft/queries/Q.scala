@@ -207,4 +207,20 @@ object QueryModule {
       build: => Array[Byte]): Array[Byte] =
     bytesCache.compute(key, (_, old) =>
       if (old != null && old._1 == stamp) old else (stamp, build))._2
+
+  /** cachedBytes' sibling for small PROVEN-BOUNDED localized relations
+    * (the token co-occurrence edge list: ≤ C(100,2) rows by vocabulary
+    * cap) — the nightly-built graph artifact every graph query reads,
+    * built once per (JVM, table generation) instead of once per query
+    * invocation. Same stamp-in-value replacement rule. Thread-visible
+    * count of builds exposed for the build-once spec. */
+  private val localCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+  private[graft] val localCacheBuilds = new java.util.concurrent.atomic.AtomicLong
+  private[queries] def cachedLocal[T <: AnyRef](key: String, stamp: String)(
+      build: => T): T =
+    localCache.compute(key, (_, old) =>
+      if (old != null && old._1 == stamp) old
+      else { localCacheBuilds.incrementAndGet(); (stamp, build) })._2
+      .asInstanceOf[T]
 }

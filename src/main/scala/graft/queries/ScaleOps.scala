@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{MediaPipeline, MediaRow}
+import graft.multimodal.{ImageCodec, MediaPipeline, MediaRow}
 import graft.operators.{MinHashDedup, SimHashDedup}
 
 /** Group X — the scale-path operators: MinHash+LSH and SimHash near-dup
@@ -113,6 +113,85 @@ object ScaleOps extends QueryModule {
       MediaPipeline.extractFeatures(media)
         .toDF()
         .select($"media_id".as("doc_id"), $"n_bytes", $"checksum")
+        .orderBy($"doc_id")
+    })
+
+  /** Deterministic per-doc grayscale test image: dims derived from
+    * doc_id (8–12 × 8–14), pixels the doc's UTF-8 bytes cycled to fill
+    * the raster, encoded through the REAL PNG writer. The corpus-driven
+    * image table the two real-codec queries read. */
+  private def docImages(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    t(spark, dir, "documents").where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(MediaPipeline.BatchSize).flatMap(_.map { case (id, text) =>
+          val w = (8 + id % 5).toInt
+          val h = (8 + id % 7).toInt
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val px = Array.tabulate(w * h)(i => tb(i % tb.length))
+          MediaRow(id, "image", ImageCodec.encodeGrayPng(px, w, h), w, h)
+        })
+      }
+  }
+
+  /** REAL image decode end-to-end (graft.multimodal.ImageCodec over JDK
+    * ImageIO — no stub anywhere on this path): each document renders to
+    * a grayscale raster, encodes as an actual PNG, decodes back through
+    * the real reader, and is measured from the DECODED raster
+    * (dimensions, band count, integer-exact mean luma). ORACLE-BACKED
+    * despite the codec: PNG is lossless for 8-bit gray, so decoded
+    * samples equal the source bytes and DuckDB recomputes every output
+    * column straight from the text — the driver's hash-match therefore
+    * pins the whole encode→decode→measure roundtrip, not just the
+    * plumbing. Scale shape: narrow batched mapPartitions (one codec
+    * pass per row, no shuffle until the output sort). */
+  private val mediaDecode = Q(
+    "x_media_decode",
+    Some("""WITH m AS (SELECT doc_id, text,
+              CAST(8 + doc_id % 5 AS INT) AS width,
+              CAST(8 + doc_id % 7 AS INT) AS height
+              FROM documents WHERE length(text) > 0)
+            SELECT doc_id, width, height, CAST(1 AS INT) AS channels,
+              CAST(list_sum(list_transform(range(0, width * height),
+                  i -> ascii(substring(text, CAST(i % length(text) + 1 AS INT), 1))))
+                * 10000 // (255 * width * height) AS BIGINT) AS mean_luma_bp
+            FROM m ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      MediaPipeline.decodeImages(docImages(spark, dir)).toDF()
+        .select($"media_id".as("doc_id"), $"width", $"height", $"channels",
+          $"mean_luma_bp")
+        .orderBy($"doc_id")
+    })
+
+  /** REAL resize through the real codec: the same PNGs resized to a
+    * uniform 6×6 (decode → nearest-neighbor re-sample with exact index
+    * math → re-encode PNG), then decoded AGAIN and measured from the
+    * resized raster — the normalize-before-embed stage with no stub in
+    * the loop. Oracle recomputes the nearest-neighbor sample positions
+    * (`src = ((y·h DIV 6)·w + x·w DIV 6)`) directly over the text
+    * bytes, so the hash-match pins the re-sample arithmetic AND both
+    * codec passes. */
+  private val mediaResize = Q(
+    "x_media_resize",
+    Some("""WITH m AS (SELECT doc_id, text,
+              CAST(8 + doc_id % 5 AS INT) AS w,
+              CAST(8 + doc_id % 7 AS INT) AS h
+              FROM documents WHERE length(text) > 0)
+            SELECT doc_id, CAST(6 AS INT) AS width, CAST(6 AS INT) AS height,
+              CAST(list_sum(list_transform(range(0, 36),
+                  i -> ascii(substring(text,
+                    CAST((((i // 6) * h // 6) * w + ((i % 6) * w // 6))
+                      % length(text) + 1 AS INT), 1))))
+                * 10000 // (255 * 36) AS BIGINT) AS mean_luma_bp
+            FROM m ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      MediaPipeline.decodeImages(
+          MediaPipeline.resizeImages(docImages(spark, dir), 6, 6)).toDF()
+        .select($"media_id".as("doc_id"), $"width", $"height",
+          $"mean_luma_bp")
         .orderBy($"doc_id")
     })
 
@@ -306,5 +385,5 @@ object ScaleOps extends QueryModule {
 
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
     minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
-    dedupIncrementalNear)
+    dedupIncrementalNear, mediaDecode, mediaResize)
 }

@@ -52,6 +52,19 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("token graph edge list builds ONCE per table generation across its three consumers") {
+    // warm the cache once (any token-graph query), then pin that every
+    // further token-graph read serves from the per-generation local
+    // artifact instead of re-running the distinct + self-join edge
+    // build (x_graph_degree reads the DOC near-dup graph, not this one)
+    SparkEntry.queries("x_graph_triangles")(spark, sf).count()
+    val before = graft.queries.QueryModule.localCacheBuilds.get()
+    Seq("x_graph_lcc", "x_graph_kcore", "x_graph_triangles")
+      .foreach(q => SparkEntry.queries(q)(spark, sf).count())
+    val built = graft.queries.QueryModule.localCacheBuilds.get() - before
+    assert(built == 0, s"edge list rebuilt $built times on a warm generation")
+  }
+
   test("driver contract: every oracle key names a query; names are unique and well-formed") {
     val qs = SparkEntry.queries.keySet
     val orphans = SparkEntry.oracleSql.keySet -- qs

@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The REAL codec (JDK ImageIO): constructed images of known dimensions
+  * and pixel content pin decode, channel handling, luma arithmetic and
+  * the nearest-neighbor resize — the properties the oracle-backed
+  * x_media_decode / x_media_resize build on — plus the corrupt-payload
+  * contract and streaming parity of the pipeline stage. */
+class ImageCodecSpec extends AnyFunSuite with SparkTestBase {
+
+  test("gray PNG roundtrip: decode(encode(px)) recovers dims, 1 band, exact mean") {
+    // 3x2 with known bytes: sum = 0+51+102+153+204+255 = 765
+    val px = Array[Byte](0, 51, 102, -103, -52, -1) // unsigned 0,51,102,153,204,255
+    val png = ImageCodec.encodeGrayPng(px, 3, 2)
+    // a real PNG container, not a probe: magic bytes present
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val m = ImageCodec.decodeMeta(7L, png)
+    assert(m.ok && m.width == 3 && m.height == 2 && m.channels == 1, m.toString)
+    assert(m.n_bytes == png.length.toLong)
+    assert(m.mean_luma_bp == 765L * 10000 / (255 * 6), m.toString) // = 5000
+  }
+
+  test("RGB PNG: 3 bands and integer Rec.601 luma over the band sums") {
+    // 1x2 pixels: (255,0,0) and (0,255,0)
+    val rgb = Array[Byte](-1, 0, 0, 0, -1, 0)
+    val png = ImageCodec.encodeRgbPng(rgb, 1, 2)
+    val m = ImageCodec.decodeMeta(8L, png)
+    assert(m.ok && m.width == 1 && m.height == 2 && m.channels == 3, m.toString)
+    // lumaSum = (299*255 + 587*255 + 114*0) / 1000 = 225930/1000 = 225
+    assert(m.mean_luma_bp == 225L * 10000 / (255 * 2), m.toString)
+  }
+
+  test("corrupt payloads surface as ok=false rows, never as task failures") {
+    val junk = "definitely not an image".getBytes("UTF-8")
+    val m = ImageCodec.decodeMeta(9L, junk)
+    assert(!m.ok && m.width == 0 && m.channels == 0 && m.n_bytes == junk.length)
+    // truncated real PNG: valid magic, unreadable body
+    val png = ImageCodec.encodeGrayPng(Array[Byte](1, 2, 3, 4), 2, 2)
+    val trunc = java.util.Arrays.copyOf(png, 12)
+    assert(!ImageCodec.decodeMeta(10L, trunc).ok)
+  }
+
+  test("nearest-neighbor resize: exact index math on a constructed gradient") {
+    // 4x4 gray ramp 0..15; resize to 2x2 → samples at (x·4 DIV 2, y·4 DIV 2)
+    // = src pixels (0,0),(2,0),(0,2),(2,2) = values 0, 2, 8, 10
+    val px = Array.tabulate(16)(i => i.toByte)
+    val png = ImageCodec.encodeGrayPng(px, 4, 4)
+    val out = ImageCodec.resizeNearest(png, 2, 2).get
+    val m = ImageCodec.decodeMeta(11L, out)
+    assert(m.ok && m.width == 2 && m.height == 2 && m.channels == 1)
+    assert(m.mean_luma_bp == (0L + 2 + 8 + 10) * 10000 / (255 * 4), m.toString)
+    // undecodable input → None (caller keeps the row observable)
+    assert(ImageCodec.resizeNearest("junk".getBytes, 2, 2).isEmpty)
+  }
+
+  test("decodeImages over a stream matches the batch pass (stateless parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def mk(id: Long, w: Int, h: Int): (Long, Array[Byte]) =
+      id -> ImageCodec.encodeGrayPng(
+        Array.tabulate(w * h)(i => ((id * 31 + i) % 251).toByte), w, h)
+    val rows = Seq(mk(1L, 5, 3), mk(2L, 8, 8), 3L -> "corrupt".getBytes("UTF-8"))
+
+    def asMedia(df: org.apache.spark.sql.DataFrame) = df
+      .select($"media_id", org.apache.spark.sql.functions.lit("image").as("kind"),
+        $"media", org.apache.spark.sql.functions.lit(0).as("width"),
+        org.apache.spark.sql.functions.lit(0).as("height"))
+      .as[MediaRow]
+
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = MediaPipeline.decodeImages(asMedia(mem.toDS().toDF("media_id", "media")))
+      .toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("imgdecode").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val live = spark.table("imgdecode").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2), r.getInt(3), r.getInt(4),
+          r.getInt(5), r.getLong(6))).sortBy(_._1)
+      val batch = MediaPipeline.decodeImages(
+          asMedia(rows.toDF("media_id", "media")))
+        .collect()
+        .map(m => (m.media_id, m.ok, m.width, m.height, m.channels, m.mean_luma_bp))
+        .sortBy(_._1)
+      assert(live.sameElements(batch), s"live=${live.mkString(",")} batch=${batch.mkString(",")}")
+      assert(batch.count(!_._2) == 1 && batch.count(_._2) == 2)
+    } finally q.stop()
+  }
+}
