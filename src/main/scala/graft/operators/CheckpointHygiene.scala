@@ -40,10 +40,18 @@ object CheckpointHygiene {
     * noop write — run exactly one action per run() invocation). A
     * frame that is never consumed leaks one listener + its blocks,
     * exactly what the un-instrumented checkpoint leaked before. */
-  def releaseAfterFirstAction(df: DataFrame): DataFrame = {
-    df.queryExecution.logical match {
+  def releaseAfterFirstAction(df: DataFrame): DataFrame =
+    releaseAfterFirstAction(df, df)
+
+  /** As above, but the frame being WATCHED (`result`, the one the
+    * caller consumes) and the frame whose checkpoint blocks are
+    * RELEASED (`checkpointed`, a LogicalRDD somewhere under `result`'s
+    * plan) may differ — the shape of IvfPq's lazy probe, where the
+    * per-batch encode checkpoint feeds the returned scored frame. */
+  def releaseAfterFirstAction(result: DataFrame, checkpointed: DataFrame): DataFrame = {
+    checkpointed.queryExecution.logical match {
       case l: LogicalRDD =>
-        val spark = df.sparkSession
+        val spark = result.sparkSession
         val rddId = l.rdd.id
         val listener = new org.apache.spark.sql.util.QueryExecutionListener {
           private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -67,6 +75,6 @@ object CheckpointHygiene {
         spark.listenerManager.register(listener)
       case _ => ()
     }
-    df
+    result
   }
 }

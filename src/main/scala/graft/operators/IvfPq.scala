@@ -121,7 +121,58 @@ object IvfPq {
     * index_id back to the corpus table when exactness matters. */
   def probeAgainstIndex(newEmb: DataFrame, path: String, k: Int,
       nProbe: Int = 2): DataFrame =
-    probePlan(newEmb, loadForServing(newEmb.sparkSession, path), k, nProbe)._2
+    probeAgainstServing(newEmb,
+      loadForServing(newEmb.sparkSession, path), k, nProbe)
+
+  /** As [[probeAgainstIndex]] over a pre-resolved [[Serving]] handle —
+    * for repeat-probe callers that pay loadForServing's two driver-side
+    * parquet collects once per index generation instead of per call. */
+  def probeAgainstServing(newEmb: DataFrame, srv: Serving, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val (fresh, result) = probePlan(newEmb, srv, k, nProbe)
+    // the per-batch encode checkpoint releases when the caller's first
+    // action over the result completes (single-consumption contract —
+    // long-lived non-bench sessions no longer strand one block per
+    // probe); per-micro-batch callers use probeAndConsume instead
+    CheckpointHygiene.releaseAfterFirstAction(result, fresh)
+  }
+
+  /** The full production serving composition: quantized candidate
+    * generation (the SDC probe above, widened to `rerank` candidates)
+    * followed by EXACT cosine re-ranking against a stored-vector table
+    * in [[ExactAnn]]'s (vec_id, v, nrm) layout — the faiss
+    * `index.search(k')` + refine step. Recall@k is set by `rerank`
+    * (how many quantized candidates get exact scores), cost by
+    * |batch|·rerank exact dots — independent of corpus size. Output
+    * (new_id, rk, index_id, sim_bp) with EXACT sims, same contract as
+    * every ANN operator. Requires the vec_dot kernel registered. */
+  def probeAgainstIndexReranked(newEmb: DataFrame, path: String,
+      vectors: DataFrame, k: Int, rerank: Int = 64,
+      nProbe: Int = 2): DataFrame =
+    probeAgainstServingReranked(newEmb,
+      loadForServing(newEmb.sparkSession, path), vectors, k, rerank, nProbe)
+
+  /** Reranked probe over a pre-resolved [[Serving]] handle. */
+  def probeAgainstServingReranked(newEmb: DataFrame, srv: Serving,
+      vectors: DataFrame, k: Int, rerank: Int = 64,
+      nProbe: Int = 2): DataFrame = {
+    val spark = newEmb.sparkSession
+    import spark.implicits._
+    // |batch|·rerank candidate ids — tiny next to the corpus, so they
+    // broadcast into the vector store and the big side streams once
+    val cand = probeAgainstServing(newEmb, srv, rerank, nProbe)
+      .select($"new_id", $"index_id")
+    val scored = broadcast(cand
+        .join(broadcast(newEmb.select($"vec_id".as("new_id"),
+          $"v".as("pv"), $"nrm".as("p_nrm"))), "new_id"))
+      .join(vectors.select($"vec_id".as("index_id"), $"v".as("iv"),
+        $"nrm".as("i_nrm")), "index_id")
+      .select($"new_id".as("p_id"), $"index_id".as("vec_id"),
+        (expr("vec_dot(pv, iv)") / ($"p_nrm" * $"i_nrm")).as("sim"))
+    graft.functions.TopK.rankBySim(scored, "sim", k)
+      .select($"p_id".as("new_id"), $"rk", $"vec_id".as("index_id"),
+        $"sim_bp")
+  }
 
   /** Everything a probe needs, resolved ONCE: quantizers collected to
     * the driver, the SDC LUT built, the assignments table's footer

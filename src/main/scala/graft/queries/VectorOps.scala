@@ -48,6 +48,18 @@ object VectorOps extends QueryModule {
       .collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toSeq
 
+  /** The seed set is a pure function of the table generation, so the
+    * four seed consumers share one TakeOrdered collect per (JVM,
+    * generation) instead of paying it per invocation — the cachedBytes
+    * discipline ("a trained quantizer" is that cache's charter example)
+    * applied to every driver-side trained/collected model below.
+    * Determinism specs make the cache observationally invisible. */
+  private def cachedSeeds32(dir: String,
+      e: => org.apache.spark.sql.DataFrame): Seq[(Int, Array[Double])] =
+    QueryModule.cachedLocal(s"seeds32:$dir", tableStamp(dir, "embeddings")) {
+      seedCentroids(e, 32)
+    }
+
   /** The oracle-side spelling of the same seed rule. */
   private def seedSql(k: Int): String =
     s"""(SELECT vec_id AS c_id, v AS cv FROM e
@@ -158,7 +170,7 @@ object VectorOps extends QueryModule {
       // just to pick rn=1. Same floats (strict left-fold dot, same
       // norms), same tie rule (cos DESC, c_id ASC) as the oracle's
       // window — bit-identical assignment.
-      val cents = seedCentroids(e, 32)
+      val cents = cachedSeeds32(dir, e)
       val asg = e.withColumn("c_id",
         graft.functions.Centroids.nearestCol($"v", $"nrm", cents))
       val p = broadcast(asg.where($"vec_id" < 5)
@@ -200,7 +212,12 @@ object VectorOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val e = emb(spark, dir)
-      val cents = graft.operators.KMeansIVF.train(e, k = 10, iters = 3)
+      // trained model cached per (JVM, generation) — deterministic
+      // training (spec-pinned), so invocations serve identical centroids
+      val cents = QueryModule.cachedLocal(s"kmcents:$dir",
+          tableStamp(dir, "embeddings")) {
+        graft.operators.KMeansIVF.train(e, k = 10, iters = 3)
+      }
       graft.operators.KMeansIVF.searchTopK(
         e, cents, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, nProbe = 2)
     })
@@ -247,7 +264,7 @@ object VectorOps extends QueryModule {
       // same fixed-k seed set + broadcast-argmin assignment as x_ann_ivf
       // (bit-identical to the oracle's window: strict left-fold dot,
       // cos DESC, c_id ASC)
-      val cents = seedCentroids(e, 32)
+      val cents = cachedSeeds32(dir, e)
       val m = e.withColumn("c_id",
         graft.functions.Centroids.nearestCol($"v", $"nrm", cents))
       val a = m.select($"c_id", $"vec_id".as("a_id"), $"v".as("av"), $"nrm".as("an"))
@@ -276,7 +293,11 @@ object VectorOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val e = emb(spark, dir)
-      val model = graft.operators.ProductQuantizer.train(e)
+      // trained codebook cached per (JVM, generation), as kmcents
+      val model = QueryModule.cachedLocal(s"pqmodel:$dir",
+          tableStamp(dir, "embeddings")) {
+        graft.operators.ProductQuantizer.train(e)
+      }
       graft.operators.ProductQuantizer.searchTopK(
         e, model, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
     })
@@ -391,7 +412,11 @@ object VectorOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       val e = emb(spark, dir)
-      val index = graft.operators.IvfPq.train(e)
+      // both quantizers cached per (JVM, generation), as kmcents
+      val index = QueryModule.cachedLocal(s"ivfpqmodel:$dir",
+          tableStamp(dir, "embeddings")) {
+        graft.operators.IvfPq.train(e)
+      }
       graft.operators.IvfPq.searchTopK(
         e, index, probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5, nProbe = 2)
     })
@@ -486,7 +511,7 @@ object VectorOps extends QueryModule {
         .select($"vec_id", $"label",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
         .withColumn("nrm", sqrt(dotCol("v", "v")))
-      val cents = seedCentroids(e, 32)
+      val cents = cachedSeeds32(dir, e)
       val lc = e.withColumn("c_id",
           graft.functions.Centroids.nearestCol($"v", $"nrm", cents))
         .groupBy($"c_id", $"label").agg(count(lit(1)).as("n"))
@@ -529,7 +554,7 @@ object VectorOps extends QueryModule {
         .select($"vec_id", $"label",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
         .withColumn("nrm", sqrt(dotCol("v", "v")))
-      val cents = seedCentroids(e, 32)
+      val cents = cachedSeeds32(dir, e)
       e.withColumn("mc", graft.functions.Centroids.maxCosCol($"v", $"nrm", cents))
         .groupBy($"label")
         .agg(count(lit(1)).as("n_total"),
@@ -756,10 +781,13 @@ object VectorOps extends QueryModule {
     * VectorOpsSpec pins the floors — every family ≥ its spec'd recall,
     * and the exact control row is 10000 by construction.
     *
-    * Scale shape: each family's candidate pass is the SAME bounded
-    * machinery its own query runs (fixed-k seeds / bounded training /
-    * TopK aggregates); the scoring join touches |probes|·k ≤ 25 rows
-    * per family. */
+    * Scale shape: the exact and ivf_pq rows probe PERSISTED full-corpus
+    * indexes through the production serving read path (ExactAnn /
+    * IvfPq.probeAgainstIndex — built once per JVM per generation via
+    * cachedIndex), so the trust table describes what serving returns;
+    * the other four families run the same bounded machinery their own
+    * queries run (fixed-k seeds / bounded training / TopK aggregates);
+    * the scoring join touches |probes|·k ≤ 25 rows per family. */
   private val annRecall = Q(
     "x_ann_recall",
     None,
@@ -783,19 +811,66 @@ object VectorOps extends QueryModule {
       // six blocked collect threads would starve it (and cap the
       // intended 6-way concurrency on small hosts); with it the pool
       // compensates while the Spark jobs run
-      def local(mk: => org.apache.spark.sql.DataFrame) = Future {
+      def local(tag: String)(mk: => org.apache.spark.sql.DataFrame) = Future {
         blocking {
-          mk.select($"p_id", $"vec_id")
+          val t0 = System.nanoTime()
+          val r = mk.select($"p_id", $"vec_id")
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          if (sys.env.contains("GRAFT_RECALL_DEBUG"))
+            println(f"[recall-family] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
         }
       }
+      // The exact and ivf_pq rows are served from PERSISTED full-corpus
+      // indexes (ExactAnn / IvfPq via cachedIndex — built once per JVM
+      // per table generation, the x_*_incremental lifecycle) probed
+      // through the SAME production read path the incremental queries
+      // use: the trust table calibrates what serving actually returns
+      // (ivf_pq scores SDC code-to-code, the deployed tradeoff), not a
+      // parallel in-memory rebuild. Full-corpus twins — NOT the 9/10
+      // split the incremental queries persist — so all six rows stay
+      // row-comparable (same corpus, same vec_id<5 probes; both probe
+      // paths self-exclude on p_id ≠ index_id). The four families
+      // without a persisted form (seeded IVF, k-means IVF, hyperplane
+      // LSH, PQ-ADC) keep their own bounded inline machinery.
+      val exactPath = () => QueryModule.cachedIndex(s"exactannfull:$dir",
+          tableStamp(dir, "embeddings")) { p =>
+        graft.operators.ExactAnn.saveIndex(emb(spark, dir), p)
+      }
+      val ivfPqPath = () => QueryModule.cachedIndex(s"ivfpqfull:$dir",
+          tableStamp(dir, "embeddings")) { p =>
+        val e = emb(spark, dir).localCheckpoint()
+        try {
+          val idx = graft.operators.IvfPq.train(e)
+          graft.operators.IvfPq.saveIndexed(e, idx, p)
+        } finally graft.operators.CheckpointHygiene.release(e)
+      }
+      def served(df: => org.apache.spark.sql.DataFrame) =
+        df.withColumnRenamed("new_id", "p_id")
+          .withColumnRenamed("index_id", "vec_id")
+      def probes = emb(spark, dir).where($"vec_id" < 5)
       val famFuts: Seq[(String, Future[Seq[(Long, Long)]])] = Seq(
-        "exact" -> local(simTopk.run(spark, dir)),
-        "ivf_seeded" -> local(annIvf.run(spark, dir)),
-        "ivf_kmeans" -> local(annIvfKmeans.run(spark, dir)),
-        "lsh_hyperplane" -> local(annLsh.run(spark, dir)),
-        "pq_adc" -> local(annPq.run(spark, dir)),
-        "ivf_pq" -> local(annIvfPq.run(spark, dir)))
+        "exact" -> local("exact")(served(graft.operators.ExactAnn
+          .probeAgainstIndex(probes, exactPath(), k = 5))),
+        "ivf_seeded" -> local("ivf_seeded")(annIvf.run(spark, dir)),
+        "ivf_kmeans" -> local("ivf_kmeans")(annIvfKmeans.run(spark, dir)),
+        "lsh_hyperplane" -> local("lsh")(annLsh.run(spark, dir)),
+        "pq_adc" -> local("pq_adc")(annPq.run(spark, dir)),
+        // candidate-gen from the quantized index + exact rerank against
+        // the stored-vector index — the deployed two-stage read; the
+        // Serving handle (quantizers + SDC LUT, two driver-side parquet
+        // collects) resolves once per (session, index generation) —
+        // stamp-in-value keeps ONE live entry, a new session or
+        // regeneration replaces it
+        "ivf_pq" -> local("ivf_pq")(served {
+          val srv = QueryModule.cachedLocal(s"ivfpqsrv:$dir",
+              s"${tableStamp(dir, "embeddings")}:" +
+                spark.sparkContext.applicationId) {
+            graft.operators.IvfPq.loadForServing(spark, ivfPqPath())
+          }
+          graft.operators.IvfPq.probeAgainstServingReranked(probes, srv,
+            spark.read.parquet(exactPath()), k = 5)
+        }))
       // generous FINITE timeout: a wedged family pipeline surfaces as
       // this query's failure (Bench's per-query try/catch fires) instead
       // of hanging the whole bench/verify process forever
@@ -866,7 +941,14 @@ object VectorOps extends QueryModule {
         } finally graft.operators.CheckpointHygiene.release(e)
       }
       val batch = emb(spark, dir).where($"vec_id" % 10 === 0)
-      graft.operators.IvfPq.probeAgainstIndex(batch, path, k = 3)
+      // serving handle (quantizers + LUT) resolved once per (session,
+      // index generation), not per probe call
+      val srv = QueryModule.cachedLocal(s"annincrsrv:$dir",
+          s"${tableStamp(dir, "embeddings")}:" +
+            spark.sparkContext.applicationId) {
+        graft.operators.IvfPq.loadForServing(spark, path)
+      }
+      graft.operators.IvfPq.probeAgainstServing(batch, srv, k = 3)
         .orderBy($"new_id", $"rk")
     })
 
