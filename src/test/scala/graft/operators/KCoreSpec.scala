@@ -78,6 +78,30 @@ class KCoreSpec extends AnyFunSuite with SparkTestBase {
     assert(drv.forall { case (v, c) => c <= deg(v) })
   }
 
+  test("property: random graphs decompose identically in both regimes (ScalaCheck)") {
+    // fixed closed forms + one corpus graph can hide drift between their
+    // particular shapes; random multigraphs (dups, reversals and
+    // self-loops included — canonicalization is part of the contract)
+    // pin row-for-row equality across the space
+    import org.scalacheck.{Gen, rng}
+    val graphGen = for {
+      n <- Gen.chooseNum(50, 300)
+      es <- Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 45L)
+        b <- Gen.chooseNum(0L, 45L)
+      } yield (a, b))
+    } yield es
+    val graphs = Iterator.iterate(rng.Seed(13L))(_.next).take(5)
+      .map(s => graphGen.pureApply(Gen.Parameters.default, s)).toList
+    graphs.zipWithIndex.foreach { case (ps, i) =>
+      val drv = cores(false, ps: _*)
+      val dst = cores(true, ps: _*)
+      assert(drv == dst,
+        s"graph#$i (${ps.size} pairs): regimes diverged — " +
+          s"${drv.toSet.diff(dst.toSet).take(3)} vs ${dst.toSet.diff(drv.toSet).take(3)}")
+    }
+  }
+
   test("empty edge list yields an empty result on both paths") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -63,6 +63,35 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(got(0L) == (3L, 27000L) && got(1L) == (1L, 4333L), got.toString)
   }
 
+  test("property: random graphs rank identically in both regimes (ScalaCheck)") {
+    // the fixed closed forms + the one corpus graph can hide regime
+    // drift between their particular shapes; random multigraphs (dup
+    // pairs and self-loops allowed — both regimes must treat the
+    // multiset identically) pin row-for-row equality across the space
+    import org.scalacheck.{Gen, rng}
+    val graphGen = for {
+      n <- Gen.chooseNum(50, 200)
+      es <- Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 40L)
+        b <- Gen.chooseNum(0L, 40L)
+        if a != b // self-pairs would divide by zero in NO regime, but
+                  // keep the generator on the documented pair contract
+      } yield (a, b))
+    } yield es
+    val graphs = Iterator.iterate(rng.Seed(7L))(_.next).take(5)
+      .map(s => graphGen.pureApply(Gen.Parameters.default, s)).toList
+    graphs.zipWithIndex.foreach { case (ps, i) =>
+      val pairs = pairsDf(ps)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val drv = rows(PageRank.ranksBp(pairs, "a_id", "b_id"))
+      val dst = rows(PageRank.ranksBp(pairs, "a_id", "b_id", driverLimit = 0L))
+      assert(drv.nonEmpty && drv == dst,
+        s"graph#$i (${ps.size} pairs): regimes diverged — " +
+          s"${(drv -- dst).take(3)} vs ${(dst -- drv).take(3)}")
+    }
+  }
+
   test("string-keyed pairs are rejected loudly, not silently nulled") {
     import spark.implicits._
     val strPairs = Seq(("tok_a", "tok_b")).toDF("a_id", "b_id")

@@ -126,6 +126,52 @@ class StreamingAnnProbeSpec extends AnyFunSuite with SparkTestBase {
     assert(out.distinct.length == out.length, "duplicate neighbour rows")
   }
 
+  test("index rollover: restart after saveIndex(append) probes the NEW index, no re-emit") {
+    // serving streams outlive nightly index rebuilds — the documented
+    // operational path is stop → append/rebuild the index → restart
+    // from the SAME checkpoint: vectors arriving after the restart must
+    // see the rolled index (StreamingAnnProbe resolves the index at
+    // query start, so a restart re-resolves it), and batches processed
+    // before the stop must not re-emit
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = embAll
+    val dir = tmpDir("annroll")
+    ExactAnn.saveIndex(e.where($"vec_id" < 100), s"$dir/idx")
+    val mem = MemoryStream[(Long, Seq[Double], Double)]
+    def start() = StreamingAnnProbe.start(
+      mem.toDS().toDF("vec_id", "v", "nrm"),
+      s"$dir/idx", k = 1, outDir = s"$dir/out", checkpoint = s"$dir/ckpt",
+      exact = true)
+
+    val q1 = start()
+    try { mem.addData(rows(e.where($"vec_id" >= 200 && $"vec_id" < 202)).toIndexedSeq)
+          q1.processAllAvailable() }
+    finally q1.stop()
+
+    // nightly roll while the stream is down: vectors 100-149 join the index
+    ExactAnn.saveIndex(
+      e.where($"vec_id" >= 100 && $"vec_id" < 150), s"$dir/idx", append = true)
+
+    // probe 9120 is an exact COPY of index vector 120 — findable only
+    // through the rolled index, and then necessarily its rank-1 match
+    val twin = rows(e.where($"vec_id" === 120))
+      .map { case (_, v, n) => (9120L, v, n) }
+    val q2 = start()
+    try { mem.addData(twin.toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val out = spark.read.parquet(s"$dir/out")
+      .select($"new_id", $"index_id", $"sim_bp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).sorted.toSeq == Seq(200L, 201L, 9120L),
+      s"rollover re-emitted or dropped probes: ${out.toSeq}")
+    val hit = out.find(_._1 == 9120L).get
+    assert(hit._2 == 120L && hit._3 >= 9999L,
+      s"restarted stream did not probe the rolled index: $hit")
+  }
+
   test("probe output is not re-emitted across a checkpoint restart") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
