@@ -162,6 +162,18 @@ object MediaPipeline {
     }
   }
 
+  /** REAL audio decode ([[AudioCodec]], JDK javax.sound.sampled —
+    * WAV/AIFF/AU): bytes → parsed container → PCM frames →
+    * integer-exact rate/channels/sample-count/mean-amplitude. Same
+    * narrow batched shape and corrupt-row contract as decodeImages. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map(r => AudioCodec.decodeMeta(r.media_id, r.media)))
+    }
+  }
+
   /** REAL resize through the codec: decode → nearest-neighbor re-sample
     * (exact index math) → re-encode PNG. Undecodable payloads pass
     * through UNCHANGED with their original dims (observable downstream

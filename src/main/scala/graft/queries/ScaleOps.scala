@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{ImageCodec, MediaPipeline, MediaRow}
+import graft.multimodal.{AudioCodec, ImageCodec, MediaPipeline, MediaRow}
 import graft.operators.{MinHashDedup, SimHashDedup}
 
 /** Group X — the scale-path operators: MinHash+LSH and SimHash near-dup
@@ -192,6 +192,43 @@ object ScaleOps extends QueryModule {
           MediaPipeline.resizeImages(docImages(spark, dir), 6, 6)).toDF()
         .select($"media_id".as("doc_id"), $"width", $"height",
           $"mean_luma_bp")
+        .orderBy($"doc_id")
+    })
+
+  /** REAL audio decode end-to-end (graft.multimodal.AudioCodec over JDK
+    * javax.sound.sampled — the second real modality next to the PNG
+    * pair): each document's bytes become signed 16-bit mono PCM samples
+    * ((byte − 64)·256, full-scale-safe), encoded as an actual WAV
+    * container, decoded back through the real parser (rate/channels/
+    * frame count read from the DECODED stream, samples re-assembled per
+    * its declared endianness), and measured as integer-exact mean
+    * absolute amplitude. ORACLE-BACKED: PCM16 WAV is lossless, so
+    * DuckDB recomputes every column from the source characters and the
+    * hash-match pins the whole encode→decode→measure roundtrip. Narrow
+    * batched mapPartitions, no shuffle until the output sort. */
+  private val mediaAudio = Q(
+    "x_media_audio",
+    Some("""SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+              CAST(1 AS INT) AS channels,
+              CAST(length(text) AS BIGINT) AS n_samples,
+              CAST(list_sum(list_transform(range(1, length(text) + 1),
+                  i -> abs((ascii(substring(text, CAST(i AS INT), 1)) - 64) * 256)))
+                * 10000 // (32768 * length(text)) AS BIGINT) AS mean_abs_bp
+            FROM documents WHERE length(text) > 0 ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val media = t(spark, dir, "documents").where(length(col("text")) > 0)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.grouped(MediaPipeline.BatchSize).flatMap(_.map { case (id, text) =>
+            val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val samples = tb.map(b => (((b & 0xFF) - 64) * 256).toShort)
+            MediaRow(id, "audio", AudioCodec.encodeWavPcm16(samples, 8000), 0, 0)
+          })
+        }
+      MediaPipeline.decodeAudio(media).toDF()
+        .select($"media_id".as("doc_id"), $"sample_rate", $"channels",
+          $"n_samples", $"mean_abs_bp")
         .orderBy($"doc_id")
     })
 
@@ -385,5 +422,5 @@ object ScaleOps extends QueryModule {
 
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
     minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
-    dedupIncrementalNear, mediaDecode, mediaResize)
+    dedupIncrementalNear, mediaDecode, mediaResize, mediaAudio)
 }
