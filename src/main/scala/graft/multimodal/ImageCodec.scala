@@ -132,6 +132,27 @@ object ImageCodec {
           lumaSum * 10000L / (255L * npix))
     }
 
+  /** Column-sum feature vector from the DECODED raster (gray band 0):
+    * f[x] = Σ_y sample(x, y), integer-exact, returned as doubles for
+    * the cosine kernel — the embed step of an image-similarity
+    * pipeline, computed from real decoded pixels (x_media_knn). None
+    * when the payload doesn't decode. */
+  def columnFeatures(bytes: Array[Byte]): Option[Array[Double]] =
+    read(bytes).map { img =>
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      val f = new Array[Double](w)
+      var x = 0
+      while (x < w) {
+        var s = 0L
+        var y = 0
+        while (y < h) { s += raster.getSample(x, y, 0); y += 1 }
+        f(x) = s.toDouble
+        x += 1
+      }
+      f
+    }
+
   /** Deterministic nearest-neighbor resize through the real codec:
     * decode, re-sample with exact index math (`srcX = x·w DIV tw` —
     * no interpolation, no float), re-encode as PNG preserving the

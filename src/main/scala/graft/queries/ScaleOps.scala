@@ -232,6 +232,72 @@ object ScaleOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
+  /** Multimodal retrieval composition — image similarity over REAL
+    * decoded pixels: every document renders to a uniform 8×8 grayscale
+    * PNG (real encoder), features are COLUMN SUMS OF THE DECODED RASTER
+    * (real reader, integer-exact), and 5 probe images take their top-3
+    * cosine neighbours through the same bounded TopK kernel the vector
+    * family uses — decode → embed → ANN, the pipeline an image-dedup /
+    * image-search deployment runs, with an actual codec in the loop.
+    * ORACLE-BACKED end to end: losslessness lets DuckDB recompute the
+    * features from the source bytes and the strict left-fold cosine
+    * matches the vec_dot kernel bit-for-bit (the x_sim_topk parity
+    * argument). Scale shape: one narrow codec pass, one barrier
+    * exchange shared by the probe and corpus sides, broadcast probes,
+    * bounded TopK — no |corpus|² anything. */
+  private val mediaKnn = Q(
+    "x_media_knn",
+    Some("""WITH f AS (SELECT doc_id,
+              list_transform(range(0, 8), x -> CAST(list_sum(
+                list_transform(range(0, 8), y -> ascii(substring(text,
+                  CAST((y * 8 + x) % length(text) + 1 AS INT), 1)))) AS DOUBLE)) AS v
+              FROM documents WHERE length(text) > 0),
+            p AS (SELECT doc_id AS p_id, v AS pv FROM f WHERE doc_id < 5),
+            s AS (SELECT p_id, doc_id,
+                (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 9), i -> pv[i] * v[i])),
+                   (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, 9), i -> pv[i] * pv[i])),
+                     (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(range(1, 9), i -> v[i] * v[i])),
+                     (acc, x) -> acc + x)))) AS sim
+              FROM p CROSS JOIN f WHERE doc_id <> p_id)
+            SELECT p_id, rk, doc_id, CAST(floor(sim * 10000.0) AS BIGINT) AS sim_bp
+            FROM (SELECT p_id, doc_id, sim, CAST(row_number() OVER (
+                    PARTITION BY p_id ORDER BY sim DESC, doc_id) AS BIGINT) AS rk
+                  FROM s)
+            WHERE rk <= 3 ORDER BY p_id, rk"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val feats = t(spark, dir, "documents").where(length(col("text")) > 0)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.grouped(MediaPipeline.BatchSize).flatMap(_.flatMap { case (id, text) =>
+            val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val px = Array.tabulate(64)(i => tb(i % tb.length))
+            // real PNG roundtrip: features come from DECODED pixels
+            ImageCodec.columnFeatures(ImageCodec.encodeGrayPng(px, 8, 8))
+              .map(v => (id, v))
+          })
+        }
+        .toDF("vec_id", "v")
+      // barrier: materialize the codec pass once — the probe filter and
+      // the corpus join leg both read the one exchange (ReusedExchange)
+      // instead of re-decoding the corpus per reference
+      val e = barrier(feats).withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      val p = broadcast(e.where($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm")))
+      graft.functions.TopK.rankBySim(
+        p.join(e, $"vec_id" =!= $"p_id")
+          .withColumn("sim", expr("vec_dot(pv, v)") / ($"p_nrm" * $"nrm"))
+          .select($"p_id", $"vec_id", $"sim"),
+        "sim", 3)
+        .withColumnRenamed("vec_id", "doc_id")
+    })
+
   /** Compression-ratio quality screen (the Gopher/MassiveText-style
     * corpus-wide filter): per source, the mean DEFLATE-bytes-per-10k-
     * chars and the count of docs below a "suspiciously compressible"
@@ -422,5 +488,5 @@ object ScaleOps extends QueryModule {
 
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
     minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
-    dedupIncrementalNear, mediaDecode, mediaResize, mediaAudio)
+    dedupIncrementalNear, mediaDecode, mediaResize, mediaAudio, mediaKnn)
 }

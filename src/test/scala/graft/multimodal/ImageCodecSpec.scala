@@ -57,6 +57,13 @@ class ImageCodecSpec extends AnyFunSuite with SparkTestBase {
     assert(ImageCodec.resizeNearest("junk".getBytes, 2, 2).isEmpty)
   }
 
+  test("columnFeatures: exact column sums from decoded pixels") {
+    // 3x2: rows (10,20,30) / (40,50,60) → column sums (50, 70, 90)
+    val png = ImageCodec.encodeGrayPng(Array[Byte](10, 20, 30, 40, 50, 60), 3, 2)
+    assert(ImageCodec.columnFeatures(png).get.toSeq == Seq(50.0, 70.0, 90.0))
+    assert(ImageCodec.columnFeatures("junk".getBytes).isEmpty)
+  }
+
   test("decodeImages over a stream matches the batch pass (stateless parity)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
