@@ -168,7 +168,11 @@ object BpeTrainer {
         val next = state
           .map { case (w, n, syms) => (w, n, applyMerge(syms, l, r)) }
           .localCheckpoint(eager = true)
+        // unpersist alone does NOT free a localCheckpoint's blocks —
+        // release the superseded step's checkpoint explicitly or every
+        // merge step strands one block (the CheckpointHygiene lesson)
         state.unpersist()
+        CheckpointHygiene.release(state)
         state = next
         step += 1
       }

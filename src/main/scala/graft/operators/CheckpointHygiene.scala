@@ -20,8 +20,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   * before releasing it.
   */
 object CheckpointHygiene {
-  def release(df: DataFrame): Unit =
-    df.queryExecution.logical match {
+  /** Unpersist every checkpoint RDD under `df`'s plan — not just a root
+    * LogicalRDD: a rename/projection over a checkpoint (BpeTrainer's
+    * returned state, KCore's final select) must still be releasable by
+    * the frame the caller actually holds. Only call on frames whose
+    * checkpoint leaves the caller OWNS: leaves are truncated-lineage
+    * blocks, so releasing someone else's means their next read fails
+    * rather than recomputes. */
+  def release(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.logical.foreach {
       case l: LogicalRDD => l.rdd.unpersist(blocking = false)
       case _             => ()
     }

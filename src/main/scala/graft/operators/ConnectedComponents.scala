@@ -33,11 +33,15 @@ object ConnectedComponents {
     * Cache contract: all intermediates this operator persists are
     * unpersisted before it returns. On the distributed path the RETURNED
     * frame is backed by one localCheckpoint (one row per node — the
-    * result itself, lineage already cut); its blocks are released by the
-    * ContextCleaner when the frame is garbage-collected. The driver path
-    * (graphs ≤ [[DriverEdgeLimit]]) returns a plain local relation and
-    * leaves nothing cached. */
-  def components(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    * result itself, lineage already cut); ownership of its blocks
+    * transfers to the caller's first action
+    * ([[CheckpointHygiene.releaseAfterFirstAction]] — single-consumption
+    * contract, the PageRank pattern). The driver path (graphs ≤
+    * `driverLimit`) returns a plain local relation and leaves nothing
+    * cached. `driverLimit` exists for tests to force the distributed
+    * regime (the KCore/PageRank pattern). */
+  def components(edges: DataFrame, srcCol: String, dstCol: String,
+      driverLimit: Long = DriverEdgeLimit): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -50,8 +54,9 @@ object ConnectedComponents {
     // stay on the executors; only when the graph is confirmed
     // driver-sized does collect() ship it (the prior limit(N+1).collect()
     // shipped up to 1M rows just to discard them on the distributed path)
-    val probeCount = pairs.limit(DriverEdgeLimit.toInt + 1).count()
-    if (probeCount <= DriverEdgeLimit) {
+    val probeCount = pairs
+      .limit(math.min(driverLimit, Int.MaxValue - 1L).toInt + 1).count()
+    if (probeCount <= driverLimit) {
       val probe = pairs.collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -109,7 +114,13 @@ object ConnectedComponents {
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .where($"lbl" =!= $"old").limit(1).count()
+      // round 0's labels are catalog-persisted (unpersist frees them);
+      // every later round's labels are a localCheckpoint, whose blocks
+      // Dataset.unpersist does NOT free (the CheckpointHygiene lesson) —
+      // release both ways so intermediate rounds don't strand one
+      // checkpoint each until the ContextCleaner happens to run
       labels.unpersist()
+      CheckpointHygiene.release(labels)
       labels = next
       converged = changed == 0
       round += 1
@@ -121,6 +132,7 @@ object ConnectedComponents {
       s"connected components did not converge within $MaxRounds rounds " +
         "(graph diameter too large — raise MaxRounds or use " +
         "large-star/small-star rounds)")
-    labels.select($"id", $"lbl".as("cluster_id"))
+    CheckpointHygiene.releaseAfterFirstAction(
+      labels.select($"id", $"lbl".as("cluster_id")), labels)
   }
 }

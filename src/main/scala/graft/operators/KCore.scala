@@ -139,6 +139,10 @@ object KCore {
         .localCheckpoint()
       val changed = next.join(est.select($"id", $"c".as("old")), "id")
         .where($"c" =!= $"old").limit(1).count()
+      // free the superseded round's checkpoint NOW (Dataset.unpersist
+      // would not touch it — the CheckpointHygiene lesson); without
+      // this every h-index round strands one block for the session
+      CheckpointHygiene.release(est)
       est = next
       converged = changed == 0
       round += 1
@@ -146,6 +150,9 @@ object KCore {
     und.unpersist()
     if (!converged) throw new IllegalStateException(
       s"k-core h-index iteration did not converge in $MaxRounds rounds")
-    est.select($"id", $"c".as("core"))
+    // final round's blocks transfer to the caller's first action
+    // (single-consumption contract, the PageRank pattern)
+    CheckpointHygiene.releaseAfterFirstAction(
+      est.select($"id", $"c".as("core")), est)
   }
 }

@@ -1239,7 +1239,10 @@ object MiningOps extends QueryModule {
         .select(explode(expr(
           "filter(split(lower(text), ' +'), x -> x != '')")).as("word"))
         .groupBy($"word").agg(count(lit(1)).as("n"))
-      val (merges, _) = graft.operators.BpeTrainer.train(vocab, steps = 10)
+      // only the merge table is needed; the returned training state is a
+      // checkpoint in the distributed regime — free it deterministically
+      val (merges, bpeState) = graft.operators.BpeTrainer.train(vocab, steps = 10)
+      graft.operators.CheckpointHygiene.release(bpeState)
       merges.toDF()
         .select($"step".cast("long").as("step"), $"left", $"right",
           $"count".as("n"))
@@ -1270,7 +1273,10 @@ object MiningOps extends QueryModule {
           "filter(split(lower(text), ' +'), x -> x != '')")).as("word"))
         .groupBy($"lang", $"word").agg(count(lit(1)).as("n"))
       val vocab = lv.groupBy($"word").agg(sum($"n").as("n"))
-      val (merges, _) = graft.operators.BpeTrainer.train(vocab, steps = 10)
+      // only the merge table is needed; the returned training state is a
+      // checkpoint in the distributed regime — free it deterministically
+      val (merges, bpeState) = graft.operators.BpeTrainer.train(vocab, steps = 10)
+      graft.operators.CheckpointHygiene.release(bpeState)
       val bcMerges = spark.sparkContext.broadcast(merges)
       val enc = lv.as[(String, String, Long)].map { case (lang, w, n) =>
         val syms = graft.operators.BpeTrainer.encode(w, bcMerges.value)

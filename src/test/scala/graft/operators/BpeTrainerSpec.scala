@@ -63,6 +63,23 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
     assert(l.toSeq == d.toSeq)
   }
 
+  test("distributed training strands no checkpoint blocks once the state is released") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val (merges, state) = BpeTrainer.train(sennrichVocab(), steps = 8, driverLimit = 0)
+    assert(merges.nonEmpty)
+    // intermediate steps release inline; the FINAL state is the
+    // caller's to free (the MiningOps call sites release it when they
+    // only need the merge table)
+    CheckpointHygiene.release(state)
+    val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.nanoTime < deadline) Thread.sleep(50)
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"stranded ${leaked.size} RDDs: " +
+        leaked.values.map(r => s"${r.id}:${r.name}").mkString(", "))
+  }
+
   test("training stops when no pair repeats") {
     import spark.implicits._
     val tiny = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "n")

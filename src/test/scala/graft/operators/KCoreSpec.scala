@@ -102,6 +102,21 @@ class KCoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("distributed branch leaves zero persistent RDDs after consumption") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val got = cores(true, k4 ++ Seq((3L, 4L), (4L, 5L), (9L, 10L)): _*)
+    assert(got.nonEmpty)
+    // h-index rounds release superseded checkpoints inline; the final
+    // round's blocks release via the first-action listener (async bus)
+    val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.nanoTime < deadline) Thread.sleep(50)
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"stranded ${leaked.size} RDDs: " +
+        leaked.values.map(r => s"${r.id}:${r.name}").mkString(", "))
+  }
+
   test("empty edge list yields an empty result on both paths") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
