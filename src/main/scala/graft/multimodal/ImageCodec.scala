@@ -103,33 +103,40 @@ object ImageCodec {
     * ((299·ΣR + 587·ΣG + 114·ΣB) DIV 1000); alpha is ignored.
     * mean_luma_bp = Σluma·10000 DIV (255·pixels). */
   def decodeMeta(mediaId: Long, bytes: Array[Byte]): ImageMeta =
-    read(bytes) match {
+    decodeStats(bytes) match {
       case None =>
         ImageMeta(mediaId, bytes.length.toLong, ok = false, 0, 0, 0, 0L)
-      case Some(img) =>
-        val raster = img.getRaster
-        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
-        val lumaBands = if (bands >= 3) 3 else 1
-        val sums = new Array[Long](lumaBands)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var b = 0
-            while (b < lumaBands) {
-              sums(b) += raster.getSample(x, y, b)
-              b += 1
-            }
-            x += 1
-          }
-          y += 1
-        }
-        val lumaSum =
-          if (lumaBands == 1) sums(0)
-          else (299L * sums(0) + 587L * sums(1) + 114L * sums(2)) / 1000L
-        val npix = w.toLong * h
+      case Some((w, h, bands, lumaSum)) =>
         ImageMeta(mediaId, bytes.length.toLong, ok = true, w, h, bands,
-          lumaSum * 10000L / (255L * npix))
+          lumaSum * 10000L / (255L * w * h))
+    }
+
+  /** Raw decode statistics — (width, height, bands, Σluma) — for
+    * callers that aggregate ACROSS images (the multi-frame decoder):
+    * sums stay exact integers until one final division. */
+  def decodeStats(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    read(bytes).map { img =>
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      val lumaBands = if (bands >= 3) 3 else 1
+      val sums = new Array[Long](lumaBands)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < lumaBands) {
+            sums(b) += raster.getSample(x, y, b)
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val lumaSum =
+        if (lumaBands == 1) sums(0)
+        else (299L * sums(0) + 587L * sums(1) + 114L * sums(2)) / 1000L
+      (w, h, bands, lumaSum)
     }
 
   /** Column-sum feature vector from the DECODED raster (gray band 0):

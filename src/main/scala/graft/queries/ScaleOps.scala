@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{AudioCodec, ImageCodec, MediaPipeline, MediaRow}
+import graft.multimodal.{AudioCodec, FrameContainer, ImageCodec, MediaPipeline, MediaRow}
 import graft.operators.{MinHashDedup, SimHashDedup}
 
 /** Group X — the scale-path operators: MinHash+LSH and SimHash near-dup
@@ -298,6 +298,52 @@ object ScaleOps extends QueryModule {
         .withColumnRenamed("vec_id", "doc_id")
     })
 
+  /** REAL intra-payload frame decode — the video-pipeline stage with an
+    * actual codec in the loop (x_media_frames keeps the stub byte-probe
+    * twin for the opaque-container shape): each document packs
+    * 4 + doc_id % 3 real 8×8 PNG frames into the length-prefixed
+    * MJPEG-style FrameContainer, and MediaPipeline.decodeFrames parses
+    * the container, DECODES every 2nd frame through ImageIO and
+    * aggregates luma exactly across the decoded rasters. ORACLE-BACKED
+    * like the rest of the real-codec family: losslessness lets DuckDB
+    * recompute frame counts and mean luma straight from the source
+    * bytes. Narrow batched mapPartitions, shuffle only at the output
+    * sort. */
+  private val mediaFramesDecode = Q(
+    "x_media_frames_decode",
+    Some("""WITH m AS (SELECT doc_id, text, CAST(4 + doc_id % 3 AS BIGINT) AS nf
+              FROM documents WHERE length(text) > 0),
+            d AS (SELECT doc_id, nf, CAST((nf + 1) // 2 AS BIGINT) AS nd,
+                CAST(list_sum(list_transform(range(0, nf),
+                  f -> CASE WHEN f % 2 = 0 THEN list_sum(list_transform(range(0, 64),
+                    i -> ascii(substring(text,
+                      CAST((f * 64 + i) % length(text) + 1 AS INT), 1))))
+                    ELSE 0 END)) AS BIGINT) AS luma
+              FROM m)
+            SELECT doc_id, nf AS n_frames, nd AS n_decoded,
+              CAST(luma * 10000 // (255 * 64 * nd) AS BIGINT) AS mean_luma_bp
+            FROM d ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val media = t(spark, dir, "documents").where(length(col("text")) > 0)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.grouped(MediaPipeline.BatchSize).flatMap(_.map { case (id, text) =>
+            val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val nf = (4 + id % 3).toInt
+            val frames = (0 until nf).map { f =>
+              ImageCodec.encodeGrayPng(
+                Array.tabulate(64)(i => tb((f * 64 + i) % tb.length)), 8, 8)
+            }
+            MediaRow(id, "video", FrameContainer.pack(frames), 8, 8)
+          })
+        }
+      MediaPipeline.decodeFrames(media, stride = 2).toDF()
+        .select($"media_id".as("doc_id"), $"n_frames", $"n_decoded",
+          $"mean_luma_bp")
+        .orderBy($"doc_id")
+    })
+
   /** Compression-ratio quality screen (the Gopher/MassiveText-style
     * corpus-wide filter): per source, the mean DEFLATE-bytes-per-10k-
     * chars and the count of docs below a "suspiciously compressible"
@@ -488,5 +534,6 @@ object ScaleOps extends QueryModule {
 
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
     minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
-    dedupIncrementalNear, mediaDecode, mediaResize, mediaAudio, mediaKnn)
+    dedupIncrementalNear, mediaDecode, mediaResize, mediaAudio, mediaKnn,
+    mediaFramesDecode)
 }

@@ -64,6 +64,35 @@ class ImageCodecSpec extends AnyFunSuite with SparkTestBase {
     assert(ImageCodec.columnFeatures("junk".getBytes).isEmpty)
   }
 
+  test("FrameContainer: roundtrip, truncated tail parses to the frames that fit") {
+    val fs = Seq(Array[Byte](1, 2, 3), Array[Byte](), Array[Byte](9))
+    val packed = FrameContainer.pack(fs)
+    val back = FrameContainer.unpack(packed)
+    assert(back.length == 3 && back.zip(fs).forall { case (a, b) => a.sameElements(b) })
+    // cut mid-frame: only the complete prefix frames survive
+    val cut = FrameContainer.unpack(java.util.Arrays.copyOf(packed, packed.length - 1))
+    assert(cut.length == 2)
+    assert(FrameContainer.unpack(Array.empty[Byte]).isEmpty)
+  }
+
+  test("decodeFrames: stride sampling, exact cross-frame luma, bad frames counted") {
+    import spark.implicits._
+    // 3 frames of 2x1: (10,20) (30,40) (junk) — stride 2 decodes f0 + f2
+    val good0 = ImageCodec.encodeGrayPng(Array[Byte](10, 20), 2, 1)
+    val good1 = ImageCodec.encodeGrayPng(Array[Byte](30, 40), 2, 1)
+    val packed = FrameContainer.pack(Seq(good0, good1, "junk".getBytes("UTF-8")))
+    val ds = Seq((1L, "video", packed, 0, 0)).toDF(
+        "media_id", "kind", "media", "width", "height").as[MediaRow]
+    val s = MediaPipeline.decodeFrames(ds, stride = 2).collect().head
+    assert(s.n_frames == 3L && s.n_decoded == 1L && s.n_bad == 1L, s.toString)
+    // only frame 0 decoded: mean = (10+20)*10000/(255*2)
+    assert(s.mean_luma_bp == 30L * 10000 / (255 * 2), s.toString)
+    // stride 1 decodes all three, two good
+    val s1 = MediaPipeline.decodeFrames(ds, stride = 1).collect().head
+    assert(s1.n_decoded == 2L && s1.n_bad == 1L &&
+      s1.mean_luma_bp == 100L * 10000 / (255 * 4), s1.toString)
+  }
+
   test("decodeImages over a stream matches the batch pass (stateless parity)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
