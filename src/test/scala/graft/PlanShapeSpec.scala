@@ -447,6 +447,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("ObjectHashAggregate"), s"bounded TopK aggregate missing:\n$p")
   }
 
+  test("real-codec media queries: narrow codec passes — no shuffle before the output sort") {
+    // the codec pipeline (synthesize → real encode → real decode →
+    // measure) must stay ONE narrow mapPartitions chain: the only
+    // exchange allowed is the rangepartitioning of the final ORDER BY;
+    // a shuffle inside the chain means the pipeline re-materializes
+    // payloads it could stream
+    for (q <- Seq("x_media_decode", "x_media_resize", "x_media_audio",
+        "x_media_frames_decode")) {
+      val p = plan(q)
+      val exchanges = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toList
+      assert(exchanges.forall(_.startsWith("rangepartitioning")),
+        s"$q: non-sort exchange inside the codec chain: $exchanges\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+        s"$q: unexpected join/window in a narrow codec pass:\n$p")
+    }
+  }
+
   test("r_join_shuffle: lineitem pre-aggregates by order key — no count-distinct expand") {
     val p = plan("r_join_shuffle")
     assert(!p.contains("Expand"),

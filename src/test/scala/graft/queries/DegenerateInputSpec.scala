@@ -57,6 +57,40 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("real-codec media queries: 1-char and short docs cycle exactly; empty docs filtered") {
+    import spark.implicits._
+    val dir = tmpDir("mediadegen")
+    Seq((1L, "a", "en", "s0", 1L), (2L, "zx", "en", "s0", 2L),
+        (3L, "", "en", "s0", 0L), (4L, "abc " * 100, "en", "s0", 400L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // decode: the 1-char doc renders every pixel 'a' (97) — mean luma is
+    // floor(970000/255) = 3803 regardless of the doc_id-derived dims
+    val dec = SparkEntry.queries("x_media_decode")(spark, dir).collect()
+    assert(dec.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L), "empty doc must filter")
+    val d1 = dec.find(_.getLong(0) == 1L).get
+    assert(d1.getInt(1) == 9 && d1.getInt(2) == 9 && d1.getInt(3) == 1 &&
+      d1.getLong(4) == 3803L, d1.toString)
+
+    // audio: one sample (97-64)*256 = 8448 → floor(84480000/32768) = 2578
+    val aud = SparkEntry.queries("x_media_audio")(spark, dir).collect()
+    val a1 = aud.find(_.getLong(0) == 1L).get
+    assert(a1.getLong(3) == 1L && a1.getLong(4) == 2578L, a1.toString)
+
+    // frame decode: doc 1 packs 5 real frames, 3 decoded, same 'a' mean
+    val frm = SparkEntry.queries("x_media_frames_decode")(spark, dir).collect()
+    val f1 = frm.find(_.getLong(0) == 1L).get
+    assert(f1.getLong(1) == 5L && f1.getLong(2) == 3L &&
+      f1.getLong(3) == 3803L, f1.toString)
+
+    // knn over 3 surviving docs: each probe gets the other 2 neighbours,
+    // all features positive → sims in (0, 1]
+    val knn = SparkEntry.queries("x_media_knn")(spark, dir).collect()
+    assert(knn.map(_.getLong(0)).distinct.sorted.toSeq == Seq(1L, 2L, 4L))
+    assert(knn.forall(r => r.getLong(3) > 0L && r.getLong(3) <= 10000L))
+  }
+
   test("x_zipf_slope: all-tied counts => slope 0.0, intercept ln(n), r2 1.0; varying lang unaffected") {
     import spark.implicits._
     val dir = tmpDir("zipfdegen")
