@@ -968,6 +968,94 @@ object TextOps extends QueryModule {
     * gram-keyed equi-join of the two Heaps-sublinear sides, per-doc bp
     * floored before the pure-BIGINT source rollup — the
     * x_rare_token_docs machinery at gram granularity. */
+  /** Maximal duplicated-span extraction — the practical form of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": remove, don't just flag, every
+    * substring shared with the rest of the corpus). Positioned 5-token
+    * grams with df ≥ 2 mark duplicated positions; consecutive-position
+    * ISLANDS (the p − row_number() gaps-and-islands key, one window per
+    * doc) merge overlapping duplicated grams into maximal spans; the
+    * rollup reports, per source, affected docs, span count, and the
+    * exact token mass an exact-substring pass would excise — the
+    * removal budget x_dup_gram_mass's flag-level read cannot give.
+    *
+    * Scale shape: positioned grams are one narrow pass (8-byte xxhash64
+    * keys — the oracle spells the strings; 64-bit collisions are the
+    * same accepted risk as every hash-keyed dedup here), the df join
+    * yields AT MOST one row per position (df is unique per gram —
+    * never Σdf² pair rows), islands are a per-doc window, and the
+    * rollup is map-side combined. Lee et al.'s single-node suffix
+    * array becomes three data-parallel exchanges. */
+  private val dupSpans = Q(
+    "x_dup_spans",
+    Some("""WITH d AS (SELECT doc_id, source,
+              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+              FROM documents),
+            tot AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+                    FROM d GROUP BY source),
+            g AS (SELECT doc_id, source,
+                unnest(range(1, greatest(len(toks) - 3, 1))) AS p,
+                unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                    toks[i+3], toks[i+4]))) AS gram
+              FROM d WHERE len(toks) >= 5),
+            df AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+            dup AS (SELECT doc_id, source, p FROM g JOIN df USING (gram)
+                    WHERE n >= 2),
+            isl AS (SELECT doc_id, source, p,
+                p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+              FROM dup),
+            sp AS (SELECT doc_id, source, min(p) AS p0, max(p) + 4 AS p1
+                   FROM isl GROUP BY doc_id, source, grp),
+            agg AS (SELECT source,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(p1 - p0 + 1) AS BIGINT) AS dup_tokens
+              FROM sp GROUP BY source)
+            SELECT t.source,
+              CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+              CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+              CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              total_tokens,
+              CAST(coalesce(dup_tokens, 0) * 10000 // total_tokens AS BIGINT) AS dup_bp
+            FROM tot t LEFT JOIN agg USING (source) ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = barrier(t(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks")))
+      val tot = d.groupBy($"source")
+        .agg(sum(size($"toks")).cast("long").as("total_tokens"))
+      // positioned 5-gram hashes; absolute offsets differ from the
+      // oracle's 1-based positions but only differences survive to the
+      // output (island keys and span lengths are translation-invariant)
+      val g = d.where(size($"toks") >= 5)
+        .select($"doc_id", $"source", posexplode(expr(
+          """transform(sequence(0, size(toks) - 5),
+               i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                 toks[i+3], toks[i+4])))""")))
+        .select($"doc_id", $"source", $"pos".as("p"), $"col".as("gram"))
+      val dfreq = g.groupBy($"gram").agg(count(lit(1)).as("n"))
+      val dup = g.join(dfreq.where($"n" >= 2), "gram")
+      val isl = dup.withColumn("grp",
+        $"p" - row_number().over(Window.partitionBy($"doc_id").orderBy($"p")))
+      val sp = isl.groupBy($"doc_id", $"source", $"grp")
+        .agg(min($"p").as("p0"), (max($"p") + 4).as("p1"))
+      val agg = sp.groupBy($"source")
+        .agg(count_distinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_spans"),
+          sum($"p1" - $"p0" + 1).cast("long").as("dup_tokens"))
+      tot.join(agg, Seq("source"), "left")
+        .select($"source",
+          coalesce($"n_docs", lit(0L)).cast("long").as("n_docs"),
+          coalesce($"n_spans", lit(0L)).cast("long").as("n_spans"),
+          coalesce($"dup_tokens", lit(0L)).cast("long").as("dup_tokens"),
+          $"total_tokens",
+          expr("coalesce(dup_tokens, 0) * 10000 DIV total_tokens")
+            .cast("long").as("dup_bp"))
+        .orderBy($"source")
+    })
+
   private val dupGramMass = Q(
     "x_dup_gram_mass",
     Some("""WITH toks AS (SELECT doc_id, source,
@@ -1172,5 +1260,5 @@ object TextOps extends QueryModule {
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
     dedupSampled, dedupWinnow, winnowVsSampled, dedupCross, langConfusion,
     tokenFertility, templatePrefix, ngramLm, containment, rareTokenDocs,
-    thresholdSweep, dupGramMass, qualityVsLm, dedupIncremental)
+    thresholdSweep, dupGramMass, qualityVsLm, dedupIncremental, dupSpans)
 }

@@ -91,6 +91,31 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(knn.forall(r => r.getLong(3) > 0L && r.getLong(3) <= 10000L))
   }
 
+  test("x_dup_spans: overlapping duplicated grams merge into maximal spans; self-dups count") {
+    import spark.implicits._
+    val dir = tmpDir("spansdegen")
+    Seq(
+      // docs 1+2 share the 6-token run "a b c d e f" (two overlapping
+      // duplicated 5-grams -> ONE island -> one 6-token span per doc)
+      (1L, "a b c d e f g h", "en", "s0", 15L),
+      (2L, "x x a b c d e f y", "en", "s0", 17L),
+      // unique doc: no span
+      (3L, "q w e r t", "en", "s0", 9L),
+      // SELF-duplication: "m n o p q" twice within one doc -> two
+      // disjoint 5-token spans in the same doc
+      (4L, "m n o p q z m n o p q", "en", "s0", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x_dup_spans")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // 3 affected docs, 4 spans (1+1+2), 6+6+5+5 = 22 dup tokens of
+    // 8+9+5+11 = 33 total -> 6666 bp
+    assert(r.getString(0) == "s0" && r.getLong(1) == 3L && r.getLong(2) == 4L &&
+      r.getLong(3) == 22L && r.getLong(4) == 33L && r.getLong(5) == 6666L,
+      r.toString)
+  }
+
   test("x_zipf_slope: all-tied counts => slope 0.0, intercept ln(n), r2 1.0; varying lang unaffected") {
     import spark.implicits._
     val dir = tmpDir("zipfdegen")
