@@ -60,9 +60,27 @@ object CheckpointHygiene {
       case l: LogicalRDD =>
         val spark = result.sparkSession
         val rddId = l.rdd.id
+        // ARMING MARKER — the listener bus is ASYNCHRONOUS: an execution
+        // that touched this rdd BEFORE registration (IvfPq's probed-cells
+        // collect, an iteration loop's convergence count) can have its
+        // completion event delivered AFTER registration, which would
+        // release the blocks while the real consumer still needs them
+        // (measured: x_dedup_keepbest "Block rdd_N does not exist" under
+        // the 8-wide suite run). Events post to the bus synchronously at
+        // action end and deliver FIFO, so a marker executed AFTER
+        // registration cleanly separates stale events (ignored) from
+        // genuine post-registration consumers. If the marker event is
+        // ever dropped (bus overflow), the listener never arms and the
+        // blocks merely leak — the pre-listener behavior, never a crash.
+        val marker = spark.range(0).toDF()
         val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          private val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
           private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
           private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+            if (!armed.get) {
+              if (qe eq marker.queryExecution) armed.set(true)
+              return
+            }
             val touches = qe.analyzed.exists {
               case x: LogicalRDD => x.rdd.id == rddId
               case _             => false
@@ -80,6 +98,7 @@ object CheckpointHygiene {
               exception: Exception): Unit = maybe(qe)
         }
         spark.listenerManager.register(listener)
+        marker.collect()
       case _ => ()
     }
     result

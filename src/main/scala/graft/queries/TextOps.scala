@@ -1021,9 +1021,13 @@ object TextOps extends QueryModule {
             FROM tot t LEFT JOIN agg USING (source) ORDER BY source"""),
     (spark, dir) => {
       import spark.implicits._
-      val d = barrier(t(spark, dir, "documents")
+      // no barrier: the two consumers reference `toks` a bounded number
+      // of times (tot reads only size(toks); the gram builder consumes
+      // it once per row inside one lambda) — the InlineCost rule says a
+      // ≤2× narrow recompute beats a full-corpus anti-inline exchange
+      val d = t(spark, dir, "documents")
         .select($"doc_id", $"source",
-          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks")))
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
       val tot = d.groupBy($"source")
         .agg(sum(size($"toks")).cast("long").as("total_tokens"))
       // positioned 5-gram hashes; absolute offsets differ from the
