@@ -1014,6 +1014,87 @@ object PipelineOps extends QueryModule {
     * length as the cross-multiplied 4·toks ≤ chars ≤ 5·toks — no
     * division), then ONE source-keyed map-side-combined aggregate.
     * Integer bp throughout; no joins, no windows. */
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): every doc scored
+    * by how much more likely its tokens are under the TARGET domain's
+    * unigram LM (source src0 — the corpus's benchmark-role source, the
+    * same one the decontamination family treats as the reference set)
+    * than under the raw-corpus LM — w = mean_tok ln(p_target/p_raw),
+    * add-one smoothed, in basis-nats. Positive ⇒ the doc reads more
+    * target-like than the average crawl doc; importance RESAMPLING
+    * keeps docs ∝ exp(w). Per-source rollup: docs, mean weight, and
+    * how many score target-like — the domain-targeting selection read
+    * next to x_token_kl's source-level distance.
+    *
+    * Scale shape (the x_ngram_lm recipe): doc-token groups joined to
+    * two vocabulary-bounded count tables (target LEFT — unseen-in-
+    * target tokens smooth to ct=0) plus a broadcast 1-row scalar
+    * frame; per-doc floats floored to bp before the pure-BIGINT
+    * rollup; identical ln spelling in both engines. */
+  private val dsirWeights = Q(
+    "x_dsir_weights",
+    Some("""WITH toks AS (SELECT doc_id, source,
+                list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS tk
+              FROM documents),
+            uni AS (SELECT doc_id, source, unnest(tk) AS token
+                    FROM toks WHERE len(tk) >= 1),
+            dt AS (SELECT doc_id, source, token, CAST(count(*) AS BIGINT) AS occ
+                   FROM uni GROUP BY 1, 2, 3),
+            cr AS (SELECT token AS r_token, CAST(count(*) AS BIGINT) AS cr
+                   FROM uni GROUP BY 1),
+            ct AS (SELECT token AS t_token, CAST(count(*) AS BIGINT) AS ct
+                   FROM uni WHERE source = 'src0' GROUP BY 1),
+            sc AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS tr,
+                          (SELECT CAST(count(*) AS BIGINT) FROM cr) AS vsz,
+                          (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM ct) AS tt),
+            doc AS (SELECT doc_id, source,
+                CAST(floor(10000.0 * sum(occ * (
+                    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(tt + vsz AS DOUBLE))
+                    - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + vsz AS DOUBLE))))
+                  / sum(occ)) AS BIGINT) AS w_bp
+              FROM dt JOIN cr ON r_token = token
+              LEFT JOIN ct ON t_token = token
+              CROSS JOIN sc
+              GROUP BY 1, 2)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(w_bp) // count(*) AS BIGINT) AS mean_w_bp,
+              CAST(sum(CASE WHEN w_bp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_target_like
+            FROM doc GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = t(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"))
+        .where(size($"tk") >= 1)
+      val uni = toks.select($"doc_id", $"source", explode($"tk").as("token"))
+      val dt = uni.groupBy($"doc_id", $"source", $"token")
+        .agg(count(lit(1)).as("occ"))
+      val cr = uni.groupBy($"token".as("r_token"))
+        .agg(count(lit(1)).as("cr"))
+      val ct = uni.where($"source" === "src0")
+        .groupBy($"token".as("t_token")).agg(count(lit(1)).as("ct"))
+      val sc = broadcast(
+        cr.agg(sum($"cr").as("tr"), count(lit(1)).as("vsz"))
+          .crossJoin(ct.agg(coalesce(sum($"ct"), lit(0L)).as("tt"))))
+      val doc = dt
+        .join(cr, $"r_token" === $"token")
+        .join(ct, $"t_token" === $"token", "left")
+        .crossJoin(sc)
+        .groupBy($"doc_id", $"source")
+        .agg(floor(lit(10000.0) * sum($"occ" * (
+            log((coalesce($"ct", lit(0L)) + 1).cast("double") /
+              ($"tt" + $"vsz").cast("double"))
+            - log(($"cr" + 1).cast("double") /
+              ($"tr" + $"vsz").cast("double"))))
+          / sum($"occ")).cast("long").as("w_bp"))
+      doc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(w_bp) DIV count(1)").cast("long").as("mean_w_bp"),
+          sum(when($"w_bp" > 0L, 1L).otherwise(0L)).as("n_target_like"))
+        .orderBy($"source")
+    })
+
   private val gopherRules = Q(
     "x_gopher_rules",
     Some("""WITH f AS (SELECT doc_id, source,
@@ -1168,5 +1249,6 @@ object PipelineOps extends QueryModule {
       filterChain, tokenBudget, sampleTemperature, dedupKeepBest,
       curationE2e, shardAssign, packSequences, sampleQuality,
       sampleReservoir, statsProfile, lengthHistogram, chunkDocs, epochPlan,
-      qualityVsDup, piiScrub, datasetCard, gopherRules, splitLeakage)
+      qualityVsDup, piiScrub, datasetCard, gopherRules, splitLeakage,
+      dsirWeights)
 }

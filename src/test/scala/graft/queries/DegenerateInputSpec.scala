@@ -116,6 +116,32 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
       r.toString)
   }
 
+  test("x_dsir_weights: target-vocabulary docs score positive, off-domain negative") {
+    import spark.implicits._
+    val dir = tmpDir("dsirdegen")
+    Seq(
+      // target domain src0: fruit vocabulary
+      (1L, "apple banana apple banana", "en", "src0", 25L),
+      (2L, "banana apple banana", "en", "src0", 19L),
+      // off-domain src1: disjoint vocabulary...
+      (3L, "car door car door car", "en", "src1", 21L),
+      (4L, "door car door", "en", "src1", 13L),
+      // ...except one src1 doc written in the TARGET vocabulary — the
+      // doc importance resampling exists to find
+      (5L, "apple banana apple", "en", "src1", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x_dsir_weights")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (n0, w0, t0) = rows("src0")
+    val (n1, w1, t1) = rows("src1")
+    assert(n0 == 2L && n1 == 3L, rows.toString)
+    assert(w0 > 0L, s"target-domain docs must score positive: $rows")
+    assert(w1 < 0L, s"mostly off-domain source must score negative: $rows")
+    assert(t0 == 2L, s"every src0 doc is target-like: $rows")
+    assert(t1 == 1L, s"exactly the fruit-vocab src1 doc is target-like: $rows")
+  }
+
   test("x_zipf_slope: all-tied counts => slope 0.0, intercept ln(n), r2 1.0; varying lang unaffected") {
     import spark.implicits._
     val dir = tmpDir("zipfdegen")
