@@ -107,7 +107,11 @@ object FrameContainer {
     while (ok && off + 4 <= bytes.length) {
       val len = ((bytes(off) & 0xFF) << 24) | ((bytes(off + 1) & 0xFF) << 16) |
         ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
-      if (len < 0 || off + 4 + len > bytes.length) ok = false
+      // bounds check in LONG arithmetic: a corrupt header near
+      // Int.MaxValue would wrap `off + 4 + len` negative, slip past an
+      // int comparison and throw out of copyOfRange — the crawl-tail
+      // contract says corrupt data parses to the frames that fit
+      if (len < 0 || off.toLong + 4 + len > bytes.length) ok = false
       else {
         frames += java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len)
         off += 4 + len

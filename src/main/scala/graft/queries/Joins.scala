@@ -104,7 +104,14 @@ object Joins extends QueryModule {
         spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
       val lt = s"graft_bkt_lineitem_$tag"
       val ot = s"graft_bkt_orders_$tag"
-      QueryModule.cachedIndex(s"bucketed:$dir:$tag", stamp) { p =>
+      // cache key must NOT embed the stamp (tag carries it for table-
+      // name uniqueness): keyed by (dir, app), a testdata regeneration
+      // REPLACES the entry and deletes the superseded bucketed dir —
+      // a stamped key would strand one dir per generation until JVM
+      // exit. The prior generation's catalog tables dangle unreferenced
+      // (their tag differs); the fresh build registers fresh names.
+      val appTag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+      QueryModule.cachedIndex(s"bucketed:$dir:$appTag", stamp) { p =>
         graft.operators.BucketedJoins.writeBucketed(
           t(spark, dir, "lineitem")
             .select($"l_orderkey", $"l_extendedprice", $"l_discount"),

@@ -1057,7 +1057,8 @@ object PipelineOps extends QueryModule {
               CROSS JOIN sc
               GROUP BY 1, 2)
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(sum(w_bp) // count(*) AS BIGINT) AS mean_w_bp,
+              CAST(floor(CAST(sum(w_bp) AS DOUBLE) / count(*)) AS BIGINT)
+                AS mean_w_bp,
               CAST(sum(CASE WHEN w_bp > 0 THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_target_like
             FROM doc GROUP BY source ORDER BY source"""),
@@ -1090,7 +1091,14 @@ object PipelineOps extends QueryModule {
           / sum($"occ")).cast("long").as("w_bp"))
       doc.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
-          expr("sum(w_bp) DIV count(1)").cast("long").as("mean_w_bp"),
+          // w_bp is SIGNED, so the mean must be an explicit floor over
+          // double division in both engines — Spark DIV truncates
+          // toward zero while DuckDB // floors, and they disagree on
+          // any source whose doc weights sum negative (off-domain
+          // sources, by construction). The int sums are far inside
+          // double exactness, so floor(sum/count) is deterministic.
+          floor(sum($"w_bp").cast("double") / count(lit(1)))
+            .cast("long").as("mean_w_bp"),
           sum(when($"w_bp" > 0L, 1L).otherwise(0L)).as("n_target_like"))
         .orderBy($"source")
     })

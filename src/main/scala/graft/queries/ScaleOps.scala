@@ -206,7 +206,7 @@ object ScaleOps extends QueryModule {
   /** REAL audio decode end-to-end (graft.multimodal.AudioCodec over JDK
     * javax.sound.sampled — the second real modality next to the PNG
     * pair): each document's bytes become signed 16-bit mono PCM samples
-    * ((byte − 64)·256, full-scale-safe), encoded as an actual WAV
+    * ((byte&0x7F − 64)·256, wrap-safe for any byte), encoded as an actual WAV
     * container, decoded back through the real parser (rate/channels/
     * frame count read from the DECODED stream, samples re-assembled per
     * its declared endianness), and measured as integer-exact mean
@@ -234,7 +234,13 @@ object ScaleOps extends QueryModule {
           .mapPartitions { it =>
             it.grouped(MediaPipeline.BatchSize).flatMap(_.map { case (id, text) =>
               val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              val samples = tb.map(b => (((b & 0xFF) - 64) * 256).toShort)
+              // (b & 0x7F): keeps every byte's sample inside ±16384 —
+              // ((b & 0xFF) - 64) * 256 would WRAP Short for bytes
+              // > 191. Identity on ASCII, which the oracle additionally
+              // assumes (it reads characters via ascii(); a non-ASCII
+              // corpus would diverge on n_samples too — the same
+              // documented ASCII-corpus assumption as x_multimodal_meta)
+              val samples = tb.map(b => (((b & 0x7F) - 64) * 256).toShort)
               MediaRow(id, "audio", AudioCodec.encodeWavPcm16(samples, 8000), 0, 0)
             })
           }.write.mode("overwrite").parquet(p)

@@ -972,9 +972,11 @@ object TextOps extends QueryModule {
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better": remove, don't just flag, every
     * substring shared with the rest of the corpus). Positioned 5-token
-    * grams with df ≥ 2 mark duplicated positions; consecutive-position
-    * ISLANDS (the p − row_number() gaps-and-islands key, one window per
-    * doc) merge overlapping duplicated grams into maximal spans; the
+    * grams with df ≥ 2 mark duplicated positions; GAP-TOLERANT islands
+    * (positions within k−1 = 4 of each other merge — their 5-token
+    * spans overlap, so a strictly-consecutive key would double-count
+    * the shared tokens; lag + running flag-sum, one window per doc)
+    * merge overlapping duplicated grams into DISJOINT maximal spans; the
     * rollup reports, per source, affected docs, span count, and the
     * exact token mass an exact-substring pass would excise — the
     * removal budget x_dup_gram_mass's flag-level read cannot give.
@@ -1002,9 +1004,13 @@ object TextOps extends QueryModule {
             df AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
             dup AS (SELECT doc_id, source, p FROM g JOIN df USING (gram)
                     WHERE n >= 2),
-            isl AS (SELECT doc_id, source, p,
-                p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+            lg AS (SELECT doc_id, source, p,
+                lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
               FROM dup),
+            isl AS (SELECT doc_id, source, p,
+                sum(CASE WHEN prev IS NULL OR p - prev > 4 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY p) AS grp
+              FROM lg),
             sp AS (SELECT doc_id, source, min(p) AS p0, max(p) + 4 AS p1
                    FROM isl GROUP BY doc_id, source, grp),
             agg AS (SELECT source,
@@ -1041,8 +1047,19 @@ object TextOps extends QueryModule {
         .select($"doc_id", $"source", $"pos".as("p"), $"col".as("gram"))
       val dfreq = g.groupBy($"gram").agg(count(lit(1)).as("n"))
       val dup = g.join(dfreq.where($"n" >= 2), "gram")
-      val isl = dup.withColumn("grp",
-        $"p" - row_number().over(Window.partitionBy($"doc_id").orderBy($"p")))
+      // islands merge positions within gap ≤ 4 (k−1), NOT only strictly
+      // consecutive ones: two duplicated grams 1-4 positions apart have
+      // OVERLAPPING 5-token spans, and the plain p − row_number() key
+      // would emit both and double-count the shared tokens (dup_tokens
+      // could exceed the doc length). With gap-tolerant islands the
+      // emitted spans are disjoint, so their length sum is the exact
+      // excision mass the docstring promises.
+      val wP = Window.partitionBy($"doc_id").orderBy($"p")
+      val isl = dup
+        .withColumn("prev", lag($"p", 1).over(wP))
+        .withColumn("grp", sum(
+            when($"prev".isNull || $"p" - $"prev" > 4, 1L).otherwise(0L))
+          .over(wP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val sp = isl.groupBy($"doc_id", $"source", $"grp")
         .agg(min($"p").as("p0"), (max($"p") + 4).as("p1"))
       val agg = sp.groupBy($"source")

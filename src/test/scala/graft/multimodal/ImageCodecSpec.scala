@@ -73,6 +73,11 @@ class ImageCodecSpec extends AnyFunSuite with SparkTestBase {
     val cut = FrameContainer.unpack(java.util.Arrays.copyOf(packed, packed.length - 1))
     assert(cut.length == 2)
     assert(FrameContainer.unpack(Array.empty[Byte]).isEmpty)
+    // corrupt near-Int.MaxValue length prefix: int arithmetic would
+    // wrap the bounds check negative and throw out of copyOfRange —
+    // must parse to zero frames instead (the crawl-tail contract)
+    val evil = Array[Byte](0x7F, -1, -1, -16, 1, 2, 3)
+    assert(FrameContainer.unpack(evil).isEmpty)
   }
 
   test("decodeFrames: stride sampling, exact cross-frame luma, bad frames counted") {

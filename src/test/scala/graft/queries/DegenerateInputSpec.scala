@@ -102,18 +102,28 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
       // unique doc: no span
       (3L, "q w e r t", "en", "s0", 9L),
       // SELF-duplication: "m n o p q" twice within one doc -> two
-      // disjoint 5-token spans in the same doc
-      (4L, "m n o p q z m n o p q", "en", "s0", 21L))
+      // disjoint 5-token spans in the same doc (gap 6 > 4: no merge)
+      (4L, "m n o p q z m n o p q", "en", "s0", 21L),
+      // GAP-TOLERANT island merge (s1): doc 5's grams @0 and @2 are
+      // duplicated (in doc 6) but @1 is not — their 5-token spans
+      // OVERLAP, so they must merge into ONE 7-token span; a
+      // strictly-consecutive island key would emit 5+5=10 dup tokens
+      // for a 7-token doc
+      (5L, "g1 g2 g3 g4 g5 g6 g7", "en", "s1", 20L),
+      (6L, "g1 g2 g3 g4 g5 zz g3 g4 g5 g6 g7", "en", "s1", 31L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = SparkEntry.queries("x_dup_spans")(spark, dir).collect()
-    assert(rows.length == 1)
-    val r = rows.head
-    // 3 affected docs, 4 spans (1+1+2), 6+6+5+5 = 22 dup tokens of
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.size == 2, rows.toString)
+    // s0: 3 affected docs, 4 spans (1+1+2), 6+6+5+5 = 22 dup tokens of
     // 8+9+5+11 = 33 total -> 6666 bp
-    assert(r.getString(0) == "s0" && r.getLong(1) == 3L && r.getLong(2) == 4L &&
-      r.getLong(3) == 22L && r.getLong(4) == 33L && r.getLong(5) == 6666L,
-      r.toString)
+    assert(rows("s0") == ((3L, 4L, 22L, 33L, 6666L)), rows.toString)
+    // s1: doc 5 = ONE merged 7-token span (overlap); doc 6 = two spans
+    // (positions 0 and 6, gap > 4): 5+5. 17 dup of 18 total -> 9444 bp
+    assert(rows("s1") == ((2L, 3L, 17L, 18L, 9444L)), rows.toString)
   }
 
   test("x_dsir_weights: target-vocabulary docs score positive, off-domain negative") {
