@@ -72,10 +72,10 @@ object AudioCodec {
       val rate = math.round(fmt.getSampleRate)
       val pcm16 = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
         fmt.getSampleSizeInBits == 16
-      val raw = ais.readAllBytes()
-      val n = raw.length / 2
-      var sum = 0L
       if (pcm16) {
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        var sum = 0L
         val big = fmt.isBigEndian
         var i = 0
         while (i < n) {
@@ -85,11 +85,18 @@ object AudioCodec {
           sum += math.abs(s.toLong)
           i += 1
         }
+        AudioMeta(mediaId, bytes.length.toLong, ok = true, rate, channels,
+          n.toLong, if (n > 0) sum * 10000L / (32768L * n) else 0L)
+      } else {
+        // non-PCM16 that still parses: report header metadata only —
+        // no full decode (the samples would be discarded anyway), and
+        // getFrameLength can be NOT_SPECIFIED (-1) for unknown-length
+        // containers, which must not surface as a negative count
+        val frames = ais.getFrameLength
+        val nSamples = if (frames >= 0) frames * channels else 0L
+        AudioMeta(mediaId, bytes.length.toLong, ok = true, rate, channels,
+          nSamples, 0L)
       }
-      val nSamples = if (pcm16) n.toLong else ais.getFrameLength * channels
-      AudioMeta(mediaId, bytes.length.toLong, ok = true, rate, channels,
-        nSamples,
-        if (pcm16 && n > 0) sum * 10000L / (32768L * n) else 0L)
     } finally ais.close()
   }
 }

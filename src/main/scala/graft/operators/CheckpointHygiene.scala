@@ -33,6 +33,18 @@ object CheckpointHygiene {
       case _             => ()
     }
 
+  /** Root-only variant: releases ONLY when the frame's plan IS a bare
+    * checkpoint — the safe-by-default form for frames that may embed a
+    * CALLER's lineage (ConnectedComponents' round-0 labels): recursive
+    * release() would walk into and free checkpoints the caller owns.
+    * Use release() only when every checkpoint leaf under the plan is
+    * provably yours (a frame built over your own bare checkpoint). */
+  def releaseRoot(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.logical match {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _             => ()
+    }
+
   /** Transfer checkpoint-block ownership to the CALLER'S first action:
     * a one-shot QueryExecutionListener watches for the first completed
     * (or failed) execution whose plan reads this checkpoint RDD and
@@ -73,6 +85,15 @@ object CheckpointHygiene {
         // ever dropped (bus overflow), the listener never arms and the
         // blocks merely leak — the pre-listener behavior, never a crash.
         val marker = spark.range(0).toDF()
+        // WEAK reference to the checkpoint rdd: a frame that is
+        // CONSTRUCTED but never consumed (plan-shape reads, explain,
+        // speculative builds) would otherwise leave its listener
+        // registered for the session's lifetime, and each such leak
+        // taxes EVERY later execution with a plan traversal. Spark
+        // tracks persisted rdds weakly, so once the un-consumed frame
+        // is dropped the rdd is collectable — the listener then
+        // unregisters itself on the next event it sees.
+        val rddRef = new java.lang.ref.WeakReference(l.rdd)
         val listener = new org.apache.spark.sql.util.QueryExecutionListener {
           private val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
           private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -81,12 +102,18 @@ object CheckpointHygiene {
               if (qe eq marker.queryExecution) armed.set(true)
               return
             }
+            val rdd = rddRef.get
+            if (rdd == null) { // frame died unconsumed — expire
+              if (fired.compareAndSet(false, true))
+                spark.listenerManager.unregister(this)
+              return
+            }
             val touches = qe.analyzed.exists {
               case x: LogicalRDD => x.rdd.id == rddId
               case _             => false
             }
             if (touches && fired.compareAndSet(false, true)) {
-              l.rdd.unpersist(blocking = false)
+              rdd.unpersist(blocking = false)
               spark.listenerManager.unregister(this)
             }
           }

@@ -119,16 +119,12 @@ object ConnectedComponents {
       // Dataset.unpersist does NOT free (the CheckpointHygiene lesson) —
       // release both ways so intermediate rounds don't strand one
       // checkpoint each until the ContextCleaner happens to run.
-      // ROOT-ONLY guard: round 0's plan embeds the CALLER'S edge
+      // ROOT-ONLY release: round 0's plan embeds the CALLER'S edge
       // lineage — a recursive release would walk into and free a
-      // checkpoint the caller owns (release()'s ownership rule); only
-      // rounds ≥ 1, whose labels ARE a bare checkpoint, release here
+      // checkpoint the caller owns; only rounds ≥ 1, whose labels ARE
+      // a bare checkpoint, have anything to free here
       labels.unpersist()
-      labels.queryExecution.logical match {
-        case _: org.apache.spark.sql.execution.LogicalRDD =>
-          CheckpointHygiene.release(labels)
-        case _ => ()
-      }
+      CheckpointHygiene.releaseRoot(labels)
       labels = next
       converged = changed == 0
       round += 1

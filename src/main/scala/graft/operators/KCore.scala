@@ -36,7 +36,9 @@ object KCore {
 
   /** edges(aCol, bCol) — undirected; self-loops dropped, duplicate
     * edges collapsed. Returns (id, core) with one row per non-isolated
-    * node. */
+    * node. On the DISTRIBUTED path the returned frame is
+    * SINGLE-CONSUMPTION (its checkpoint releases after the caller's
+    * first action — see CheckpointHygiene.releaseAfterFirstAction). */
   def coreNumbers(edges0: DataFrame, aCol: String, bCol: String,
       driverLimit: Long = DriverEdgeLimit): DataFrame = {
     val spark = edges0.sparkSession

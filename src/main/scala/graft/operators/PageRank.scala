@@ -30,7 +30,9 @@ object PageRank {
     * to dense ids first). Returns one row per node — (id, deg, rank_bp)
     * after `iters` iterations, unordered (callers add their own top-k).
     * `driverLimit` exists for tests to force the distributed regime
-    * (the KCore pattern). */
+    * (the KCore pattern). On the DISTRIBUTED path the returned frame
+    * is SINGLE-CONSUMPTION (its checkpoint releases after the caller's
+    * first action — CheckpointHygiene.releaseAfterFirstAction). */
   def ranksBp(pairs0: DataFrame, aCol: String, bCol: String,
       iters: Int = 3,
       driverLimit: Long = ConnectedComponents.DriverEdgeLimit): DataFrame = {

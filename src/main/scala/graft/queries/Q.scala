@@ -152,6 +152,18 @@ object QueryModule {
     new java.util.concurrent.ConcurrentHashMap[
       String, (String, org.apache.spark.sql.types.StructType)]()
 
+  /** Memoized-once box: the cache maps hold (stamp, Box) pairs whose
+    * BUILD runs on first dereference OUTSIDE the ConcurrentHashMap bin
+    * lock — compute() mapping functions must be short (its own javadoc
+    * rule); running a multi-second Spark build inside one serialized
+    * every unrelated cache user whose key hashed to the same bin
+    * (measured shape: the 8-wide pool). Two threads racing the same
+    * key contend only on THIS box's lazy init. A build that throws
+    * leaves the lazy uninitialized, so the next dereference retries. */
+  private final class Box[T](thunk: () => T) {
+    lazy val value: T = thunk()
+  }
+
   /** Per-JVM cache of side-written temp indexes, keyed by
     * (query, sfDir) with the table-generation stamp in the VALUE: the
     * incremental-index queries (x_dedup_incremental, x_ann_incremental,
@@ -164,13 +176,18 @@ object QueryModule {
     * parquet's footer at plan time — the index must exist before the
     * DataFrame can even be constructed. Stamp-in-value (the
     * schemaCache/cachedBytes rule): a testdata regeneration REPLACES
-    * the entry and deletes the superseded dir instead of stranding it
-    * under a dead stamped key. A build that THROWS deletes its partial
-    * dir before rethrowing, so the next call retries from scratch and
-    * no orphan dir escapes the shutdown hook. All live dirs are removed
-    * by one JVM shutdown hook. */
+    * the entry so the superseded dir is never probed again — but the
+    * dir itself is DEFERRED to the shutdown hook, NOT deleted at
+    * replacement: an in-flight reader of the old generation (a lazy
+    * probe frame mid-action on another thread) must fail or finish on
+    * valid files, never on a dir deleted under it. Every created dir
+    * registers in allIndexDirs at creation; a build that THROWS deletes
+    * its partial dir immediately (nothing can be reading it yet) and
+    * the lazy retries on next call. */
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Box[String])]()
+  private val allIndexDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def rmTree(d: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
@@ -179,20 +196,22 @@ object QueryModule {
   }
   private lazy val cleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      indexCache.values.forEach(v => rmTree(v._2))))
+      allIndexDirs.forEach(rmTree(_))))
   private[queries] def cachedIndex(key: String, stamp: String)(
       build: String => Unit): String = {
     cleanupHook
     indexCache.compute(key, { (_, old) =>
       if (old != null && old._1 == stamp) old
-      else {
-        if (old != null) rmTree(old._2)
-        val dir = java.nio.file.Files.createTempDirectory("graftidx")
-        try build(dir.toString)
-        catch { case e: Throwable => rmTree(dir.toString); throw e }
-        (stamp, dir.toString)
-      }
-    })._2
+      else (stamp, new Box(() => {
+        val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
+        allIndexDirs.add(dir)
+        try build(dir)
+        catch { case e: Throwable =>
+          rmTree(dir); allIndexDirs.remove(dir); throw e
+        }
+        dir
+      }))
+    })._2.value
   }
 
   /** Per-JVM cache for small CONSTANT-SIZE derived artifacts (a bloom
@@ -202,25 +221,28 @@ object QueryModule {
     * the schema cache: a regeneration REPLACES the entry in place, so
     * superseded sketches are not stranded under dead stamped keys. */
   private val bytesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Byte])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Box[Array[Byte]])]()
   private[queries] def cachedBytes(key: String, stamp: String)(
       build: => Array[Byte]): Array[Byte] =
     bytesCache.compute(key, (_, old) =>
-      if (old != null && old._1 == stamp) old else (stamp, build))._2
+      if (old != null && old._1 == stamp) old
+      else (stamp, new Box(() => build)))._2.value
 
   /** cachedBytes' sibling for small PROVEN-BOUNDED localized relations
     * (the token co-occurrence edge list: ≤ C(100,2) rows by vocabulary
     * cap) — the nightly-built graph artifact every graph query reads,
     * built once per (JVM, table generation) instead of once per query
     * invocation. Same stamp-in-value replacement rule. Thread-visible
-    * count of builds exposed for the build-once spec. */
+    * count of builds exposed for the build-once spec (counted when a
+    * build actually RUNS, not when a box is created). */
   private val localCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Box[AnyRef])]()
   private[graft] val localCacheBuilds = new java.util.concurrent.atomic.AtomicLong
   private[queries] def cachedLocal[T <: AnyRef](key: String, stamp: String)(
       build: => T): T =
     localCache.compute(key, (_, old) =>
       if (old != null && old._1 == stamp) old
-      else { localCacheBuilds.incrementAndGet(); (stamp, build) })._2
-      .asInstanceOf[T]
+      else (stamp, new Box[AnyRef](() => {
+        localCacheBuilds.incrementAndGet(); build
+      })))._2.value.asInstanceOf[T]
 }
