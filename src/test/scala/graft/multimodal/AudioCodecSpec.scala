@@ -34,6 +34,24 @@ class AudioCodecSpec extends AnyFunSuite with SparkTestBase {
     assert(full.ok && full.mean_abs_bp == 10000L, full.toString)
   }
 
+  test("non-PCM16 payloads report parsed header metadata, never negative counts") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // real 8-bit unsigned PCM WAV — parses fine, but is not the PCM16
+    // layout the amplitude scan understands: the row must carry the
+    // PARSED header (rate/channels/frames) with mean 0, and an
+    // unknown frame length must not surface as a negative n_samples
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      4000f, 8, 1, 1, 4000f, false)
+    val raw = Array.tabulate[Byte](40)(i => (i * 3).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, raw.length.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    val m = AudioCodec.decodeMeta(4L, out.toByteArray)
+    assert(m.ok && m.sample_rate == 4000 && m.channels == 1 &&
+      m.n_samples == 40L && m.mean_abs_bp == 0L, m.toString)
+  }
+
   test("corrupt payloads surface as ok=false rows") {
     val junk = "this is not audio".getBytes("UTF-8")
     val m = AudioCodec.decodeMeta(9L, junk)
