@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.operators.DsirLm
+
+/** Online DSIR domain scoring — the streaming twin of x_dsir_weights
+  * and the serving read of the persisted [[graft.operators.DsirLm]]
+  * estimator: documents arriving on a crawl stream are scored
+  * micro-batch by micro-batch against the frozen target/raw unigram
+  * LMs, so every new doc carries its importance weight the moment it
+  * lands — the gate a streaming curation pipeline applies BEFORE
+  * paying for dedup or embedding.
+  *
+  * Like [[StreamingAnnProbe]] this needs NO cross-batch operator
+  * state: a doc's weight depends only on the (static) estimator, so
+  * each micro-batch runs the SAME bounded batch score, and
+  * exactly-once output comes from the checkpoint plus an IDEMPOTENT
+  * sink (each batch dynamically overwrites its own batch_id
+  * partition). Estimator updates stay a batch concern — retrain via
+  * [[DsirLm.train]], then restart from the same checkpoint: the LM is
+  * resolved once at query start, so a restart re-resolves the rolled
+  * artifact and already-committed batches never re-emit (the
+  * StreamingAnnProbe rollover contract).
+  *
+  * At 100 TB: the per-batch cost is one exploded-token LEFT join to
+  * the static vocab table (broadcast when bounded) and a per-doc fold
+  * — no corpus rescans, no state store, no shuffle proportional to
+  * anything but the arriving batch.
+  */
+object StreamingDsir {
+
+  /** Start scoring `docStream` — (doc_id, source, text) rows — against
+    * the estimator persisted at `lmPath`, writing (doc_id, source,
+    * w_bp) to `outDir` as parquet partitioned by `batch_id`. */
+  def start(
+      docStream: DataFrame,
+      lmPath: String,
+      outDir: String,
+      checkpoint: String): StreamingQuery = {
+    val lm = DsirLm.load(docStream.sparkSession, lmPath)
+    docStream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        DsirLm.score(batch, lm)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+  }
+}

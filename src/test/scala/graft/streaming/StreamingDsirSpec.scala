@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.DsirLm
+
+/** Online DSIR scoring: the persisted estimator must reproduce the
+  * closed-form add-one weights (including out-of-vocabulary smoothing,
+  * which the in-corpus query can never exercise), agree with the inline
+  * x_dsir_weights spelling on the real corpus, and stream with the
+  * stateless idempotent-sink contract. */
+class StreamingDsirSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docsAll =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+
+  test("closed-form weights: in-vocab, target-doc, and OOV smoothing") {
+    import spark.implicits._
+    val corpus = Seq((1L, "src0", "a a b"), (2L, "src1", "a c"))
+      .toDF("doc_id", "source", "text")
+    val dir = tmpDir("dsirlm")
+    DsirLm.train(corpus, "src0", s"$dir/lm")
+    val lm = DsirLm.load(spark, s"$dir/lm")
+    assert((lm.tr, lm.tt, lm.vsz) == ((5L, 3L, 3L)))
+    val got = DsirLm.score(
+        Seq((10L, "new", "a z"), (11L, "new", "b"), (1L, "src0", "a a b"))
+          .toDF("doc_id", "source", "text"), lm)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // "a z": a cancels (ln(3/6)=ln(4/8)), OOV z smooths to (0+1) on both
+    // sides -> ln(1/6)-ln(1/8)=ln(4/3); mean over 2 toks -> 1438 bp
+    assert(got(10L) == 1438L, s"OOV doc: ${got(10L)}")
+    // "b": ln(2/6)-ln(2/8)=ln(4/3) -> 2876 bp
+    assert(got(11L) == 2876L, s"in-vocab doc: ${got(11L)}")
+    // the target doc itself: (2*0 + ln(4/3))/3 -> 958 bp
+    assert(got(1L) == 958L, s"target doc: ${got(1L)}")
+  }
+
+  test("persisted estimator reproduces the inline x_dsir_weights per-doc spelling") {
+    import spark.implicits._
+    val docs = docsAll
+    val dir = tmpDir("dsirparity")
+    DsirLm.train(docs, "src0", s"$dir/lm")
+    val got = DsirLm.score(docs, DsirLm.load(spark, s"$dir/lm"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+
+    // the query's own spelling: INNER join to raw counts (every token is
+    // in-corpus), crossJoin'd scalar frame — a genuinely different plan
+    val toks = docs.select($"doc_id", $"source",
+        expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"))
+      .where(size($"tk") >= 1)
+    val uni = toks.select($"doc_id", $"source", explode($"tk").as("token"))
+    val dt = uni.groupBy($"doc_id", $"source", $"token")
+      .agg(count(lit(1)).as("occ"))
+    val cr = uni.groupBy($"token".as("r_token")).agg(count(lit(1)).as("cr"))
+    val ct = uni.where($"source" === "src0")
+      .groupBy($"token".as("t_token")).agg(count(lit(1)).as("ct"))
+    val sc = broadcast(
+      cr.agg(sum($"cr").as("tr"), count(lit(1)).as("vsz"))
+        .crossJoin(ct.agg(coalesce(sum($"ct"), lit(0L)).as("tt"))))
+    val expected = dt
+      .join(cr, $"r_token" === $"token")
+      .join(ct, $"t_token" === $"token", "left")
+      .crossJoin(sc)
+      .groupBy($"doc_id", $"source")
+      .agg(floor(lit(10000.0) * sum($"occ" * (
+          log((coalesce($"ct", lit(0L)) + 1).cast("double") /
+            ($"tt" + $"vsz").cast("double"))
+          - log(($"cr" + 1).cast("double") /
+            ($"tr" + $"vsz").cast("double"))))
+        / sum($"occ")).cast("long").as("w_bp"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(got.length == expected.length && got.sameElements(expected),
+      s"served ${got.length} rows vs inline ${expected.length}")
+  }
+
+  test("streamed micro-batches equal the batch score of their union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = docsAll
+    val dir = tmpDir("dsirstream")
+    DsirLm.train(docs.where($"doc_id" < 400), "src0", s"$dir/lm")
+    val lm = DsirLm.load(spark, s"$dir/lm")
+    val arriving = docs.where($"doc_id" >= 400 && $"doc_id" < 440)
+    val expected = DsirLm.score(arriving, lm)
+      .collect().map(_.toString).sorted
+
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingDsir.start(
+      mem.toDS().toDF("doc_id", "source", "text"),
+      s"$dir/lm", outDir = s"$dir/out", checkpoint = s"$dir/ckpt")
+    try {
+      val rows = arriving.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val (h, t) = rows.splitAt(rows.length / 2)
+      mem.addData(h.toIndexedSeq); q.processAllAvailable()
+      mem.addData(t.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "source", "w_bp") // drop the batch_id partition col
+      .collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(expected),
+      s"stream ${got.length} rows vs batch ${expected.length}")
+  }
+
+  test("a REPLAYED micro-batch overwrites its own output instead of duplicating it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("dsirreplay")
+    DsirLm.train(docsAll.where($"doc_id" < 400), "src0", s"$dir/lm")
+    val mem = MemoryStream[(Long, String, String)]
+    def start() = StreamingDsir.start(
+      mem.toDS().toDF("doc_id", "source", "text"),
+      s"$dir/lm", outDir = s"$dir/out", checkpoint = s"$dir/ckpt")
+
+    val q1 = start()
+    try {
+      mem.addData(Seq((900L, "new", "alpha beta"), (901L, "new", "gamma")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // at-least-once crash window: offsets committed, batch commit marker
+    // lost — restart re-runs batch 0 with the same batchId; a
+    // blind-append sink would double both rows
+    val commit = new java.io.File(s"$dir/ckpt/commits/0")
+    assert(commit.exists, "expected batch-0 commit marker in the checkpoint")
+    assert(commit.delete())
+    new java.io.File(s"$dir/ckpt/commits/.0.crc").delete()
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "w_bp").collect().map(_.toString)
+    assert(out.length == 2, s"replayed batch duplicated rows: ${out.length}")
+    assert(out.distinct.length == out.length, "duplicate scored rows")
+  }
+}
