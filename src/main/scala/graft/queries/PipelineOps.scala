@@ -1103,6 +1103,118 @@ object PipelineOps extends QueryModule {
         .orderBy($"source")
     })
 
+  /** DSIR importance RESAMPLING — the selection step x_dsir_weights
+    * only scores (Xie et al. 2023 §2: keep examples with probability
+    * ∝ exp(w), w the doc's log importance weight — here the
+    * length-unnormalized SUM of token log-ratios, the paper's form,
+    * where x_dsir_weights reports the length-normalized mean). The
+    * draw is the Gumbel-threshold race: doc kept iff w + G ≥ τ with G
+    * a standard Gumbel seeded from an arithmetic hash of doc_id —
+    * P(keep) = 1 − exp(−exp(w−τ)), the Poisson-sampling form of
+    * exp-weighted selection that needs NO global order: at τ = 0 the
+    * corpus keeps ~45% overall but ~3/4 of the target source vs ~1/5
+    * of the most off-domain one. Per-source report: docs, kept, keep
+    * rate, and the mean weight of the kept docs (the post-selection
+    * domain shift).
+    *
+    * Scale shape: the weight is the x_dsir_weights join tree; the draw
+    * and the keep decision are one more narrow projection — no
+    * top-N sort, no window, no extra exchange beyond the per-source
+    * rollup, which is exactly why the threshold form (not Gumbel
+    * top-k) is the 100 TB spelling: sampling rate is controlled by τ,
+    * sample SIZE concentrates tightly around its expectation, and the
+    * scan stays embarrassingly parallel. Hash → uniform → Gumbel is
+    * exact-rational input to ln, so both engines agree to the floored
+    * bp. */
+  private val dsirResample = Q(
+    "x_dsir_resample",
+    Some("""WITH toks AS (SELECT doc_id, source,
+                list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS tk
+              FROM documents),
+            uni AS (SELECT doc_id, source, unnest(tk) AS token
+                    FROM toks WHERE len(tk) >= 1),
+            dt AS (SELECT doc_id, source, token, CAST(count(*) AS BIGINT) AS occ
+                   FROM uni GROUP BY 1, 2, 3),
+            cr AS (SELECT token AS r_token, CAST(count(*) AS BIGINT) AS cr
+                   FROM uni GROUP BY 1),
+            ct AS (SELECT token AS t_token, CAST(count(*) AS BIGINT) AS ct
+                   FROM uni WHERE source = 'src0' GROUP BY 1),
+            sc AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM cr) AS tr,
+                          (SELECT CAST(count(*) AS BIGINT) FROM cr) AS vsz,
+                          (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM ct) AS tt),
+            doc AS (SELECT doc_id, source,
+                CAST(floor(10000.0 * sum(occ * (
+                    ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(tt + vsz AS DOUBLE))
+                    - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + vsz AS DOUBLE))))) AS BIGINT)
+                  AS w_bp
+              FROM dt JOIN cr ON r_token = token
+              LEFT JOIN ct ON t_token = token
+              CROSS JOIN sc
+              GROUP BY 1, 2),
+            drawn AS (SELECT source, w_bp,
+                CASE WHEN w_bp + CAST(floor(10000.0 * -ln(-ln(
+                    (CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) + 0.5)
+                      / 1048576.0))) AS BIGINT) >= 0
+                  THEN 1 ELSE 0 END AS kept
+              FROM doc)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(kept) AS BIGINT) AS n_kept,
+              CAST(sum(kept) * 10000 AS BIGINT) // count(*) AS keep_bp,
+              CASE WHEN sum(kept) > 0 THEN
+                CAST(floor(CAST(sum(CASE WHEN kept = 1 THEN w_bp ELSE 0 END)
+                  AS DOUBLE) / sum(kept)) AS BIGINT)
+              ELSE CAST(NULL AS BIGINT) END AS mean_w_kept_bp
+            FROM drawn GROUP BY source ORDER BY source"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = t(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"))
+        .where(size($"tk") >= 1)
+      val uni = toks.select($"doc_id", $"source", explode($"tk").as("token"))
+      val dt = uni.groupBy($"doc_id", $"source", $"token")
+        .agg(count(lit(1)).as("occ"))
+      val cr = uni.groupBy($"token".as("r_token"))
+        .agg(count(lit(1)).as("cr"))
+      val ct = uni.where($"source" === "src0")
+        .groupBy($"token".as("t_token")).agg(count(lit(1)).as("ct"))
+      val sc = broadcast(
+        cr.agg(sum($"cr").as("tr"), count(lit(1)).as("vsz"))
+          .crossJoin(ct.agg(coalesce(sum($"ct"), lit(0L)).as("tt"))))
+      val doc = dt
+        .join(cr, $"r_token" === $"token")
+        .join(ct, $"t_token" === $"token", "left")
+        .crossJoin(sc)
+        .groupBy($"doc_id", $"source")
+        .agg(floor(lit(10000.0) * sum($"occ" * (
+            log((coalesce($"ct", lit(0L)) + 1).cast("double") /
+              ($"tt" + $"vsz").cast("double"))
+            - log(($"cr" + 1).cast("double") /
+              ($"tr" + $"vsz").cast("double")))))
+          .cast("long").as("w_bp"))
+      // the Gumbel race: u is an exact rational from the doc_id hash
+      // (Knuth multiplicative mod 2^20, mid-bucket offset keeps u in
+      // the open interval), so -ln(-ln(u)) floors identically in both
+      // engines; kept iff w + G >= tau = 0
+      val drawn = doc.select($"source", $"w_bp",
+        when($"w_bp" + floor(lit(10000.0) * -log(-log(
+            ((($"doc_id" * lit(2654435761L)) % lit(1048576L))
+              .cast("double") + lit(0.5)) / lit(1048576.0))))
+          .cast("long") >= 0L, 1L).otherwise(0L).as("kept"))
+      drawn.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"kept").as("n_kept"),
+          expr("(sum(kept) * 10000) DIV count(*)").as("keep_bp"),
+          // signed w sums -> explicit floor-over-double (the
+          // x_dsir_weights DIV-parity note), guarded for the
+          // nothing-kept source
+          when(sum($"kept") > 0L,
+            floor(sum(when($"kept" === 1L, $"w_bp").otherwise(0L))
+              .cast("double") / sum($"kept")).cast("long"))
+            .otherwise(lit(null).cast("long")).as("mean_w_kept_bp"))
+        .orderBy($"source")
+    })
+
   private val gopherRules = Q(
     "x_gopher_rules",
     Some("""WITH f AS (SELECT doc_id, source,
@@ -1258,5 +1370,5 @@ object PipelineOps extends QueryModule {
       curationE2e, shardAssign, packSequences, sampleQuality,
       sampleReservoir, statsProfile, lengthHistogram, chunkDocs, epochPlan,
       qualityVsDup, piiScrub, datasetCard, gopherRules, splitLeakage,
-      dsirWeights)
+      dsirWeights, dsirResample)
 }
