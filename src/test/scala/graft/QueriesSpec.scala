@@ -92,6 +92,22 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x_dsir_resample: exp-weighted selection actually separates domains") {
+    // the oracle pins the exact values; this pins the SEMANTICS the
+    // hash can't guarantee by construction — the Gumbel race must keep
+    // the target domain at a strictly higher rate than the average and
+    // than the most off-domain source, or the importance weighting
+    // isn't biting (e.g. a broken weight sum would still hash-match a
+    // symmetrically broken oracle)
+    val rows = SparkEntry.queries("x_dsir_resample")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val target = rows("src0")
+    val others = (rows - "src0").values
+    assert(target > others.sum / others.size,
+      s"target keep_bp $target not above off-domain mean ${others.sum / others.size}")
+    assert(target > others.min, s"target $target <= min ${others.min}")
+  }
+
   test("x_hll_distinct within 15% of exact distinct counts") {
     import spark.implicits._
     val approx = SparkEntry.queries("x_hll_distinct")(spark, sf)
