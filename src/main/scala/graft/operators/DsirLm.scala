@@ -73,9 +73,26 @@ object DsirLm {
     * start, never per micro-batch. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Lm = {
     val m = spark.read.parquet(s"$path/meta").collect()(0)
-    Lm(spark.read.parquet(s"$path/vocab"),
+    val lm = Lm(spark.read.parquet(s"$path/vocab"),
       m.getAs[Long]("tr"), m.getAs[Long]("tt"), m.getAs[Long]("vsz"))
+    // an estimator trained on an empty/all-blank corpus has vsz = 0 and
+    // every downstream ratio divides by zero (NaN -> ANSI cast failure
+    // deep inside a later job) — refuse it loudly at resolve time
+    require(lm.vsz > 0, s"empty DSIR estimator at $path (vsz=0)")
+    lm
   }
+
+  /** The deterministic Gumbel draw for the importance-resampling race
+    * (x_dsir_resample / StreamingDsir's gate), in basis-nats: seeded
+    * from a Knuth multiplicative hash of the doc id — id reduced mod
+    * 2^20 BEFORE the multiply so the product is int64-safe for ANY id
+    * (the x_sample_stratified overflow discipline); the mid-bucket
+    * +0.5 keeps the uniform in the open interval so both ln calls are
+    * finite. No rand(): rerunnable, partition-count-invariant. */
+  def gumbelBp(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(lit(10000.0) * -log(-log(
+      ((((docId % lit(1048576L)) * lit(2654435761L)) % lit(1048576L))
+        .cast("double") + lit(0.5)) / lit(1048576.0)))).cast("long")
 
   /** Score a batch of (doc_id, source, text) docs against a loaded
     * estimator: one (doc_id, source, w_bp) row per non-empty doc, w_bp

@@ -1153,7 +1153,7 @@ object PipelineOps extends QueryModule {
               GROUP BY 1, 2),
             drawn AS (SELECT source, w_bp,
                 CASE WHEN w_bp + CAST(floor(10000.0 * -ln(-ln(
-                    (CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) + 0.5)
+                    (CAST(((doc_id % 1048576) * 2654435761) % 1048576 AS DOUBLE) + 0.5)
                       / 1048576.0))) AS BIGINT) >= 0
                   THEN 1 ELSE 0 END AS kept
               FROM doc)
@@ -1192,15 +1192,12 @@ object PipelineOps extends QueryModule {
             - log(($"cr" + 1).cast("double") /
               ($"tr" + $"vsz").cast("double")))))
           .cast("long").as("w_bp"))
-      // the Gumbel race: u is an exact rational from the doc_id hash
-      // (Knuth multiplicative mod 2^20, mid-bucket offset keeps u in
-      // the open interval), so -ln(-ln(u)) floors identically in both
-      // engines; kept iff w + G >= tau = 0
+      // the Gumbel race (DsirLm.gumbelBp — exact-rational hash input,
+      // so -ln(-ln(u)) floors identically in both engines); kept iff
+      // w + G >= tau = 0
       val drawn = doc.select($"source", $"w_bp",
-        when($"w_bp" + floor(lit(10000.0) * -log(-log(
-            ((($"doc_id" * lit(2654435761L)) % lit(1048576L))
-              .cast("double") + lit(0.5)) / lit(1048576.0))))
-          .cast("long") >= 0L, 1L).otherwise(0L).as("kept"))
+        when($"w_bp" + graft.operators.DsirLm.gumbelBp($"doc_id") >= 0L,
+          1L).otherwise(0L).as("kept"))
       drawn.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum($"kept").as("n_kept"),
@@ -1213,6 +1210,70 @@ object PipelineOps extends QueryModule {
               .cast("double") / sum($"kept")).cast("long"))
             .otherwise(lit(null).cast("long")).as("mean_w_kept_bp"))
         .orderBy($"source")
+    })
+
+  /** Incremental DSIR scoring — the persisted-estimator lifecycle as a
+    * declared, hash-checkable query (the fourth index modality's
+    * incremental probe, next to x_dedup_incremental digests,
+    * x_dedup_incremental_near shingles and x_ann_incremental_exact
+    * vectors): the estimator trains ONCE on yesterday's corpus
+    * (doc_id % 10 ≠ 0) via [[graft.operators.DsirLm.train]] —
+    * cachedIndex, once per (JVM, table generation), the build-nightly
+    * lifecycle — and the held-out tenth arrives as "tomorrow's crawl",
+    * scored per-doc through the REAL serving read path
+    * ([[graft.operators.DsirLm.load]]/score, the same path
+    * StreamingDsir runs per micro-batch). Unlike x_dsir_weights this
+    * exercises out-of-vocabulary smoothing UNDER THE ORACLE: held-out
+    * docs can carry tokens the 90% never saw, and both engines must
+    * smooth them to count 0 on both LM sides.
+    *
+    * Scale shape: training is one bounded pass over the corpus, paid
+    * nightly; the probe explodes only the arriving batch and
+    * LEFT-joins the static vocab table — the corpus is never rescanned
+    * at probe time. */
+  private val dsirIncremental = Q(
+    "x_dsir_incremental",
+    Some("""WITH corpus AS (SELECT doc_id, source,
+                list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS tk
+              FROM documents WHERE doc_id % 10 <> 0),
+            cuni AS (SELECT source, unnest(tk) AS token
+                     FROM corpus WHERE len(tk) >= 1),
+            voc AS (SELECT token, CAST(count(*) AS BIGINT) AS cr,
+                CAST(coalesce(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS ct
+              FROM cuni GROUP BY 1),
+            sc AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM voc) AS tr,
+                          (SELECT CAST(count(*) AS BIGINT) FROM voc) AS vsz,
+                          (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM voc) AS tt),
+            batch AS (SELECT doc_id, source,
+                list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS tk
+              FROM documents WHERE doc_id % 10 = 0),
+            bt AS (SELECT doc_id, source, unnest(tk) AS token
+                   FROM batch WHERE len(tk) >= 1),
+            dt AS (SELECT doc_id, source, token, CAST(count(*) AS BIGINT) AS occ
+                   FROM bt GROUP BY 1, 2, 3)
+            SELECT doc_id, source,
+              CAST(floor(10000.0 * sum(occ * (
+                  ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(tt + vsz AS DOUBLE))
+                  - ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) / CAST(tr + vsz AS DOUBLE))))
+                / sum(occ)) AS BIGINT) AS w_bp
+            FROM dt LEFT JOIN voc USING (token) CROSS JOIN sc
+            GROUP BY 1, 2 ORDER BY doc_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+        .select($"doc_id", $"source", $"text")
+      val corpus = docs.where($"doc_id" % 10 =!= 0)
+      val batch = docs.where($"doc_id" % 10 === 0)
+      // estimator trained once per JVM per table generation — the
+      // build-nightly / probe-every-batch lifecycle (same cachedIndex
+      // discipline as the other three incremental-index queries)
+      val path = QueryModule.cachedIndex(
+          s"dsirlm:$dir", tableStamp(dir, "documents")) { p =>
+        graft.operators.DsirLm.train(corpus, "src0", s"$p/lm")
+      }
+      val lm = graft.operators.DsirLm.load(spark, s"$path/lm")
+      graft.operators.DsirLm.score(batch, lm).orderBy($"doc_id")
     })
 
   private val gopherRules = Q(
@@ -1370,5 +1431,5 @@ object PipelineOps extends QueryModule {
       curationE2e, shardAssign, packSequences, sampleQuality,
       sampleReservoir, statsProfile, lengthHistogram, chunkDocs, epochPlan,
       qualityVsDup, piiScrub, datasetCard, gopherRules, splitLeakage,
-      dsirWeights, dsirResample)
+      dsirWeights, dsirResample, dsirIncremental)
 }

@@ -33,18 +33,33 @@ object StreamingDsir {
 
   /** Start scoring `docStream` — (doc_id, source, text) rows — against
     * the estimator persisted at `lmPath`, writing (doc_id, source,
-    * w_bp) to `outDir` as parquet partitioned by `batch_id`. */
+    * w_bp) to `outDir` as parquet partitioned by `batch_id`.
+    *
+    * With `tauBp` set this becomes the RESAMPLING GATE itself (the
+    * x_dsir_resample race run per arrival): only docs winning
+    * w + Gumbel(hash(doc_id)) ≥ τ are written — losers are dropped
+    * before any downstream dedup/embedding spend, and because the draw
+    * is a deterministic function of doc_id, a replayed batch drops
+    * exactly the same docs (the idempotent sink stays idempotent). */
   def start(
       docStream: DataFrame,
       lmPath: String,
       outDir: String,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String,
+      tauBp: Option[Long] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
     val lm = DsirLm.load(docStream.sparkSession, lmPath)
     docStream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        DsirLm.score(batch, lm)
+        val scored = DsirLm.score(batch, lm)
+        val gated = tauBp match {
+          case Some(tau) => scored
+            .where(col("w_bp") + DsirLm.gumbelBp(col("doc_id")) >= tau)
+          case None => scored
+        }
+        gated
           .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -106,6 +106,40 @@ class StreamingDsirSpec extends AnyFunSuite with SparkTestBase {
       s"stream ${got.length} rows vs batch ${expected.length}")
   }
 
+  test("gated stream (tauBp) keeps exactly the docs the batch Gumbel race keeps") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = docsAll
+    val dir = tmpDir("dsirgate")
+    DsirLm.train(docs.where($"doc_id" < 400), "src0", s"$dir/lm")
+    val lm = DsirLm.load(spark, s"$dir/lm")
+    val arriving = docs.where($"doc_id" >= 400 && $"doc_id" < 460)
+    val expected = DsirLm.score(arriving, lm)
+      .where($"w_bp" + DsirLm.gumbelBp($"doc_id") >= 0L)
+      .collect().map(r => r.getLong(0)).sorted
+    // the gate must bite in both directions on this slice
+    assert(expected.nonEmpty && expected.length < arriving.count(),
+      s"tau=0 gate degenerate: ${expected.length} kept")
+
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingDsir.start(
+      mem.toDS().toDF("doc_id", "source", "text"),
+      s"$dir/lm", outDir = s"$dir/out", checkpoint = s"$dir/ckpt",
+      tauBp = Some(0L))
+    try {
+      val rows = arriving.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val (h, t) = rows.splitAt(rows.length / 2)
+      mem.addData(h.toIndexedSeq); q.processAllAvailable()
+      mem.addData(t.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getAs[Long]("doc_id")).sorted
+    assert(got.sameElements(expected),
+      s"gate drift: stream kept ${got.length} vs batch ${expected.length}")
+  }
+
   test("a REPLAYED micro-batch overwrites its own output instead of duplicating it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
