@@ -84,14 +84,19 @@ object DsirLm {
 
   /** The deterministic Gumbel draw for the importance-resampling race
     * (x_dsir_resample / StreamingDsir's gate), in basis-nats: seeded
-    * from a Knuth multiplicative hash of the doc id — id reduced mod
-    * 2^20 BEFORE the multiply so the product is int64-safe for ANY id
-    * (the x_sample_stratified overflow discipline); the mid-bucket
-    * +0.5 keeps the uniform in the open interval so both ln calls are
-    * finite. No rand(): rerunnable, partition-count-invariant. */
+    * from a Knuth multiplicative hash of the doc id — id reduced to a
+    * NON-NEGATIVE residue mod 2^20 BEFORE the multiply (the +m-then-mod
+    * turn keeps a negative crawl id's residue in [0, 2^20): Spark's %
+    * follows the dividend's sign, and a negative residue would feed
+    * ln a negative argument — NULL here, silent row loss at a gate),
+    * so the product is int64-safe and the uniform well-defined for ANY
+    * id; the mid-bucket +0.5 keeps the uniform in the open interval so
+    * both ln calls are finite. No rand(): rerunnable,
+    * partition-count-invariant. */
   def gumbelBp(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(lit(10000.0) * -log(-log(
-      ((((docId % lit(1048576L)) * lit(2654435761L)) % lit(1048576L))
+      (((((docId % lit(1048576L)) + lit(1048576L)) % lit(1048576L))
+          * lit(2654435761L) % lit(1048576L))
         .cast("double") + lit(0.5)) / lit(1048576.0)))).cast("long")
 
   /** Score a batch of (doc_id, source, text) docs against a loaded

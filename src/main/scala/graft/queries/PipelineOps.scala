@@ -1031,6 +1031,46 @@ object PipelineOps extends QueryModule {
     * target tokens smooth to ct=0) plus a broadcast 1-row scalar
     * frame; per-doc floats floored to bp before the pure-BIGINT
     * rollup; identical ln spelling in both engines. */
+  /** The shared per-doc DSIR weight tree (x_dsir_weights and
+    * x_dsir_resample differ ONLY in length normalization — mean vs sum
+    * of token log-ratios; one Scala spelling so smoothing/tokenizer
+    * fixes cannot diverge between the two. The SQL oracles keep their
+    * own spellings by contract, and DsirLm.score is deliberately a
+    * THIRD spelling — the serving path joins a persisted vocab, which
+    * is what the parity spec pins against this inline tree.)
+    * Returns (doc_id, source, w_bp). */
+  private def dsirDocWeights(
+      spark: SparkSession, dir: String,
+      lengthNormalized: Boolean): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val toks = t(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"))
+      .where(size($"tk") >= 1)
+    val uni = toks.select($"doc_id", $"source", explode($"tk").as("token"))
+    val dt = uni.groupBy($"doc_id", $"source", $"token")
+      .agg(count(lit(1)).as("occ"))
+    val cr = uni.groupBy($"token".as("r_token"))
+      .agg(count(lit(1)).as("cr"))
+    val ct = uni.where($"source" === "src0")
+      .groupBy($"token".as("t_token")).agg(count(lit(1)).as("ct"))
+    val sc = broadcast(
+      cr.agg(sum($"cr").as("tr"), count(lit(1)).as("vsz"))
+        .crossJoin(ct.agg(coalesce(sum($"ct"), lit(0L)).as("tt"))))
+    val mass = sum($"occ" * (
+      log((coalesce($"ct", lit(0L)) + 1).cast("double") /
+        ($"tt" + $"vsz").cast("double"))
+      - log(($"cr" + 1).cast("double") /
+        ($"tr" + $"vsz").cast("double"))))
+    dt.join(cr, $"r_token" === $"token")
+      .join(ct, $"t_token" === $"token", "left")
+      .crossJoin(sc)
+      .groupBy($"doc_id", $"source")
+      .agg(floor(lit(10000.0) *
+          (if (lengthNormalized) mass / sum($"occ") else mass))
+        .cast("long").as("w_bp"))
+  }
+
   private val dsirWeights = Q(
     "x_dsir_weights",
     Some("""WITH toks AS (SELECT doc_id, source,
@@ -1064,31 +1104,7 @@ object PipelineOps extends QueryModule {
             FROM doc GROUP BY source ORDER BY source"""),
     (spark, dir) => {
       import spark.implicits._
-      val toks = t(spark, dir, "documents")
-        .select($"doc_id", $"source",
-          expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"))
-        .where(size($"tk") >= 1)
-      val uni = toks.select($"doc_id", $"source", explode($"tk").as("token"))
-      val dt = uni.groupBy($"doc_id", $"source", $"token")
-        .agg(count(lit(1)).as("occ"))
-      val cr = uni.groupBy($"token".as("r_token"))
-        .agg(count(lit(1)).as("cr"))
-      val ct = uni.where($"source" === "src0")
-        .groupBy($"token".as("t_token")).agg(count(lit(1)).as("ct"))
-      val sc = broadcast(
-        cr.agg(sum($"cr").as("tr"), count(lit(1)).as("vsz"))
-          .crossJoin(ct.agg(coalesce(sum($"ct"), lit(0L)).as("tt"))))
-      val doc = dt
-        .join(cr, $"r_token" === $"token")
-        .join(ct, $"t_token" === $"token", "left")
-        .crossJoin(sc)
-        .groupBy($"doc_id", $"source")
-        .agg(floor(lit(10000.0) * sum($"occ" * (
-            log((coalesce($"ct", lit(0L)) + 1).cast("double") /
-              ($"tt" + $"vsz").cast("double"))
-            - log(($"cr" + 1).cast("double") /
-              ($"tr" + $"vsz").cast("double"))))
-          / sum($"occ")).cast("long").as("w_bp"))
+      val doc = dsirDocWeights(spark, dir, lengthNormalized = true)
       doc.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           // w_bp is SIGNED, so the mean must be an explicit floor over
@@ -1153,8 +1169,8 @@ object PipelineOps extends QueryModule {
               GROUP BY 1, 2),
             drawn AS (SELECT source, w_bp,
                 CASE WHEN w_bp + CAST(floor(10000.0 * -ln(-ln(
-                    (CAST(((doc_id % 1048576) * 2654435761) % 1048576 AS DOUBLE) + 0.5)
-                      / 1048576.0))) AS BIGINT) >= 0
+                    (CAST(((doc_id % 1048576 + 1048576) % 1048576) * 2654435761 % 1048576
+                      AS DOUBLE) + 0.5) / 1048576.0))) AS BIGINT) >= 0
                   THEN 1 ELSE 0 END AS kept
               FROM doc)
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1167,31 +1183,7 @@ object PipelineOps extends QueryModule {
             FROM drawn GROUP BY source ORDER BY source"""),
     (spark, dir) => {
       import spark.implicits._
-      val toks = t(spark, dir, "documents")
-        .select($"doc_id", $"source",
-          expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"))
-        .where(size($"tk") >= 1)
-      val uni = toks.select($"doc_id", $"source", explode($"tk").as("token"))
-      val dt = uni.groupBy($"doc_id", $"source", $"token")
-        .agg(count(lit(1)).as("occ"))
-      val cr = uni.groupBy($"token".as("r_token"))
-        .agg(count(lit(1)).as("cr"))
-      val ct = uni.where($"source" === "src0")
-        .groupBy($"token".as("t_token")).agg(count(lit(1)).as("ct"))
-      val sc = broadcast(
-        cr.agg(sum($"cr").as("tr"), count(lit(1)).as("vsz"))
-          .crossJoin(ct.agg(coalesce(sum($"ct"), lit(0L)).as("tt"))))
-      val doc = dt
-        .join(cr, $"r_token" === $"token")
-        .join(ct, $"t_token" === $"token", "left")
-        .crossJoin(sc)
-        .groupBy($"doc_id", $"source")
-        .agg(floor(lit(10000.0) * sum($"occ" * (
-            log((coalesce($"ct", lit(0L)) + 1).cast("double") /
-              ($"tt" + $"vsz").cast("double"))
-            - log(($"cr" + 1).cast("double") /
-              ($"tr" + $"vsz").cast("double")))))
-          .cast("long").as("w_bp"))
+      val doc = dsirDocWeights(spark, dir, lengthNormalized = false)
       // the Gumbel race (DsirLm.gumbelBp — exact-rational hash input,
       // so -ln(-ln(u)) floors identically in both engines); kept iff
       // w + G >= tau = 0

@@ -40,7 +40,18 @@ object StreamingDsir {
     * w + Gumbel(hash(doc_id)) ≥ τ are written — losers are dropped
     * before any downstream dedup/embedding spend, and because the draw
     * is a deterministic function of doc_id, a replayed batch drops
-    * exactly the same docs (the idempotent sink stays idempotent). */
+    * exactly the same docs.
+    *
+    * Sink idempotence is delete-then-append rather than the
+    * dynamic-partition overwrite StreamingAnnProbe uses: a GATED
+    * replay can legitimately keep ZERO rows (the documented rollover
+    * path — retrain, restart from the same checkpoint — can land in
+    * the at-least-once crash window with an estimator that now fails
+    * every doc of the replayed batch), and a dynamic overwrite that
+    * writes no partition would leave the earlier attempt's rows
+    * stranded in that batch_id forever. Deleting the batch partition
+    * first makes empty-keep replays converge to the correct absent
+    * partition. */
   def start(
       docStream: DataFrame,
       lmPath: String,
@@ -59,10 +70,12 @@ object StreamingDsir {
             .where(col("w_bp") + DsirLm.gumbelBp(col("doc_id")) >= tau)
           case None => scored
         }
+        val part = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$batchId")
+        part.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(part, true)
         gated
           .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
+          .write.mode("append")
           .partitionBy("batch_id")
           .parquet(outDir)
       }

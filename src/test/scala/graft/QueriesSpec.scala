@@ -103,9 +103,10 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     val target = rows("src0")
     val others = (rows - "src0").values
-    assert(target > others.sum / others.size,
-      s"target keep_bp $target not above off-domain mean ${others.sum / others.size}")
-    assert(target > others.min, s"target $target <= min ${others.min}")
+    // target beats EVERY off-domain source (measured margin at this sf:
+    // 7600 bp vs 6000 max), not merely the average
+    assert(target > others.max,
+      s"target keep_bp $target not above off-domain max ${others.max}")
   }
 
   test("x_hll_distinct within 15% of exact distinct counts") {

@@ -140,6 +140,58 @@ class StreamingDsirSpec extends AnyFunSuite with SparkTestBase {
       s"gate drift: stream kept ${got.length} vs batch ${expected.length}")
   }
 
+  test("gated replay after estimator rollover: zero-keep replay removes the stale partition") {
+    // the at-least-once crash window COMBINED with the documented
+    // rollover path: batch 0 wrote rows under estimator A, the commit
+    // marker is lost, the operator retrains (estimator B fails every
+    // doc of the batch), and the stream restarts from the same
+    // checkpoint — the replayed batch keeps ZERO rows, and the sink
+    // must CONVERGE to that (no stranded rows from the first attempt)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("dsirroll")
+    // estimator A: target LM contains the batch tokens -> positive w
+    DsirLm.train(
+      Seq((1L, "src0", "alpha beta alpha"), (2L, "src1", "zz yy xx ww vv uu"))
+        .toDF("doc_id", "source", "text"), "src0", s"$dir/lm")
+    val mem = MemoryStream[(Long, String, String)]
+    def start() = StreamingDsir.start(
+      mem.toDS().toDF("doc_id", "source", "text"),
+      s"$dir/lm", outDir = s"$dir/out", checkpoint = s"$dir/ckpt",
+      tauBp = Some(0L))
+
+    val q1 = start()
+    try {
+      mem.addData(Seq((900L, "new", "alpha beta"), (901L, "new", "alpha alpha")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 2,
+      "estimator A should keep both docs")
+
+    // nightly roll while the stream is down: estimator B's target LM
+    // is large and disjoint from the batch tokens while the raw LM
+    // covers them heavily -> w ≈ -70000 bp per doc, below even the
+    // larger of the two docs' FIXED Gumbel draws (G(900)=3344,
+    // G(901)=31021 bp) — the race is deterministically unwinnable
+    DsirLm.train(
+      Seq((1L, "src0", ("qq " * 5000).trim),
+        (2L, "src1", ("alpha beta " * 2000).trim))
+        .toDF("doc_id", "source", "text"), "src0", s"$dir/lm")
+    // lose the commit marker (and its checksum sidecar) for batch 0
+    val commit = new java.io.File(s"$dir/ckpt/commits/0")
+    assert(commit.exists && commit.delete())
+    new java.io.File(s"$dir/ckpt/commits/.0.crc").delete()
+
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    val files = Option(new java.io.File(s"$dir/out/batch_id=0").listFiles)
+      .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    assert(files == 0,
+      s"zero-keep replay left $files stale parquet files in batch_id=0")
+  }
+
   test("a REPLAYED micro-batch overwrites its own output instead of duplicating it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
