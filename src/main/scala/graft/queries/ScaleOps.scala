@@ -568,8 +568,38 @@ object ScaleOps extends QueryModule {
         .orderBy($"rows_per_band", $"jaccard_bp")
     })
 
+  /** Mergeable-sketch distinct rollup — the nightly-artifact form of
+    * x_hll_distinct: one Datasketches HLL sketch per (day, event_type)
+    * partition, then the range estimate is a UNION OF SKETCHES
+    * (register-max merge) with the raw days never rescanned. This is
+    * the production shape for "distinct users last N days" at 100 TB:
+    * each day is sketched once at ingest (the per-day aggregate is
+    * map-side combined, the sketch is KBs at lgK=12 regardless of
+    * cardinality), rollups of ANY window are sketch-merge only, and
+    * the merge is associative/commutative so re-partitioning or
+    * backfilling a day never changes the answer. Rows-only by
+    * declaration (approx, like x_hll_distinct); QueriesSpec pins the
+    * 5% tolerance vs exact AND the sharp mergeability property —
+    * union-of-daily-sketches estimates EQUAL the single-pass sketch
+    * (register maxima are order- and partition-invariant), which is
+    * the guarantee that makes the artifact trustworthy. */
+  private val sketchUnion = Q(
+    "x_sketch_union",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val daily = t(spark, dir, "events")
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+            .as("n_users_est"))
+        .orderBy($"event_type")
+    })
+
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
     minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
     dedupIncrementalNear, mediaDecode, mediaResize, mediaAudio, mediaKnn,
-    mediaFramesDecode)
+    mediaFramesDecode, sketchUnion)
 }

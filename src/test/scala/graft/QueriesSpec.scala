@@ -109,6 +109,30 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       s"target keep_bp $target not above off-domain max ${others.max}")
   }
 
+  test("x_sketch_union: 5% of exact, and union-of-daily EQUALS the single-pass sketch") {
+    import spark.implicits._
+    val est = SparkEntry.queries("x_sketch_union")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n).toDouble / n <= 0.05,
+        s"$k: est=${est(k)} exact=$n")
+    }
+    // the artifact's trust property: merging per-day sketches must give
+    // the SAME registers as sketching the whole range in one pass
+    // (max is associative/commutative) — estimate equality, not
+    // tolerance
+    val single = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    single.foreach { case (k, n) =>
+      assert(est(k) == n, s"$k: union ${est(k)} != single-pass $n")
+    }
+  }
+
   test("x_hll_distinct within 15% of exact distinct counts") {
     import spark.implicits._
     val approx = SparkEntry.queries("x_hll_distinct")(spark, sf)
