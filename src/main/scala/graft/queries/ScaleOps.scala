@@ -598,8 +598,44 @@ object ScaleOps extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Theta-sketch set algebra — the capability HLL structurally lacks:
+    * per-event-type Datasketches THETA sketches of the user set, then
+    * audience INTERSECTION / DIFFERENCE / UNION estimates for every
+    * type pair computed purely on the sketches ("users who did A and
+    * B", "did A but never B") — the raw events are scanned once to
+    * sketch and never again. At 100 TB this is the audience-overlap
+    * matrix as a nightly artifact: sketches are KBs each, the pair
+    * combinatorics run on |types|² sketch pairs (broadcast-bounded),
+    * and set-op results compose (an intersection's sketch can itself
+    * be unioned). Rows-only by declaration (sketch estimates);
+    * QueriesSpec exploits theta's EXACT-MODE guarantee — a sketch
+    * holds every retained hash until it exceeds its 4096 nominal
+    * entries, and all test SFs stay below that (≤1500 distinct users
+    * per type at sf0.1) — to pin exact equality with the brute-force
+    * overlap, not a tolerance band. */
+  private val sketchIntersect = Q(
+    "x_sketch_intersect",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val sk = t(spark, dir, "events")
+        .groupBy($"event_type")
+        .agg(expr("theta_sketch_agg(user_id, 12)").as("sk"))
+      val a = sk.select($"event_type".as("type_a"), $"sk".as("sk_a"))
+      val b = sk.select($"event_type".as("type_b"), $"sk".as("sk_b"))
+      broadcast(a).join(b, $"type_a" < $"type_b")
+        .select($"type_a", $"type_b",
+          expr("CAST(theta_sketch_estimate(theta_intersection(sk_a, sk_b)) AS BIGINT)")
+            .as("users_both_est"),
+          expr("CAST(theta_sketch_estimate(theta_difference(sk_a, sk_b)) AS BIGINT)")
+            .as("users_only_a_est"),
+          expr("CAST(theta_sketch_estimate(theta_union(sk_a, sk_b)) AS BIGINT)")
+            .as("users_either_est"))
+        .orderBy($"type_a", $"type_b")
+    })
+
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
     minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
     dedupIncrementalNear, mediaDecode, mediaResize, mediaAudio, mediaKnn,
-    mediaFramesDecode, sketchUnion)
+    mediaFramesDecode, sketchUnion, sketchIntersect)
 }

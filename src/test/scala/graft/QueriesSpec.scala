@@ -133,6 +133,31 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x_sketch_intersect: set-op estimates EXACTLY equal brute force in exact mode") {
+    import spark.implicits._
+    // theta sketches retain every hash until they exceed nominal
+    // entries (4096 at lgK=12); every test sf stays far below that, so
+    // intersection/difference/union estimates are EXACT — equality,
+    // not tolerance (the regime bound is documented at the query)
+    val got = SparkEntry.queries("x_sketch_intersect")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val tu = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", $"user_id").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val types = tu.keys.toSeq.sorted
+    for (ta <- types; tb <- types if ta < tb) {
+      val (ia, oa, ua) = got((ta, tb))
+      val inter = (tu(ta) & tu(tb)).size.toLong
+      assert(ia == inter, s"($ta,$tb) both: $ia != $inter")
+      assert(oa == (tu(ta) -- tu(tb)).size.toLong, s"($ta,$tb) only_a: $oa")
+      assert(ua == (tu(ta) | tu(tb)).size.toLong, s"($ta,$tb) either: $ua")
+    }
+    assert(got.size == types.combinations(2).size, s"pair count ${got.size}")
+  }
+
   test("x_hll_distinct within 15% of exact distinct counts") {
     import spark.implicits._
     val approx = SparkEntry.queries("x_hll_distinct")(spark, sf)
