@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Live HLL sketch maintenance: the artifact built from a stream must
+  * be indistinguishable from the batch-built one (HLL state is a
+  * set-function of the inputs — batching-invariant), and survive a
+  * checkpoint restart without re-counting or losing arrivals. */
+class StreamingSketchSpec extends AnyFunSuite with SparkTestBase {
+
+  private def eventsAll = {
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("user_id"))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+
+  test("streamed sketch table: estimates equal the batch-built artifact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = eventsAll
+    val dir = tmpDir("sketchstream")
+    val expected = e
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val q = StreamingSketch.start(
+      mem.toDS().toDF("ts", "event_type", "user_id"),
+      outDir = s"$dir/out", checkpoint = s"$dir/ckpt")
+    try {
+      val all = rows(e)
+      val (h, t) = all.splitAt(all.length / 3)
+      mem.addData(h.toIndexedSeq); q.processAllAvailable()
+      mem.addData(t.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = StreamingSketch.estimates(spark, s"$dir/out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"live artifact diverged from batch artifact: $got vs $expected")
+  }
+
+  test("restart from checkpoint: state resumes, post-restart arrivals still count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = eventsAll
+    val dir = tmpDir("sketchrestart")
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    def start() = StreamingSketch.start(
+      mem.toDS().toDF("ts", "event_type", "user_id"),
+      outDir = s"$dir/out", checkpoint = s"$dir/ckpt")
+
+    val all = rows(e)
+    val (h, t) = all.splitAt(all.length / 2)
+    val q1 = start()
+    try { mem.addData(h.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { mem.addData(t.toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val expected = e
+      .groupBy(to_date($"ts").as("day"), $"event_type")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = StreamingSketch.estimates(spark, s"$dir/out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"restarted artifact diverged: $got vs $expected")
+  }
+}
