@@ -140,6 +140,24 @@ class StreamingDsirSpec extends AnyFunSuite with SparkTestBase {
       s"gate drift: stream kept ${got.length} vs batch ${expected.length}")
   }
 
+  test("negative doc ids draw valid Gumbels — raced, never silently dropped") {
+    import spark.implicits._
+    // a negative crawl id must reach the race with a well-defined draw
+    // (the naive hash fed ln a negative argument -> NULL -> the gate
+    // dropped the doc regardless of weight); the draw must also be
+    // finite and inside the discretized Gumbel support
+    val ids = Seq(-1L, -5L, Long.MinValue, Long.MinValue + 7, -1048577L,
+      0L, 42L, Long.MaxValue)
+    val got = ids.toDF("doc_id")
+      .select($"doc_id", DsirLm.gumbelBp($"doc_id").as("g"))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), if (r.isNullAt(1)) 0L else r.getLong(1)))
+    got.foreach { case (id, isNull, g) =>
+      assert(!isNull, s"gumbelBp NULL for id=$id")
+      // support of -ln(-ln(u)) over u in ((0.5)/2^20, (2^20-0.5)/2^20)
+      assert(g >= -27000L && g <= 146000L, s"id=$id draw $g out of support")
+    }
+  }
+
   test("gated replay after estimator rollover: zero-keep replay removes the stale partition") {
     // the at-least-once crash window COMBINED with the documented
     // rollover path: batch 0 wrote rows under estimator A, the commit
