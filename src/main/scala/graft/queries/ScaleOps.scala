@@ -634,38 +634,20 @@ object ScaleOps extends QueryModule {
         .orderBy($"type_a", $"type_b")
     })
 
-  /** Mergeable-quantile rollup — the KLL member of the sketch-artifact
-    * family (cardinality = x_sketch_union HLL, set algebra =
-    * x_sketch_intersect theta, frequency = x_freq_items MG,
-    * membership = x_decontam_bloom): one KLL doubles sketch of the
-    * event value per (day, event_type), any window's p50/p95 via
-    * SKETCH MERGE — approx_percentile answers one query over one scan,
-    * a persisted daily KLL answers every window after the fact without
-    * rescanning a day. KLL's guarantee is on RANK (±1.33% at the
-    * default k), not value, and compaction is randomized — so the spec
-    * pins exactly what the sketch promises: the exact stream length N
-    * (kll_sketch_get_n is exact through merges) and the realized rank
-    * of each estimated quantile within 3% of its target, rather than a
-    * value tolerance that would be vacuous on a heavy tail. */
-  private val sketchQuantiles = Q(
-    "x_sketch_quantiles",
-    None,
-    (spark, dir) => {
-      import spark.implicits._
-      val daily = t(spark, dir, "events")
-        .groupBy(to_date($"ts").as("day"), $"event_type")
-        .agg(expr("kll_sketch_agg_double(value)").as("sk"))
-      daily.groupBy($"event_type")
-        .agg(expr("kll_merge_agg_double(sk)").as("msk"))
-        .select($"event_type",
-          expr("kll_sketch_get_n_double(msk)").as("n_values"),
-          expr("kll_sketch_get_quantile_double(msk, 0.5)").as("p50"),
-          expr("kll_sketch_get_quantile_double(msk, 0.95)").as("p95"))
-        .orderBy($"event_type")
-    })
+  // KLL mergeable quantiles (kll_sketch_agg_double + kll_merge_agg)
+  // were evaluated as the quantile member of this artifact family and
+  // REJECTED from the declared surface: Datasketches KLL seeds its
+  // compaction coin from a per-run Random, so repeated executions of
+  // the same query return different p50/p95 values — DeterminismSpec
+  // caught the flips on its two-rep check, and the declared surface's
+  // identical-rows-on-rerun contract is load-bearing (the driver
+  // re-executes queries; every other approx op here, including HLL
+  // and theta, is a deterministic set-function of its input).
+  // approx_percentile (x_approx_quantile) remains the deterministic
+  // quantile story. Don't retry without a seedable KLL.
 
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
     minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
     dedupIncrementalNear, mediaDecode, mediaResize, mediaAudio, mediaKnn,
-    mediaFramesDecode, sketchUnion, sketchIntersect, sketchQuantiles)
+    mediaFramesDecode, sketchUnion, sketchIntersect)
 }

@@ -158,29 +158,6 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == types.combinations(2).size, s"pair count ${got.size}")
   }
 
-  test("x_sketch_quantiles: exact n through merges; realized ranks within 3%") {
-    import spark.implicits._
-    val got = SparkEntry.queries("x_sketch_quantiles")(spark, sf)
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
-      .toMap
-    val vals = spark.read.parquet(s"$sf/events.parquet")
-      .select($"event_type", $"value").collect()
-      .map(r => r.getString(0) -> r.getDouble(1))
-      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
-    vals.foreach { case (t, sorted) =>
-      val (n, p50, p95) = got(t)
-      // stream length is EXACT through kll merges
-      assert(n == sorted.length, s"$t: n=$n != ${sorted.length}")
-      // KLL's guarantee is rank error, not value error: the realized
-      // rank of the returned quantile must sit within 3% of target
-      // (~2x the default-k bound, leaving room for the merge)
-      def rank(v: Double) = sorted.count(_ <= v).toDouble / sorted.length
-      assert(math.abs(rank(p50) - 0.5) <= 0.03, s"$t p50 rank ${rank(p50)}")
-      assert(math.abs(rank(p95) - 0.95) <= 0.03, s"$t p95 rank ${rank(p95)}")
-    }
-  }
-
   test("x_hll_distinct within 15% of exact distinct counts") {
     import spark.implicits._
     val approx = SparkEntry.queries("x_hll_distinct")(spark, sf)
