@@ -101,22 +101,31 @@ object DsirLm {
 
   /** Score a batch of (doc_id, source, text) docs against a loaded
     * estimator: one (doc_id, source, w_bp) row per non-empty doc, w_bp
-    * the per-doc mean ln-likelihood-ratio floored to basis-nats — the
-    * exact x_dsir_weights per-doc spelling, so a backfill through this
-    * path and the inline query agree row-for-row on the training
-    * corpus. */
-  def score(batch: DataFrame, lm: Lm): DataFrame = {
+    * the per-doc ln-likelihood-ratio floored to basis-nats —
+    * length-normalized (mean over tokens, the x_dsir_weights per-doc
+    * spelling; the default, so a backfill through this path and the
+    * inline query agree row-for-row on the training corpus), or with
+    * `lengthNormalized = false` the raw SUM over tokens — the paper's
+    * log importance weight and the x_dsir_resample race key (a 100-
+    * token strongly-target-like doc must carry 100 tokens' worth of
+    * evidence into the Gumbel race, not its per-token average). */
+  def score(batch: DataFrame, lm: Lm,
+      lengthNormalized: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     val dt = tokens(batch)
       .groupBy($"doc_id", $"source", $"token").agg(count(lit(1)).as("occ"))
+    val mass = sum($"occ" * (
+      log((coalesce($"ct", lit(0L)) + 1).cast("double") /
+        lit(lm.tt + lm.vsz).cast("double"))
+      - log((coalesce($"cr", lit(0L)) + 1).cast("double") /
+        lit(lm.tr + lm.vsz).cast("double"))))
     dt.join(lm.vocab, Seq("token"), "left")
       .groupBy($"doc_id", $"source")
-      .agg(floor(lit(10000.0) * sum($"occ" * (
-          log((coalesce($"ct", lit(0L)) + 1).cast("double") /
-            lit(lm.tt + lm.vsz).cast("double"))
-          - log((coalesce($"cr", lit(0L)) + 1).cast("double") /
-            lit(lm.tr + lm.vsz).cast("double"))))
-        / sum($"occ")).cast("long").as("w_bp"))
+      // (10000 * mass) / n association — the oracle spelling
+      .agg(floor(
+          if (lengthNormalized) (lit(10000.0) * mass) / sum($"occ")
+          else lit(10000.0) * mass)
+        .cast("long").as("w_bp"))
   }
 }

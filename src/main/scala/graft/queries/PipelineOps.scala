@@ -1066,8 +1066,12 @@ object PipelineOps extends QueryModule {
       .join(ct, $"t_token" === $"token", "left")
       .crossJoin(sc)
       .groupBy($"doc_id", $"source")
-      .agg(floor(lit(10000.0) *
-          (if (lengthNormalized) mass / sum($"occ") else mass))
+      // association must stay (10000 * mass) / n — the oracle's and
+      // DsirLm.score's spelling; 10000 * (mass / n) double-rounds in a
+      // different order and can floor one bp apart on unlucky values
+      .agg(floor(
+          if (lengthNormalized) (lit(10000.0) * mass) / sum($"occ")
+          else lit(10000.0) * mass)
         .cast("long").as("w_bp"))
   }
 

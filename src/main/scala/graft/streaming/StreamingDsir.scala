@@ -17,8 +17,9 @@ import graft.operators.DsirLm
   * state: a doc's weight depends only on the (static) estimator, so
   * each micro-batch runs the SAME bounded batch score, and
   * exactly-once output comes from the checkpoint plus an IDEMPOTENT
-  * sink (each batch dynamically overwrites its own batch_id
-  * partition). Estimator updates stay a batch concern — retrain via
+  * sink (each batch deletes-then-appends its own batch_id partition —
+  * see [[start]] for why the gate forces that over dynamic
+  * overwrite). Estimator updates stay a batch concern — retrain via
   * [[DsirLm.train]], then restart from the same checkpoint: the LM is
   * resolved once at query start, so a restart re-resolves the rolled
   * artifact and already-committed batches never re-emit (the
@@ -40,7 +41,11 @@ object StreamingDsir {
     * w + Gumbel(hash(doc_id)) ≥ τ are written — losers are dropped
     * before any downstream dedup/embedding spend, and because the draw
     * is a deterministic function of doc_id, a replayed batch drops
-    * exactly the same docs.
+    * exactly the same docs. The race key is the length-UNNORMALIZED
+    * sum weight (DsirLm.score(lengthNormalized = false)) — the same
+    * form x_dsir_resample races, so a doc's streaming fate matches the
+    * batch resample's; gated output rows therefore carry the SUM
+    * weight in w_bp, ungated rows the x_dsir_weights mean.
     *
     * Sink idempotence is delete-then-append rather than the
     * dynamic-partition overwrite StreamingAnnProbe uses: a GATED
@@ -64,15 +69,22 @@ object StreamingDsir {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val scored = DsirLm.score(batch, lm)
         val gated = tauBp match {
-          case Some(tau) => scored
-            .where(col("w_bp") + DsirLm.gumbelBp(col("doc_id")) >= tau)
-          case None => scored
+          case Some(tau) =>
+            DsirLm.score(batch, lm, lengthNormalized = false)
+              .where(col("w_bp") + DsirLm.gumbelBp(col("doc_id")) >= tau)
+          case None => DsirLm.score(batch, lm)
         }
         val part = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$batchId")
-        part.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-          .delete(part, true)
+        val fs = part.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        // delete returns false BOTH for path-absent (fine) and for a
+        // failed delete (must abort: appending after a failed delete
+        // would duplicate the previous attempt's rows) — disambiguate
+        // and fail the batch so the stream retries
+        if (!fs.delete(part, true) && fs.exists(part))
+          throw new java.io.IOException(
+            s"failed to delete replayed partition $part")
         gated
           .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
           .write.mode("append")

@@ -36,6 +36,18 @@ class StreamingDsirSpec extends AnyFunSuite with SparkTestBase {
     assert(got(11L) == 2876L, s"in-vocab doc: ${got(11L)}")
     // the target doc itself: (2*0 + ln(4/3))/3 -> 958 bp
     assert(got(1L) == 958L, s"target doc: ${got(1L)}")
+    // the SUM form (lengthNormalized = false — the resample race key)
+    // must differ from the mean by exactly the token count: "a z z" is
+    // 2*ln(4/3) summed (5753 bp) vs /3 averaged (1917 bp)
+    val sums = DsirLm.score(
+        Seq((20L, "new", "a z z")).toDF("doc_id", "source", "text"),
+        lm, lengthNormalized = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sums(20L) == 5753L, s"sum form: ${sums(20L)}")
+    val means = DsirLm.score(
+        Seq((20L, "new", "a z z")).toDF("doc_id", "source", "text"), lm)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(means(20L) == 1917L, s"mean form: ${means(20L)}")
   }
 
   test("persisted estimator reproduces the inline x_dsir_weights per-doc spelling") {
@@ -115,7 +127,9 @@ class StreamingDsirSpec extends AnyFunSuite with SparkTestBase {
     DsirLm.train(docs.where($"doc_id" < 400), "src0", s"$dir/lm")
     val lm = DsirLm.load(spark, s"$dir/lm")
     val arriving = docs.where($"doc_id" >= 400 && $"doc_id" < 460)
-    val expected = DsirLm.score(arriving, lm)
+    // the gate races the length-UNNORMALIZED sum weight (the
+    // x_dsir_resample form) — not the mean the ungated stream emits
+    val expected = DsirLm.score(arriving, lm, lengthNormalized = false)
       .where($"w_bp" + DsirLm.gumbelBp($"doc_id") >= 0L)
       .collect().map(r => r.getLong(0)).sorted
     // the gate must bite in both directions on this slice

@@ -53,6 +53,39 @@ class StreamingSketchSpec extends AnyFunSuite with SparkTestBase {
       s"live artifact diverged from batch artifact: $got vs $expected")
   }
 
+  test("snapshot isolation: uncommitted newer version invisible, older pruned") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("sketchsnap")
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val q = StreamingSketch.start(
+      mem.toDS().toDF("ts", "event_type", "user_id"),
+      outDir = s"$dir/out", checkpoint = s"$dir/ckpt")
+    try {
+      mem.addData(rows(eventsAll).take(50).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rows(eventsAll).slice(50, 100).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val before = StreamingSketch.estimates(spark, s"$dir/out")
+      .collect().map(_.toString).toSeq
+    // superseded snapshots are pruned: exactly one committed version
+    val vs = new java.io.File(s"$dir/out").listFiles
+      .filter(_.getName.startsWith("v=")).map(_.getName).toSeq
+    assert(vs == Seq("v=1"), s"stale snapshots not pruned: $vs")
+    // an in-flight (no _SUCCESS) newer snapshot must be invisible to
+    // readers — simulate a crash mid-write
+    val inflight = new java.io.File(s"$dir/out/v=999")
+    assert(inflight.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/out/v=999/part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    val after = StreamingSketch.estimates(spark, s"$dir/out")
+      .collect().map(_.toString).toSeq
+    assert(after == before, "reader saw an uncommitted snapshot")
+  }
+
   test("restart from checkpoint: state resumes, post-restart arrivals still count") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
