@@ -1218,10 +1218,13 @@ object PipelineOps extends QueryModule {
     * lifecycle — and the held-out tenth arrives as "tomorrow's crawl",
     * scored per-doc through the REAL serving read path
     * ([[graft.operators.DsirLm.load]]/score, the same path
-    * StreamingDsir runs per micro-batch). Unlike x_dsir_weights this
-    * exercises out-of-vocabulary smoothing UNDER THE ORACLE: held-out
-    * docs can carry tokens the 90% never saw, and both engines must
-    * smooth them to count 0 on both LM sides.
+    * StreamingDsir runs per micro-batch). Both engines spell the
+    * held-out scoring with LEFT joins + coalesce-to-0 — the
+    * out-of-vocabulary smoothing path a live crawl hits — though on
+    * THIS corpus the oracle exercises it only vacuously (the testdata
+    * vocabulary is closed, so the held-out tenth contains no token the
+    * 90% lacks — measured 0 OOV at both gate SFs); the branch's
+    * closed-form values are pinned by StreamingDsirSpec instead.
     *
     * Scale shape: training is one bounded pass over the corpus, paid
     * nightly; the probe explodes only the arriving batch and
