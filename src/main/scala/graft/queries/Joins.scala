@@ -106,12 +106,20 @@ object Joins extends QueryModule {
       val ot = s"graft_bkt_orders_$tag"
       // cache key must NOT embed the stamp (tag carries it for table-
       // name uniqueness): keyed by (dir, app), a testdata regeneration
-      // REPLACES the entry and deletes the superseded bucketed dir —
-      // a stamped key would strand one dir per generation until JVM
-      // exit. The prior generation's catalog tables dangle unreferenced
-      // (their tag differs); the fresh build registers fresh names.
+      // REPLACES the entry so the superseded dir is never probed again
+      // (its DELETION is deferred to cachedIndex's shutdown hook — an
+      // in-flight reader of the old generation must finish on valid
+      // files). The prior generation's catalog tables are DROPped
+      // inside the rebuild below — external-table drops remove only
+      // catalog entries, never files, so that same in-flight reader
+      // (already resolved to concrete file paths) is unaffected.
       val appTag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
       QueryModule.cachedIndex(s"bucketed:$dir:$appTag", stamp) { p =>
+        spark.catalog.listTables().collect().foreach { tb =>
+          if (tb.name.startsWith("graft_bkt_") && tb.name.endsWith(appTag) &&
+              tb.name != lt && tb.name != ot)
+            spark.sql(s"DROP TABLE IF EXISTS ${tb.name}")
+        }
         graft.operators.BucketedJoins.writeBucketed(
           t(spark, dir, "lineitem")
             .select($"l_orderkey", $"l_extendedprice", $"l_discount"),

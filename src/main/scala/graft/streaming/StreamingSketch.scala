@@ -16,13 +16,20 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   * work as streaming state like any typed buffer — KBs per key,
   * cardinality-independent), and each micro-batch writes the artifact
   * table in Complete mode as a fresh VERSIONED SNAPSHOT dir
-  * (`outDir/v=<batchId>`), pruning older snapshots only after the new
-  * one commits; [[estimates]] reads the newest snapshot carrying a
-  * _SUCCESS marker. That gives readers snapshot isolation with no
-  * atomic-rename assumption: a concurrent read never observes a
-  * half-deleted table, a crash mid-write leaves the previous snapshot
-  * live, and a replayed batch simply overwrites its own orphan
-  * version dir (idempotent — Complete mode re-emits the same state).
+  * (`outDir/v=<batchId>`), retaining the PREVIOUS committed snapshot
+  * and pruning only strictly older ones after the new one commits;
+  * [[estimates]] reads the newest snapshot carrying a _SUCCESS marker.
+  * That gives readers snapshot isolation with no atomic-rename
+  * assumption and ONE BATCH of read grace: estimates() returns a lazy
+  * frame pinned to a concrete v= path, and a reader that resolved
+  * snapshot N and runs its action while batch N+1 commits still scans
+  * intact files (N survives until N+2 commits — a reader that holds a
+  * frame across ≥2 micro-batch commits is out of contract and gets a
+  * clean FileNotFoundException). A crash mid-write leaves the previous
+  * snapshot live, and a REPLAYED batch whose own v= dir already
+  * carries _SUCCESS skips the write entirely (Complete mode re-emits
+  * the same state, so the committed snapshot is already correct) —
+  * never overwriting a dir a reader may have resolved.
   * Complete-over-foreachBatch is the right trade HERE because the
   * artifact is structurally tiny — |days|×|types| rows of KB sketches.
   * At 100 TB the artifact is still tiny (days × types, not events),
@@ -54,17 +61,26 @@ object StreamingSketch {
       .outputMode(OutputMode.Complete())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // new snapshot first, prune strictly-older ones after: readers
-        // of estimates() always find a complete snapshot, and a crash
-        // between the two steps leaks only a superseded dir that the
-        // next batch's prune removes
-        batch.write.mode("overwrite").parquet(s"$outDir/v=$batchId")
+        // new snapshot first, prune after — and only snapshots OLDER
+        // than batchId-1: the previous committed snapshot survives one
+        // more batch so a reader that resolved it pre-commit finishes
+        // its scan on intact files (read grace of one full batch). A
+        // replayed batch finding its own committed dir skips the write:
+        // overwriting in place would delete files under a reader
+        // pinned to that exact path, and Complete-mode state makes the
+        // existing snapshot already byte-correct.
         val root = new org.apache.hadoop.fs.Path(outDir)
         val fs = root.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
+        val mine = new org.apache.hadoop.fs.Path(s"$outDir/v=$batchId")
+        val committed = fs.exists(
+          new org.apache.hadoop.fs.Path(mine, "_SUCCESS"))
+        if (!committed)
+          batch.write.mode("overwrite").parquet(mine.toString)
         fs.listStatus(root).foreach { st =>
           val n = st.getPath.getName
-          if (n.startsWith("v=") && n.drop(2).toLongOption.exists(_ < batchId))
+          if (n.startsWith("v=") &&
+              n.drop(2).toLongOption.exists(_ < batchId - 1))
             fs.delete(st.getPath, true)
         }
       }
@@ -78,13 +94,24 @@ object StreamingSketch {
       outDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val latest = fs.listStatus(root).flatMap { st =>
+    // explicit guards: a missing root or a root with no committed v=
+    // dir means no micro-batch has committed yet — say so, instead of
+    // the raw FileNotFoundException / empty-maxBy the caller would
+    // otherwise have to decode
+    require(fs.exists(root),
+      s"no committed sketch snapshot yet at $outDir (dir absent — " +
+        "has the streaming query produced a micro-batch?)")
+    val candidates = fs.listStatus(root).flatMap { st =>
       val n = st.getPath.getName
       if (n.startsWith("v=") &&
           fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
         n.drop(2).toLongOption.map(_ -> st.getPath.toString)
       else None
-    }.maxBy(_._1)._2
+    }
+    require(candidates.nonEmpty,
+      s"no committed sketch snapshot yet at $outDir (no v= dir with " +
+        "_SUCCESS — a write may be in flight)")
+    val latest = candidates.maxBy(_._1)._2
     spark.read.parquet(latest)
       .groupBy(col("event_type"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")

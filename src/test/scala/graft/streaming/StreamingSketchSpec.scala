@@ -53,7 +53,7 @@ class StreamingSketchSpec extends AnyFunSuite with SparkTestBase {
       s"live artifact diverged from batch artifact: $got vs $expected")
   }
 
-  test("snapshot isolation: uncommitted newer version invisible, older pruned") {
+  test("snapshot isolation: uncommitted newer version invisible, read grace of one batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -62,18 +62,29 @@ class StreamingSketchSpec extends AnyFunSuite with SparkTestBase {
     val q = StreamingSketch.start(
       mem.toDS().toDF("ts", "event_type", "user_id"),
       outDir = s"$dir/out", checkpoint = s"$dir/ckpt")
-    try {
+    def versions() = new java.io.File(s"$dir/out").listFiles
+      .filter(_.getName.startsWith("v=")).map(_.getName).toSet
+    val grace = try {
       mem.addData(rows(eventsAll).take(50).toIndexedSeq)
       q.processAllAvailable()
       mem.addData(rows(eventsAll).slice(50, 100).toIndexedSeq)
       q.processAllAvailable()
+      // retention keeps the PREVIOUS committed snapshot (read grace):
+      // after batches 0 and 1 both dirs survive
+      assert(versions() == Set("v=0", "v=1"),
+        s"expected current+previous snapshots, got ${versions()}")
+      // a reader that resolved v=1 BEFORE batch 2 commits must finish
+      // its action on intact files afterward
+      val pinned = StreamingSketch.estimates(spark, s"$dir/out")
+      mem.addData(rows(eventsAll).slice(100, 150).toIndexedSeq)
+      q.processAllAvailable()
+      assert(versions() == Set("v=1", "v=2"),
+        s"expected v=0 pruned at batch 2, got ${versions()}")
+      pinned.collect().map(_.toString).toSeq // would FNF under prune-to-one
     } finally q.stop()
+    assert(grace.nonEmpty, "pinned pre-commit reader lost its snapshot")
     val before = StreamingSketch.estimates(spark, s"$dir/out")
       .collect().map(_.toString).toSeq
-    // superseded snapshots are pruned: exactly one committed version
-    val vs = new java.io.File(s"$dir/out").listFiles
-      .filter(_.getName.startsWith("v=")).map(_.getName).toSeq
-    assert(vs == Seq("v=1"), s"stale snapshots not pruned: $vs")
     // an in-flight (no _SUCCESS) newer snapshot must be invisible to
     // readers — simulate a crash mid-write
     val inflight = new java.io.File(s"$dir/out/v=999")
@@ -84,6 +95,20 @@ class StreamingSketchSpec extends AnyFunSuite with SparkTestBase {
     val after = StreamingSketch.estimates(spark, s"$dir/out")
       .collect().map(_.toString).toSeq
     assert(after == before, "reader saw an uncommitted snapshot")
+  }
+
+  test("estimates before any commit: clear error, not FNF/empty-maxBy") {
+    val dir = tmpDir("sketchempty")
+    val eAbsent = intercept[IllegalArgumentException] {
+      StreamingSketch.estimates(spark, s"$dir/nonexistent")
+    }
+    assert(eAbsent.getMessage.contains("no committed sketch snapshot"))
+    // root exists but only an uncommitted dir inside
+    assert(new java.io.File(s"$dir/out/v=0").mkdirs())
+    val eUncommitted = intercept[IllegalArgumentException] {
+      StreamingSketch.estimates(spark, s"$dir/out")
+    }
+    assert(eUncommitted.getMessage.contains("no committed sketch snapshot"))
   }
 
   test("restart from checkpoint: state resumes, post-restart arrivals still count") {
