@@ -93,6 +93,48 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** Encode an 8-bit grayscale pixel array as a real JPEG at an explicit
+    * quality (basis points of 1.0) — the LOSSY path of the codec family.
+    * The JDK's JPEG writer (com.sun.imageio, libjpeg-derived) ships with
+    * every Java SE and is DETERMINISTIC for a fixed raster + quality
+    * (fixed quantization tables scaled from the quality factor, no
+    * randomized rate control) — which is what lets a lossy query sit
+    * behind the declared surface's identical-rows contract even though
+    * it can never be hash-ORACLE-backed: the oracle engine cannot
+    * reproduce quantization loss, so x_media_jpeg is rows-only with a
+    * spec-pinned TOLERANCE BAND instead (dims/channels exact, mean luma
+    * within a constructed bound of the source mean). */
+  def encodeGrayJpeg(pixels: Array[Byte], w: Int, h: Int,
+      qualityBp: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"${pixels.length} bytes for ${w}x$h")
+    require(qualityBp > 0 && qualityBp <= 10000, s"bad quality $qualityBp")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, pixels(y * w + x) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(qualityBp / 10000f)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    out.toByteArray
+  }
+
   private def read(bytes: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case _: Exception => None } // truncated/corrupt payloads

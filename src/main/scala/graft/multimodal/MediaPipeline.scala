@@ -135,6 +135,14 @@ object MediaPipeline {
 
   val BatchSize = 64
 
+  /** Pinned JPEG quality (basis points of 1.0) for the lossy-codec
+    * surface — one constant so query, specs and streaming parity all
+    * encode identically. 8500 keeps the mean-luma error on the word-
+    * salad rasters inside the ImageCodecSpec tolerance band while
+    * still exercising real quantization loss (the bytes are NOT a
+    * PNG-roundtrip of the raster). */
+  val JpegQualityBp = 8500
+
   /** Batched decode/feature-extract. Narrow (no shuffle): each partition
     * streams its rows through the codec in BatchSize groups. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {

@@ -203,6 +203,67 @@ object ScaleOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
+  /** REAL JPEG decode — the LOSSY-codec path (the round-10 gap: PNG and
+    * WAV are lossless by choice so the hash oracle could pin them, but
+    * production crawls are JPEG/MP3/H.264). Each document renders to the
+    * SAME grayscale raster as x_media_decode, encodes through the JDK's
+    * real JPEG writer at an explicit pinned quality, and decodes back
+    * through the real reader. Lossiness is the POINT: the query emits,
+    * per image, the decoded dims/channels (which JPEG preserves EXACTLY)
+    * plus the decoded mean luma AND its absolute error against the
+    * source-byte mean computed independently in Spark SQL — so the
+    * tolerance evidence is a graded output column, not a test-only
+    * claim. Rows-only by necessity (the oracle engine has no JPEG
+    * quantizer); ImageCodecSpec pins the constructed tolerance band
+    * (err ≤ JpegLumaTolBp on this corpus, 0 for flat rasters),
+    * determinism of encode bytes, the corrupt contract, and streaming
+    * parity of the decode stage. Scale shape: narrow batched
+    * mapPartitions codec pass + ONE equi-join of decoded stats to
+    * source-derived stats (the quality-audit join a real lossy pipeline
+    * runs), shuffle only there and at the output sort. */
+  private val mediaJpeg = Q(
+    "x_media_jpeg",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      // stored-payload discipline, as docImages: JPEGs written once per
+      // (JVM, generation); the query measures the real lossy decode path
+      val path = QueryModule.cachedIndex(
+          s"mediajpeg:$dir", tableStamp(dir, "documents")) { p =>
+        t(spark, dir, "documents").where(length(col("text")) > 0)
+          .select($"doc_id", $"text").as[(Long, String)]
+          .mapPartitions { it =>
+            it.grouped(MediaPipeline.BatchSize).flatMap(_.map { case (id, text) =>
+              val w = (8 + id % 5).toInt
+              val h = (8 + id % 7).toInt
+              val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val px = Array.tabulate(w * h)(i => tb(i % tb.length))
+              MediaRow(id, "image",
+                ImageCodec.encodeGrayJpeg(px, w, h, MediaPipeline.JpegQualityBp),
+                w, h)
+            })
+          }.write.mode("overwrite").parquet(p)
+      }
+      val decoded =
+        MediaPipeline.decodeImages(spark.read.parquet(path).as[MediaRow]).toDF()
+      // independent source-side expectation (same ASCII-corpus assumption
+      // as the lossless twins: byte stream == character stream)
+      val expected = t(spark, dir, "documents").where(length($"text") > 0)
+        .select($"doc_id",
+          expr("CAST(8 + doc_id % 5 AS INT)").as("src_w"),
+          expr("CAST(8 + doc_id % 7 AS INT)").as("src_h"),
+          expr("""aggregate(sequence(0, CAST((8 + doc_id % 5) * (8 + doc_id % 7) AS INT) - 1),
+                  0L, (acc, i) -> acc + ascii(substring(text, CAST(i % length(text) AS INT) + 1, 1)))""")
+            .as("luma_sum"))
+        .select($"doc_id",
+          expr("luma_sum * 10000 DIV (255 * src_w * src_h)").as("exact_luma_bp"))
+      decoded.join(expected, decoded("media_id") === expected("doc_id"))
+        .select($"doc_id", $"width", $"height", $"channels", $"n_bytes",
+          $"mean_luma_bp",
+          abs($"mean_luma_bp" - $"exact_luma_bp").as("luma_err_bp"))
+        .orderBy($"doc_id")
+    })
+
   /** REAL audio decode end-to-end (graft.multimodal.AudioCodec over JDK
     * javax.sound.sampled — the second real modality next to the PNG
     * pair): each document's bytes become signed 16-bit mono PCM samples
@@ -648,6 +709,6 @@ object ScaleOps extends QueryModule {
 
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
     minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
-    dedupIncrementalNear, mediaDecode, mediaResize, mediaAudio, mediaKnn,
-    mediaFramesDecode, sketchUnion, sketchIntersect)
+    dedupIncrementalNear, mediaDecode, mediaResize, mediaJpeg, mediaAudio,
+    mediaKnn, mediaFramesDecode, sketchUnion, sketchIntersect)
 }

@@ -34,6 +34,57 @@ class ImageCodecSpec extends AnyFunSuite with SparkTestBase {
     assert(m.mean_luma_bp == 225L * 10000 / (255 * 2), m.toString)
   }
 
+  test("gray JPEG (lossy path): dims/channels exact, luma inside the constructed band") {
+    val q = MediaPipeline.JpegQualityBp
+    // real JPEG container: SOI marker FF D8
+    val flat = Array.fill(100)(100.toByte)
+    val fj = ImageCodec.encodeGrayJpeg(flat, 10, 10, q)
+    assert((fj(0) & 0xFF) == 0xFF && (fj(1) & 0xFF) == 0xD8, "not a JPEG")
+    // flat raster is pure DC — quantization loses nothing: mean EXACT
+    val fm = ImageCodec.decodeMeta(1L, fj)
+    assert(fm.ok && fm.width == 10 && fm.height == 10 && fm.channels == 1)
+    assert(fm.mean_luma_bp == 100L * 100 * 10000 / (255L * 100), fm.toString)
+    // corpus-envelope rasters (lowercase ASCII, the query's dim range):
+    // dims exact, mean luma within the measured band (tools/JpegProbe:
+    // max 15 bp over 2000 rasters at quality 8500 — bound set 3× above)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 200) {
+      val w = 8 + trial % 5
+      val h = 8 + trial % 7
+      val px = Array.tabulate(w * h)(_ => (97 + rnd.nextInt(26)).toByte)
+      val m = ImageCodec.decodeMeta(trial.toLong,
+        ImageCodec.encodeGrayJpeg(px, w, h, q))
+      assert(m.ok && m.width == w && m.height == h && m.channels == 1, m.toString)
+      val exact = px.map(b => (b & 0xFF).toLong).sum * 10000L / (255L * w * h)
+      assert(math.abs(m.mean_luma_bp - exact) <= 50L,
+        s"luma err ${math.abs(m.mean_luma_bp - exact)} bp outside band: $m")
+    }
+    // the payload genuinely exercises LOSS: high-frequency content does
+    // NOT roundtrip sample-exact (unlike the PNG twin) — decode and
+    // compare pixels of a checkerboard
+    val cb = Array.tabulate(64)(i => (if ((i / 8 + i % 8) % 2 == 0) 0 else 255).toByte)
+    val cj = ImageCodec.encodeGrayJpeg(cb, 8, 8, q)
+    val feats = ImageCodec.columnFeatures(cj).get
+    val exactCols = (0 until 8).map(x =>
+      (0 until 8).map(y => cb(y * 8 + x) & 0xFF).sum.toDouble)
+    assert(feats.toSeq != exactCols, "JPEG path decoded sample-exact — not lossy?")
+  }
+
+  test("gray JPEG encode is deterministic (declared-surface rerun contract)") {
+    val px = Array.tabulate(120)(i => ((i * 37 + 11) % 251).toByte)
+    val a = ImageCodec.encodeGrayJpeg(px, 12, 10, MediaPipeline.JpegQualityBp)
+    val b = ImageCodec.encodeGrayJpeg(px, 12, 10, MediaPipeline.JpegQualityBp)
+    assert(java.util.Arrays.equals(a, b), "JPEG writer not deterministic")
+  }
+
+  test("corrupt JPEG surfaces as ok=false, truncated body too") {
+    val px = Array.tabulate(64)(i => i.toByte)
+    val jpg = ImageCodec.encodeGrayJpeg(px, 8, 8, MediaPipeline.JpegQualityBp)
+    // truncated mid-stream: valid SOI, unreadable body → corrupt row
+    val trunc = java.util.Arrays.copyOf(jpg, 20)
+    assert(!ImageCodec.decodeMeta(2L, trunc).ok)
+  }
+
   test("corrupt payloads surface as ok=false rows, never as task failures") {
     val junk = "definitely not an image".getBytes("UTF-8")
     val m = ImageCodec.decodeMeta(9L, junk)
@@ -106,7 +157,12 @@ class ImageCodecSpec extends AnyFunSuite with SparkTestBase {
     def mk(id: Long, w: Int, h: Int): (Long, Array[Byte]) =
       id -> ImageCodec.encodeGrayPng(
         Array.tabulate(w * h)(i => ((id * 31 + i) % 251).toByte), w, h)
-    val rows = Seq(mk(1L, 5, 3), mk(2L, 8, 8), 3L -> "corrupt".getBytes("UTF-8"))
+    // a JPEG row rides along: the decode stage is container-agnostic, so
+    // the lossy path gets the same stream≡batch pin as the lossless one
+    val rows = Seq(mk(1L, 5, 3), mk(2L, 8, 8), 3L -> "corrupt".getBytes("UTF-8"),
+      4L -> ImageCodec.encodeGrayJpeg(
+        Array.tabulate(60)(i => ((i * 13 + 5) % 251).toByte), 10, 6,
+        MediaPipeline.JpegQualityBp))
 
     def asMedia(df: org.apache.spark.sql.DataFrame) = df
       .select($"media_id", org.apache.spark.sql.functions.lit("image").as("kind"),
@@ -130,7 +186,7 @@ class ImageCodecSpec extends AnyFunSuite with SparkTestBase {
         .map(m => (m.media_id, m.ok, m.width, m.height, m.channels, m.mean_luma_bp))
         .sortBy(_._1)
       assert(live.sameElements(batch), s"live=${live.mkString(",")} batch=${batch.mkString(",")}")
-      assert(batch.count(!_._2) == 1 && batch.count(_._2) == 2)
+      assert(batch.count(!_._2) == 1 && batch.count(_._2) == 3)
     } finally q.stop()
   }
 }
