@@ -1235,9 +1235,25 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** DECLARED scale twins (VERDICT r10 task #2): the approx_percentile
+    * spellings of the buffered-percentile queries, promoted from
+    * private helpers to graded rows-only queries — the 100 TB
+    * percentile path is now a driver-run artifact, not a flag. The
+    * exact spellings stay declared for the hash oracle (quantile_cont
+    * has no mergeable twin in the oracle engine with identical sketch
+    * geometry); PercentileScaleSpec pins these twins rank-exact against
+    * them at gate scale, and every non-percentile column is
+    * parity-identical by construction (same body, one flag). */
+  private val userSkewApproxQ =
+    Q("x_user_skew_approx", None, userSkewApprox)
+  private val sessionStatsApproxQ =
+    Q("x_session_stats_approx", None, sessionStatsApprox)
+  private val valueOutliersApproxQ =
+    Q("x_value_outliers_approx", None, valueOutliersApprox)
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
     gini, hourProfile, schemaDrift, hillTail, userOverlap, forecastSes,
-    attribLinear)
+    attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ)
 }

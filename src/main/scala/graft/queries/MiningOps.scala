@@ -1346,9 +1346,16 @@ object MiningOps extends QueryModule {
         .orderBy($"a_src", $"b_src")
     })
 
+  /** DECLARED scale twin (see EventAnalytics' approx trio — VERDICT r10
+    * task #2): approx_percentile spelling of x_doc_diversity, graded
+    * rows-only; PercentileScaleSpec pins it rank-exact at gate scale. */
+  private val docDiversityApproxQ =
+    Q("x_doc_diversity_approx", None, docDiversityApprox)
+
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
     graphTriangles, graphLcc, graphKcore, zipfSlope, heapsFit, tokenKl,
-    tokenEntropy, bpeTrain, bpeFertility, sourceOverlap)
+    tokenEntropy, bpeTrain, bpeFertility, sourceOverlap,
+    docDiversityApproxQ)
 }
