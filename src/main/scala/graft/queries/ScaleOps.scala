@@ -705,10 +705,109 @@ object ScaleOps extends QueryModule {
   // re-executes queries; every other approx op here, including HLL
   // and theta, is a deterministic set-function of its input).
   // approx_percentile (x_approx_quantile) remains the deterministic
-  // quantile story. Don't retry without a seedable KLL.
+  // per-query quantile story; x_sketch_quantiles below is the
+  // deterministic mergeable ARTIFACT that closes the gap KLL couldn't.
+
+  /** Mergeable QUANTILE sketch — the family member KLL was rejected
+    * for (r10 lesson #7), built deterministic from first principles:
+    * HdrHistogram-style log-linear integer buckets (Gil Tene's
+    * HdrHistogram layout; same guarantee family as DDSketch, Masson
+    * et al., VLDB 2019 — but PURE INTEGER, no log()): values map to
+    * 32 linear sub-buckets per power-of-2 range, so bucket width ≤
+    * lb/32 → every quantile estimate's lower bound is within 3.125%
+    * relative error of the true order statistic, and the sketch is a
+    * SPARSE BUCKET-COUNT VECTOR whose merge is plain addition —
+    * associative, commutative, EXACT. One sketch per (day,
+    * event_type) is ≤ ~500 rows of (bucket, count) regardless of
+    * event volume; any window's quantiles = re-aggregate the bucket
+    * rows, raw days never rescanned — the nightly-artifact shape
+    * next to x_sketch_union (distinct) and x_sketch_intersect (set
+    * algebra).
+    *
+    * ORACLE-BACKED — the property KLL could never have: bucketing is
+    * integer bit arithmetic (`e = length(bin(v)) - 1`, sub-bucket =
+    * `v >> (e-5) - 32`), spelled identically in DuckDB, and the
+    * ORACLE COMPUTES SINGLE-PASS while Spark builds per-day sketches
+    * and MERGES — so the driver's hash-match IS the mergeability
+    * proof (union-of-daily ≡ single-pass), graded on every gate run,
+    * not just in a spec. Rank selection is exact integer arithmetic:
+    * the chosen bucket is the one containing the ceil(p·n)-th order
+    * statistic (cum·100 ≥ p·n over exact counts). Cents conversion
+    * floor(value·100) is the same IEEE double op in both engines.
+    * QueriesSpec additionally pins the 3.125% band against the exact
+    * order statistics and the artifact-shape invariants. */
+  private val sketchQuantiles = Q(
+    "x_sketch_quantiles",
+    Some("""WITH b AS (SELECT event_type,
+              CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+            i AS (SELECT event_type,
+              CASE WHEN cents < 32 THEN cents
+                   ELSE (length(bin(cents)) - 5) * 32
+                        + (cents >> (length(bin(cents)) - 6)) - 32 END AS bucket
+              FROM b),
+            g AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS c
+                  FROM i GROUP BY 1, 2),
+            r AS (SELECT event_type, bucket, c,
+                    CAST(sum(c) OVER (PARTITION BY event_type
+                      ORDER BY bucket) AS BIGINT) AS cum,
+                    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+                  FROM g),
+            q AS (SELECT event_type, max(n) AS n,
+                    CAST(count(*) AS BIGINT) AS n_buckets,
+                    min(CASE WHEN cum * 100 >= n * 50 THEN bucket END) AS b50,
+                    min(CASE WHEN cum * 100 >= n * 95 THEN bucket END) AS b95,
+                    min(CASE WHEN cum * 100 >= n * 99 THEN bucket END) AS b99
+                  FROM r GROUP BY event_type)
+            SELECT event_type, n, n_buckets,
+              CAST(CASE WHEN b50 < 32 THEN b50
+                ELSE (32 + b50 % 32) << (b50 // 32 - 1) END AS BIGINT) AS p50_lb_cents,
+              CAST(CASE WHEN b95 < 32 THEN b95
+                ELSE (32 + b95 % 32) << (b95 // 32 - 1) END AS BIGINT) AS p95_lb_cents,
+              CAST(CASE WHEN b99 < 32 THEN b99
+                ELSE (32 + b99 % 32) << (b99 // 32 - 1) END AS BIGINT) AS p99_lb_cents
+            FROM q ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // the artifact: one sparse bucket vector per (day, event_type) —
+      // this per-day grain is what a nightly job persists; the read
+      // path below touches ONLY these rows
+      val daily = t(spark, dir, "events")
+        .select(to_date($"ts").as("day"), $"event_type",
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("bucket", expr(
+          """CASE WHEN cents < 32 THEN cents
+                  ELSE (length(bin(cents)) - 5) * 32
+                       + shiftright(cents, length(bin(cents)) - 6) - 32 END"""))
+        .groupBy($"day", $"event_type", $"bucket")
+        .agg(count(lit(1)).as("cnt"))
+      // merge = bucket-wise addition (exact, order-invariant); the
+      // oracle's single-pass spelling hash-matching this daily-merge
+      // spelling is the mergeability proof, graded per gate run
+      val merged = daily.groupBy($"event_type", $"bucket")
+        .agg(sum($"cnt").as("c"))
+      val ranked = merged
+        .withColumn("cum", sum($"c").over(
+          Window.partitionBy($"event_type").orderBy($"bucket")))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+      def lb(b: String) = expr(
+        s"""CAST(CASE WHEN $b < 32 THEN $b
+             ELSE shiftleft(32 + $b % 32, $b DIV 32 - 1) END AS BIGINT)""")
+      ranked.groupBy($"event_type")
+        .agg(max($"n").as("n"), count(lit(1)).as("n_buckets"),
+          min(when($"cum" * 100 >= $"n" * 50, $"bucket")).as("b50"),
+          min(when($"cum" * 100 >= $"n" * 95, $"bucket")).as("b95"),
+          min(when($"cum" * 100 >= $"n" * 99, $"bucket")).as("b99"))
+        .select($"event_type", $"n", $"n_buckets",
+          lb("b50").as("p50_lb_cents"),
+          lb("b95").as("p95_lb_cents"),
+          lb("b99").as("p99_lb_cents"))
+        .orderBy($"event_type")
+    })
 
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
     minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
     dedupIncrementalNear, mediaDecode, mediaResize, mediaJpeg, mediaAudio,
-    mediaKnn, mediaFramesDecode, sketchUnion, sketchIntersect)
+    mediaKnn, mediaFramesDecode, sketchUnion, sketchIntersect,
+    sketchQuantiles)
 }

@@ -133,6 +133,54 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x_sketch_quantiles: lb within 3.125% below the exact order statistic; bounded buckets") {
+    import spark.implicits._
+    val got = SparkEntry.queries("x_sketch_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // exact per-type cents arrays, recomputed independently
+    val cents = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", expr("CAST(floor(value * 100) AS BIGINT)").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    cents.foreach { case (t, sorted) =>
+      val (n, nBuckets, p50, p95, p99) = got(t)
+      assert(n == sorted.length.toLong, s"$t: n $n != ${sorted.length}")
+      // bucket-count bound: log-linear layout holds ≤ (e_max-4)·32
+      // buckets for this domain (cents ≤ 49102 → e ≤ 15 → ≤ 384) —
+      // the KB-artifact claim, independent of event volume
+      assert(nBuckets <= 384L, s"$t: $nBuckets buckets")
+      Seq(0.50 -> p50, 0.95 -> p95, 0.99 -> p99).foreach { case (p, lb) =>
+        // the sketch picks the bucket CONTAINING the ceil(p·n)-th order
+        // statistic, so: lb ≤ stat ≤ lb + width, width ≤ max(1, lb/32)
+        // (linear sub-buckets of a power-of-2 range) → relative error
+        // ≤ 3.125% one-sided
+        val stat = sorted((math.ceil(p * sorted.length) - 1).toInt.max(0))
+        assert(lb <= stat && stat <= lb + math.max(1L, lb / 32),
+          s"$t p$p: lb=$lb outside band of exact stat=$stat")
+      }
+    }
+    // mergeability is graded by the oracle itself (single-pass SQL vs
+    // the query's daily-then-merge) — re-pin here across an arbitrary
+    // 3-way split instead of days: bucket vectors must be IDENTICAL
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_id", $"event_type",
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("bucket", expr(
+        """CASE WHEN cents < 32 THEN cents
+                ELSE (length(bin(cents)) - 5) * 32
+                     + shiftright(cents, length(bin(cents)) - 6) - 32 END"""))
+    val merged = ev.withColumn("part", $"event_id" % 3)
+      .groupBy($"part", $"event_type", $"bucket").agg(count(lit(1)).as("c"))
+      .groupBy($"event_type", $"bucket").agg(sum($"c").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val single = ev.groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == single, "split-then-merge bucket vector diverged")
+  }
+
   test("x_sketch_intersect: set-op estimates EXACTLY equal brute force in exact mode") {
     import spark.implicits._
     // theta sketches retain every hash until they exceed nominal
