@@ -69,20 +69,7 @@ object StreamingSketch {
         // overwriting in place would delete files under a reader
         // pinned to that exact path, and Complete-mode state makes the
         // existing snapshot already byte-correct.
-        val root = new org.apache.hadoop.fs.Path(outDir)
-        val fs = root.getFileSystem(
-          batch.sparkSession.sparkContext.hadoopConfiguration)
-        val mine = new org.apache.hadoop.fs.Path(s"$outDir/v=$batchId")
-        val committed = fs.exists(
-          new org.apache.hadoop.fs.Path(mine, "_SUCCESS"))
-        if (!committed)
-          batch.write.mode("overwrite").parquet(mine.toString)
-        fs.listStatus(root).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith("v=") &&
-              n.drop(2).toLongOption.exists(_ < batchId - 1))
-            fs.delete(st.getPath, true)
-        }
+        SnapshotSink.commit(batch, outDir, batchId)
       }
       .start()
 
@@ -92,26 +79,7 @@ object StreamingSketch {
     * marker — in-flight writes are invisible). */
   def estimates(spark: org.apache.spark.sql.SparkSession,
       outDir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(outDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // explicit guards: a missing root or a root with no committed v=
-    // dir means no micro-batch has committed yet — say so, instead of
-    // the raw FileNotFoundException / empty-maxBy the caller would
-    // otherwise have to decode
-    require(fs.exists(root),
-      s"no committed sketch snapshot yet at $outDir (dir absent — " +
-        "has the streaming query produced a micro-batch?)")
-    val candidates = fs.listStatus(root).flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("v=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        n.drop(2).toLongOption.map(_ -> st.getPath.toString)
-      else None
-    }
-    require(candidates.nonEmpty,
-      s"no committed sketch snapshot yet at $outDir (no v= dir with " +
-        "_SUCCESS — a write may be in flight)")
-    val latest = candidates.maxBy(_._1)._2
+    val latest = SnapshotSink.latestCommitted(spark, outDir)
     spark.read.parquet(latest)
       .groupBy(col("event_type"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
