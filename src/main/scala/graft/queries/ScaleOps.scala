@@ -72,6 +72,146 @@ object ScaleOps extends QueryModule {
         toks.where(col("doc_id") % 10 === 0), "doc_id", "toks", path)
     })
 
+  /** ORACLE-BACKED MinHash+LSH — the trust anchor for the near-dup
+    * family (VERDICT r10 #6 asked for a partial probe oracle; this goes
+    * further: the ENTIRE minhash algebra hash-matched against DuckDB).
+    * The production operators (x_dedup_minhash, x_dedup_incremental_near)
+    * stay on the xxhash64 codegen kernels — engine-internal hashes, so
+    * rows-only forever. This query reruns the SAME pipeline shape with
+    * ARITHMETIC hashes both engines can spell exactly:
+    *
+    *   tokens → vocab ids (row_number over the sorted closed vocabulary)
+    *   → 3-gram shingle value x = ((t1·V + t2)·V + t3) + 1 (exact, V =
+    *     |vocab|+1; int64-safe while V³ < 2^63)
+    *   → 32 affine permutations h_j(x) = (a_j·(x mod p) + b_j) mod p,
+    *     p = 2^31−1, a_j/b_j from LCG constants — MOD-FIRST so the
+    *     product stays < 2^62 (the x_sample_stratified overflow
+    *     discipline)
+    *   → signature minima per (doc, j) → 8 bands × 4 rows, band key =
+    *     the 4 raw minima (tuple equality, no hash needed)
+    *   → band equi-join candidates → exact-Jaccard verify ≥ 6000 bp.
+    *
+    * Broder's scheme (Broder 1997, "On the resemblance and containment
+    * of documents") spelled relationally. The oracle is NOT "all true
+    * pairs" — it is the pairs THIS banding emits: both engines run the
+    * same algebra, so the driver's hash-match pins signature minima,
+    * banding collision geometry, and the verify step bit-for-bit —
+    * upgrading the whole family's trust from "spec says the kernels
+    * agree" to "an independent engine reproduces the emitted set".
+    *
+    * Scale shape: this spelling explodes shingles ×32 permutations (the
+    * paper's definition, oracle-legible); the production kernel computes
+    * all 32 minima in ONE pass per doc (minhash_sig) — same algebra,
+    * fused. The vocab window is a single-partition row_number over the
+    * CLOSED vocabulary (tiny by declaration; a real corpus broadcasts a
+    * precomputed token dictionary — same join shape). */
+  private val minhashOracle = Q(
+    "x_minhash_oracle",
+    Some("""WITH d AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+              FROM documents),
+            pos AS (SELECT doc_id, unnest(list_transform(toks,
+                (tk, i) -> {'tok': tk, 'pos': i}), recursive := true)
+              FROM d WHERE len(toks) >= 3),
+            v AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+                  FROM (SELECT DISTINCT tok FROM pos)),
+            vs AS (SELECT CAST(count(*) + 1 AS BIGINT) AS vv FROM v),
+            tp AS (SELECT doc_id, pos, tid FROM pos JOIN v USING (tok)),
+            sh AS (SELECT doc_id,
+                     (t1 * vv + t2) * vv + t3 + 1 AS x
+                   FROM (SELECT doc_id, tid AS t1,
+                           lead(tid, 1) OVER w AS t2,
+                           lead(tid, 2) OVER w AS t3
+                         FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+                   CROSS JOIN vs WHERE t3 IS NOT NULL),
+            sset AS (SELECT DISTINCT doc_id, x FROM sh),
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sset GROUP BY 1),
+            h AS (SELECT doc_id, j,
+                    ((1664525 * j + 1013904223) % 2147483647 * (x % 2147483647)
+                      + (22695477 * j + 12345) % 2147483647) % 2147483647 AS hv
+                  FROM sset CROSS JOIN (SELECT CAST(k AS BIGINT) AS j
+                                        FROM range(0, 32) r(k))),
+            sig AS (SELECT doc_id, j, min(hv) AS m FROM h GROUP BY 1, 2),
+            band AS (SELECT doc_id, j // 4 AS band,
+                       max(CASE WHEN j % 4 = 0 THEN m END) AS s0,
+                       max(CASE WHEN j % 4 = 1 THEN m END) AS s1,
+                       max(CASE WHEN j % 4 = 2 THEN m END) AS s2,
+                       max(CASE WHEN j % 4 = 3 THEN m END) AS s3
+                     FROM sig GROUP BY 1, 2),
+            cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM band a JOIN band b
+                       ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1
+                      AND a.s2 = b.s2 AND a.s3 = b.s3
+                      AND a.doc_id < b.doc_id),
+            inter AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS i
+                      FROM cand c
+                      JOIN sset sa ON sa.doc_id = c.a_id
+                      JOIN sset sb ON sb.doc_id = c.b_id AND sb.x = sa.x
+                      GROUP BY 1, 2)
+            SELECT a_id, b_id,
+              i * 10000 // (za.n + zb.n - i) AS jac_bp
+            FROM inter JOIN sz za ON za.doc_id = a_id
+                       JOIN sz zb ON zb.doc_id = b_id
+            WHERE i * 10000 // (za.n + zb.n - i) >= 6000
+            ORDER BY a_id, b_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val P = 2147483647L
+      val toks = t(spark, dir, "documents")
+        .select($"doc_id",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") >= 3)
+      val pos = toks.select($"doc_id",
+        posexplode($"toks").as(Seq("p0", "tok")))
+        .select($"doc_id", ($"p0" + 1).as("pos"), $"tok") // 1-based like the oracle
+      // closed-vocabulary id table: single-partition window over ~|vocab|
+      // rows (tiny by declaration — see scaladoc)
+      val vocab = pos.select($"tok").distinct()
+        .withColumn("tid",
+          row_number().over(Window.orderBy($"tok")).cast("long"))
+      val vv = vocab.count() + 1
+      val tp = pos.join(broadcast(vocab), "tok").select($"doc_id", $"pos", $"tid")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val sh = tp
+        .withColumn("t2", lead($"tid", 1).over(w))
+        .withColumn("t3", lead($"tid", 2).over(w))
+        .where($"t3".isNotNull)
+        .select($"doc_id",
+          (($"tid" * vv + $"t2") * vv + $"t3" + 1).as("x"))
+      val sset = barrier(sh.distinct())
+      val sz = sset.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val js = spark.range(0, 32).toDF("j")
+      val sig = sset.crossJoin(broadcast(js))
+        .select($"doc_id", $"j",
+          (((lit(1664525L) * $"j" + 1013904223L) % P * ($"x" % P)
+            + (lit(22695477L) * $"j" + 12345L) % P) % P).as("hv"))
+        .groupBy($"doc_id", $"j").agg(min($"hv").as("m"))
+      val band = sig.groupBy($"doc_id", ($"j" / 4).cast("long").as("band"))
+        .agg(max(when($"j" % 4 === 0, $"m")).as("s0"),
+          max(when($"j" % 4 === 1, $"m")).as("s1"),
+          max(when($"j" % 4 === 2, $"m")).as("s2"),
+          max(when($"j" % 4 === 3, $"m")).as("s3"))
+      val a = band.select($"doc_id".as("a_id"), $"band", $"s0", $"s1", $"s2", $"s3")
+      val b = band.select($"doc_id".as("b_id"), $"band".as("bband"),
+        $"s0".as("t0"), $"s1".as("t1"), $"s2".as("t2"), $"s3".as("t3"))
+      val cand = a.join(b, $"band" === $"bband" && $"s0" === $"t0" &&
+          $"s1" === $"t1" && $"s2" === $"t2" && $"s3" === $"t3" &&
+          $"a_id" < $"b_id")
+        .select($"a_id", $"b_id").distinct()
+      val inter = cand
+        .join(sset.select($"doc_id".as("a_id"), $"x"), "a_id")
+        .join(sset.select($"doc_id".as("b_id"), $"x"), Seq("b_id", "x"))
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+        .join(sz.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+        .select($"a_id", $"b_id",
+          expr("i * 10000 DIV (na + nb - i)").as("jac_bp"))
+        .where($"jac_bp" >= 6000)
+        .orderBy($"a_id", $"b_id")
+    })
+
   /** MinHash estimate-vs-exact calibration per estimate decile — the
     * sketch-trust report (rows-only: the estimate is hash-geometry;
     * OperatorsSpec pins the error bounds and determinism). */
@@ -809,5 +949,5 @@ object ScaleOps extends QueryModule {
     minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
     dedupIncrementalNear, mediaDecode, mediaResize, mediaJpeg, mediaAudio,
     mediaKnn, mediaFramesDecode, sketchUnion, sketchIntersect,
-    sketchQuantiles)
+    sketchQuantiles, minhashOracle)
 }
