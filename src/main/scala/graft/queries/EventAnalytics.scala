@@ -328,7 +328,7 @@ object EventAnalytics extends QueryModule {
     * r_agg_percentile recipe) for the oracle, approx_percentile via
     * [[sessionStatsApprox]] as the constant-state 100 TB path
     * (PercentileScaleSpec pins the twins rank-exact at gate scale). */
-  private def sessionStatsBody(spark: SparkSession, dir: String, exact: Boolean)
+  private def sessionTable(spark: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts_s", $"event_id")
@@ -342,23 +342,34 @@ object EventAnalytics extends QueryModule {
       .groupBy($"user_id", $"sid")
       .agg(count(lit(1)).as("n_events"),
         (max($"ts_s") - min($"ts_s")).as("dur_s"))
-      // n_users rides a SEPARATE 1-row aggregate (sessions' user set ≡
-      // users with ≥1 event, by construction of the sessionization), not
-      // a count_distinct inside this agg: mixing DISTINCT with the
-      // percentile aggregates triggers Spark's distinct-rewrite, which
-      // re-groups the sessions BY USER_ID and instantiates one percentile
-      // buffer per user before the final merge — measured 3.2 s vs 0.4 s
-      // at sf0.1 on the approx twin (4 QuantileSummaries × ~20k users);
-      // the rewrite taxes the exact spelling's array buffers too. The
-      // crossJoin is the 1-row × 1-row scalar-join house pattern.
+  }
+
+  private def sessionStatsBody(spark: SparkSession, dir: String, exact: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    // n_users rides a SEPARATE 1-row aggregate over the session table,
+    // not a count_distinct inside the percentile agg: mixing DISTINCT
+    // with the percentile aggregates triggers Spark's distinct-rewrite,
+    // which re-groups the sessions BY USER_ID and instantiates one
+    // percentile buffer per user before the final merge — measured
+    // 3.2 s vs 0.4 s at sf0.1 on the approx twin (4 QuantileSummaries
+    // × ~20k users); the rewrite taxes the exact spelling's array
+    // buffers too. Both consumers read the SAME per-session frame, so
+    // the user-keyed window exchange is planned once and reused
+    // (PlanShapeSpec pins exactly one user-keyed exchange), and the
+    // standalone distinct needs no new one: sessions are already
+    // user-clustered, so its partial distinct is per-partition-exact
+    // and the merge exchange is SinglePartition. The crossJoin is the
+    // 1-row × 1-row scalar-join house pattern.
+    val sess = sessionTable(spark, dir)
+    sess
       .agg(count(lit(1)).as("n_sessions"),
         round(pct("n_events", 0.5, exact), 4).as("p50_events"),
         round(pct("n_events", 0.99, exact), 4).as("p99_events"),
         round(pct("dur_s", 0.5, exact), 4).as("p50_dur_s"),
         round(pct("dur_s", 0.99, exact), 4).as("p99_dur_s"),
         max($"dur_s").as("max_dur_s"))
-      .crossJoin(t(spark, dir, "events")
-        .agg(count_distinct($"user_id").as("n_users")))
+      .crossJoin(sess.agg(count_distinct($"user_id").as("n_users")))
       .select($"n_sessions", $"n_users", $"p50_events", $"p99_events",
         $"p50_dur_s", $"p99_dur_s", $"max_dur_s")
   }

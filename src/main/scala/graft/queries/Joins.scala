@@ -115,6 +115,13 @@ object Joins extends QueryModule {
       // (already resolved to concrete file paths) is unaffected.
       val appTag = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
       QueryModule.cachedIndex(s"bucketed:$dir:$appTag", stamp) { p =>
+        // NARROW RACE (same family as cachedIndex's documented
+        // stamp-replacement race): a thread that computed the OLD tag
+        // just before a regeneration, and whose plan has not yet
+        // resolved its UnresolvedRelation when this drop runs, fails
+        // analysis instead of reading the stale files. Acceptable for
+        // the harness: the gate constructs and runs frames promptly,
+        // and the failure is loud (AnalysisException), never wrong data.
         spark.catalog.listTables().collect().foreach { tb =>
           if (tb.name.startsWith("graft_bkt_") && tb.name.endsWith(appTag) &&
               tb.name != lt && tb.name != ot)

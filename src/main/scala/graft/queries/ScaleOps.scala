@@ -170,15 +170,20 @@ object ScaleOps extends QueryModule {
       val vocab = pos.select($"tok").distinct()
         .withColumn("tid",
           row_number().over(Window.orderBy($"tok")).cast("long"))
-      val vv = vocab.count() + 1
+      // vocab size rides the PLAN (1-row broadcast crossJoin, the
+      // oracle's `vs` CTE) — a driver-side vocab.count() here would be
+      // a full extra job at DataFrame-construction time, paid on every
+      // bench rep / plan read
+      val vs = vocab.agg((count(lit(1)) + 1).as("vv"))
       val tp = pos.join(broadcast(vocab), "tok").select($"doc_id", $"pos", $"tid")
       val w = Window.partitionBy($"doc_id").orderBy($"pos")
       val sh = tp
         .withColumn("t2", lead($"tid", 1).over(w))
         .withColumn("t3", lead($"tid", 2).over(w))
         .where($"t3".isNotNull)
+        .crossJoin(broadcast(vs))
         .select($"doc_id",
-          (($"tid" * vv + $"t2") * vv + $"t3" + 1).as("x"))
+          (($"tid" * $"vv" + $"t2") * $"vv" + $"t3" + 1).as("x"))
       val sset = barrier(sh.distinct())
       val sz = sset.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val js = spark.range(0, 32).toDF("j")
@@ -799,6 +804,57 @@ object ScaleOps extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Incremental PERSISTED-sketch probe — the FIFTH declared
+    * incremental-index modality (exact digests / MinHash shingles /
+    * embeddings / LM estimators / now SKETCHES), making x_sketch_union's
+    * "raw days never rescanned" claim EXECUTABLE instead of narrative:
+    * the per-(day, event_type) HLL artifact for every day before the
+    * newest is built ONCE per (JVM, table generation) and persisted
+    * (QueryModule.cachedIndex — the nightly job); the declared query
+    * then sketches ONLY "today's" partition (the newest day, resolved
+    * by a broadcast 1-row max-day join, no driver collect on the query
+    * path) and unions it with the STORED sketch rows — history is read
+    * as KB artifact rows, never as raw events. Rows-only like the other
+    * sketch estimates; QueriesSpec pins EXACT equality with
+    * x_sketch_union's full-recompute spelling (HLL register merge is
+    * order/partition-invariant — persisted+fresh ≡ single job), which
+    * is precisely the trust property that lets a production deployment
+    * cut over from nightly recompute to incremental append. */
+  private val sketchIncremental = Q(
+    "x_sketch_incremental",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = t(spark, dir, "events")
+      val path = QueryModule.cachedIndex(
+          s"sketchidx:$dir", tableStamp(dir, "events")) { p =>
+        // bounded 1-row collect inside the once-per-generation build
+        // only (the nightly job knows its own cutoff)
+        val maxDay = ev.agg(max(to_date($"ts"))).collect()(0).getDate(0)
+        // coalesce(1): the artifact is |days|×|types| KB rows — and a
+        // SINGLE-DAY table would otherwise write zero part files (AQE
+        // empty-aggregate), leaving a dir spark.read can't infer a
+        // schema from; one task always emits a schema-carrying file
+        ev.where(to_date($"ts") < lit(maxDay))
+          .groupBy(to_date($"ts").as("day"), $"event_type")
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(p)
+      }
+      val hist = spark.read.parquet(path)
+      val maxDay = ev.agg(max(to_date($"ts")).as("mday"))
+      val today = ev
+        .join(broadcast(maxDay), to_date($"ts") === $"mday")
+        .groupBy(to_date($"ts").as("day"), $"event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      hist.unionByName(today)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+            .as("n_users_est"))
+        .orderBy($"event_type")
+    })
+
   /** Theta-sketch set algebra — the capability HLL structurally lacks:
     * per-event-type Datasketches THETA sketches of the user set, then
     * audience INTERSECTION / DIFFERENCE / UNION estimates for every
@@ -949,5 +1005,5 @@ object ScaleOps extends QueryModule {
     minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
     dedupIncrementalNear, mediaDecode, mediaResize, mediaJpeg, mediaAudio,
     mediaKnn, mediaFramesDecode, sketchUnion, sketchIntersect,
-    sketchQuantiles, minhashOracle)
+    sketchQuantiles, minhashOracle, sketchIncremental)
 }

@@ -133,6 +133,18 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x_sketch_incremental: persisted-history + fresh-today EQUALS full recompute") {
+    // HLL register merge is order/partition-invariant, so probing the
+    // persisted artifact must give the SAME rows as x_sketch_union's
+    // full-recompute spelling — exact equality, the cutover trust
+    // property for nightly-append deployments
+    val inc = SparkEntry.queries("x_sketch_incremental")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val full = SparkEntry.queries("x_sketch_union")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(inc == full, s"incremental diverged from full recompute:\n$inc\nvs\n$full")
+  }
+
   test("x_sketch_quantiles: lb within 3.125% below the exact order statistic; bounded buckets") {
     import spark.implicits._
     val got = SparkEntry.queries("x_sketch_quantiles")(spark, sf)
