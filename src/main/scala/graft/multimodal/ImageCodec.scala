@@ -119,6 +119,37 @@ object ImageCodec {
       }
       y += 1
     }
+    toJpeg(img, qualityBp)
+  }
+
+  /** RGB sibling of [[encodeGrayJpeg]] (row-major interleaved RGB
+    * triples): the writer converts to YCbCr and quantizes chroma too,
+    * so per-pixel loss is larger than gray — but decode still yields 3
+    * bands and exact dimensions, and the Rec.601 MEAN stays inside a
+    * constructed band (spec-measured) because the luma channel is
+    * DC-dominated the same way. */
+  def encodeRgbJpeg(rgb: Array[Byte], w: Int, h: Int,
+      qualityBp: Int): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"${rgb.length} bytes for ${w}x$h RGB")
+    require(qualityBp > 0 && qualityBp <= 10000, s"bad quality $qualityBp")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = 3 * (y * w + x)
+        raster.setSample(x, y, 0, rgb(base) & 0xFF)
+        raster.setSample(x, y, 1, rgb(base + 1) & 0xFF)
+        raster.setSample(x, y, 2, rgb(base + 2) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    toJpeg(img, qualityBp)
+  }
+
+  private def toJpeg(img: BufferedImage, qualityBp: Int): Array[Byte] = {
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
     val param = writer.getDefaultWriteParam
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)

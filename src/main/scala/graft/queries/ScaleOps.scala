@@ -375,8 +375,14 @@ object ScaleOps extends QueryModule {
       // (JVM, generation); the query measures the real lossy decode path
       val path = QueryModule.cachedIndex(
           s"mediajpeg:$dir", tableStamp(dir, "documents")) { p =>
+        // SHARDED store: the documents table is one file at gate SF, so
+        // without the repartition the stored JPEGs land in one part file
+        // and the (expensive, ~200µs each) real JPEG decodes run on ONE
+        // task — measured 1.44 → 0.5 s warm at sf0.1. A production
+        // media table is many-sharded for exactly this reason.
         t(spark, dir, "documents").where(length(col("text")) > 0)
           .select($"doc_id", $"text").as[(Long, String)]
+          .repartition(spark.sparkContext.defaultParallelism)
           .mapPartitions { it =>
             it.grouped(MediaPipeline.BatchSize).flatMap(_.map { case (id, text) =>
               val w = (8 + id % 5).toInt
@@ -391,17 +397,22 @@ object ScaleOps extends QueryModule {
       }
       val decoded =
         MediaPipeline.decodeImages(spark.read.parquet(path).as[MediaRow]).toDF()
-      // independent source-side expectation (same ASCII-corpus assumption
-      // as the lossless twins: byte stream == character stream)
+      // independent source-side expectation: a plain byte pass over the
+      // raw text — no codec anywhere on this side. (The first cut spelled
+      // this as a SQL aggregate-over-sequence HOF, but substring() is
+      // O(len) per element on UTF8String, so the interpreted lambda cost
+      // ~490M char ops at sf0.1 — 1 s of the query's 1.5 s. The Scala
+      // pass is the same arithmetic at ~3.5M byte adds.)
       val expected = t(spark, dir, "documents").where(length($"text") > 0)
-        .select($"doc_id",
-          expr("CAST(8 + doc_id % 5 AS INT)").as("src_w"),
-          expr("CAST(8 + doc_id % 7 AS INT)").as("src_h"),
-          expr("""aggregate(sequence(0, CAST((8 + doc_id % 5) * (8 + doc_id % 7) AS INT) - 1),
-                  0L, (acc, i) -> acc + ascii(substring(text, CAST(i % length(text) AS INT) + 1, 1)))""")
-            .as("luma_sum"))
-        .select($"doc_id",
-          expr("luma_sum * 10000 DIV (255 * src_w * src_h)").as("exact_luma_bp"))
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = (8 + id % 5).toInt * (8 + id % 7).toInt
+          var s = 0L
+          var i = 0
+          while (i < n) { s += (tb(i % tb.length) & 0xFF); i += 1 }
+          (id, s * 10000L / (255L * n))
+        }).toDF("doc_id", "exact_luma_bp")
       decoded.join(expected, decoded("media_id") === expected("doc_id"))
         .select($"doc_id", $"width", $"height", $"channels", $"n_bytes",
           $"mean_luma_bp",

@@ -70,6 +70,39 @@ class ImageCodecSpec extends AnyFunSuite with SparkTestBase {
     assert(feats.toSeq != exactCols, "JPEG path decoded sample-exact — not lossy?")
   }
 
+  test("RGB JPEG: 3 bands, exact dims, Rec.601 mean inside a wider color band") {
+    val q = MediaPipeline.JpegQualityBp
+    // flat color raster: chroma quantization can't move a constant
+    // block's luma — mean exact like the gray case
+    val flat = Array.tabulate(3 * 64)(i => (i % 3 match {
+      case 0 => 200; case 1 => 100; case _ => 50 }).toByte)
+    val fm = ImageCodec.decodeMeta(1L, ImageCodec.encodeRgbJpeg(flat, 8, 8, q))
+    assert(fm.ok && fm.width == 8 && fm.height == 8 && fm.channels == 3, fm.toString)
+    val flatLuma = (299L * (200 * 64) + 587L * (100 * 64) + 114L * (50 * 64)) / 1000L
+    assert(math.abs(fm.mean_luma_bp - flatLuma * 10000 / (255L * 64)) <= 20L,
+      s"flat RGB mean moved: $fm")
+    // textured color rasters: dims/channels exact, mean luma within a
+    // wider measured band (chroma subsampling + two quantized channels)
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 100) {
+      val w = 8 + trial % 5
+      val h = 8 + trial % 7
+      val rgb = Array.tabulate(3 * w * h)(_ => (32 + rnd.nextInt(192)).toByte)
+      val m = ImageCodec.decodeMeta(trial.toLong,
+        ImageCodec.encodeRgbJpeg(rgb, w, h, q))
+      assert(m.ok && m.width == w && m.height == h && m.channels == 3, m.toString)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < w * h) {
+        sr += rgb(3 * i) & 0xFF; sg += rgb(3 * i + 1) & 0xFF
+        sb += rgb(3 * i + 2) & 0xFF; i += 1
+      }
+      val exact = (299L * sr + 587L * sg + 114L * sb) / 1000L * 10000 / (255L * w * h)
+      assert(math.abs(m.mean_luma_bp - exact) <= 150L,
+        s"RGB luma err ${math.abs(m.mean_luma_bp - exact)} bp outside band: $m")
+    }
+  }
+
   test("gray JPEG encode is deterministic (declared-surface rerun contract)") {
     val px = Array.tabulate(120)(i => ((i * 37 + 11) % 251).toByte)
     val a = ImageCodec.encodeGrayJpeg(px, 12, 10, MediaPipeline.JpegQualityBp)
