@@ -996,9 +996,76 @@ object VectorOps extends QueryModule {
         .orderBy($"new_id", $"rk")
     })
 
+  /** ORACLE-BACKED hyperplane LSH — the THIRD probabilistic-family
+    * trust anchor (after x_minhash_oracle / x_simhash_oracle; this one
+    * over VECTORS): bucket = sign pattern of dot products with 8 fixed
+    * hyperplanes (Charikar 2002 rounding), bucket-colliding pairs
+    * emitted with their exact floored cosine. The production operator
+    * (x_ann_lsh, operators/HyperplaneLSH) derives planes from
+    * splitmix64 — WRAPPING 64-bit arithmetic the oracle engine cannot
+    * evaluate (DuckDB BIGINT multiply errors on overflow rather than
+    * wrapping) — so its geometry stays rows-only; this twin derives
+    * plane components from the affine-mod-p family (h(j, d+1)/p·2−1,
+    * exact IEEE double chain spelled identically in both engines) and
+    * computes each dot as the strict left fold both engines share (the
+    * x_sim_topk parity argument), so the driver hash-match pins plane
+    * generation, the sign rounding, bucket packing and the cosine
+    * verify bit-for-bit. Scale shape: one narrow bucket pass (8
+    * codegen vec_dot folds per vector), one bucket-keyed self-join —
+    * candidates ≈ N²/2^bits, the LSH contract. */
+  private val lshAnnOracle = Q(
+    "x_lsh_ann_oracle",
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             pc AS (SELECT j, d,
+                     CAST(((1664525 * j + 1013904223) % 2147483647
+                            * ((d + 1) % 2147483647)
+                          + (22695477 * j + 12345) % 2147483647) % 2147483647
+                       AS DOUBLE) / 2147483647.0 * 2.0 - 1.0 AS c
+                   FROM (SELECT CAST(a.k AS BIGINT) AS j, CAST(b.k AS BIGINT) AS d
+                         FROM range(0, 8) a(k) CROSS JOIN range(0, 64) b(k))),
+             pl AS (SELECT j, list(c ORDER BY d) AS pv FROM pc GROUP BY j),
+             bk AS (SELECT vec_id,
+                      CAST(sum(CASE WHEN ${dotSql("v", "pv")} > 0
+                        THEN 1 << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS bucket
+                    FROM e CROSS JOIN pl GROUP BY vec_id),
+             eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id))
+             SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+               CAST(floor((${cosSql("a.v", "b.v")}) * 10000.0) AS BIGINT) AS cos_bp
+             FROM eb a JOIN eb b
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             ORDER BY a_id, b_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val P = 2147483647L
+      def plane(j: Int): Array[Double] = Array.tabulate(64) { d =>
+        val h = ((1664525L * j + 1013904223L) % P * ((d + 1L) % P)
+          + (22695477L * j + 12345L) % P) % P
+        h.toDouble / 2147483647.0 * 2.0 - 1.0
+      }
+      val e = emb(spark, dir)
+      // sign-pattern bucket: 8 codegen vec_dot folds against literal
+      // plane arrays — Double.toString round-trips exactly through the
+      // SQL parser, and the oracle derives the SAME doubles from the
+      // integer h, so both engines fold identical plane components
+      val bucketCol = (0 until 8).map { j =>
+        val lits = plane(j).mkString("array(", "D, ", "D)")
+        when(expr(s"vec_dot(v, $lits)") > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      val bk = e.withColumn("bucket", bucketCol)
+      val a = bk.select($"vec_id".as("a_id"), $"v".as("av"),
+        $"nrm".as("a_nrm"), $"bucket")
+      val b = bk.select($"vec_id".as("b_id"), $"v".as("bv"),
+        $"nrm".as("b_nrm"), $"bucket".as("bb"))
+      a.join(b, $"bucket" === $"bb" && $"a_id" < $"b_id")
+        .select($"a_id", $"b_id", $"bucket",
+          floor(dotCol("av", "bv") / ($"a_nrm" * $"b_nrm") * 10000.0)
+            .cast("long").as("cos_bp"))
+        .orderBy($"a_id", $"b_id")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
       embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall,
-      annIncremental, annIncrementalExact)
+      annIncremental, annIncrementalExact, lshAnnOracle)
 }
