@@ -25,17 +25,21 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // drop per-query cached/broadcast state so one rep's leftovers
       // don't tax the next. clearCache() only covers catalog-cached
       // relations — localCheckpoint() blocks (x_ann_recall, the
       // incremental-index builds) live as persistent RDDs OUTSIDE the
       // catalog and would otherwise accumulate across all ~500 query
       // executions, pressuring the block manager/GC for exactly the
-      // late-alphabet lines (the r8 x_zipf_slope anomaly).
+      // late-alphabet lines (the r8 x_zipf_slope anomaly). The sweep
+      // runs OUTSIDE the timed window: it is inter-query hygiene, not
+      // part of any query's cost (r11 verdict — at ~ms each it biased
+      // every one of ~580 recorded reps upward).
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      ((System.nanoTime() - t0) / 1e9, ok)
+      (elapsed, ok)
     }
     // Block-manager state probe, printed every 50 queries (stderr, not
     // part of the JSON contract): makes end-of-run storage pressure a

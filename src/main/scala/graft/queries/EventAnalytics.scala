@@ -354,13 +354,13 @@ object EventAnalytics extends QueryModule {
     // percentile buffer per user before the final merge — measured
     // 3.2 s vs 0.4 s at sf0.1 on the approx twin (4 QuantileSummaries
     // × ~20k users); the rewrite taxes the exact spelling's array
-    // buffers too. Both consumers read the SAME per-session frame, so
-    // the user-keyed window exchange is planned once and reused
-    // (PlanShapeSpec pins exactly one user-keyed exchange), and the
-    // standalone distinct needs no new one: sessions are already
-    // user-clustered, so its partial distinct is per-partition-exact
-    // and the merge exchange is SinglePartition. The crossJoin is the
-    // 1-row × 1-row scalar-join house pattern.
+    // buffers too. Both consumers read the SAME per-session frame: the
+    // lag/running-sum WINDOW PAIR shares one user-keyed exchange, and
+    // the standalone distinct branch plans its own user-keyed partial
+    // (PlanShapeSpec pins ≤2 user-keyed exchanges total — window pair
+    // shared, distinct on its own branch); its merge exchange is
+    // SinglePartition. The crossJoin is the 1-row × 1-row scalar-join
+    // house pattern.
     val sess = sessionTable(spark, dir)
     sess
       .agg(count(lit(1)).as("n_sessions"),

@@ -97,10 +97,19 @@ object Joins extends QueryModule {
       // String.hashCode collision between two dataset stamps in one
       // application would silently re-point the first query's catalog
       // table at different data on the second build
-      val sha = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(stamp.getBytes("UTF-8"))
+      def sha8(s: String): String = java.security.MessageDigest
+        .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
         .take(8).map(b => f"$b%02x").mkString
-      val tag = s"${sha}_" +
+      val sha = sha8(stamp)
+      // dir-only hash as a SEPARATE name component: the generation
+      // sweep below must only ever reap THIS dir's superseded tables.
+      // The stamp sha alone can't distinguish "same dir, regenerated"
+      // from "different dir" — an application running two dirs (sf0.001
+      // then sf0.1) would otherwise drop dir A's catalog tables while
+      // dir A's cachedIndex entry stays live, failing its next
+      // spark.table() analysis on data that never changed.
+      val dirSha = sha8(dir)
+      val tag = s"${dirSha}_${sha}_" +
         spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
       val lt = s"graft_bkt_lineitem_$tag"
       val ot = s"graft_bkt_orders_$tag"
@@ -122,9 +131,12 @@ object Joins extends QueryModule {
         // analysis instead of reading the stale files. Acceptable for
         // the harness: the gate constructs and runs frames promptly,
         // and the failure is loud (AnalysisException), never wrong data.
+        // scoped to the SAME dir (dirSha in the name) + this app: other
+        // dirs' live tables in this application are never touched
         spark.catalog.listTables().collect().foreach { tb =>
-          if (tb.name.startsWith("graft_bkt_") && tb.name.endsWith(appTag) &&
-              tb.name != lt && tb.name != ot)
+          if ((tb.name.startsWith(s"graft_bkt_lineitem_${dirSha}_") ||
+               tb.name.startsWith(s"graft_bkt_orders_${dirSha}_")) &&
+              tb.name.endsWith(appTag) && tb.name != lt && tb.name != ot)
             spark.sql(s"DROP TABLE IF EXISTS ${tb.name}")
         }
         graft.operators.BucketedJoins.writeBucketed(

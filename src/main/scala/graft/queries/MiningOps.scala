@@ -922,14 +922,52 @@ object MiningOps extends QueryModule {
 
   /** Core-number distribution of the token co-occurrence graph — the
     * community-density profile (how much of the vocabulary survives
-    * into the densest subgraph). No SQL oracle: k-core is an iterative
-    * fixpoint DuckDB's SQL cannot express; correctness is pinned by
-    * KCoreSpec (closed forms on K4/star/path/diamond, the exact
-    * driver peel vs the distributed h-index fixpoint on THIS graph,
-    * and the core ≤ degree invariant). */
+    * into the densest subgraph). ORACLE-BACKED since r12: the h-index
+    * fixpoint (Lü et al. 2016 — iterate core(v) ← H(neighbor cores)
+    * from degree; converges exactly to Batagelj–Zaversnik core
+    * numbers) IS spellable in DuckDB as a recursive CTE over a single
+    * LIST-state row: the adjacency list is built once (index-mapped
+    * nodes, nested list), each iteration rewrites the whole value
+    * vector with pure list lambdas (h-index = prefix count of
+    * v_i ≥ i over the desc-sorted neighbor values — the indicator is
+    * prefix-closed), and UNION ALL terminates on the first unchanged
+    * vector. Values are monotone nonincreasing from degree, so the
+    * fixpoint is the last emitted row. The Spark side stays the dual
+    * driver-peel / distributed-h-index operator; the driver hash-match
+    * now pins BOTH regimes' shared answer against an independent
+    * engine (KCoreSpec keeps the closed forms + cross-regime
+    * equality). */
   private val graphKcore = Q(
     "x_graph_kcore",
-    None,
+    Some(s"""WITH RECURSIVE $graphEdgeCtes,
+            nodes AS (SELECT id, CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS ix
+                      FROM (SELECT DISTINCT id FROM (
+                        SELECT a AS id FROM e UNION ALL SELECT b FROM e))),
+            ed AS (SELECT na.ix AS ai, nb.ix AS bi
+                   FROM e JOIN nodes na ON na.id = e.a
+                          JOIN nodes nb ON nb.id = e.b),
+            adjl AS (SELECT ix, list(nb ORDER BY nb) AS nbs
+                     FROM (SELECT ai AS ix, bi AS nb FROM ed
+                           UNION ALL SELECT bi, ai FROM ed)
+                     GROUP BY ix),
+            adj AS (SELECT list(nbs ORDER BY ix) AS adjs FROM adjl),
+            it AS (
+              SELECT list_transform(adjs, l -> CAST(len(l) AS BIGINT)) AS vals,
+                     adjs, 0 AS step
+              FROM adj
+              UNION ALL
+              SELECT nv, adjs, step + 1 FROM (
+                SELECT list_transform(adjs, nb ->
+                         CAST(len(list_filter(
+                           list_transform(
+                             list_reverse_sort(list_transform(nb, u -> vals[u])),
+                             (v, i) -> v >= i), x -> x)) AS BIGINT)) AS nv,
+                       vals, adjs, step
+                FROM it) WHERE nv <> vals AND step < 200),
+            fin AS (SELECT vals FROM it ORDER BY step DESC LIMIT 1)
+            SELECT core, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM (SELECT unnest(vals) AS core FROM fin)
+            GROUP BY core ORDER BY core"""),
     (spark, dir) => {
       import spark.implicits._
       graft.operators.KCore

@@ -142,9 +142,12 @@ object ScaleOps extends QueryModule {
     * fused. The vocab window is a single-partition row_number over the
     * CLOSED vocabulary (tiny by declaration; a real corpus broadcasts a
     * precomputed token dictionary — same join shape). */
-  private val minhashOracle = Q(
-    "x_minhash_oracle",
-    Some("""WITH d AS (SELECT doc_id,
+  /** The shared CTE chain of the three arithmetic MinHash oracles
+    * (tokens → vocab ids → shingles → 32 affine minima → 8×4 band
+    * rows) — the SQL twin of [[minhashArith]]; each oracle appends its
+    * own candidate/verify tail. */
+  private val minhashArithCtes =
+    """d AS (SELECT doc_id,
               list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
               FROM documents),
             pos AS (SELECT doc_id, unnest(list_transform(toks,
@@ -174,7 +177,11 @@ object ScaleOps extends QueryModule {
                        max(CASE WHEN j % 4 = 1 THEN m END) AS s1,
                        max(CASE WHEN j % 4 = 2 THEN m END) AS s2,
                        max(CASE WHEN j % 4 = 3 THEN m END) AS s3
-                     FROM sig GROUP BY 1, 2),
+                     FROM sig GROUP BY 1, 2)"""
+
+  private val minhashOracle = Q(
+    "x_minhash_oracle",
+    Some(s"""WITH $minhashArithCtes,
             cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                      FROM band a JOIN band b
                        ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1
@@ -192,7 +199,7 @@ object ScaleOps extends QueryModule {
             WHERE i * 10000 // (za.n + zb.n - i) >= 6000
             ORDER BY a_id, b_id"""),
     (spark, dir) => {
-      val (sset, sz, band) = minhashArith(spark, dir)
+      val (sset, sz, band, _) = minhashArith(spark, dir)
       import spark.implicits._
       val a = band.select($"doc_id".as("a_id"), $"band", $"s0", $"s1", $"s2", $"s3")
       val b = band.select($"doc_id".as("b_id"), $"band".as("bband"),
@@ -204,12 +211,14 @@ object ScaleOps extends QueryModule {
       minhashVerify(cand, sset, sz, "a_id", "b_id")
     })
 
-  /** The shared arithmetic MinHash pipeline of the two oracle twins:
-    * (distinct shingle sets, per-doc sizes, 8×4 band rows). See
-    * x_minhash_oracle's scaladoc for the algebra. */
+  /** The shared arithmetic MinHash pipeline of the oracle twins:
+    * (distinct shingle sets, per-doc sizes, 8×4 band rows, raw
+    * (doc, j, minimum) signatures — the calibration twin reads the
+    * signatures directly). See x_minhash_oracle's scaladoc for the
+    * algebra. */
   private def minhashArith(spark: SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-         org.apache.spark.sql.DataFrame) = {
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     // vocab size rides the PLAN (1-row broadcast crossJoin, the
@@ -217,12 +226,25 @@ object ScaleOps extends QueryModule {
     // a full extra job at DataFrame-construction time, paid on every
     // bench rep / plan read
     val (tp, vs) = arithTokenIds(spark, dir, minToks = 3)
+    // LOUD overflow guard on the 1-row vocab frame: the shingle value
+    // (t1·V + t2)·V + t3 + 1 is int64-exact only while V³ < 2^63
+    // (V < 2^21 ≈ 2.1M tokens). DuckDB errors on BIGINT overflow but
+    // non-ANSI Spark WRAPS SILENTLY — beyond the bound the Spark side
+    // would compute collided shingles at scales the oracle never runs.
+    // Fail the same way the oracle would, once, on the broadcast row.
+    val vsG = vs.select(
+      when($"vv" < (1L << 21), $"vv")
+        .otherwise(raise_error(concat(
+          lit("minhashArith: |vocab|+1 = "), $"vv",
+          lit(" >= 2^21; V^3 would overflow int64 — switch the shingle"
+            + " construction to the mod-first affine discipline")))
+          .cast("long")).as("vv"))
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val sh = tp
       .withColumn("t2", lead($"tid", 1).over(w))
       .withColumn("t3", lead($"tid", 2).over(w))
       .where($"t3".isNotNull)
-      .crossJoin(broadcast(vs))
+      .crossJoin(broadcast(vsG))
       .select($"doc_id",
         (($"tid" * $"vv" + $"t2") * $"vv" + $"t3" + 1).as("x"))
     // distinct IS the materialization barrier (its exchange is reused
@@ -239,7 +261,7 @@ object ScaleOps extends QueryModule {
         max(when($"j" % 4 === 1, $"m")).as("s1"),
         max(when($"j" % 4 === 2, $"m")).as("s2"),
         max(when($"j" % 4 === 3, $"m")).as("s3"))
-    (sset, sz, band)
+    (sset, sz, band, sig)
   }
 
   /** Exact-Jaccard verify of candidate pairs at the 6000 bp contract,
@@ -279,37 +301,7 @@ object ScaleOps extends QueryModule {
     * algebra that path executes. */
   private val minhashOracleIncremental = Q(
     "x_minhash_oracle_incremental",
-    Some("""WITH d AS (SELECT doc_id,
-              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
-              FROM documents),
-            pos AS (SELECT doc_id, unnest(list_transform(toks,
-                (tk, i) -> {'tok': tk, 'pos': i}), recursive := true)
-              FROM d WHERE len(toks) >= 3),
-            v AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
-                  FROM (SELECT DISTINCT tok FROM pos)),
-            vs AS (SELECT CAST(count(*) + 1 AS BIGINT) AS vv FROM v),
-            tp AS (SELECT doc_id, pos, tid FROM pos JOIN v USING (tok)),
-            sh AS (SELECT doc_id,
-                     (t1 * vv + t2) * vv + t3 + 1 AS x
-                   FROM (SELECT doc_id, tid AS t1,
-                           lead(tid, 1) OVER w AS t2,
-                           lead(tid, 2) OVER w AS t3
-                         FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
-                   CROSS JOIN vs WHERE t3 IS NOT NULL),
-            sset AS (SELECT DISTINCT doc_id, x FROM sh),
-            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sset GROUP BY 1),
-            h AS (SELECT doc_id, j,
-                    ((1664525 * j + 1013904223) % 2147483647 * (x % 2147483647)
-                      + (22695477 * j + 12345) % 2147483647) % 2147483647 AS hv
-                  FROM sset CROSS JOIN (SELECT CAST(k AS BIGINT) AS j
-                                        FROM range(0, 32) r(k))),
-            sig AS (SELECT doc_id, j, min(hv) AS m FROM h GROUP BY 1, 2),
-            band AS (SELECT doc_id, j // 4 AS band,
-                       max(CASE WHEN j % 4 = 0 THEN m END) AS s0,
-                       max(CASE WHEN j % 4 = 1 THEN m END) AS s1,
-                       max(CASE WHEN j % 4 = 2 THEN m END) AS s2,
-                       max(CASE WHEN j % 4 = 3 THEN m END) AS s3
-                     FROM sig GROUP BY 1, 2),
+    Some(s"""WITH $minhashArithCtes,
             cand AS (SELECT DISTINCT nb.doc_id AS new_id, ib.doc_id AS index_id
                      FROM band nb JOIN band ib
                        ON nb.band = ib.band AND nb.s0 = ib.s0 AND nb.s1 = ib.s1
@@ -327,7 +319,7 @@ object ScaleOps extends QueryModule {
             WHERE i * 10000 // (za.n + zb.n - i) >= 6000
             ORDER BY new_id, index_id"""),
     (spark, dir) => {
-      val (sset, sz, band) = minhashArith(spark, dir)
+      val (sset, sz, band, _) = minhashArith(spark, dir)
       import spark.implicits._
       val nb = band.where($"doc_id" % 10 === 0)
         .select($"doc_id".as("new_id"), $"band", $"s0", $"s1", $"s2", $"s3")
@@ -338,6 +330,99 @@ object ScaleOps extends QueryModule {
           $"s1" === $"t1" && $"s2" === $"t2" && $"s3" === $"t3")
         .select($"new_id", $"index_id").distinct()
       minhashVerify(cand, sset, sz, "new_id", "index_id")
+    })
+
+  /** ORACLE-BACKED MinHash calibration — the arithmetic twin of
+    * x_minhash_error's REPORT (r11 verdict #5): for every band-collision
+    * candidate pair, the sketch ESTIMATE (agreeing signature positions
+    * × 10000 DIV 32) next to the exact shingle Jaccard, rolled up per
+    * estimate decile — n_pairs, mean estimate, mean exact, MAE (floor
+    * bp) and the SIGNED error sum. With the affine permutation family
+    * instead of xxhash64, every number is integer arithmetic both
+    * engines compute bit-for-bit, so the trust table that calibrates
+    * banding parameters is itself hash-checked (x_minhash_error stays
+    * the production-kernel report, rows-only).
+    *
+    * Determinism notes baked into the shape: candidate pairs with ZERO
+    * shingle intersection (a band minima collision without a shared
+    * shingle) default i = 0 through the LEFT join; all divisions are
+    * over nonnegative values (floor ≡ trunc, so DuckDB `//` matches
+    * Spark DIV); the one signed quantity (sum_err_bp) is emitted as a
+    * SUM, never divided — the signed floor-vs-trunc trap has no
+    * surface. est_bp = 10000 clamps into decile 9 (the production
+    * report's rule). */
+  private val minhashErrorOracle = Q(
+    "x_minhash_error_oracle",
+    Some(s"""WITH $minhashArithCtes,
+            cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM band a JOIN band b
+                       ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1
+                      AND a.s2 = b.s2 AND a.s3 = b.s3
+                      AND a.doc_id < b.doc_id),
+            est AS (SELECT c.a_id, c.b_id,
+                      CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                        * 10000 // 32 AS BIGINT) AS est_bp
+                    FROM cand c
+                    JOIN sig sa ON sa.doc_id = c.a_id
+                    JOIN sig sb ON sb.doc_id = c.b_id AND sb.j = sa.j
+                    GROUP BY 1, 2),
+            inter AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS i
+                      FROM cand c
+                      JOIN sset sa ON sa.doc_id = c.a_id
+                      JOIN sset sb ON sb.doc_id = c.b_id AND sb.x = sa.x
+                      GROUP BY 1, 2),
+            ex AS (SELECT c.a_id, c.b_id,
+                     CAST(coalesce(i.i, 0) * 10000
+                       // (za.n + zb.n - coalesce(i.i, 0)) AS BIGINT) AS exact_bp
+                   FROM cand c
+                   LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+                   JOIN sz za ON za.doc_id = c.a_id
+                   JOIN sz zb ON zb.doc_id = c.b_id)
+            SELECT CAST(least(est_bp // 1000, 9) AS BIGINT) AS est_decile,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(est_bp) // count(*) AS BIGINT) AS mean_est_bp,
+              CAST(sum(exact_bp) // count(*) AS BIGINT) AS mean_exact_bp,
+              CAST(sum(abs(est_bp - exact_bp)) // count(*) AS BIGINT) AS mae_bp,
+              CAST(sum(est_bp - exact_bp) AS BIGINT) AS sum_err_bp
+            FROM est JOIN ex USING (a_id, b_id)
+            GROUP BY 1 ORDER BY 1"""),
+    (spark, dir) => {
+      val (sset, sz, band, sig) = minhashArith(spark, dir)
+      import spark.implicits._
+      val a = band.select($"doc_id".as("a_id"), $"band", $"s0", $"s1", $"s2", $"s3")
+      val b = band.select($"doc_id".as("b_id"), $"band".as("bband"),
+        $"s0".as("t0"), $"s1".as("t1"), $"s2".as("t2"), $"s3".as("t3"))
+      val cand = a.join(b, $"band" === $"bband" && $"s0" === $"t0" &&
+          $"s1" === $"t1" && $"s2" === $"t2" && $"s3" === $"t3" &&
+          $"a_id" < $"b_id")
+        .select($"a_id", $"b_id").distinct()
+      val sa = sig.select($"doc_id".as("a_id"), $"j", $"m".as("ma"))
+      val sb = sig.select($"doc_id".as("sb_id"), $"j".as("jb"), $"m".as("mb"))
+      val est = cand
+        .join(sa, "a_id")
+        .join(sb, $"b_id" === $"sb_id" && $"j" === $"jb")
+        .groupBy($"a_id", $"b_id")
+        .agg(expr("sum(CASE WHEN ma = mb THEN 1 ELSE 0 END) * 10000 DIV 32")
+          .as("est_bp"))
+      val inter = cand
+        .join(sset.select($"doc_id".as("a_id"), $"x"), "a_id")
+        .join(sset.select($"doc_id".as("b_id"), $"x"), Seq("b_id", "x"))
+        .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("i"))
+      val ex = cand
+        .join(inter, Seq("a_id", "b_id"), "left")
+        .na.fill(0L, Seq("i"))
+        .join(sz.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+        .join(sz.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+        .select($"a_id", $"b_id",
+          expr("i * 10000 DIV (na + nb - i)").as("exact_bp"))
+      est.join(ex, Seq("a_id", "b_id"))
+        .groupBy(expr("CAST(least(est_bp DIV 1000, 9) AS LONG)").as("est_decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(est_bp) DIV count(1)").as("mean_est_bp"),
+          expr("sum(exact_bp) DIV count(1)").as("mean_exact_bp"),
+          expr("sum(abs(est_bp - exact_bp)) DIV count(1)").as("mae_bp"),
+          sum($"est_bp" - $"exact_bp").as("sum_err_bp"))
+        .orderBy($"est_decile")
     })
 
   /** ORACLE-BACKED SimHash — x_minhash_oracle's sibling, anchoring the
@@ -824,6 +909,80 @@ object ScaleOps extends QueryModule {
         .orderBy($"doc_id")
     })
 
+  /** LOSSY video container — MJPEG for real (r11 verdict #4): the same
+    * frame containers as x_media_frames_decode but every frame is a
+    * REAL JPEG (ImageCodec.encodeGrayJpeg at the pinned 8500 bp
+    * quality) instead of a lossless PNG — JPEG frames in a
+    * length-prefixed container IS the actual MJPEG stream layout, so
+    * this is the production-crawl lossy-video shape at the honest
+    * limit of the JDK (no H.264/VP9 decoder exists in the JDK — a real
+    * deployment swaps a JavaCV/ffmpeg frame source into the same
+    * decodeFrames contract; boundary documented in SCALING.md).
+    * Every 2nd frame decodes through the real reader; per payload the
+    * query emits frame counts plus the decoded cross-frame mean luma
+    * AND its absolute error against the source-byte mean of the SAME
+    * sampled frames computed independently — the x_media_jpeg
+    * tolerance-evidence pattern at video granularity. Rows-only by
+    * necessity (no JPEG quantizer in the oracle engine);
+    * ImageCodecSpec pins the constructed band, per-frame genuine
+    * lossiness and the truncated-container contract; the JPEG
+    * stream≡batch parity row rides ImageCodecSpec's streaming test.
+    * Scale shape: narrow batched mapPartitions codec pass over the
+    * stored sharded containers + ONE equi-join to the source-side
+    * expectation, shuffle only there and at the output sort. */
+  private val mediaMjpeg = Q(
+    "x_media_mjpeg",
+    None,
+    (spark, dir) => {
+      import spark.implicits._
+      // stored-payload discipline, sharded like the JPEG image table
+      // (the per-frame JPEG decodes are the expensive step — one part
+      // file would serialize them on one task)
+      val path = QueryModule.cachedIndex(
+          s"mediamjpeg:$dir", tableStamp(dir, "documents")) { p =>
+        t(spark, dir, "documents").where(length(col("text")) > 0)
+          .select($"doc_id", $"text").as[(Long, String)]
+          .repartition(spark.sparkContext.defaultParallelism)
+          .mapPartitions { it =>
+            it.grouped(MediaPipeline.BatchSize).flatMap(_.map { case (id, text) =>
+              val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val nf = (4 + id % 3).toInt
+              val frames = (0 until nf).map { f =>
+                ImageCodec.encodeGrayJpeg(
+                  Array.tabulate(64)(i => tb((f * 64 + i) % tb.length)), 8, 8,
+                  MediaPipeline.JpegQualityBp)
+              }
+              MediaRow(id, "video", FrameContainer.pack(frames), 8, 8)
+            })
+          }.write.mode("overwrite").parquet(p)
+      }
+      val decoded = MediaPipeline.decodeFrames(
+          spark.read.parquet(path).as[MediaRow], stride = 2).toDF()
+      // independent source-side expectation over the SAME sampled
+      // frames (f % 2 = 0): a plain byte pass, no codec on this side
+      val expected = t(spark, dir, "documents").where(length($"text") > 0)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val nf = (4 + id % 3).toInt
+          var s = 0L
+          var nd = 0L
+          var f = 0
+          while (f < nf) {
+            var i = 0
+            while (i < 64) { s += (tb((f * 64 + i) % tb.length) & 0xFF); i += 1 }
+            nd += 1
+            f += 2
+          }
+          (id, s * 10000L / (255L * 64L * nd))
+        }).toDF("doc_id", "exact_luma_bp")
+      decoded.join(expected, decoded("media_id") === expected("doc_id"))
+        .select($"doc_id", $"n_frames", $"n_decoded", $"n_bad",
+          $"mean_luma_bp",
+          abs($"mean_luma_bp" - $"exact_luma_bp").as("luma_err_bp"))
+        .orderBy($"doc_id")
+    })
+
   /** Compression-ratio quality screen (the Gopher/MassiveText-style
     * corpus-wide filter): per source, the mean DEFLATE-bytes-per-10k-
     * chars and the count of docs below a "suspiciously compressible"
@@ -1242,7 +1401,7 @@ object ScaleOps extends QueryModule {
   override def all: Seq[Q] = Seq(dedupMinhash, dedupSimhash, multimodalMeta,
     minhashError, compressRatio, shingleProfile, mediaFrames, lshScurve,
     dedupIncrementalNear, mediaDecode, mediaResize, mediaJpeg, mediaAudio,
-    mediaKnn, mediaFramesDecode, sketchUnion, sketchIntersect,
-    sketchQuantiles, minhashOracle, minhashOracleIncremental, simhashOracle,
-    sketchIncremental)
+    mediaKnn, mediaFramesDecode, mediaMjpeg, sketchUnion, sketchIntersect,
+    sketchQuantiles, minhashOracle, minhashOracleIncremental,
+    minhashErrorOracle, simhashOracle, sketchIncremental)
 }

@@ -908,11 +908,14 @@ object TextOps extends QueryModule {
     * words in scrambled order fools this screen but not that one,
     * and vice versa for garbled spellings in fluent patterns).
     *
-    * Scale shape: one vocabulary aggregate, then doc-token GROUPS
-    * (dup tokens within a doc collapse first) joined token-keyed
-    * against it — Heaps-sublinear join sides, map-side combined
-    * everywhere; per-doc shares floored to integer bp before the
-    * source rollup (pure BIGINT from there). */
+    * Scale shape: ONE token explode feeds everything — the corpus
+    * frequency table is derived from the per-doc groups
+    * (count(*) over tok ≡ sum(occ) over dt, exactly), so the raw
+    * token stream is scanned once, not twice; the oracle SQL keeps
+    * its two-scan spelling (DuckDB is free to differ — only the
+    * counts must agree). Heaps-sublinear join sides, map-side
+    * combined everywhere; per-doc shares floored to integer bp
+    * before the source rollup (pure BIGINT from there). */
   private val rareTokenDocs = Q(
     "x_rare_token_docs",
     Some("""WITH tok AS (SELECT doc_id, source, unnest(list_filter(
@@ -940,8 +943,8 @@ object TextOps extends QueryModule {
           "filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
       val dt = tok.groupBy($"doc_id", $"source", $"token")
         .agg(count(lit(1)).as("occ"))
-      val cf = tok.groupBy($"token".as("cf_token"))
-        .agg(count(lit(1)).as("c"))
+      val cf = dt.groupBy($"token".as("cf_token"))
+        .agg(sum($"occ").as("c"))
       val doc = dt.join(cf, $"cf_token" === $"token")
         .groupBy($"doc_id", $"source")
         .agg(expr("(sum(CASE WHEN c <= 2 THEN occ ELSE 0 END) * 10000)" +

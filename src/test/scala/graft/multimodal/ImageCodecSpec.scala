@@ -182,6 +182,59 @@ class ImageCodecSpec extends AnyFunSuite with SparkTestBase {
       s1.mean_luma_bp == 100L * 10000 / (255 * 4), s1.toString)
   }
 
+  test("MJPEG container: JPEG frames through decodeFrames — stride math, " +
+      "luma band, genuine per-frame loss, truncated-container contract") {
+    import spark.implicits._
+    val q = MediaPipeline.JpegQualityBp
+    // corpus-envelope frames (lowercase ASCII, the query's 8x8 shape):
+    // the decoded cross-frame mean must sit inside the x_media_jpeg
+    // tolerance band (50 bp — 3x the measured 15 bp max) against the
+    // exact source-byte mean of the SAME sampled frames
+    val rnd = new scala.util.Random(13)
+    val payloads = (0 until 40).map { id =>
+      val nf = 4 + id % 3
+      val frames = (0 until nf).map { _ =>
+        Array.tabulate(64)(_ => (97 + rnd.nextInt(26)).toByte)
+      }
+      (id.toLong, nf, frames)
+    }
+    val ds = payloads.map { case (id, _, frames) =>
+      (id, "video",
+        FrameContainer.pack(frames.map(ImageCodec.encodeGrayJpeg(_, 8, 8, q))),
+        8, 8)
+    }.toDF("media_id", "kind", "media", "width", "height").as[MediaRow]
+    val out = MediaPipeline.decodeFrames(ds, stride = 2).collect()
+      .map(s => s.media_id -> s).toMap
+    payloads.foreach { case (id, nf, frames) =>
+      val s = out(id)
+      assert(s.n_frames == nf.toLong && s.n_bad == 0L, s.toString)
+      assert(s.n_decoded == (nf + 1L) / 2, s.toString)
+      val sampled = frames.indices.filter(_ % 2 == 0).map(frames)
+      val exact = sampled.flatten.map(b => (b & 0xFF).toLong).sum *
+        10000L / (255L * 64 * sampled.length)
+      assert(math.abs(s.mean_luma_bp - exact) <= 50L,
+        s"cross-frame luma err ${math.abs(s.mean_luma_bp - exact)} bp: $s")
+    }
+    // genuine lossiness at frame granularity: a checkerboard frame does
+    // NOT roundtrip sample-exact through the container (the anti-PNG
+    // check, per frame rather than per image)
+    val cb = Array.tabulate(64)(i => (if ((i / 8 + i % 8) % 2 == 0) 0 else 255).toByte)
+    val packed = FrameContainer.pack(Seq(ImageCodec.encodeGrayJpeg(cb, 8, 8, q)))
+    val frame = FrameContainer.unpack(packed).head
+    val feats = ImageCodec.columnFeatures(frame).get
+    val exactCols = (0 until 8).map(x =>
+      (0 until 8).map(y => cb(y * 8 + x) & 0xFF).sum.toDouble)
+    assert(feats.toSeq != exactCols, "MJPEG frame decoded sample-exact — not lossy?")
+    // truncated container: complete JPEG prefix frames survive, the cut
+    // frame is gone (parse contract), nothing throws
+    val two = FrameContainer.pack(Seq(
+      ImageCodec.encodeGrayJpeg(cb, 8, 8, q), ImageCodec.encodeGrayJpeg(cb, 8, 8, q)))
+    val cutDs = Seq((7L, "video", java.util.Arrays.copyOf(two, two.length - 3), 8, 8))
+      .toDF("media_id", "kind", "media", "width", "height").as[MediaRow]
+    val cut = MediaPipeline.decodeFrames(cutDs, stride = 1).collect().head
+    assert(cut.n_frames == 1L && cut.n_decoded == 1L && cut.n_bad == 0L, cut.toString)
+  }
+
   test("decodeImages over a stream matches the batch pass (stateless parity)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

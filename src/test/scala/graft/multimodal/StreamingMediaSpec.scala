@@ -148,4 +148,55 @@ class StreamingMediaSpec extends AnyFunSuite with SparkTestBase {
       assert(got.sameElements(want))
     } finally q.stop()
   }
+
+  test("decodeFrames over an MJPEG stream matches the batch pass (lossy-video parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // real MJPEG payloads (JPEG frames in the length-prefixed
+    // container) + one corrupt-frame payload: the REAL per-frame lossy
+    // decode runs incrementally with zero state, batch-identical
+    def mk(id: Long, nf: Int): (Long, Array[Byte]) = {
+      val frames = (0 until nf).map { f =>
+        ImageCodec.encodeGrayJpeg(
+          Array.tabulate(64)(i => ((id * 31 + f * 7 + i) % 251).toByte), 8, 8,
+          MediaPipeline.JpegQualityBp)
+      }
+      id -> FrameContainer.pack(frames)
+    }
+    val rows = Seq(mk(1L, 4), mk(2L, 5),
+      3L -> FrameContainer.pack(Seq(
+        ImageCodec.encodeGrayJpeg(Array.fill(64)(50.toByte), 8, 8,
+          MediaPipeline.JpegQualityBp),
+        "not a jpeg".getBytes("UTF-8"))))
+
+    def asMedia(df: org.apache.spark.sql.DataFrame) = df
+      .select($"media_id", org.apache.spark.sql.functions.lit("video").as("kind"),
+        $"media", org.apache.spark.sql.functions.lit(8).as("width"),
+        org.apache.spark.sql.functions.lit(8).as("height"))
+      .as[MediaRow]
+
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = MediaPipeline.decodeFrames(
+        asMedia(mem.toDS().toDF("media_id", "media")), stride = 1)
+      .toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("mjpegstream").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val live = spark.table("mjpegstream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).sortBy(_._1)
+      val batch = MediaPipeline.decodeFrames(
+          asMedia(rows.toDF("media_id", "media")), stride = 1)
+        .collect()
+        .map(s => (s.media_id, s.n_frames, s.n_decoded, s.n_bad, s.mean_luma_bp))
+        .sortBy(_._1)
+      assert(live.sameElements(batch),
+        s"live=${live.mkString(",")} batch=${batch.mkString(",")}")
+      // the corrupt frame is a counted row, not a failure
+      assert(batch.find(_._1 == 3L).exists(s => s._3 == 1L && s._4 == 1L))
+    } finally q.stop()
+  }
 }
