@@ -136,10 +136,11 @@ object ScaleOps extends QueryModule {
     * upgrading the whole family's trust from "spec says the kernels
     * agree" to "an independent engine reproduces the emitted set".
     *
-    * Scale shape: this spelling explodes shingles ×32 permutations (the
-    * paper's definition, oracle-legible); the production kernel computes
-    * all 32 minima in ONE pass per doc (minhash_sig) — same algebra,
-    * fused. The vocab window is a single-partition row_number over the
+    * Scale shape: since r12 the Spark side computes all 32 minima in
+    * ONE fused aggregate pass (the production kernel's shape; see
+    * minhashArith) while the ORACLE keeps the paper's ×32 explode
+    * spelling — so the hash-match additionally pins fused ≡ explode.
+    * The vocab window is a single-partition row_number over the
     * CLOSED vocabulary (tiny by declaration; a real corpus broadcasts a
     * precomputed token dictionary — same join shape). */
   /** The shared CTE chain of the three arithmetic MinHash oracles
@@ -212,10 +213,9 @@ object ScaleOps extends QueryModule {
     })
 
   /** The shared arithmetic MinHash pipeline of the oracle twins:
-    * (distinct shingle sets, per-doc sizes, 8×4 band rows, raw
-    * (doc, j, minimum) signatures — the calibration twin reads the
-    * signatures directly). See x_minhash_oracle's scaladoc for the
-    * algebra. */
+    * (distinct shingle sets, per-doc sizes, 8×4 band rows, and the
+    * WIDE per-doc signature row m0..m31 the calibration twin reads).
+    * See x_minhash_oracle's scaladoc for the algebra. */
   private def minhashArith(spark: SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -251,17 +251,27 @@ object ScaleOps extends QueryModule {
     // by all four consumers) — an extra barrier() here would add a
     // second full-corpus round-robin exchange for nothing
     val sset = sh.distinct()
-    val sz = sset.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val js = spark.range(0, 32).toDF("j")
-    val sig = sset.crossJoin(broadcast(js))
-      .select($"doc_id", $"j", affineHash($"j", $"x").as("hv"))
-      .groupBy($"doc_id", $"j").agg(min($"hv").as("m"))
-    val band = sig.groupBy($"doc_id", ($"j" / 4).cast("long").as("band"))
-      .agg(max(when($"j" % 4 === 0, $"m")).as("s0"),
-        max(when($"j" % 4 === 1, $"m")).as("s1"),
-        max(when($"j" % 4 === 2, $"m")).as("s2"),
-        max(when($"j" % 4 === 3, $"m")).as("s3"))
-    (sset, sz, band, sig)
+    // FUSED signature pass (the r11 verdict's named bench reserve,
+    // cashed in r12 to pay for the calibration twin): the ×32
+    // permutation crossJoin was the paper spelling, but min is
+    // position-independent — all 32 minima AND the set size ride ONE
+    // aggregate over the distinct shingle sets (32 min columns +
+    // count, map-side combined), and the 8×4 band rows are a NARROW
+    // stack of the wide row. Identical algebra and values (min over
+    // the same affine hashes of the same set); the ORACLE keeps the
+    // explode spelling, so the driver hash-match now also pins that
+    // the fused kernel equals the paper spelling. Removes two
+    // corpus-×32 exchanges per twin (measured 3.2 → ~1 s class at
+    // sf0.1 per twin on this host).
+    val aggCols = count(lit(1)).as("n") +:
+      (0 until 32).map(j => min(affineHash(lit(j.toLong), $"x")).as(s"m$j"))
+    val sigWide = sset.groupBy($"doc_id").agg(aggCols.head, aggCols.tail: _*)
+    val sz = sigWide.select($"doc_id", $"n")
+    val band = sigWide.select($"doc_id", expr(
+      "stack(8, " + (0 until 8).map(b =>
+        s"CAST($b AS BIGINT), m${4 * b}, m${4 * b + 1}, m${4 * b + 2}, m${4 * b + 3}")
+        .mkString(", ") + ") AS (band, s0, s1, s2, s3)"))
+    (sset, sz, band, sigWide)
   }
 
   /** Exact-Jaccard verify of candidate pairs at the 6000 bp contract,
@@ -387,7 +397,7 @@ object ScaleOps extends QueryModule {
             FROM est JOIN ex USING (a_id, b_id)
             GROUP BY 1 ORDER BY 1"""),
     (spark, dir) => {
-      val (sset, sz, band, sig) = minhashArith(spark, dir)
+      val (sset, sz, band, sigWide) = minhashArith(spark, dir)
       import spark.implicits._
       val a = band.select($"doc_id".as("a_id"), $"band", $"s0", $"s1", $"s2", $"s3")
       val b = band.select($"doc_id".as("b_id"), $"band".as("bband"),
@@ -396,14 +406,17 @@ object ScaleOps extends QueryModule {
           $"s1" === $"t1" && $"s2" === $"t2" && $"s3" === $"t3" &&
           $"a_id" < $"b_id")
         .select($"a_id", $"b_id").distinct()
-      val sa = sig.select($"doc_id".as("a_id"), $"j", $"m".as("ma"))
-      val sb = sig.select($"doc_id".as("sb_id"), $"j".as("jb"), $"m".as("mb"))
+      // signatures as ONE array column per doc: the agreement count is
+      // a narrow zip_with over two joined rows — not a pairs×32 row
+      // join (the oracle keeps the per-j spelling; same count)
+      val sigArr = sigWide.select($"doc_id",
+        array((0 until 32).map(j => col(s"m$j")): _*).as("sigv"))
       val est = cand
-        .join(sa, "a_id")
-        .join(sb, $"b_id" === $"sb_id" && $"j" === $"jb")
-        .groupBy($"a_id", $"b_id")
-        .agg(expr("sum(CASE WHEN ma = mb THEN 1 ELSE 0 END) * 10000 DIV 32")
-          .as("est_bp"))
+        .join(sigArr.select($"doc_id".as("a_id"), $"sigv".as("siga")), "a_id")
+        .join(sigArr.select($"doc_id".as("b_id"), $"sigv".as("sigb")), "b_id")
+        .select($"a_id", $"b_id",
+          expr("CAST(size(filter(zip_with(siga, sigb, (x, y) -> x = y)," +
+            " h -> h)) AS BIGINT) * 10000 DIV 32").as("est_bp"))
       val inter = cand
         .join(sset.select($"doc_id".as("a_id"), $"x"), "a_id")
         .join(sset.select($"doc_id".as("b_id"), $"x"), Seq("b_id", "x"))
@@ -439,9 +452,10 @@ object ScaleOps extends QueryModule {
     * THIS banding emits, so the driver hash-match pins the vote
     * arithmetic, the chunk packing and the Hamming verify bit-for-bit.
     * The production kernel (x_dedup_simhash, simhash64 codegen) stays
-    * the serving path. Scale note: the ×64 bit explode is the
-    * oracle-legible spelling; the kernel computes all 64 votes in one
-    * pass per doc. */
+    * the serving path. Scale note: since r12 the Spark side computes
+    * all 64 vote sums in ONE fused aggregate (the kernel's shape)
+    * while the ORACLE keeps the per-occurrence ×64 explode spelling —
+    * the hash-match pins fused ≡ explode. */
   private val simhashOracle = Q(
     "x_simhash_oracle",
     Some("""WITH d AS (SELECT doc_id,
@@ -487,27 +501,29 @@ object ScaleOps extends QueryModule {
       // runs over ≤ |docs|·|vocab| rows instead of every token
       // occurrence
       val tp = tp0.groupBy($"doc_id", $"tid").agg(count(lit(1)).as("w"))
-      val bs = spark.range(0, 64).toDF("b")
-      val bits = tp.crossJoin(broadcast(bs))
-        .select($"doc_id", $"b",
-          when(affineHash($"b", $"tid") % 2 === 1, $"w").otherwise(-$"w")
-            .as("vote"))
-      val sig = bits.groupBy($"doc_id", $"b")
-        .agg(sum($"vote").as("v"))
-        .select($"doc_id", $"b",
-          when($"v" >= 0, 1L).otherwise(0L).as("bit"))
+      // FUSED vote pass (the same r11-verdict bench reserve as the
+      // MinHash twins): the ×64 bit explode becomes 64 conditional
+      // sums in ONE map-side-combined aggregate — Σ±w per bit over
+      // the (doc, tid, weight) rows, identical integer algebra — and
+      // the 4×16 chunk packing is then a NARROW select over the wide
+      // row (bit b contributes 2^(b mod 16) iff its vote sum ≥ 0).
+      // The oracle keeps the per-occurrence explode spelling, so the
+      // hash-match pins fused ≡ paper. Removes two corpus-×64
+      // exchanges.
+      val voteCols = (0 until 64).map(b =>
+        sum(when(affineHash(lit(b.toLong), $"tid") % 2 === 1, $"w")
+          .otherwise(-$"w")).as(s"v$b"))
+      val votes = tp.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
       // one row per doc carrying all 4 chunks (the production
       // SimHashDedup shape): the banded legs carry the full signature,
       // so Hamming verifies INLINE on each candidate occurrence — no
       // second join, no per-pair aggregate; verify-then-distinct
       // shrinks the dedup exchange to true near-dup pairs
-      val chunkCols = (0 to 3).map { k =>
-        sum(when(($"b" / 16).cast("long") === k,
-          $"bit" * expr("shiftleft(1, CAST(b % 16 AS INT))"))
-          .otherwise(0L)).cast("long").as(s"c$k")
-      }
-      val chp = sig.groupBy($"doc_id")
-        .agg(chunkCols.head, chunkCols.tail: _*)
+      val chp = votes.select($"doc_id" +: (0 to 3).map { k =>
+        expr((0 until 16).map(i =>
+          s"(CASE WHEN v${k * 16 + i} >= 0 THEN ${1L << i}L ELSE 0L END)")
+          .mkString(" + ")).as(s"c$k")
+      }: _*)
       val banded = chp.select($"doc_id" +: $"c0" +: $"c1" +: $"c2" +: $"c3" +:
           Seq(explode(expr("sequence(0, 3)")).as("k")): _*)
         .withColumn("chunk", expr(
