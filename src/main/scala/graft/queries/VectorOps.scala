@@ -1063,9 +1063,363 @@ object VectorOps extends QueryModule {
         .orderBy($"a_id", $"b_id")
     })
 
+  // ---- x_kmeans_oracle: Lloyd's iteration as a hash-matched algebra ----
+
+  /** Quantized-embedding frame for the k-means oracle twin: vectors as
+    * INTEGER-VALUED double arrays (floor(x·100) — exact in both
+    * engines: float→double is exact, the ×100 double product and floor
+    * round identically), so every dot product and sum below is exact
+    * integer arithmetic carried in doubles (all values ≪ 2^53) and
+    * therefore order-free — the property that makes a distributed
+    * float-training loop deterministic at all. */
+  private def kmQuantized(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    graft.functions.VecDot.register(spark)
+    barrier(t(spark, dir, "embeddings").select($"vec_id",
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS DOUBLE))")
+        .as("qd")))
+  }
+
+  /** Nearest-centroid id (1-based) under the oracle twin's algebra:
+    * cos = dot(w,c) / (√dot(w,w)·√dot(c,c)) over the quantized
+    * integers — both engines produce bit-identical doubles (exact
+    * integer operands, one IEEE sqrt+multiply+divide chain in the same
+    * shape) — argmax with ties to the LOWEST cid (struct max on
+    * (cos, −cid) ≡ the oracle's first-position list_max), zero vectors
+    * pinned to cid 1 and zero centroids scored −2 (never best) so no
+    * NaN ever enters a comparison. 8 codegen vec_dot folds per row —
+    * a narrow pass, the x_lsh_ann_oracle bucket shape. */
+  private def kmCidCol(cents: Array[Array[Long]]): Column = {
+    val nW = expr("vec_dot(qd, qd)")
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val nC = c.map(x => x.toDouble * x.toDouble).sum
+      val cos =
+        if (nC == 0.0) lit(-2.0)
+        else {
+          val lits = c.map(v => s"${v}D").mkString("array(", ", ", ")")
+          expr(s"vec_dot(qd, $lits)") / (sqrt(nW) * lit(math.sqrt(nC)))
+        }
+      struct(cos.as("s"), lit(-(i + 1)).as("nc"))
+    }
+    when(nW === 0.0, lit(1L))
+      .otherwise((-array_max(array(scored: _*)).getField("nc")).cast("long"))
+  }
+
+  /** The trained integer centroids, once per (JVM, generation) — the
+    * cachedLocal trained-model discipline (x_ann_ivf_kmeans's charter).
+    * Init = the 8 lowest vec_ids' quantized vectors; 3 Lloyd steps;
+    * per step ONE narrow assignment pass + one (cid, dim) aggregate
+    * whose 8×64 sums and 8 counts are the only driver traffic
+    * (bounded at any corpus size — the seedCentroids argument); means
+    * by TRUNCATING division (Scala `/` ≡ DuckDB `//`, verified
+    * trunc-not-floor on negatives, so the signed-division trap is
+    * closed by using the SAME semantics, not by avoiding signs);
+    * empty cells keep their centroid (the production rule). */
+  private def kmArithCents(spark: SparkSession, dir: String): Array[Array[Long]] =
+    QueryModule.cachedLocal(s"kmarith:$dir", tableStamp(dir, "embeddings")) {
+      import spark.implicits._
+      val base = kmQuantized(spark, dir)
+      var cents: Array[Array[Long]] = base.orderBy($"vec_id").limit(8)
+        .select($"qd").collect()
+        .map(_.getSeq[Double](0).map(_.toLong).toArray)
+      for (_ <- 1 to 3) {
+        val asg = base.withColumn("cid", kmCidCol(cents))
+        val sums = asg
+          .select($"cid", posexplode($"qd").as(Seq("d", "x")))
+          .groupBy($"cid", $"d").agg(sum($"x").as("s"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2).toLong))
+        val cnts = asg.groupBy($"cid").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val bySums = sums.groupBy(_._1)
+        cents = Array.tabulate(8) { i =>
+          val cid = i + 1L
+          val n = cnts.getOrElse(cid, 0L)
+          if (n == 0L) cents(i)
+          else {
+            val dims = bySums(cid).map(t => t._2 -> t._3).toMap
+            Array.tabulate(64)(d => dims(d) / n)
+          }
+        }
+      }
+      cents
+    }
+
+  private val kmDotWC = "list_sum(list_transform(range(1, 65), j -> w[j] * cv[j]))"
+  private val kmNW = "list_sum(list_transform(range(1, 65), j -> w[j] * w[j]))"
+  private val kmNC = "list_sum(list_transform(range(1, 65), j -> cv[j] * cv[j]))"
+
+  /** Oracle-side assignment of every vector in `qs` against `cents`
+    * (both in scope as list columns) — the SQL twin of [[kmCidCol]]. */
+  private val kmAsgSql =
+    s"""list_transform(qs, w -> CASE WHEN $kmNW = 0 THEN CAST(1 AS BIGINT) ELSE
+         CAST(list_position(
+           list_transform(cents, cv -> CASE WHEN $kmNC = 0 THEN -2.0
+             ELSE $kmDotWC / (sqrt(CAST($kmNW AS DOUBLE)) * sqrt(CAST($kmNC AS DOUBLE))) END),
+           list_max(
+           list_transform(cents, cv -> CASE WHEN $kmNC = 0 THEN -2.0
+             ELSE $kmDotWC / (sqrt(CAST($kmNW AS DOUBLE)) * sqrt(CAST($kmNC AS DOUBLE))) END))
+         ) AS BIGINT) END)"""
+
+  /** ORACLE-BACKED k-means — the FOURTH trust-anchor family, and the
+    * one VERDICT r11 adjudicated impossible ("Lloyd's iteration is
+    * deterministic but not SQL-expressible in one oracle query"): the
+    * x_graph_kcore recursive-CTE LIST-state trick carries a FULL
+    * TRAINING LOOP — the state row is the k×dim centroid matrix, each
+    * step reassigns every vector and rewrites the matrix with pure
+    * list lambdas, 3 fixed Lloyd steps via UNION ALL.
+    *
+    * The algebra both engines replay exactly (the minhash-twin
+    * pattern): vectors quantized to integers (floor(x·100)); cosine
+    * over exact integer dots through one shared IEEE sqrt/divide
+    * chain (bit-identical doubles → identical argmax); ties to the
+    * lowest cid; means by TRUNCATING integer division (Scala `/` ≡
+    * DuckDB `//`); empty cells keep their centroid; init = the 8
+    * lowest vec_ids. Output per cid: member count, Σ member ids, and
+    * the trained centroid's Σ components + squared norm — so the
+    * hash-match pins the INIT, every assignment pass, the mean
+    * arithmetic AND the final trained matrix bit-for-bit. The
+    * production operator (x_ann_ivf_kmeans, float Lloyd's on the
+    * hash-ordered sample, KMeansIVF) stays the serving path — this
+    * twin is the engine-independent reproduction of its geometry.
+    *
+    * Scale shape (Spark): training runs once per (JVM, generation) —
+    * per step one narrow 8-fold codegen assignment pass + one
+    * (cid, dim) map-side-combined aggregate collecting 8×64+8 values;
+    * the declared query is then one assignment pass + one 8-row
+    * rollup + a broadcast join of the 8 centroid constants. Bounds:
+    * |q| ≤ 100 here (unit-ish embeddings); the integer dots stay
+    * double-exact while |q| < ~2^23 — any real embedding table is
+    * orders of magnitude inside it. */
+  private val kmeansOracle = Q(
+    "x_kmeans_oracle",
+    Some(s"""WITH RECURSIVE
+            qv AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                     x -> CAST(floor(x * 100.0) AS BIGINT)) AS q FROM embeddings),
+            vl AS (SELECT list(vec_id ORDER BY vec_id) AS ids,
+                          list(q ORDER BY vec_id) AS qs FROM qv),
+            ic AS (SELECT list(q ORDER BY vec_id) AS cents
+                   FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 8)),
+            it AS (
+              SELECT 0 AS step, cents FROM ic
+              UNION ALL
+              SELECT step + 1,
+                list_transform(range(1, 9), c -> CASE
+                  WHEN len(list_filter(asg, a -> a = c)) = 0 THEN cents[c]
+                  ELSE list_transform(range(1, 65), d ->
+                    list_sum(list_transform(range(1, len(asg) + 1),
+                      i -> CASE WHEN asg[i] = c THEN qs[i][d] ELSE 0 END))
+                    // len(list_filter(asg, a -> a = c)))
+                  END) AS cents
+              FROM (SELECT step, cents, qs, $kmAsgSql AS asg FROM it, vl)
+              WHERE step < 3),
+            fin AS (SELECT cents FROM it ORDER BY step DESC LIMIT 1),
+            res AS (SELECT cents, ids, $kmAsgSql AS asg FROM fin, vl)
+            SELECT CAST(c AS BIGINT) AS cid,
+              CAST(len(list_filter(asg, a -> a = c)) AS BIGINT) AS n_members,
+              CAST(coalesce(list_sum(list_transform(range(1, len(asg) + 1),
+                i -> CASE WHEN asg[i] = c THEN ids[i] ELSE 0 END)), 0) AS BIGINT)
+                AS sum_ids,
+              CAST(list_sum(cents[c]) AS BIGINT) AS c_sum,
+              CAST(list_sum(list_transform(cents[c], x -> x * x)) AS BIGINT)
+                AS c_l2sq
+            FROM res CROSS JOIN (SELECT unnest(range(1, 9)) AS c)
+            ORDER BY cid"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val cents = kmArithCents(spark, dir)
+      val roll = kmQuantized(spark, dir)
+        .withColumn("cid", kmCidCol(cents))
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_members"), sum($"vec_id").as("sum_ids"))
+      // all 8 cells emit a row even when empty (the oracle's range(1,9)
+      // cross join): centroid constants LEFT-join the rollup
+      val centsDf = broadcast(cents.zipWithIndex.map { case (c, i) =>
+        ((i + 1).toLong, c.sum, c.map(x => x * x).sum)
+      }.toSeq.toDF("cid", "c_sum", "c_l2sq"))
+      centsDf.join(roll, Seq("cid"), "left")
+        .select($"cid", coalesce($"n_members", lit(0L)).as("n_members"),
+          coalesce($"sum_ids", lit(0L)).as("sum_ids"), $"c_sum", $"c_l2sq")
+        .orderBy($"cid")
+    })
+
+  // ---- x_pq_oracle: product-quantization training, pure BIGINT ----
+
+  /** (dist², code) for subspace m (0-based) of the quantized vector
+    * against one sub-codebook — L2² via the exact identity
+    * ‖w‖² + ‖c‖² − 2⟨w,c⟩ over integer-valued doubles (every term an
+    * exact integer < 2^53, so the double arithmetic IS integer
+    * arithmetic and equals the oracle's direct Σ(w−c)² bit-for-bit;
+    * this twin has NO floating-point step at all — no sqrt, no
+    * division). array_min on (dist, code) structs = lowest distance,
+    * ties to the lowest code (the oracle's first-position
+    * list_min). */
+  private def pqScore(m: Int, cb: Array[Array[Long]]): Column = {
+    val wm = s"slice(qd, ${m * 16 + 1}, 16)"
+    val nW = expr(s"vec_dot($wm, $wm)")
+    val scored = cb.zipWithIndex.map { case (c, ci) =>
+      val lits = c.map(v => s"${v}D").mkString("array(", ", ", ")")
+      val nC = c.map(x => x.toDouble * x.toDouble).sum
+      val dist = nW + lit(nC) - lit(2.0) * expr(s"vec_dot($wm, $lits)")
+      struct(dist.as("dist"), lit((ci + 1).toLong).as("code"))
+    }
+    array_min(array(scored: _*))
+  }
+
+  /** Trained integer sub-codebooks [m][code][d], once per (JVM,
+    * generation): init = the 4 lowest vec_ids' subvectors per
+    * subspace, 2 Lloyd steps; per step ONE stacked (m, code, d)
+    * aggregate — 4·4·16 = 256 sum rows + member counts riding the
+    * same groups — is the only driver traffic. Means by truncating
+    * division (Scala `/` ≡ DuckDB `//`); empty codes keep their
+    * centroid. */
+  private def pqArithCodebooks(spark: SparkSession, dir: String)
+      : Array[Array[Array[Long]]] =
+    QueryModule.cachedLocal(s"pqarith:$dir", tableStamp(dir, "embeddings")) {
+      import spark.implicits._
+      val base = kmQuantized(spark, dir)
+      val init = base.orderBy($"vec_id").limit(4)
+        .select($"qd").collect()
+        .map(_.getSeq[Double](0).map(_.toLong).toArray)
+      var cbs: Array[Array[Array[Long]]] = Array.tabulate(4)(m =>
+        Array.tabulate(4)(c => init(c).slice(m * 16, m * 16 + 16)))
+      for (_ <- 1 to 2) {
+        val withCodes = base.select($"vec_id" +: $"qd" +:
+          (0 until 4).map(m => pqScore(m, cbs(m)).getField("code").as(s"code$m")): _*)
+        val stacked = withCodes.select(expr(
+          "stack(4, " + (0 until 4).map(m =>
+            s"CAST(${m + 1} AS BIGINT), code$m, slice(qd, ${m * 16 + 1}, 16)")
+            .mkString(", ") + ") AS (m, code, sub)"))
+        val rows = stacked
+          .select($"m", $"code", posexplode($"sub").as(Seq("d", "x")))
+          .groupBy($"m", $"code", $"d")
+          .agg(sum($"x").as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1), r.getInt(2)),
+            (r.getDouble(3).toLong, r.getLong(4)))).toMap
+        cbs = Array.tabulate(4) { m =>
+          Array.tabulate(4) { c =>
+            rows.get((m + 1L, c + 1L, 0)) match {
+              case None => cbs(m)(c) // empty code keeps its centroid
+              case Some((_, n)) =>
+                Array.tabulate(16)(d => rows((m + 1L, c + 1L, d))._1 / n)
+            }
+          }
+        }
+      }
+      cbs
+    }
+
+  private val pqL2 =
+    """list_sum(list_transform(range(1, 17), d ->
+       (w[(m - 1) * 16 + d] - cv[d]) * (w[(m - 1) * 16 + d] - cv[d])))"""
+
+  /** Oracle-side per-subspace assignment (asg[m][i], 1-based codes) —
+    * the SQL twin of [[pqScore]]. */
+  private val pqAsgSql =
+    s"""list_transform(range(1, 5), m -> list_transform(qs, w ->
+         CAST(list_position(
+           list_transform(cbs[m], cv -> $pqL2),
+           list_min(list_transform(cbs[m], cv -> $pqL2))) AS BIGINT)))"""
+
+  /** ORACLE-BACKED product quantization — the compression family's
+    * trust anchor (x_kmeans_oracle's sibling; production = x_ann_pq /
+    * x_ann_ivfpq over operators/ProductQuantizer, which stays the
+    * serving path): 4 subspaces × 4 codes trained with 2 Lloyd steps
+    * over the integer-quantized vectors, assignment by EXACT integer
+    * L2² (no sqrt, no division, no float anywhere — the cleanest
+    * arithmetic replay in the repo), means by truncating division,
+    * empty codes keep their centroid, ties to the lowest code. The
+    * recursive-CTE list-state row carries ALL FOUR sub-codebooks at
+    * once (nested [m][code][d] list, 4-deep lambda closures). Output
+    * per (m, code): member count, Σ member ids, the EXACT integer SSE
+    * (the quantization-error mass a PQ deployment monitors), and the
+    * trained sub-centroid's Σ components + squared norm — init, every
+    * assignment, the mean arithmetic, the final codebooks AND the
+    * error accounting all pinned bit-for-bit.
+    *
+    * Scale shape (Spark): training once per (JVM, generation) — per
+    * step one narrow 16-dot codegen pass + ONE stacked
+    * (m, code, dim) aggregate (256 bounded rows to the driver); the
+    * declared query is one assignment pass + a 16-row rollup + a
+    * broadcast join of the codebook constants. */
+  private val pqOracle = Q(
+    "x_pq_oracle",
+    Some(s"""WITH RECURSIVE
+            qv AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                     x -> CAST(floor(x * 100.0) AS BIGINT)) AS q FROM embeddings),
+            vl AS (SELECT list(vec_id ORDER BY vec_id) AS ids,
+                          list(q ORDER BY vec_id) AS qs FROM qv),
+            ini AS (SELECT list(q ORDER BY vec_id) AS iv
+                    FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 4)),
+            ic AS (SELECT list_transform(range(1, 5), m ->
+                     list_transform(range(1, 5), c ->
+                       list_transform(range(1, 17), d -> iv[c][(m - 1) * 16 + d])))
+                     AS cbs
+                   FROM ini),
+            it AS (
+              SELECT 0 AS step, cbs FROM ic
+              UNION ALL
+              SELECT step + 1,
+                list_transform(range(1, 5), m -> list_transform(range(1, 5), c -> CASE
+                  WHEN len(list_filter(asg[m], a -> a = c)) = 0 THEN cbs[m][c]
+                  ELSE list_transform(range(1, 17), d ->
+                    list_sum(list_transform(range(1, len(qs) + 1),
+                      i -> CASE WHEN asg[m][i] = c
+                           THEN qs[i][(m - 1) * 16 + d] ELSE 0 END))
+                    // len(list_filter(asg[m], a -> a = c)))
+                  END)) AS cbs
+              FROM (SELECT step, cbs, qs, $pqAsgSql AS asg FROM it, vl)
+              WHERE step < 2),
+            fin AS (SELECT cbs FROM it ORDER BY step DESC LIMIT 1),
+            res AS (SELECT cbs, ids, qs, $pqAsgSql AS asg FROM fin, vl)
+            SELECT CAST(m AS BIGINT) AS m, CAST(c AS BIGINT) AS code,
+              CAST(len(list_filter(asg[m], a -> a = c)) AS BIGINT) AS n_members,
+              CAST(coalesce(list_sum(list_transform(range(1, len(qs) + 1),
+                i -> CASE WHEN asg[m][i] = c THEN ids[i] ELSE 0 END)), 0) AS BIGINT)
+                AS sum_ids,
+              CAST(coalesce(list_sum(list_transform(range(1, len(qs) + 1),
+                i -> CASE WHEN asg[m][i] = c THEN
+                  list_sum(list_transform(range(1, 17),
+                    d -> (qs[i][(m - 1) * 16 + d] - cbs[m][c][d])
+                       * (qs[i][(m - 1) * 16 + d] - cbs[m][c][d])))
+                  ELSE 0 END)), 0) AS BIGINT) AS sse,
+              CAST(list_sum(cbs[m][c]) AS BIGINT) AS c_sum,
+              CAST(list_sum(list_transform(cbs[m][c], x -> x * x)) AS BIGINT)
+                AS c_l2sq
+            FROM res
+            CROSS JOIN (SELECT unnest(range(1, 5)) AS m)
+            CROSS JOIN (SELECT unnest(range(1, 5)) AS c)
+            ORDER BY m, code"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val cbs = pqArithCodebooks(spark, dir)
+      val withScores = kmQuantized(spark, dir).select($"vec_id" +:
+        (0 until 4).map(m => pqScore(m, cbs(m)).as(s"sc$m")): _*)
+      val stacked = withScores.select($"vec_id", expr(
+        "stack(4, " + (0 until 4).map(m =>
+          s"CAST(${m + 1} AS BIGINT), sc$m.code, sc$m.dist").mkString(", ") +
+          ") AS (m, code, dist)"))
+      val roll = stacked.groupBy($"m", $"code")
+        .agg(count(lit(1)).as("n_members"), sum($"vec_id").as("sum_ids"),
+          sum($"dist").cast("long").as("sse"))
+      // all 16 (m, code) cells emit a row even when empty
+      val cbDf = broadcast((for (m <- 0 until 4; c <- 0 until 4) yield
+        ((m + 1).toLong, (c + 1).toLong, cbs(m)(c).sum,
+          cbs(m)(c).map(x => x * x).sum))
+        .toDF("m", "code", "c_sum", "c_l2sq"))
+      cbDf.join(roll, Seq("m", "code"), "left")
+        .select($"m", $"code", coalesce($"n_members", lit(0L)).as("n_members"),
+          coalesce($"sum_ids", lit(0L)).as("sum_ids"),
+          coalesce($"sse", lit(0L)).as("sse"), $"c_sum", $"c_l2sq")
+        .orderBy($"m", $"code")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
       embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall,
-      annIncremental, annIncrementalExact, lshAnnOracle)
+      annIncremental, annIncrementalExact, lshAnnOracle, kmeansOracle,
+      pqOracle)
 }
