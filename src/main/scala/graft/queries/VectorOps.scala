@@ -1089,7 +1089,7 @@ object VectorOps extends QueryModule {
     * pinned to cid 1 and zero centroids scored −2 (never best) so no
     * NaN ever enters a comparison. 8 codegen vec_dot folds per row —
     * a narrow pass, the x_lsh_ann_oracle bucket shape. */
-  private def kmCidCol(cents: Array[Array[Long]]): Column = {
+  private[graft] def kmeansCidCol(cents: Array[Array[Long]]): Column = {
     val nW = expr("vec_dot(qd, qd)")
     val scored = cents.zipWithIndex.map { case (c, i) =>
       val nC = c.map(x => x.toDouble * x.toDouble).sum
@@ -1115,7 +1115,7 @@ object VectorOps extends QueryModule {
     * trunc-not-floor on negatives, so the signed-division trap is
     * closed by using the SAME semantics, not by avoiding signs);
     * empty cells keep their centroid (the production rule). */
-  private def kmArithCents(spark: SparkSession, dir: String): Array[Array[Long]] =
+  private[graft] def kmeansArithCents(spark: SparkSession, dir: String): Array[Array[Long]] =
     QueryModule.cachedLocal(s"kmarith:$dir", tableStamp(dir, "embeddings")) {
       import spark.implicits._
       val base = kmQuantized(spark, dir)
@@ -1123,7 +1123,7 @@ object VectorOps extends QueryModule {
         .select($"qd").collect()
         .map(_.getSeq[Double](0).map(_.toLong).toArray)
       for (_ <- 1 to 3) {
-        val asg = base.withColumn("cid", kmCidCol(cents))
+        val asg = base.withColumn("cid", kmeansCidCol(cents))
         val sums = asg
           .select($"cid", posexplode($"qd").as(Seq("d", "x")))
           .groupBy($"cid", $"d").agg(sum($"x").as("s"))
@@ -1149,7 +1149,7 @@ object VectorOps extends QueryModule {
   private val kmNC = "list_sum(list_transform(range(1, 65), j -> cv[j] * cv[j]))"
 
   /** Oracle-side assignment of every vector in `qs` against `cents`
-    * (both in scope as list columns) — the SQL twin of [[kmCidCol]]. */
+    * (both in scope as list columns) — the SQL twin of [[kmeansCidCol]]. */
   private val kmAsgSql =
     s"""list_transform(qs, w -> CASE WHEN $kmNW = 0 THEN CAST(1 AS BIGINT) ELSE
          CAST(list_position(
@@ -1227,9 +1227,9 @@ object VectorOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       graft.functions.VecDot.register(spark)
-      val cents = kmArithCents(spark, dir)
+      val cents = kmeansArithCents(spark, dir)
       val roll = kmQuantized(spark, dir)
-        .withColumn("cid", kmCidCol(cents))
+        .withColumn("cid", kmeansCidCol(cents))
         .groupBy($"cid")
         .agg(count(lit(1)).as("n_members"), sum($"vec_id").as("sum_ids"))
       // all 8 cells emit a row even when empty (the oracle's range(1,9)
