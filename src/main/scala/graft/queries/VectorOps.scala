@@ -31,6 +31,14 @@ object VectorOps extends QueryModule {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
+  /** [[graft.operators.Mmr.cos]]'s oracle twin: same zero-norm guard,
+    * and the same VALUES as the operator's one-pass dot/na/nb loop —
+    * three independent left folds accumulate in the identical order
+    * each, so interleaving is immaterial. */
+  private def mmrCosSql(a: String, b: String): String =
+    s"""(CASE WHEN ${dotSql(a, a)} = 0 OR ${dotSql(b, b)} = 0 THEN 0.0
+         ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)"""
+
   /** Fixed-k deterministic IVF seed set: the k vectors whose arithmetic
     * id-hash ranks smallest (ties by vec_id), fetched as a TakeOrdered-k
     * — the driver receives exactly k rows and k×dim doubles NO MATTER
@@ -693,10 +701,21 @@ object VectorOps extends QueryModule {
     * per probe, greedily re-ranked to top-5 by
     * λ·sim(q,d) − (1−λ)·max cos(d, selected), λ=0.7 — the serving
     * stage that stops near-duplicate documents crowding a retrieval
-    * page. Declared rows-only (greedy selection is not practically
-    * SQL-expressible); MmrSpec pins determinism, input-order
-    * independence, rank-1 = plain top-1, and the diversity behavior
-    * on a constructed near-dup triple.
+    * page. ORACLE-BACKED since r12 (was rows-only as "greedy selection
+    * is not practically SQL-expressible" — the recursive-CTE list-state
+    * technique expresses it): per probe the state row carries the
+    * remaining candidate list and the selected list, each of 5 steps
+    * appends the argmax of λ·sim − (1−λ)·max-redundancy (first-position
+    * list_max over id-ordered candidates ≡ the operator's
+    * (score DESC, id ASC) rule). Float parity holds because every
+    * chain is shape-matched: candidate cosines are the shared strict
+    * fold; Mmr.cos's one-pass dot/na/nb loop equals three independent
+    * folds (each accumulator's addition sequence is identical); the
+    * oracle spells (1.0 − 0.7), not 0.3 — IEEE 1.0−0.7 is
+    * 0.30000000000000004 and literal 0.3 would diverge; floor() on the
+    * possibly-negative score floors in both engines. MmrSpec keeps
+    * determinism, input-order independence, rank-1 = top-1, and the
+    * constructed diversity triple.
     *
     * Scale shape: candidate generation is the bounded TopK aggregate
     * (at 100 TB: any ANN operator with the same output contract); the
@@ -704,7 +723,44 @@ object VectorOps extends QueryModule {
     * group fold is over an already-bounded set, not the corpus. */
   private val mmrRerank = Q(
     "x_mmr_rerank",
-    None,
+    Some(s"""WITH RECURSIVE
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 5),
+            s AS (SELECT p_id, vec_id, ${cosSql("pv", "v")} AS sim, v
+                  FROM p CROSS JOIN e WHERE vec_id <> p_id),
+            top AS (SELECT p_id, vec_id, sim, v FROM (
+                      SELECT p_id, vec_id, sim, v, row_number() OVER (
+                        PARTITION BY p_id ORDER BY sim DESC, vec_id) AS rn FROM s)
+                    WHERE rn <= 20),
+            cl AS (SELECT p_id, list(struct_pack(id := vec_id, sim := sim, v := v)
+                                     ORDER BY vec_id) AS cands
+                   FROM top GROUP BY p_id),
+            it AS (
+              SELECT p_id, cands,
+                CAST([] AS STRUCT(rk BIGINT, id BIGINT, score DOUBLE,
+                                  v DOUBLE[])[]) AS sel,
+                0 AS step
+              FROM cl
+              UNION ALL
+              SELECT p_id,
+                list_filter(cands, c -> c.id <> cands[bi].id) AS cands,
+                list_append(sel, struct_pack(rk := CAST(len(sel) + 1 AS BIGINT),
+                  id := cands[bi].id, score := scores[bi], v := cands[bi].v)) AS sel,
+                step + 1
+              FROM (SELECT p_id, cands, sel, step, scores,
+                      list_position(scores, list_max(scores)) AS bi
+                    FROM (SELECT p_id, cands, sel, step,
+                            list_transform(cands, c -> 0.7 * c.sim -
+                              (1.0 - 0.7) * (CASE WHEN len(sel) = 0 THEN 0.0
+                                ELSE list_max(list_transform(sel,
+                                  s -> ${mmrCosSql("c.v", "s.v")})) END)) AS scores
+                          FROM it))
+              WHERE step < 5 AND len(cands) > 0),
+            fin AS (SELECT p_id, sel FROM it WHERE step = 5)
+            SELECT p_id, s.rk AS rk, s.id AS vec_id,
+              CAST(floor(s.score * 10000.0) AS BIGINT) AS mmr_bp
+            FROM (SELECT p_id, unnest(sel) AS s FROM fin)
+            ORDER BY p_id, rk"""),
     (spark, dir) => {
       import spark.implicits._
       val e = emb(spark, dir)
