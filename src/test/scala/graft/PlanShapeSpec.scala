@@ -489,4 +489,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).length >= 3,
       s"missing the order-key pre-aggregation:\n$p")
   }
+
+  test("arithmetic oracle twins stay FUSED: no ×32/×64 permutation explode-join") {
+    // the r12 fuse (minhashArith: 32 minima + set size in ONE aggregate;
+    // simhash: 64 vote sums in ONE aggregate) must not regress to the
+    // crossJoin-a-range + regroup spelling, which shuffles the corpus
+    // ×32/×64 twice per twin. The oracle SQL keeps the explode spelling;
+    // only the Spark plan is pinned here. A range crossJoin surfaces as
+    // a BroadcastNestedLoopJoin over a Range scan.
+    for (q <- Seq("x_minhash_oracle", "x_simhash_oracle",
+        "x_minhash_error_oracle", "x_minhash_oracle_incremental")) {
+      val p = plan(q)
+      assert(!(p.contains("BroadcastNestedLoopJoin") && p.contains("Range (0,")),
+        s"$q re-grew the permutation crossJoin explode:\n$p")
+    }
+  }
+
+  test("x_kmeans_oracle / x_pq_oracle: assignment is a narrow codegen pass — " +
+      "no join, no window; one aggregate exchange feeds the rollup") {
+    for (q <- Seq("x_kmeans_oracle", "x_pq_oracle")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+        s"$q: corpus-side join/window appeared in the assignment pass:\n$p")
+      // the centroid constants ride the plan as literals; the only join
+      // is the broadcast of the ≤16-row constants table onto the rollup
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: constants table lost its broadcast:\n$p")
+    }
+  }
 }
