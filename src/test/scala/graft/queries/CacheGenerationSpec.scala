@@ -1,0 +1,42 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The testdata-regeneration drill, automated (it was a manual
+  * round-start exercise through round 11): per-(JVM, generation)
+  * caches key on `tableStamp` = path@maxMtime:totalLength, so a
+  * REGENERATED table (the driver rewrites testdata between rounds)
+  * must rebuild the cached model while an untouched one must serve
+  * warm. Runs against a private COPY of the sf0.001 table — the real
+  * testdata is read-only and never touched. */
+class CacheGenerationSpec extends AnyFunSuite with SparkTestBase {
+
+  test("regeneration drill: warm generation served from cache, new generation rebuilds") {
+    val dir = tmpDir("regen")
+    val dst = Paths.get(dir, "embeddings.parquet")
+    Files.copy(Paths.get("/root/testdata/sf0.001/embeddings.parquet"), dst,
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val c1 = VectorOps.kmeansArithCents(spark, dir)
+    val warm = QueryModule.localCacheBuilds.get()
+    val c2 = VectorOps.kmeansArithCents(spark, dir)
+    assert(QueryModule.localCacheBuilds.get() == warm,
+      "unchanged generation was rebuilt — stamp keying broken")
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+
+    // regeneration: same bytes, NEW generation — fingerprint is
+    // maxMtime:totalLength, so an mtime bump models the driver's
+    // rewrite (content equality keeps the retrain comparable)
+    assert(dst.toFile.setLastModified(dst.toFile.lastModified + 5000),
+      "test could not bump mtime")
+    val c3 = VectorOps.kmeansArithCents(spark, dir)
+    assert(QueryModule.localCacheBuilds.get() == warm + 1,
+      "regenerated table served a STALE cached model")
+    // deterministic retrain on identical content: same centroids
+    assert(c1.zip(c3).forall { case (a, b) => a.sameElements(b) })
+  }
+}
