@@ -1052,6 +1052,43 @@ object VectorOps extends QueryModule {
         .orderBy($"new_id", $"rk")
     })
 
+  /** Sign-pattern bucket over 8 affine-family hyperplanes — 8 codegen
+    * vec_dot folds against literal plane arrays. Double.toString
+    * round-trips exactly through the SQL parser, and the oracle
+    * derives the SAME doubles from the integer h, so both engines
+    * fold identical plane components (shared by the two LSH oracle
+    * twins). */
+  private def affinePlaneBucket: Column = {
+    val P = 2147483647L
+    def plane(j: Int): Array[Double] = Array.tabulate(64) { d =>
+      val h = ((1664525L * j + 1013904223L) % P * ((d + 1L) % P)
+        + (22695477L * j + 12345L) % P) % P
+      h.toDouble / 2147483647.0 * 2.0 - 1.0
+    }
+    (0 until 8).map { j =>
+      val lits = plane(j).mkString("array(", "D, ", "D)")
+      when(expr(s"vec_dot(v, $lits)") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** The shared bucket CTEs of the LSH oracle twins (planes from the
+    * affine family, sign-pattern bucket packing, bucketed vectors). */
+  private val lshBucketCtes =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             pc AS (SELECT j, d,
+                     CAST(((1664525 * j + 1013904223) % 2147483647
+                            * ((d + 1) % 2147483647)
+                          + (22695477 * j + 12345) % 2147483647) % 2147483647
+                       AS DOUBLE) / 2147483647.0 * 2.0 - 1.0 AS c
+                   FROM (SELECT CAST(a.k AS BIGINT) AS j, CAST(b.k AS BIGINT) AS d
+                         FROM range(0, 8) a(k) CROSS JOIN range(0, 64) b(k))),
+             pl AS (SELECT j, list(c ORDER BY d) AS pv FROM pc GROUP BY j),
+             bk AS (SELECT vec_id,
+                      CAST(sum(CASE WHEN ${dotSql("v", "pv")} > 0
+                        THEN 1 << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS bucket
+                    FROM e CROSS JOIN pl GROUP BY vec_id),
+             eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id))"""
+
   /** ORACLE-BACKED hyperplane LSH — the THIRD probabilistic-family
     * trust anchor (after x_minhash_oracle / x_simhash_oracle; this one
     * over VECTORS): bucket = sign pattern of dot products with 8 fixed
@@ -1071,20 +1108,7 @@ object VectorOps extends QueryModule {
     * candidates ≈ N²/2^bits, the LSH contract. */
   private val lshAnnOracle = Q(
     "x_lsh_ann_oracle",
-    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             pc AS (SELECT j, d,
-                     CAST(((1664525 * j + 1013904223) % 2147483647
-                            * ((d + 1) % 2147483647)
-                          + (22695477 * j + 12345) % 2147483647) % 2147483647
-                       AS DOUBLE) / 2147483647.0 * 2.0 - 1.0 AS c
-                   FROM (SELECT CAST(a.k AS BIGINT) AS j, CAST(b.k AS BIGINT) AS d
-                         FROM range(0, 8) a(k) CROSS JOIN range(0, 64) b(k))),
-             pl AS (SELECT j, list(c ORDER BY d) AS pv FROM pc GROUP BY j),
-             bk AS (SELECT vec_id,
-                      CAST(sum(CASE WHEN ${dotSql("v", "pv")} > 0
-                        THEN 1 << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS bucket
-                    FROM e CROSS JOIN pl GROUP BY vec_id),
-             eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id))
+    Some(s"""WITH $lshBucketCtes
              SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
                CAST(floor((${cosSql("a.v", "b.v")}) * 10000.0) AS BIGINT) AS cos_bp
              FROM eb a JOIN eb b
@@ -1092,22 +1116,8 @@ object VectorOps extends QueryModule {
              ORDER BY a_id, b_id"""),
     (spark, dir) => {
       import spark.implicits._
-      val P = 2147483647L
-      def plane(j: Int): Array[Double] = Array.tabulate(64) { d =>
-        val h = ((1664525L * j + 1013904223L) % P * ((d + 1L) % P)
-          + (22695477L * j + 12345L) % P) % P
-        h.toDouble / 2147483647.0 * 2.0 - 1.0
-      }
       val e = emb(spark, dir)
-      // sign-pattern bucket: 8 codegen vec_dot folds against literal
-      // plane arrays — Double.toString round-trips exactly through the
-      // SQL parser, and the oracle derives the SAME doubles from the
-      // integer h, so both engines fold identical plane components
-      val bucketCol = (0 until 8).map { j =>
-        val lits = plane(j).mkString("array(", "D, ", "D)")
-        when(expr(s"vec_dot(v, $lits)") > 0, lit(1L << j)).otherwise(0L)
-      }.reduce(_ + _)
-      val bk = e.withColumn("bucket", bucketCol)
+      val bk = e.withColumn("bucket", affinePlaneBucket)
       val a = bk.select($"vec_id".as("a_id"), $"v".as("av"),
         $"nrm".as("a_nrm"), $"bucket")
       val b = bk.select($"vec_id".as("b_id"), $"v".as("bv"),
@@ -1117,6 +1127,52 @@ object VectorOps extends QueryModule {
           floor(dotCol("av", "bv") / ($"a_nrm" * $"b_nrm") * 10000.0)
             .cast("long").as("cos_bp"))
         .orderBy($"a_id", $"b_id")
+    })
+
+  /** ORACLE-BACKED multi-probe LSH serving — extends x_lsh_ann_oracle's
+    * anchor from bucket-collision GEOMETRY to the multi-probe RECALL
+    * LEVER (the production x_ann_lsh serves hamming=1: a probe scans
+    * its own bucket plus every bucket one sign-flip away, recovering
+    * neighbours that fell on the wrong side of one hyperplane —
+    * previously pinned only by VectorOpsSpec invariants). Same affine
+    * plane family and bucket packing as the pair twin; candidates =
+    * vectors whose bucket differs from the probe's in ≤ 1 of 8 bits
+    * (bit_count(xor) ≤ 1 — integer-exact in both engines), ranked by
+    * exact cosine into the house (p_id, rk, vec_id, sim_bp) serving
+    * contract (sim DESC, vec_id ASC ties).
+    *
+    * Scale shape: one narrow bucket pass; the probe side is 5
+    * broadcast rows, so the hamming-≤1 candidate filter is one cheap
+    * predicate per (probe, vector) — at production bit-widths the
+    * serving path pre-enumerates the b+1 probe buckets and equi-joins
+    * the bucket index instead (HyperplaneLSH does exactly that); the
+    * bounded TopK aggregate keeps ≤ k rows per probe map-side. */
+  private val lshMultiprobeOracle = Q(
+    "x_lsh_multiprobe_oracle",
+    Some(s"""WITH $lshBucketCtes,
+             p AS (SELECT vec_id AS p_id, v AS pv, bucket AS pb
+                   FROM eb WHERE vec_id < 5),
+             cand AS (SELECT p.p_id, eb.vec_id,
+                        ${cosSql("p.pv", "eb.v")} AS sim
+                      FROM p JOIN eb
+                        ON bit_count(xor(p.pb, eb.bucket)) <= 1
+                       AND eb.vec_id <> p.p_id)
+             SELECT p_id, rk, vec_id, CAST(floor(sim * 10000.0) AS BIGINT) AS sim_bp
+             FROM (SELECT p_id, vec_id, sim, CAST(row_number() OVER (
+                     PARTITION BY p_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+                   FROM cand)
+             WHERE rk <= 5 ORDER BY p_id, rk"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val bk = emb(spark, dir).withColumn("bucket", affinePlaneBucket)
+      val p = broadcast(bk.where($"vec_id" < 5)
+        .select($"vec_id".as("p_id"), $"v".as("pv"), $"nrm".as("p_nrm"),
+          $"bucket".as("pb")))
+      graft.functions.TopK.rankBySim(
+        p.join(bk, expr("bit_count(pb ^ bucket) <= 1") && $"vec_id" =!= $"p_id")
+          .withColumn("sim", dotCol("pv", "v") / ($"p_nrm" * $"nrm"))
+          .select($"p_id", $"vec_id", $"sim"),
+        "sim", 5)
     })
 
   // ---- x_kmeans_oracle: Lloyd's iteration as a hash-matched algebra ----
@@ -1476,6 +1532,6 @@ object VectorOps extends QueryModule {
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
       embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall,
-      annIncremental, annIncrementalExact, lshAnnOracle, kmeansOracle,
-      pqOracle)
+      annIncremental, annIncrementalExact, lshAnnOracle, lshMultiprobeOracle,
+      kmeansOracle, pqOracle)
 }
