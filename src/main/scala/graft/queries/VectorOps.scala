@@ -1385,7 +1385,7 @@ object VectorOps extends QueryModule {
     * same groups — is the only driver traffic. Means by truncating
     * division (Scala `/` ≡ DuckDB `//`); empty codes keep their
     * centroid. */
-  private def pqArithCodebooks(spark: SparkSession, dir: String)
+  private[graft] def pqArithCodebooks(spark: SparkSession, dir: String)
       : Array[Array[Array[Long]]] =
     QueryModule.cachedLocal(s"pqarith:$dir", tableStamp(dir, "embeddings")) {
       import spark.implicits._

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Cross-implementation equality for the TRAINING oracle twins
+  * (x_kmeans_oracle / x_pq_oracle) on CONSTRUCTED vector sets — the
+  * gate's DuckDB hash-match pins the algebra on the real corpus, but
+  * the real corpus never exercises the edge branches: zero vectors
+  * (→ cid 1 by rule), zero/unchanged centroids, EMPTY CELLS (must
+  * keep their centroid), and exact score ties (→ lowest cid/code).
+  * Here an INDEPENDENT driver-local reference implementation of the
+  * declared algebra (same quantization, same truncating division,
+  * same tie rules — written against the spec, not the code) must
+  * equal the distributed training on planted-edge-case and seeded
+  * random tables. */
+class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Write a one-file embeddings table; values are (k + 0.5)/100 per
+    * dimension so floor(x·100) recovers k exactly and never sits on a
+    * float boundary (0.01f·100 floors to 0, not 1 — the landmine this
+    * encoding avoids). Zero vectors encode as all-zero floats. */
+  private def writeEmb(rows: Seq[(Long, Array[Int])]): String = {
+    import spark.implicits._
+    val dir = tmpDir("algebra")
+    rows.map { case (id, q) =>
+      (id, q.map(k => if (k == 0) 0f else ((k + 0.5) / 100.0).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  // ---- independent reference of the declared algebra ----
+
+  private def dot(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  /** Truncating division — the declared rule (Scala `/` ≡ DuckDB `//`). */
+  private def refKmeans(qs: Seq[(Long, Array[Long])], k: Int, iters: Int)
+      : Array[Array[Long]] = {
+    var cents: Array[Array[Long]] =
+      qs.sortBy(_._1).take(k).map(_._2.clone).toArray
+    def assign(w: Array[Long]): Int = {
+      val nw = dot(w, w)
+      if (nw == 0) 1
+      else {
+        var best = 1; var bs = -2.0
+        for (c <- cents.indices) {
+          val nc = dot(cents(c), cents(c))
+          val s =
+            if (nc == 0) -2.0
+            else dot(w, cents(c)) / (math.sqrt(nw) * math.sqrt(nc))
+          if (s > bs) { bs = s; best = c + 1 } // strict > keeps lowest cid on ties
+        }
+        best
+      }
+    }
+    for (_ <- 1 to iters) {
+      val asg = qs.map { case (_, w) => assign(w) }
+      cents = Array.tabulate(k) { i =>
+        val members = qs.zip(asg).collect { case ((_, w), a) if a == i + 1 => w }
+        if (members.isEmpty) cents(i)
+        else Array.tabulate(w64(qs))(d => members.map(_(d)).sum / members.length)
+      }
+    }
+    cents
+  }
+
+  private def w64(qs: Seq[(Long, Array[Long])]): Int = qs.head._2.length
+
+  private def refPq(qs: Seq[(Long, Array[Long])]): Array[Array[Array[Long]]] = {
+    val init = qs.sortBy(_._1).take(4).map(_._2).toArray
+    var cbs: Array[Array[Array[Long]]] = Array.tabulate(4)(m =>
+      Array.tabulate(4)(c => init(c).slice(m * 16, m * 16 + 16)))
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (_ <- 1 to 2) {
+      cbs = Array.tabulate(4) { m =>
+        val subs = qs.map { case (_, q) => q.slice(m * 16, m * 16 + 16) }
+        val asg = subs.map { w =>
+          var best = 1; var bd = Long.MaxValue
+          for (c <- 0 until 4) {
+            val d = l2(w, cbs(m)(c))
+            if (d < bd) { bd = d; best = c + 1 } // strict < keeps lowest code
+          }
+          best
+        }
+        Array.tabulate(4) { c =>
+          val members = subs.zip(asg).collect { case (w, a) if a == c + 1 => w }
+          if (members.isEmpty) cbs(m)(c)
+          else Array.tabulate(16)(d => members.map(_(d)).sum / members.length)
+        }
+      }
+    }
+    cbs
+  }
+
+  private def sameMatrix(a: Array[Array[Long]], b: Array[Array[Long]]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) }
+
+  test("edge branches: zero vector → cid 1; empty cell keeps its centroid; " +
+      "duplicate vectors tie to the lowest cid") {
+    // 12 vectors in TWO tight clusters + one zero vector PLANTED AT
+    // id 3 so it becomes an INIT CENTROID (cid 4): with k = 8 the
+    // zero-centroid branch (score −2.0, never best), the zero-VECTOR
+    // rule (→ cid 1), empty cells (≥ 5 per iteration, must hold their
+    // init centroids) and exact duplicate-score ties (→ lowest cid)
+    // are all exercised — none of them occur on the real corpus.
+    val a = Array.fill(64)(40)
+    val b = Array.fill(64)(-30)
+    val rows: Seq[(Long, Array[Int])] =
+      Seq(0L -> a.clone, 1L -> a.clone, 2L -> a.clone,
+        3L -> Array.fill(64)(0), 4L -> b.clone, 5L -> b.clone,
+        6L -> b.clone, 7L -> b.clone, 8L -> a.clone, 9L -> b.clone,
+        10L -> b.clone, 11L -> a.clone)
+    val dir = writeEmb(rows)
+    val qs = rows.map { case (id, q) => id -> q.map(_.toLong) }
+
+    val got = VectorOps.kmeansArithCents(spark, dir)
+    val want = refKmeans(qs, k = 8, iters = 3)
+    assert(sameMatrix(got, want),
+      s"edge-case centroids diverged:\n got=${got.map(_.take(2).mkString(",")).mkString(" | ")}" +
+        s"\nwant=${want.map(_.take(2).mkString(",")).mkString(" | ")}")
+
+    // the declared query itself on the same dir: all 12 vectors
+    // assigned, all 8 cells emit a row, empty cells report n = 0
+    val out = graft.SparkEntry.queries("x_kmeans_oracle")(spark, dir).collect()
+    assert(out.length == 8)
+    assert(out.map(_.getLong(1)).sum == 12L, "not every vector assigned")
+
+    val gotPq = VectorOps.pqArithCodebooks(spark, dir)
+    val wantPq = refPq(qs)
+    assert(gotPq.zip(wantPq).forall { case (x, y) => sameMatrix(x, y) },
+      "edge-case PQ codebooks diverged")
+  }
+
+  test("seeded random tables: distributed training equals the reference algebra") {
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 15 + rnd.nextInt(25)
+      val rows: Seq[(Long, Array[Int])] = (0L until n).map { i =>
+        i -> Array.fill(64)(rnd.nextInt(161) - 80) // signed, exercises negatives
+      }
+      val dir = writeEmb(rows)
+      val qs = rows.map { case (id, q) => id -> q.map(_.toLong) }
+      assert(sameMatrix(VectorOps.kmeansArithCents(spark, dir),
+        refKmeans(qs, k = 8, iters = 3)), s"kmeans diverged at seed $seed")
+      val gotPq = VectorOps.pqArithCodebooks(spark, dir)
+      val wantPq = refPq(qs)
+      assert(gotPq.zip(wantPq).forall { case (x, y) => sameMatrix(x, y) },
+        s"pq diverged at seed $seed")
+    }
+  }
+}
