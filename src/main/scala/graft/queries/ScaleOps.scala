@@ -239,14 +239,22 @@ object ScaleOps extends QueryModule {
           lit(" >= 2^21; V^3 would overflow int64 — switch the shingle"
             + " construction to the mod-first affine discipline")))
           .cast("long")).as("vv"))
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val sh = tp
-      .withColumn("t2", lead($"tid", 1).over(w))
-      .withColumn("t3", lead($"tid", 2).over(w))
-      .where($"t3".isNotNull)
+    // shingles via per-doc ARRAY re-assembly instead of a lead() window:
+    // sort_array(collect_list) is an object hash aggregate (per-doc
+    // array sort) where the window plans a full (doc_id, pos) SORT of
+    // the token stream — same single exchange, no partition-wide sort,
+    // and the 3-gram construction becomes one narrow transform over
+    // each doc's tid array. Values identical (same tids in pos order;
+    // arithTokenIds already filters docs to ≥ 3 tokens so the
+    // sequence bound is nonnegative).
+    val docs = tp.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"pos", $"tid"))).as("pt"))
+    val sh = docs
       .crossJoin(broadcast(vsG))
-      .select($"doc_id",
-        (($"tid" * $"vv" + $"t2") * $"vv" + $"t3" + 1).as("x"))
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(pt) - 3),
+             i -> (pt[i].tid * vv + pt[i + 1].tid) * vv + pt[i + 2].tid + 1)"""))
+        .as("x"))
     // distinct IS the materialization barrier (its exchange is reused
     // by all four consumers) — an extra barrier() here would add a
     // second full-corpus round-robin exchange for nothing
@@ -381,20 +389,20 @@ object ScaleOps extends QueryModule {
                       JOIN sset sa ON sa.doc_id = c.a_id
                       JOIN sset sb ON sb.doc_id = c.b_id AND sb.x = sa.x
                       GROUP BY 1, 2),
-            ex AS (SELECT c.a_id, c.b_id,
-                     CAST(coalesce(i.i, 0) * 10000
-                       // (za.n + zb.n - coalesce(i.i, 0)) AS BIGINT) AS exact_bp
-                   FROM cand c
-                   LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
-                   JOIN sz za ON za.doc_id = c.a_id
-                   JOIN sz zb ON zb.doc_id = c.b_id)
+            paired AS (SELECT e.est_bp,
+                       CAST(coalesce(i.i, 0) * 10000
+                         // (za.n + zb.n - coalesce(i.i, 0)) AS BIGINT) AS exact_bp
+                     FROM est e
+                     LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+                     JOIN sz za ON za.doc_id = e.a_id
+                     JOIN sz zb ON zb.doc_id = e.b_id)
             SELECT CAST(least(est_bp // 1000, 9) AS BIGINT) AS est_decile,
               CAST(count(*) AS BIGINT) AS n_pairs,
               CAST(sum(est_bp) // count(*) AS BIGINT) AS mean_est_bp,
               CAST(sum(exact_bp) // count(*) AS BIGINT) AS mean_exact_bp,
               CAST(sum(abs(est_bp - exact_bp)) // count(*) AS BIGINT) AS mae_bp,
               CAST(sum(est_bp - exact_bp) AS BIGINT) AS sum_err_bp
-            FROM est JOIN ex USING (a_id, b_id)
+            FROM paired
             GROUP BY 1 ORDER BY 1"""),
     (spark, dir) => {
       val (sset, sz, band, sigWide) = minhashArith(spark, dir)
@@ -421,14 +429,16 @@ object ScaleOps extends QueryModule {
         .join(sset.select($"doc_id".as("a_id"), $"x"), "a_id")
         .join(sset.select($"doc_id".as("b_id"), $"x"), Seq("b_id", "x"))
         .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("i"))
-      val ex = cand
+      // est carries exactly the cand rows (every doc has a signature),
+      // so the exact side folds onto it directly — one pair-keyed
+      // join fewer than a separate ex frame re-joined at the end
+      est
         .join(inter, Seq("a_id", "b_id"), "left")
         .na.fill(0L, Seq("i"))
         .join(sz.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
         .join(sz.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
-        .select($"a_id", $"b_id",
+        .select($"est_bp",
           expr("i * 10000 DIV (na + nb - i)").as("exact_bp"))
-      est.join(ex, Seq("a_id", "b_id"))
         .groupBy(expr("CAST(least(est_bp DIV 1000, 9) AS LONG)").as("est_decile"))
         .agg(count(lit(1)).as("n_pairs"),
           expr("sum(est_bp) DIV count(1)").as("mean_est_bp"),
