@@ -247,6 +247,13 @@ object ScaleOps extends QueryModule {
     // each doc's tid array. Values identical (same tids in pos order;
     // arithTokenIds already filters docs to ≥ 3 tokens so the
     // sequence bound is nonnegative).
+    // MEMORY BOUND (loud, like the vv < 2^21 guard): this assembles
+    // each doc's FULL token array in one aggregation buffer — fine for
+    // KB-scale docs (this corpus by construction, or any chunked
+    // pipeline), but a pathological 100 MB single document would hit
+    // executor memory here; for unbounded-document corpora use the
+    // lead()-window spelling (per-(doc_id, pos) SORT, constant row
+    // state — the pre-r12 form, measured within noise of this one).
     val docs = tp.groupBy($"doc_id")
       .agg(sort_array(collect_list(struct($"pos", $"tid"))).as("pt"))
     val sh = docs
@@ -448,6 +455,81 @@ object ScaleOps extends QueryModule {
         .orderBy($"est_decile")
     })
 
+  /** The shared CTE chain of the arithmetic SimHash oracles (tokens →
+    * vocab ids → ×64 per-occurrence bit votes → per-doc bits → 4×16-bit
+    * chunks) — the SQL twin of [[simhashArith]]; each oracle appends its
+    * own candidate/verify tail. Kept in the paper's per-occurrence
+    * explode spelling so the hash-match pins fused ≡ explode. */
+  private val simhashArithCtes =
+    """d AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
+              FROM documents),
+            pos AS (SELECT doc_id, unnest(list_transform(toks,
+                (tk, i) -> {'tok': tk, 'pos': i}), recursive := true)
+              FROM d WHERE len(toks) >= 1),
+            v AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+                  FROM (SELECT DISTINCT tok FROM pos)),
+            tp AS (SELECT doc_id, tid FROM pos JOIN v USING (tok)),
+            bits AS (SELECT doc_id, b,
+                CASE WHEN ((1664525 * b + 1013904223) % 2147483647 * (tid % 2147483647)
+                     + (22695477 * b + 12345) % 2147483647) % 2147483647 % 2 = 1
+                     THEN 1 ELSE -1 END AS vote
+              FROM tp CROSS JOIN (SELECT CAST(k AS BIGINT) AS b
+                                  FROM range(0, 64) r(k))),
+            sig AS (SELECT doc_id, b,
+                      CASE WHEN sum(vote) >= 0 THEN 1 ELSE 0 END AS bit
+                    FROM bits GROUP BY 1, 2),
+            ch AS (SELECT doc_id, b // 16 AS k,
+                     CAST(sum(bit * (1 << CAST(b % 16 AS INT))) AS BIGINT) AS chunk
+                   FROM sig GROUP BY 1, 2)"""
+
+  /** The shared arithmetic SimHash pipeline of the oracle twins: one
+    * banded row per (doc, chunk slot k ∈ 0..3) carrying the FULL 4-chunk
+    * signature (c0..c3) alongside the banded (k, chunk) key, so every
+    * consumer can Hamming-verify INLINE on the candidate occurrence —
+    * no second join, no per-pair aggregate. See x_simhash_oracle's
+    * scaladoc for the algebra and the fused-vote scale note. */
+  private def simhashArith(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val (tp0, _) = arithTokenIds(spark, dir, minToks = 1)
+    // pre-aggregate occurrences to (doc, tid, weight) BEFORE the ×64
+    // bit explode: Σ over occurrences of ±1 ≡ Σ over distinct tokens
+    // of ±count (exact integer identity, so the oracle's
+    // per-occurrence spelling still hash-matches), and the explode
+    // runs over ≤ |docs|·|vocab| rows instead of every token
+    // occurrence
+    val tp = tp0.groupBy($"doc_id", $"tid").agg(count(lit(1)).as("w"))
+    // FUSED vote pass (the same r11-verdict bench reserve as the
+    // MinHash twins): the ×64 bit explode becomes 64 conditional
+    // sums in ONE map-side-combined aggregate — Σ±w per bit over
+    // the (doc, tid, weight) rows, identical integer algebra — and
+    // the 4×16 chunk packing is then a NARROW select over the wide
+    // row (bit b contributes 2^(b mod 16) iff its vote sum ≥ 0).
+    // The oracle keeps the per-occurrence explode spelling, so the
+    // hash-match pins fused ≡ paper. Removes two corpus-×64
+    // exchanges.
+    val voteCols = (0 until 64).map(b =>
+      sum(when(affineHash(lit(b.toLong), $"tid") % 2 === 1, $"w")
+        .otherwise(-$"w")).as(s"v$b"))
+    val votes = tp.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
+    // one row per doc carrying all 4 chunks (the production
+    // SimHashDedup shape): the banded legs carry the full signature,
+    // so Hamming verifies INLINE on each candidate occurrence — no
+    // second join, no per-pair aggregate; verify-then-distinct
+    // shrinks the dedup exchange to true near-dup pairs
+    val chp = votes.select($"doc_id" +: (0 to 3).map { k =>
+      expr((0 until 16).map(i =>
+        s"(CASE WHEN v${k * 16 + i} >= 0 THEN ${1L << i}L ELSE 0L END)")
+        .mkString(" + ")).as(s"c$k")
+    }: _*)
+    chp.select($"doc_id" +: $"c0" +: $"c1" +: $"c2" +: $"c3" +:
+        Seq(explode(expr("sequence(0, 3)")).as("k")): _*)
+      .withColumn("chunk", expr(
+        "CASE k WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END"))
+      .repartition($"k", $"chunk")
+  }
+
   /** ORACLE-BACKED SimHash — x_minhash_oracle's sibling, anchoring the
     * SECOND probabilistic dedup family (Charikar 2002, "Similarity
     * estimation techniques from rounding algorithms"): per-token 64
@@ -468,27 +550,7 @@ object ScaleOps extends QueryModule {
     * the hash-match pins fused ≡ explode. */
   private val simhashOracle = Q(
     "x_simhash_oracle",
-    Some("""WITH d AS (SELECT doc_id,
-              list_filter(string_split_regex(lower(text), ' +'), x -> x <> '') AS toks
-              FROM documents),
-            pos AS (SELECT doc_id, unnest(list_transform(toks,
-                (tk, i) -> {'tok': tk, 'pos': i}), recursive := true)
-              FROM d WHERE len(toks) >= 1),
-            v AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
-                  FROM (SELECT DISTINCT tok FROM pos)),
-            tp AS (SELECT doc_id, tid FROM pos JOIN v USING (tok)),
-            bits AS (SELECT doc_id, b,
-                CASE WHEN ((1664525 * b + 1013904223) % 2147483647 * (tid % 2147483647)
-                     + (22695477 * b + 12345) % 2147483647) % 2147483647 % 2 = 1
-                     THEN 1 ELSE -1 END AS vote
-              FROM tp CROSS JOIN (SELECT CAST(k AS BIGINT) AS b
-                                  FROM range(0, 64) r(k))),
-            sig AS (SELECT doc_id, b,
-                      CASE WHEN sum(vote) >= 0 THEN 1 ELSE 0 END AS bit
-                    FROM bits GROUP BY 1, 2),
-            ch AS (SELECT doc_id, b // 16 AS k,
-                     CAST(sum(bit * (1 << CAST(b % 16 AS INT))) AS BIGINT) AS chunk
-                   FROM sig GROUP BY 1, 2),
+    Some(s"""WITH $simhashArithCtes,
             cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                      FROM ch a JOIN ch b
                        ON a.k = b.k AND a.chunk = b.chunk
@@ -503,42 +565,7 @@ object ScaleOps extends QueryModule {
             WHERE hamming <= 3 ORDER BY a_id, b_id"""),
     (spark, dir) => {
       import spark.implicits._
-      val (tp0, _) = arithTokenIds(spark, dir, minToks = 1)
-      // pre-aggregate occurrences to (doc, tid, weight) BEFORE the ×64
-      // bit explode: Σ over occurrences of ±1 ≡ Σ over distinct tokens
-      // of ±count (exact integer identity, so the oracle's
-      // per-occurrence spelling still hash-matches), and the explode
-      // runs over ≤ |docs|·|vocab| rows instead of every token
-      // occurrence
-      val tp = tp0.groupBy($"doc_id", $"tid").agg(count(lit(1)).as("w"))
-      // FUSED vote pass (the same r11-verdict bench reserve as the
-      // MinHash twins): the ×64 bit explode becomes 64 conditional
-      // sums in ONE map-side-combined aggregate — Σ±w per bit over
-      // the (doc, tid, weight) rows, identical integer algebra — and
-      // the 4×16 chunk packing is then a NARROW select over the wide
-      // row (bit b contributes 2^(b mod 16) iff its vote sum ≥ 0).
-      // The oracle keeps the per-occurrence explode spelling, so the
-      // hash-match pins fused ≡ paper. Removes two corpus-×64
-      // exchanges.
-      val voteCols = (0 until 64).map(b =>
-        sum(when(affineHash(lit(b.toLong), $"tid") % 2 === 1, $"w")
-          .otherwise(-$"w")).as(s"v$b"))
-      val votes = tp.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
-      // one row per doc carrying all 4 chunks (the production
-      // SimHashDedup shape): the banded legs carry the full signature,
-      // so Hamming verifies INLINE on each candidate occurrence — no
-      // second join, no per-pair aggregate; verify-then-distinct
-      // shrinks the dedup exchange to true near-dup pairs
-      val chp = votes.select($"doc_id" +: (0 to 3).map { k =>
-        expr((0 until 16).map(i =>
-          s"(CASE WHEN v${k * 16 + i} >= 0 THEN ${1L << i}L ELSE 0L END)")
-          .mkString(" + ")).as(s"c$k")
-      }: _*)
-      val banded = chp.select($"doc_id" +: $"c0" +: $"c1" +: $"c2" +: $"c3" +:
-          Seq(explode(expr("sequence(0, 3)")).as("k")): _*)
-        .withColumn("chunk", expr(
-          "CASE k WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END"))
-        .repartition($"k", $"chunk")
+      val banded = simhashArith(spark, dir)
       val a = banded.select($"k".as("ak"), $"chunk".as("achunk"),
         $"doc_id".as("a_id"), $"c0".as("a0"), $"c1".as("a1"),
         $"c2".as("a2"), $"c3".as("a3"))
@@ -553,6 +580,57 @@ object ScaleOps extends QueryModule {
         .where($"hamming" <= 3)
         .select($"a_id", $"b_id", $"hamming").distinct()
         .orderBy($"a_id", $"b_id")
+    })
+
+  /** ORACLE-BACKED incremental SimHash probe — completes the two-family
+    * incremental symmetry (VERDICT r12 #1): the MinHash side has its
+    * lifecycle twin (x_minhash_oracle_incremental); this is the SimHash
+    * analogue. Same split as the production probes (index = doc_id % 10
+    * ≠ 0, batch = doc_id % 10 = 0), same shared-dictionary assumption
+    * (arithTokenIds' scaladoc): batch-chunk rows equi-join the index's
+    * chunk rows (no self-pairs by construction), Hamming verifies
+    * INLINE on the candidate occurrence via the full 4-chunk signature
+    * both banded legs carry, output in the house (new_id, index_id)
+    * total order. Shares [[simhashArith]]'s fused vote front-end with
+    * the self-join twin, so the driver hash-match pins the probe
+    * algebra — banding geometry, chunk packing, Hamming verify — an
+    * engine-independent second time on the asymmetric join shape. At
+    * 100 TB the index legs are the PERSISTED chunk rows (the
+    * x_dedup_incremental_near lifecycle); only the day's batch is
+    * signed — the corpus is never rescanned. */
+  private val simhashOracleIncremental = Q(
+    "x_simhash_oracle_incremental",
+    Some(s"""WITH $simhashArithCtes,
+            cand AS (SELECT DISTINCT nb.doc_id AS new_id, ib.doc_id AS index_id
+                     FROM ch nb JOIN ch ib
+                       ON nb.k = ib.k AND nb.chunk = ib.chunk
+                     WHERE nb.doc_id % 10 = 0 AND ib.doc_id % 10 <> 0),
+            ham AS (SELECT c.new_id, c.index_id,
+                      CAST(sum(bit_count(xor(ca.chunk, cb.chunk))) AS BIGINT) AS hamming
+                    FROM cand c
+                    JOIN ch ca ON ca.doc_id = c.new_id
+                    JOIN ch cb ON cb.doc_id = c.index_id AND cb.k = ca.k
+                    GROUP BY 1, 2)
+            SELECT new_id, index_id, hamming FROM ham
+            WHERE hamming <= 3 ORDER BY new_id, index_id"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val banded = simhashArith(spark, dir)
+      val nb = banded.where($"doc_id" % 10 === 0)
+        .select($"k".as("ak"), $"chunk".as("achunk"),
+          $"doc_id".as("new_id"), $"c0".as("a0"), $"c1".as("a1"),
+          $"c2".as("a2"), $"c3".as("a3"))
+      val ib = banded.where($"doc_id" % 10 =!= 0)
+        .select($"k".as("bk"), $"chunk".as("bchunk"),
+          $"doc_id".as("index_id"), $"c0".as("b0"), $"c1".as("b1"),
+          $"c2".as("b2"), $"c3".as("b3"))
+      nb.join(ib, $"ak" === $"bk" && $"achunk" === $"bchunk")
+        .withColumn("hamming", expr(
+          """CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1)
+                + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS BIGINT)"""))
+        .where($"hamming" <= 3)
+        .select($"new_id", $"index_id", $"hamming").distinct()
+        .orderBy($"new_id", $"index_id")
     })
 
   /** MinHash estimate-vs-exact calibration per estimate decile — the
@@ -1429,5 +1507,6 @@ object ScaleOps extends QueryModule {
     dedupIncrementalNear, mediaDecode, mediaResize, mediaJpeg, mediaAudio,
     mediaKnn, mediaFramesDecode, mediaMjpeg, sketchUnion, sketchIntersect,
     sketchQuantiles, minhashOracle, minhashOracleIncremental,
-    minhashErrorOracle, simhashOracle, sketchIncremental)
+    minhashErrorOracle, simhashOracle, simhashOracleIncremental,
+    sketchIncremental)
 }

@@ -498,7 +498,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // only the Spark plan is pinned here. A range crossJoin surfaces as
     // a BroadcastNestedLoopJoin over a Range scan.
     for (q <- Seq("x_minhash_oracle", "x_simhash_oracle",
-        "x_minhash_error_oracle", "x_minhash_oracle_incremental")) {
+        "x_minhash_error_oracle", "x_minhash_oracle_incremental",
+        "x_simhash_oracle_incremental")) {
       val p = plan(q)
       assert(!(p.contains("BroadcastNestedLoopJoin") && p.contains("Range (0,")),
         s"$q re-grew the permutation crossJoin explode:\n$p")

@@ -52,6 +52,29 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("incremental oracle twins ≡ self-join twins restricted to the split") {
+    // The incremental probes (batch = doc_id % 10 = 0 vs index = rest)
+    // must emit EXACTLY the self-join twin's pairs that cross the
+    // split, re-keyed to (new, index) — the lifecycle changes the join
+    // shape, never the emitted set. Pinned for both families so the
+    // MinHash/SimHash symmetry is an executable invariant, not just a
+    // pair of independent hash-matches.
+    def pairs(q: String, lc: String, rc: String, vc: String): Set[(Long, Long, Long)] =
+      SparkEntry.queries(q)(spark, sf)
+        .select(col(lc).cast("long"), col(rc).cast("long"), col(vc).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for ((self, inc, vc) <- Seq(
+        ("x_minhash_oracle", "x_minhash_oracle_incremental", "jac_bp"),
+        ("x_simhash_oracle", "x_simhash_oracle_incremental", "hamming"))) {
+      val crossing = pairs(self, "a_id", "b_id", vc).collect {
+        case (a, b, v) if (a % 10 == 0) != (b % 10 == 0) =>
+          if (a % 10 == 0) (a, b, v) else (b, a, v)
+      }
+      assert(pairs(inc, "new_id", "index_id", vc) == crossing,
+        s"$inc diverged from $self restricted to the batch/index split")
+    }
+  }
+
   test("token graph edge list builds ONCE per table generation across its three consumers") {
     // warm the cache once (any token-graph query), then pin that every
     // further token-graph read serves from the per-generation local
