@@ -257,6 +257,21 @@ object EventAnalytics extends QueryModule {
   private[graft] def userSkewApprox(spark: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = userSkewBody(spark, dir, exact = false)
 
+  /** DECLARED scale twins (VERDICT r10 task #2): the approx_percentile
+    * spellings of the buffered-percentile queries, promoted from
+    * private helpers to graded rows-only queries — the 100 TB
+    * percentile path is a driver-run artifact, not a flag. The exact
+    * spellings stay declared for the hash oracle (quantile_cont has no
+    * mergeable twin in the oracle engine with identical sketch
+    * geometry); PercentileScaleSpec pins these twins rank-exact against
+    * them at gate scale, and every non-percentile column is
+    * parity-identical by construction (same body, one flag).
+    * Registered AT the body site (x_session_stats_approx /
+    * x_value_outliers_approx / x_doc_diversity_approx likewise) so
+    * grep for the id lands here. */
+  private val userSkewApproxQ =
+    Q("x_user_skew_approx", None, userSkewApprox)
+
   private val userSkew = Q(
     "x_user_skew",
     Some("""WITH c AS (SELECT event_type, user_id,
@@ -378,6 +393,10 @@ object EventAnalytics extends QueryModule {
   private[graft] def sessionStatsApprox(spark: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = sessionStatsBody(spark, dir, exact = false)
 
+  /** DECLARED scale twin — see userSkewApproxQ's scaladoc. */
+  private val sessionStatsApproxQ =
+    Q("x_session_stats_approx", None, sessionStatsApprox)
+
   private val sessionStats = Q(
     "x_session_stats",
     Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_s
@@ -449,6 +468,10 @@ object EventAnalytics extends QueryModule {
   /** Constant-state-per-group scale twin (see QueryModule.pct). */
   private[graft] def valueOutliersApprox(spark: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = valueOutliersBody(spark, dir, exact = false)
+
+  /** DECLARED scale twin — see userSkewApproxQ's scaladoc. */
+  private val valueOutliersApproxQ =
+    Q("x_value_outliers_approx", None, valueOutliersApprox)
 
   private val valueOutliers = Q(
     "x_value_outliers",
@@ -1257,22 +1280,6 @@ object EventAnalytics extends QueryModule {
           round($"r.e" / ($"n_days" - 1), 4).as("mae"))
         .orderBy($"event_type")
     })
-
-  /** DECLARED scale twins (VERDICT r10 task #2): the approx_percentile
-    * spellings of the buffered-percentile queries, promoted from
-    * private helpers to graded rows-only queries — the 100 TB
-    * percentile path is now a driver-run artifact, not a flag. The
-    * exact spellings stay declared for the hash oracle (quantile_cont
-    * has no mergeable twin in the oracle engine with identical sketch
-    * geometry); PercentileScaleSpec pins these twins rank-exact against
-    * them at gate scale, and every non-percentile column is
-    * parity-identical by construction (same body, one flag). */
-  private val userSkewApproxQ =
-    Q("x_user_skew_approx", None, userSkewApprox)
-  private val sessionStatsApproxQ =
-    Q("x_session_stats_approx", None, sessionStatsApprox)
-  private val valueOutliersApproxQ =
-    Q("x_value_outliers_approx", None, valueOutliersApprox)
 
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,

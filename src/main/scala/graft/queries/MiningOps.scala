@@ -610,6 +610,12 @@ object MiningOps extends QueryModule {
   private[graft] def docDiversityApprox(spark: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = docDiversityBody(spark, dir, exact = false)
 
+  /** DECLARED scale twin (see EventAnalytics.userSkewApproxQ — VERDICT
+    * r10 task #2): approx_percentile spelling of x_doc_diversity, graded
+    * rows-only; PercentileScaleSpec pins it rank-exact at gate scale. */
+  private val docDiversityApproxQ =
+    Q("x_doc_diversity_approx", None, docDiversityApprox)
+
   private val docDiversity = Q(
     "x_doc_diversity",
     Some("""WITH tok AS (SELECT doc_id, source,
@@ -964,6 +970,13 @@ object MiningOps extends QueryModule {
                              (v, i) -> v >= i), x -> x)) AS BIGINT)) AS nv,
                        vals, adjs, step
                 FROM it) WHERE nv <> vals AND step < 200),
+            -- step < 200 is a SAFETY CAP coupled to the <= 100-node
+            -- vocab cap (tokenGraphEdges): the h-index fixpoint
+            -- converges in < |V| rounds, so 200 can never bind today;
+            -- if the vocab cap is ever raised past ~200 nodes, raise
+            -- this literal with it or the oracle would silently emit
+            -- NON-CONVERGED core numbers (surfacing only as an
+            -- unexplained gate hash mismatch) -- ADVICE r12
             fin AS (SELECT vals FROM it ORDER BY step DESC LIMIT 1)
             SELECT core, CAST(count(*) AS BIGINT) AS n_nodes
             FROM (SELECT unnest(vals) AS core FROM fin)
@@ -1383,12 +1396,6 @@ object MiningOps extends QueryModule {
         .where($"jac_bp" >= 1000)
         .orderBy($"a_src", $"b_src")
     })
-
-  /** DECLARED scale twin (see EventAnalytics' approx trio — VERDICT r10
-    * task #2): approx_percentile spelling of x_doc_diversity, graded
-    * rows-only; PercentileScaleSpec pins it rank-exact at gate scale. */
-  private val docDiversityApproxQ =
-    Q("x_doc_diversity_approx", None, docDiversityApprox)
 
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,

@@ -756,7 +756,15 @@ object VectorOps extends QueryModule {
                                   s -> ${mmrCosSql("c.v", "s.v")})) END)) AS scores
                           FROM it))
               WHERE step < 5 AND len(cands) > 0),
-            fin AS (SELECT p_id, sel FROM it WHERE step = 5)
+            -- max-step PER PROBE (the k-core fin pattern), not step = 5:
+            -- a probe whose candidate list empties early stops iterating
+            -- and must still emit its PARTIAL ranking, exactly like the
+            -- Spark side (Mmr.select) — on a corpus with < ~6 vectors the
+            -- step = 5 spelling would drop the probe entirely (ADVICE r12)
+            fin AS (SELECT p_id, sel FROM (
+                      SELECT p_id, sel, row_number() OVER (
+                        PARTITION BY p_id ORDER BY step DESC) AS rn FROM it)
+                    WHERE rn = 1)
             SELECT p_id, s.rk AS rk, s.id AS vec_id,
               CAST(floor(s.score * 10000.0) AS BIGINT) AS mmr_bp
             FROM (SELECT p_id, unnest(sel) AS s FROM fin)
@@ -1234,6 +1242,14 @@ object VectorOps extends QueryModule {
       var cents: Array[Array[Long]] = base.orderBy($"vec_id").limit(8)
         .select($"qd").collect()
         .map(_.getSeq[Double](0).map(_.toLong).toArray)
+      // LOUD degenerate-input guard (ADVICE r12): Array.tabulate(8)
+      // below indexes cents(i) — on a < 8-vector table the Spark side
+      // would throw IndexOutOfBounds while the oracle's list index
+      // returns NULL (divergent failure modes). k-means needs n ≥ k;
+      // fail with the real reason.
+      require(cents.length == 8,
+        s"kmeansArithCents: k-means init needs >= 8 vectors, " +
+          s"embeddings has ${cents.length}")
       for (_ <- 1 to 3) {
         val asg = base.withColumn("cid", kmeansCidCol(cents))
         val sums = asg
@@ -1393,6 +1409,10 @@ object VectorOps extends QueryModule {
       val init = base.orderBy($"vec_id").limit(4)
         .select($"qd").collect()
         .map(_.getSeq[Double](0).map(_.toLong).toArray)
+      // LOUD degenerate-input guard (ADVICE r12) — see kmeansArithCents
+      require(init.length == 4,
+        s"pqArithCodebooks: PQ init needs >= 4 vectors, " +
+          s"embeddings has ${init.length}")
       var cbs: Array[Array[Array[Long]]] = Array.tabulate(4)(m =>
         Array.tabulate(4)(c => init(c).slice(m * 16, m * 16 + 16)))
       for (_ <- 1 to 2) {
