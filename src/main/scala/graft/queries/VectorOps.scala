@@ -1548,10 +1548,159 @@ object VectorOps extends QueryModule {
         .orderBy($"m", $"code")
     })
 
+  // ---- x_pca_oracle: power iteration as a hash-matched algebra ----
+
+  /** Trained integer state of the PCA power-iteration twin, once per
+    * (JVM, generation): per-dim truncating means m (centering) and the
+    * ±10000-scaled leading-direction vector v after 3 scaled power
+    * steps. Each step: u_i = ⟨c_i, v⟩ per vector (one codegen vec_dot
+    * pass), p_d = Σ_i c_{i,d}·u_i (ONE wide 64-sum map-side-combined
+    * aggregate — the fused-vote shape, no explode), then the
+    * SCALE-INVARIANT renormalization v ← (p·10000) trunc-div max|p| on
+    * the DRIVER in exact Long arithmetic (p·10000 can exceed 2^53, so
+    * the multiply must leave doubles — 64 bounded values per step is
+    * the kmeansArithCents driver-traffic discipline). s = 0 (constant
+    * corpus ⇒ p ≡ 0) keeps v — the declared degenerate rule. Exactness
+    * holds while n·(2·max|q|)²·64·10000 < 2^53 — guarded LOUDLY below;
+    * at 100 TB PCA runs over a bounded sample anyway (the standard
+    * deployment), so the bound is an operating envelope, not a cap. */
+  private[graft] def pcaArithState(spark: SparkSession, dir: String)
+      : (Array[Long], Array[Long]) =
+    QueryModule.cachedLocal(s"pcaarith:$dir", tableStamp(dir, "embeddings")) {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val base = kmQuantized(spark, dir)
+      val absMax = expr((0 until 64).map(d => s"abs(qd[$d])")
+        .mkString("greatest(", ", ", ")"))
+      val statCols = count(lit(1)).as("n") +: max(absMax).as("maxq") +:
+        (0 until 64).map(d => sum(expr(s"qd[$d]")).as(s"s$d"))
+      val r = base.agg(statCols.head, statCols.tail: _*).collect().head
+      val n = r.getLong(0)
+      require(n > 0, "pcaArithState: embeddings table is empty")
+      val maxq = r.getDouble(1).toLong
+      // LOUD exactness guard (the minhashArith vv < 2^21 discipline):
+      // the per-step chain |p_d| ≤ n·(2·max|q|)·64·(2·max|q|)·10000
+      // must stay < 2^53 for the double-carried sums to BE integer
+      // arithmetic; beyond it Spark would round silently where the
+      // oracle's BIGINTs stay exact.
+      require(n.toDouble * (2.0 * maxq) * (2.0 * maxq) * 64.0 * 10000.0
+          < 9007199254740992.0, // 2^53
+        s"pcaArithState: n=$n, max|q|=$maxq exceed the exact-double " +
+          "envelope (n·(2·max|q|)²·64·10000 ≥ 2^53) — train over a sample")
+      val m = Array.tabulate(64)(d => r.getDouble(d + 2).toLong / n)
+      val mLit = m.map(x => s"${x}D").mkString("array(", ", ", ")")
+      val cExpr = s"transform(qd, (x, i) -> x - element_at($mLit, i + 1))"
+      var v = Array.fill(64)(1L)
+      for (_ <- 1 to 3) {
+        val vLit = v.map(x => s"${x}D").mkString("array(", ", ", ")")
+        val pCols = (0 until 64).map(d => sum(expr(s"c[$d] * u")).as(s"p$d"))
+        val pr = base.select(expr(cExpr).as("c"))
+          .withColumn("u", expr(s"vec_dot(c, $vLit)"))
+          .agg(pCols.head, pCols.tail: _*).collect().head
+        val p = Array.tabulate(64)(d => pr.getDouble(d).toLong)
+        val s = p.map(math.abs).max
+        if (s != 0L) v = p.map(x => x * 10000L / s)
+      }
+      (m, v)
+    }
+
+  /** ORACLE-BACKED PCA — the FIFTH trust-anchor training family
+    * (after MinHash / SimHash+LSH / k-means / PQ): the leading
+    * principal direction of the embedding table by POWER ITERATION,
+    * every step replayed bit-for-bit in DuckDB through the
+    * recursive-CTE LIST-state row. The algebra both engines compute
+    * exactly: vectors quantized to integers (floor(x·100), the
+    * x_kmeans_oracle frame), CENTERED by per-dim truncating means
+    * (Scala `/` ≡ DuckDB `//`); v⁰ = 1⁶⁴; three steps of
+    * v ← scale((AᵀA)v) computed covariance-FREE as u = Cv then
+    * p = Cᵀu (never materializing the 64×64 Gram matrix — the
+    * distributed-PCA spelling), with the scale-invariant integer
+    * renormalization (p·10000) trunc-div max|p| replacing the float
+    * 2-norm (power iteration is invariant to per-step scaling, so the
+    * direction is untouched and every value stays an exact integer —
+    * no sqrt, no float division anywhere). Output per dim: the
+    * centering mean, the trained ±10000-scaled component AND the
+    * corpus-recomputed projection sum Σ_i c_{i,d}·⟨c_i, v⟩ — so the
+    * hash-match pins the centering, all three training steps and the
+    * final direction against the live corpus, not just the stored
+    * state. Sign/direction is deterministic by the declared v⁰.
+    *
+    * Production PCA (float, on a sample) would serve x_dim_stats/
+    * x_dim_error-style diagnostics; this twin is its engine-independent
+    * geometry proof, the same split as kmeans-vs-KMeansIVF.
+    *
+    * Scale shape (Spark): training = 3 × (one narrow codegen vec_dot
+    * pass + ONE wide 64-sum aggregate), once per (JVM, generation);
+    * the declared query is one narrow pass + one wide aggregate + a
+    * 64-row stack of constants — no join, no window, no explode on
+    * the corpus side (PlanShapeSpec pins it). Driver traffic is 64
+    * bounded values per step. */
+  private val pcaOracle = Q(
+    "x_pca_oracle",
+    Some("""WITH RECURSIVE
+            qv AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                     x -> CAST(floor(x * 100.0) AS BIGINT)) AS q FROM embeddings),
+            px AS (SELECT unnest(list_transform(q,
+                     (x, i) -> {'x': x, 'i': i}), recursive := true) FROM qv),
+            sums AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM px GROUP BY i),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qv),
+            mv AS (SELECT list(s // n ORDER BY i) AS m FROM sums CROSS JOIN nn),
+            cv AS (SELECT vec_id, list_transform(q, (x, i) -> x - m[i]) AS c
+                   FROM qv CROSS JOIN mv),
+            vl AS (SELECT list(c ORDER BY vec_id) AS cs FROM cv),
+            it AS (
+              SELECT 0 AS step,
+                list_transform(range(1, 65), d -> CAST(1 AS BIGINT)) AS v
+              FROM (SELECT 1)
+              UNION ALL
+              SELECT step + 1,
+                CASE WHEN s = 0 THEN v ELSE
+                  list_transform(p, x -> CAST((x * 10000) // s AS BIGINT))
+                END AS v
+              FROM (SELECT step, v, p,
+                      list_max(list_transform(p, x -> abs(x))) AS s
+                    FROM (SELECT step, v,
+                            list_transform(v, (vd, d) -> CAST(
+                              list_sum(list_transform(cs, w ->
+                                w[d] * list_sum(list_transform(w,
+                                  (x, j) -> x * v[j])))) AS BIGINT)) AS p
+                          FROM it, vl))
+              WHERE step < 3),
+            fin AS (SELECT v FROM it ORDER BY step DESC LIMIT 1),
+            res AS (SELECT m, v,
+                      list_transform(v, (vd, d) -> CAST(
+                        list_sum(list_transform(cs, w ->
+                          w[d] * list_sum(list_transform(w,
+                            (x, j) -> x * v[j])))) AS BIGINT)) AS p
+                    FROM fin CROSS JOIN mv CROSS JOIN vl)
+            SELECT CAST(d AS BIGINT) AS dim, CAST(m[d] AS BIGINT) AS mean_q,
+              CAST(v[d] AS BIGINT) AS comp, CAST(p[d] AS BIGINT) AS proj_sum
+            FROM res CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+            ORDER BY dim"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val (m, v) = pcaArithState(spark, dir)
+      val mLit = m.map(x => s"${x}D").mkString("array(", ", ", ")")
+      val vLit = v.map(x => s"${x}D").mkString("array(", ", ", ")")
+      val cExpr = s"transform(qd, (x, i) -> x - element_at($mLit, i + 1))"
+      val pCols = (0 until 64).map(d =>
+        sum(expr(s"c[$d] * u")).cast("long").as(s"p$d"))
+      kmQuantized(spark, dir)
+        .select(expr(cExpr).as("c"))
+        .withColumn("u", expr(s"vec_dot(c, $vLit)"))
+        .agg(pCols.head, pCols.tail: _*)
+        .select(expr("stack(64, " + (0 until 64).map(d =>
+          s"CAST(${d + 1} AS BIGINT), CAST(${m(d)} AS BIGINT), " +
+            s"CAST(${v(d)} AS BIGINT), p$d").mkString(", ") +
+          ") AS (dim, mean_q, comp, proj_sum)"))
+        .orderBy($"dim")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
       embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall,
       annIncremental, annIncrementalExact, lshAnnOracle, lshMultiprobeOracle,
-      kmeansOracle, pqOracle)
+      kmeansOracle, pqOracle, pcaOracle)
 }

@@ -518,4 +518,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
         s"$q: constants table lost its broadcast:\n$p")
     }
   }
+
+  test("x_pca_oracle: one narrow projection pass + one wide aggregate — " +
+      "no join at all, no window, no corpus explode") {
+    // the trained direction rides the plan as literals and the output
+    // is a 64-row stack of the single aggregate row — the only
+    // exchange beyond the aggregate is the final ORDER BY
+    val p = plan("x_pca_oracle")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"x_pca_oracle: corpus-side join/window appeared:\n$p")
+    assert(!p.contains("Generate explode"),
+      s"x_pca_oracle: corpus explode appeared (the fused 64-sum " +
+        s"aggregate regressed):\n$p")
+  }
 }

@@ -100,6 +100,29 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
   private def sameMatrix(a: Array[Array[Long]], b: Array[Array[Long]]): Boolean =
     a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) }
 
+  /** Independent reference of the x_pca_oracle algebra (spec, not code):
+    * truncating per-dim means, v⁰ = 1, three covariance-free power
+    * steps u = Cv / p = Cᵀu with the (p·10000) trunc-div max|p| integer
+    * renormalization, s = 0 keeps v. Returns (means, v, final p). */
+  private def refPca(qs: Seq[(Long, Array[Long])])
+      : (Array[Long], Array[Long], Array[Long]) = {
+    val n = qs.length
+    val dims = qs.head._2.length
+    val m = Array.tabulate(dims)(d => qs.map(_._2(d)).sum / n)
+    val cs = qs.map(_._2.zip(m).map { case (x, mm) => x - mm })
+    var v = Array.fill(dims)(1L)
+    def proj(vv: Array[Long]): Array[Long] = {
+      val u = cs.map(c => dot(c, vv))
+      Array.tabulate(dims)(d => cs.zip(u).map { case (c, ui) => c(d) * ui }.sum)
+    }
+    for (_ <- 1 to 3) {
+      val p = proj(v)
+      val s = p.map(math.abs).max
+      if (s != 0L) v = p.map(x => x * 10000L / s)
+    }
+    (m, v, proj(v))
+  }
+
   test("edge branches: zero vector → cid 1; empty cell keeps its centroid; " +
       "duplicate vectors tie to the lowest cid") {
     // 12 vectors in TWO tight clusters + one zero vector PLANTED AT
@@ -151,6 +174,35 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
       val wantPq = refPq(qs)
       assert(gotPq.zip(wantPq).forall { case (x, y) => sameMatrix(x, y) },
         s"pq diverged at seed $seed")
+      // PCA: trained state AND the declared query's corpus-recomputed
+      // projection column against the independent reference
+      val (wm, wv, wp) = refPca(qs)
+      val (gm, gv) = VectorOps.pcaArithState(spark, dir)
+      assert(gm.sameElements(wm) && gv.sameElements(wv),
+        s"pca state diverged at seed $seed")
+      val out = graft.SparkEntry.queries("x_pca_oracle")(spark, dir).collect()
+      assert(out.length == 64)
+      assert(out.map(_.getLong(2)).sameElements(wv) &&
+        out.map(_.getLong(3)).sameElements(wp),
+        s"pca declared output diverged at seed $seed")
     }
+  }
+
+  test("pca edge branches: constant corpus → p ≡ 0 keeps v⁰; negative-mean " +
+      "truncation matches") {
+    // every vector identical → exact trunc-mean equals the value, every
+    // centered vector is 0, every projection is 0 → the s = 0 guard
+    // must hold v at 1⁶⁴ in BOTH engines (never occurs on the corpus)
+    val const: Seq[(Long, Array[Int])] =
+      (0L until 9L).map(i => i -> Array.fill(64)(-37)) // negative: m trunc
+    val dir = writeEmb(const)
+    val (m, v) = VectorOps.pcaArithState(spark, dir)
+    assert(m.forall(_ == -37L), s"trunc mean of constant -37 column: ${m.head}")
+    assert(v.forall(_ == 1L), "s = 0 must keep the all-ones v")
+    val out = graft.SparkEntry.queries("x_pca_oracle")(spark, dir).collect()
+    assert(out.forall(r => r.getLong(2) == 1L && r.getLong(3) == 0L))
+    // and the reference agrees on the same rows
+    val (wm, wv, wp) = refPca(const.map { case (id, q) => id -> q.map(_.toLong) })
+    assert(wm.sameElements(m) && wv.sameElements(v) && wp.forall(_ == 0L))
   }
 }
