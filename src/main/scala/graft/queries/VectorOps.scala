@@ -1635,10 +1635,12 @@ object VectorOps extends QueryModule {
     * 64-row stack of constants — no join, no window, no explode on
     * the corpus side (PlanShapeSpec pins it). Driver traffic is 64
     * bounded values per step. */
-  private val pcaOracle = Q(
-    "x_pca_oracle",
-    Some("""WITH RECURSIVE
-            qv AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+  /** The shared CTE chain of the PCA oracle twins (quantize → per-dim
+    * trunc means → centered vectors → LIST-state power iteration →
+    * fin = the trained direction) — each twin appends its own read
+    * tail. Requires WITH RECURSIVE at the caller. */
+  private val pcaArithCtes =
+    """qv AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
                      x -> CAST(floor(x * 100.0) AS BIGINT)) AS q FROM embeddings),
             px AS (SELECT unnest(list_transform(q,
                      (x, i) -> {'x': x, 'i': i}), recursive := true) FROM qv),
@@ -1666,7 +1668,12 @@ object VectorOps extends QueryModule {
                                   (x, j) -> x * v[j])))) AS BIGINT)) AS p
                           FROM it, vl))
               WHERE step < 3),
-            fin AS (SELECT v FROM it ORDER BY step DESC LIMIT 1),
+            fin AS (SELECT v FROM it ORDER BY step DESC LIMIT 1)"""
+
+  private val pcaOracle = Q(
+    "x_pca_oracle",
+    Some(s"""WITH RECURSIVE
+            $pcaArithCtes,
             res AS (SELECT m, v,
                       list_transform(v, (vd, d) -> CAST(
                         list_sum(list_transform(cs, w ->
@@ -1697,10 +1704,57 @@ object VectorOps extends QueryModule {
         .orderBy($"dim")
     })
 
+  /** ORACLE-BACKED dominant-direction outliers — the PCA family's
+    * SERVING read (the x_lsh_multiprobe role for x_pca_oracle): the
+    * top-10 vectors by |projection| onto the trained leading direction.
+    * This is the "All-but-the-Top" diagnostic (Mu & Viswanath 2018):
+    * embedding tables concentrate mass in a few dominant directions,
+    * and the vectors most aligned with the top one are exactly what a
+    * curation pass inspects (cluster magnets, near-constant
+    * dimensions, batch artifacts) before deciding to remove it. The
+    * projection u_i = ⟨c_i, v⟩ is exact integer arithmetic (|u| ≤
+    * 64·(2·max|q|)·10000 — inside both the 2^53 double envelope and
+    * BIGINT), so Spark and DuckDB rank identical values; ties break to
+    * the lowest vec_id, the house serving order. Spark: one narrow
+    * codegen vec_dot pass + a bounded TopK sort (rangepartition on 10
+    * rows) — no join, no corpus window. */
+  private val pcaOutliers = Q(
+    "x_pca_outliers",
+    Some(s"""WITH RECURSIVE
+            $pcaArithCtes,
+            u AS (SELECT vec_id, CAST(list_sum(list_transform(c,
+                    (x, j) -> x * v[j])) AS BIGINT) AS proj
+                  FROM cv CROSS JOIN fin),
+            top AS (SELECT vec_id, proj, row_number() OVER (
+                      ORDER BY abs(proj) DESC, vec_id) AS rk
+                    FROM u)
+            SELECT CAST(rk AS BIGINT) AS rk, vec_id, proj,
+              CAST(abs(proj) AS BIGINT) AS abs_proj
+            FROM top WHERE rk <= 10 ORDER BY rk"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val (m, v) = pcaArithState(spark, dir)
+      val mLit = m.map(x => s"${x}D").mkString("array(", ", ", ")")
+      val vLit = v.map(x => s"${x}D").mkString("array(", ", ", ")")
+      val top = kmQuantized(spark, dir)
+        .select($"vec_id",
+          expr(s"vec_dot(transform(qd, (x, i) -> x - element_at($mLit, i + 1))," +
+            s" $vLit)").cast("long").as("proj"))
+        .orderBy(abs($"proj").desc, $"vec_id").limit(10)
+      // rank the 10 collected rows — a single-partition window over a
+      // bounded relation, not a corpus window
+      top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(abs($"proj").desc, $"vec_id")).cast("long"))
+        .select($"rk", $"vec_id", $"proj", abs($"proj").as("abs_proj"))
+        .orderBy($"rk")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
       embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall,
       annIncremental, annIncrementalExact, lshAnnOracle, lshMultiprobeOracle,
-      kmeansOracle, pqOracle, pcaOracle)
+      kmeansOracle, pqOracle, pcaOracle, pcaOutliers)
 }

@@ -185,6 +185,15 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
       assert(out.map(_.getLong(2)).sameElements(wv) &&
         out.map(_.getLong(3)).sameElements(wp),
         s"pca declared output diverged at seed $seed")
+      // the serving read: top-10 |projection| against the reference sort
+      val cs = qs.map { case (id, q) =>
+        id -> q.zip(wm).map { case (x, mm) => x - mm } }
+      val wantTop = cs.map { case (id, c) => (id, dot(c, wv)) }
+        .sortBy { case (id, u) => (-math.abs(u), id) }.take(10)
+      val gotTop = graft.SparkEntry.queries("x_pca_outliers")(spark, dir)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(gotTop.sameElements(wantTop),
+        s"pca outliers diverged at seed $seed")
     }
   }
 
