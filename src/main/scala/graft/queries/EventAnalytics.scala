@@ -1281,9 +1281,80 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Kaplan–Meier churn hazard table — the survival-analysis read a
+    * retention team runs next to x_retention's cohort grid: per user,
+    * lifetime t = last active day − first active day; a user counts as
+    * CHURNED (the KM "event") when their last activity precedes the
+    * corpus end by 2+ days, otherwise CENSORED (still alive at
+    * observation end — the right-censoring KM exists to handle). The
+    * 2-day threshold is CORPUS-CALIBRATED (the x_embed_neardup 0.45
+    * rule): this synthetic corpus is a dense ~30-day window where max
+    * observed absence is 2 days (measured at both gate SFs), so a
+    * production-style 7-day rule would churn nobody and emit an
+    * all-zero hazard column; at 2 days both branches carry rows. Per
+    * distinct lifetime: the at-risk count n_risk(t) = #users with
+    * lifetime ≥ t (a reverse cumulative sum over the per-t rollup),
+    * churn and censor counts, and the discrete hazard d(t)·10000 DIV
+    * n_risk(t). Emits the KM estimator's SUFFICIENT STATISTICS in
+    * exact integers — the survival curve itself is ∏(1−h) downstream,
+    * deliberately NOT emitted: a cross-engine float product chain is
+    * the one piece two engines won't reproduce bit-for-bit, while
+    * every input to it here is hash-matched. (Kaplan & Meier 1958.)
+    *
+    * Scale shape: one per-user min/max aggregate (map-side combined),
+    * a per-t rollup bounded by the calendar span, and ONE
+    * single-partition window over those ≤ span-days rows (tiny by
+    * construction — the arithTokenIds vocab-window rule). */
+  private val hazardKm = Q(
+    "x_hazard_km",
+    Some("""WITH d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+                       FROM events),
+            u AS (SELECT user_id, min(day) AS fd, max(day) AS ld
+                  FROM d GROUP BY user_id),
+            ee AS (SELECT max(ld) AS e FROM u),
+            lt AS (SELECT user_id, ld - fd AS t,
+                     CASE WHEN ld <= e - 2 THEN 1 ELSE 0 END AS churned
+                   FROM u CROSS JOIN ee),
+            at AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+                     CAST(sum(churned) AS BIGINT) AS n_churn,
+                     CAST(sum(1 - churned) AS BIGINT) AS n_censored
+                   FROM lt GROUP BY t),
+            km AS (SELECT t, n_churn, n_censored,
+                     CAST(sum(n_at) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_risk
+                   FROM at)
+            SELECT CAST(t AS BIGINT) AS t_days, n_risk, n_churn, n_censored,
+              CAST(n_churn * 10000 // n_risk AS BIGINT) AS hazard_bp
+            FROM km ORDER BY t_days"""),
+    (spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val days = t(spark, dir, "events")
+        .select($"user_id", expr("unix_millis(ts) DIV 86400000").as("day"))
+      val u = days.groupBy($"user_id")
+        .agg(min($"day").as("fd"), max($"day").as("ld"))
+      // corpus end from the per-user rollup (max of lds ≡ max of days)
+      // — one events scan, not two
+      val e = u.agg(max($"ld").as("e"))
+      val lt = u.crossJoin(broadcast(e))
+        .select(($"ld" - $"fd").as("t"),
+          when($"ld" <= $"e" - 2, 1L).otherwise(0L).as("churned"))
+      val at = lt.groupBy($"t")
+        .agg(count(lit(1)).as("n_at"), sum($"churned").as("n_churn"),
+          sum(lit(1L) - $"churned").as("n_censored"))
+      at.withColumn("n_risk", sum($"n_at").over(
+          Window.orderBy($"t".desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"t".as("t_days"), $"n_risk", $"n_churn", $"n_censored",
+          expr("n_churn * 10000 DIV n_risk").as("hazard_bp"))
+        .orderBy($"t_days")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
     gini, hourProfile, schemaDrift, hillTail, userOverlap, forecastSes,
-    attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ)
+    attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ,
+    hazardKm)
 }
