@@ -989,6 +989,66 @@ object MiningOps extends QueryModule {
         .orderBy($"core")
     })
 
+  /** Label-propagation COMMUNITIES of the token co-occurrence graph —
+    * the topic/template-family read next to x_graph_kcore's density
+    * profile (which tokens travel together strongly enough to form a
+    * module). ORACLE-BACKED via the recursive-CTE LIST-state row over
+    * the shared adjacency (the x_graph_kcore spelling): labels
+    * initialize to the node's own index, 5 SYNCHRONOUS rounds each
+    * rewrite the whole label vector with pure list lambdas (new label
+    * = most frequent neighbor label, ties to the SMALLEST — index
+    * order ≡ token order since ix = row_number over sorted tokens, so
+    * the oracle's min-by-index IS the operator's min-by-token), fixed
+    * round count because synchronous LPA can 2-cycle (run-to-
+    * convergence is not well-defined; a fixed budget is, and both
+    * engines replay it exactly — the x_kmeans_oracle termination
+    * rule). Spark side = operators/LabelPropagation (dual
+    * driver/distributed regime, spec-pinned equal); the hash-match
+    * pins init, every synchronous round's vote-and-tie-break and the
+    * final labeling against an independent engine. (Raghavan, Albert
+    * & Kumara 2007.) Corpus-shape note (the x_embed_neardup rule):
+    * the closed-vocab word-salad corpus yields ONE dominant module
+    * plus outliers — data-limited, not a bug; LabelPropagationSpec
+    * pins the multi-community structure on constructed cliques. */
+  private val graphLpa = Q(
+    "x_graph_lpa",
+    Some(s"""WITH RECURSIVE $graphEdgeCtes,
+            nodes AS (SELECT id, CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS ix
+                      FROM (SELECT DISTINCT id FROM (
+                        SELECT a AS id FROM e UNION ALL SELECT b FROM e))),
+            ed AS (SELECT na.ix AS ai, nb.ix AS bi
+                   FROM e JOIN nodes na ON na.id = e.a
+                          JOIN nodes nb ON nb.id = e.b),
+            adjl AS (SELECT ix, list(nb ORDER BY nb) AS nbs
+                     FROM (SELECT ai AS ix, bi AS nb FROM ed
+                           UNION ALL SELECT bi, ai FROM ed)
+                     GROUP BY ix),
+            adj AS (SELECT list(nbs ORDER BY ix) AS adjs FROM adjl),
+            it AS (
+              SELECT list_transform(adjs, (l, i) -> CAST(i AS BIGINT)) AS lab,
+                     adjs, 0 AS step
+              FROM adj
+              UNION ALL
+              SELECT list_transform(adjs, nb ->
+                       list_min(list_transform(nb, u -> CASE WHEN
+                         len(list_filter(nb, w -> lab[w] = lab[u])) =
+                         list_max(list_transform(nb, z ->
+                           len(list_filter(nb, w2 -> lab[w2] = lab[z]))))
+                         THEN lab[u] ELSE 9223372036854775807 END))) AS lab,
+                     adjs, step + 1
+              FROM it WHERE step < 5),
+            fin AS (SELECT lab FROM it ORDER BY step DESC LIMIT 1)
+            SELECT n.id AS token, nl.id AS community
+            FROM fin CROSS JOIN nodes n JOIN nodes nl ON nl.ix = fin.lab[n.ix]
+            ORDER BY token"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.operators.LabelPropagation
+        .communities(tokenGraphEdges(spark, dir), "a_tok", "b_tok", rounds = 5)
+        .select($"id".as("token"), $"community")
+        .orderBy($"token")
+    })
+
   /** Zipf-law fit per language: least-squares slope/intercept/R² of
     * ln(frequency) against ln(rank) over each language's top-1000
     * tokens — the corpus-health read behind "is this source natural
@@ -1400,7 +1460,7 @@ object MiningOps extends QueryModule {
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
-    graphTriangles, graphLcc, graphKcore, zipfSlope, heapsFit, tokenKl,
-    tokenEntropy, bpeTrain, bpeFertility, sourceOverlap,
+    graphTriangles, graphLcc, graphKcore, graphLpa, zipfSlope, heapsFit,
+    tokenKl, tokenEntropy, bpeTrain, bpeFertility, sourceOverlap,
     docDiversityApproxQ)
 }
