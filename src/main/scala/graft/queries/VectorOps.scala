@@ -1604,6 +1604,18 @@ object VectorOps extends QueryModule {
       (m, v)
     }
 
+  /** The centering expression of the PCA family (qd − m as an array
+    * column) — shared by the batch twins and the streaming projection
+    * twin so all three serve the literally-same codegen expression. */
+  private[graft] def pcaCenterExpr(m: Array[Long]): String = {
+    val mLit = m.map(x => s"${x}D").mkString("array(", ", ", ")")
+    s"transform(qd, (x, i) -> x - element_at($mLit, i + 1))"
+  }
+
+  /** The trained direction as a double-array literal for vec_dot. */
+  private[graft] def pcaVLit(v: Array[Long]): String =
+    v.map(x => s"${x}D").mkString("array(", ", ", ")")
+
   /** ORACLE-BACKED PCA — the FIFTH trust-anchor training family
     * (after MinHash / SimHash+LSH / k-means / PQ): the leading
     * principal direction of the embedding table by POWER ITERATION,
@@ -1688,14 +1700,11 @@ object VectorOps extends QueryModule {
       import spark.implicits._
       graft.functions.VecDot.register(spark)
       val (m, v) = pcaArithState(spark, dir)
-      val mLit = m.map(x => s"${x}D").mkString("array(", ", ", ")")
-      val vLit = v.map(x => s"${x}D").mkString("array(", ", ", ")")
-      val cExpr = s"transform(qd, (x, i) -> x - element_at($mLit, i + 1))"
       val pCols = (0 until 64).map(d =>
         sum(expr(s"c[$d] * u")).cast("long").as(s"p$d"))
       kmQuantized(spark, dir)
-        .select(expr(cExpr).as("c"))
-        .withColumn("u", expr(s"vec_dot(c, $vLit)"))
+        .select(expr(pcaCenterExpr(m)).as("c"))
+        .withColumn("u", expr(s"vec_dot(c, ${pcaVLit(v)})"))
         .agg(pCols.head, pCols.tail: _*)
         .select(expr("stack(64, " + (0 until 64).map(d =>
           s"CAST(${d + 1} AS BIGINT), CAST(${m(d)} AS BIGINT), " +
@@ -1735,12 +1744,10 @@ object VectorOps extends QueryModule {
       import spark.implicits._
       graft.functions.VecDot.register(spark)
       val (m, v) = pcaArithState(spark, dir)
-      val mLit = m.map(x => s"${x}D").mkString("array(", ", ", ")")
-      val vLit = v.map(x => s"${x}D").mkString("array(", ", ", ")")
       val top = kmQuantized(spark, dir)
         .select($"vec_id",
-          expr(s"vec_dot(transform(qd, (x, i) -> x - element_at($mLit, i + 1))," +
-            s" $vLit)").cast("long").as("proj"))
+          expr(s"vec_dot(${pcaCenterExpr(m)}, ${pcaVLit(v)})")
+            .cast("long").as("proj"))
         .orderBy(abs($"proj").desc, $"vec_id").limit(10)
       // rank the 10 collected rows — a single-partition window over a
       // bounded relation, not a corpus window

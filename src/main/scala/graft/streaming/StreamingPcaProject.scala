@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** Online principal-direction projection — the 22nd streaming twin and
+  * the SECOND over a trained model ([[StreamingKMeansAssign]]'s
+  * sibling for the PCA family): embeddings arriving on a stream are
+  * centered and projected onto the x_pca_oracle generation's trained
+  * direction the moment they land (training stays a batch concern —
+  * the faiss-style split), and the live per-dim projection rollup
+  * Σᵢ c_{i,d}·⟨c_i, v⟩ — exactly x_pca_oracle's `proj_sum` column, an
+  * exact additive set-function of the arrived vectors — is maintained
+  * as one row of streaming state and snapshotted per micro-batch
+  * through [[SnapshotSink]].
+  *
+  * Trust chain: the centering and projection expressions are the batch
+  * query's own columns (VectorOps.pcaCenterExpr / pcaVLit — the
+  * literally-same codegen expression), and the batch artifact the live
+  * rollup must equal is itself ORACLE-HASH-MATCHED, so the spec's
+  * exact equality pins stream ≡ batch ≡ DuckDB for a second
+  * trained-model serving path, across micro-batch splits and a
+  * checkpoint restart.
+  *
+  * At 100 TB: the model is 64+64 integers baked into the plan (no
+  * join, no state lookup); state is ONE row of 64 sums at any volume;
+  * the snapshot artifact is KBs. Model refresh = restart with the next
+  * generation's (means, direction) — the cachedLocal lifecycle's
+  * streaming face. */
+object StreamingPcaProject {
+
+  /** Start projecting `embStream` — (vec_id long, embedding
+    * array<float>) rows — against the trained centering means `m` and
+    * ±10000-scaled direction `v`, writing the live rollup
+    * (n_vectors, p0..p63) to a versioned snapshot under `outDir` each
+    * micro-batch. */
+  def start(
+      embStream: DataFrame,
+      m: Array[Long],
+      v: Array[Long],
+      outDir: String,
+      checkpoint: String): StreamingQuery = {
+    graft.functions.VecDot.register(embStream.sparkSession)
+    val pCols = (0 until 64).map(d =>
+      sum(expr(s"c[$d] * u")).cast("long").as(s"p$d"))
+    embStream
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS DOUBLE))")
+          .as("qd"))
+      .select(expr(graft.queries.VectorOps.pcaCenterExpr(m)).as("c"))
+      .withColumn("u", expr(s"vec_dot(c, ${graft.queries.VectorOps.pcaVLit(v)})"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_vectors"), pCols: _*)
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SnapshotSink.commit(batch, outDir, batchId)
+      }
+      .start()
+  }
+
+  /** The artifact's read path: (dim, proj_sum) rows from the NEWEST
+    * committed snapshot — the exact shape of x_pca_oracle's proj_sum
+    * column, so the batch artifact and the live one diff directly. */
+  def projections(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame =
+    spark.read.parquet(SnapshotSink.latestCommitted(spark, outDir))
+      .select(expr("stack(64, " + (0 until 64).map(d =>
+        s"CAST(${d + 1} AS BIGINT), p$d").mkString(", ") +
+        ") AS (dim, proj_sum)"))
+      .orderBy(col("dim"))
+}
