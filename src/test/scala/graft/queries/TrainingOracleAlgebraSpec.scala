@@ -197,6 +197,25 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("undersized tables fail LOUDLY in the training helpers (ADVICE r12)") {
+    // k-means needs n ≥ 8 and PQ n ≥ 4 for their lowest-vec_id inits;
+    // before the guards an undersized table threw IndexOutOfBounds on
+    // the Spark side while the oracle's list index returned NULL —
+    // divergent failure modes. Pin the clear-message contract.
+    val dir = writeEmb((0L until 3L).map(i => i -> Array.fill(64)(10)))
+    val km = intercept[IllegalArgumentException] {
+      VectorOps.kmeansArithCents(spark, dir)
+    }
+    assert(km.getMessage.contains(">= 8 vectors"), km.getMessage)
+    val pq = intercept[IllegalArgumentException] {
+      VectorOps.pqArithCodebooks(spark, dir)
+    }
+    assert(pq.getMessage.contains(">= 4 vectors"), pq.getMessage)
+    // PCA has no k-sized init — a 3-vector table trains fine
+    val (_, v) = VectorOps.pcaArithState(spark, dir)
+    assert(v.length == 64)
+  }
+
   test("pca edge branches: constant corpus → p ≡ 0 keeps v⁰; negative-mean " +
       "truncation matches") {
     // every vector identical → exact trunc-mean equals the value, every
