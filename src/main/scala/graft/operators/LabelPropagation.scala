@@ -46,10 +46,14 @@ object LabelPropagation {
       .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
       .distinct()
       .persist()
-    val probeCount =
-      canon.limit(math.min(driverLimit, Int.MaxValue - 1L).toInt + 1).count()
+    // the probe's limit() is Int-capped, so the effective driver gate is
+    // min(driverLimit, Int.MaxValue − 1): a caller passing a larger
+    // driverLimit must NOT be routed to the driver path on a probe that
+    // merely hit its Int cap (ADVICE r13 — that collect() would OOM)
+    val cap = math.min(driverLimit, Int.MaxValue - 1L)
+    val probeCount = canon.limit(cap.toInt + 1).count()
     val out =
-      if (probeCount <= driverLimit) driverLpa(canon, rounds)
+      if (probeCount <= cap) driverLpa(canon, rounds)
       else distributedLpa(canon, rounds)
     canon.unpersist()
     out
@@ -66,10 +70,26 @@ object LabelPropagation {
       adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
     }
     // min() on the id type ≡ the distributed path's min(): orderable
-    // ids only (the operator's contract)
+    // ids only (the operator's contract). Strings compare by UNSIGNED
+    // UTF-8 BYTES, not Java's UTF-16 code units — Spark SQL's
+    // min()/least() order UTF8String binary, and the two orders diverge
+    // for ids mixing U+E000–U+FFFF with supplementary-plane characters
+    // (ADVICE r13: the regimes would pick different tie labels).
+    def utf8Lt(a: String, b: String): Boolean = {
+      val xa = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val xb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(xa.length, xb.length)
+      while (i < n) {
+        val d = (xa(i) & 0xff) - (xb(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      xa.length < xb.length
+    }
     def lt(x: Any, y: Any): Boolean = (x, y) match {
       case (a: Long, b: Long)     => a < b
-      case (a: String, b: String) => a < b
+      case (a: String, b: String) => utf8Lt(a, b)
       case (a: Int, b: Int)       => a < b
       case _ => throw new IllegalArgumentException(
         s"unorderable node id type: ${x.getClass}")

@@ -42,8 +42,19 @@ object StreamingPcaProject {
       outDir: String,
       checkpoint: String): StreamingQuery = {
     graft.functions.VecDot.register(embStream.sparkSession)
+    // Sum in BIGINT, not double (ADVICE r13): the batch 2^53 envelope
+    // (pcaArithState's require) covers the TRAINED corpus size n, not
+    // stream volume — once cumulative arrivals exceed n the double sums
+    // could pass 2^53 and round silently. Each per-row product
+    // |c_d·u| ≤ (2·max|q|)²·64·10⁴ is inside the guarded per-row
+    // envelope (exact in a double, exact after the BIGINT cast), and a
+    // BIGINT sum has 2^63 headroom — ≥2^10× the batch bound — so the
+    // 'exact additive set-function' contract survives unbounded
+    // arrivals. For volumes within the batch envelope the Long sum
+    // equals the batch query's double sum exactly (both are the same
+    // integer), so the spec's stream ≡ batch equality is unchanged.
     val pCols = (0 until 64).map(d =>
-      sum(expr(s"c[$d] * u")).cast("long").as(s"p$d"))
+      sum(expr(s"CAST(c[$d] * u AS BIGINT)")).as(s"p$d"))
     embStream
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS DOUBLE))")

@@ -76,4 +76,28 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestBase {
     // round 2 → b sees {b, b} → "b", a/c see b's "a" → "a"
     assert(got == Map("a" -> "a", "b" -> "b", "c" -> "a"), got.toString)
   }
+
+  test("string ties order by UTF-8 bytes in BOTH regimes (ADVICE r13: " +
+      "UTF-16 code units would rank supplementary-plane ids differently)") {
+    import spark.implicits._
+    // U+FFFD (UTF-8 ef bf bd) vs U+10000 (UTF-8 f0 90 80 80): Java's
+    // UTF-16 code-unit order puts the surrogate pair (0xD800…) FIRST,
+    // UTF-8 byte order (= Spark's UTF8String binary order) puts U+FFFD
+    // first — a real divergence, not a synonym. Path u-m-s: round 1,
+    // m ties on {u, s} and must take the UTF-8 min = u.
+    val u = "\uFFFD"
+    val s = "\uD800\uDC00" // U+10000 as its surrogate pair
+    assert(s < u, "precondition: Java String order ranks these opposite")
+    val edges = Seq((u, "zzz"), ("zzz", s)).toDF("a", "b")
+    def run(limit: Long): Map[String, String] =
+      LabelPropagation.communities(edges, "a", "b", rounds = 1,
+          driverLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaDriver = run(LabelPropagation.DriverEdgeLimit)
+    val viaDistributed = run(0L)
+    assert(viaDriver("zzz") == u,
+      s"driver tie-break must be the UTF-8 min: $viaDriver")
+    assert(viaDriver == viaDistributed,
+      s"regimes diverged:\n driver=$viaDriver\n dist  =$viaDistributed")
+  }
 }
