@@ -1758,10 +1758,180 @@ object VectorOps extends QueryModule {
         .orderBy($"rk")
     })
 
+  // ---- x_pca2_oracle: the SECOND direction by integer deflation ----
+
+  /** Re-quantization divisor of the deflated vectors (the magnitude
+    * worksheet below). Decimal, like the ×10000 renormalization. */
+  private val Pca2Requant = 10000000000L // 10^10
+
+  /** MAGNITUDE WORKSHEET (done BEFORE the SQL, per the r13 verdict's
+    * gate for this query — every stage must stay inside exact-double
+    * and BIGINT envelopes; maxq = max|floor(x·100)| ≤ 58 on the gate
+    * corpora, |c| ≤ 2·maxq after trunc-mean centering):
+    *
+    *   v (trained dir 1):  |v_d| ≤ 10⁴;  vv = Σv² ≤ 64·10⁸ = 6.4·10⁹
+    *   u = ⟨c, v⟩:         |u| ≤ 64·(2maxq)·10⁴ ≈ 7.4·10⁷   (exact ✓)
+    *   deflation c′_d = c_d·vv − v_d·u:
+    *     |c_d·vv| ≤ (2maxq)·6.4·10⁹ ≈ 7.5·10¹¹
+    *     |v_d·u|  ≤ 10⁴·7.4·10⁷     ≈ 7.4·10¹¹
+    *     |c′_d|   ≤ (2maxq)·(vv + 64·10⁸) ≤ (2maxq)·1.28·10¹⁰
+    *                ≈ 1.5·10¹² ≪ 2^53                        (exact ✓)
+    *   re-quantization c₂ = trunc(c′ / 10¹⁰):
+    *     |c₂| ≤ (2maxq)·1.28 ≈ 2.56·maxq — BACK IN dir-1's magnitude
+    *     class (≤ ~149 at maxq 58), which is the whole point: without
+    *     it the power-step chain multiplies by |c′|² ≈ 10²⁴ and leaves
+    *     every envelope. Trunc-div is exact and identical in both
+    *     engines (Spark DIV ≡ DuckDB `//` on BIGINT, the r12 measured
+    *     rule, negatives included).
+    *   power step on c₂ (the dir-1 chain with maxc2 MEASURED):
+    *     |p_d| ≤ n·maxc2²·64·10⁴ — guarded loudly below
+    *     (n = 2000, maxc2 = 149 → 2.8·10¹³, ~320× headroom)
+    *   driver renorm (p·10⁴) trunc-div max|p|: p·10⁴ ≤ 2.8·10¹⁷ —
+    *     PAST 2^53, so it stays in driver Longs (< 2^63 ✓), exactly
+    *     like dir 1.
+    *
+    * Deflated frame: qd → centered c → u = ⟨c,v⟩ → c₂, all one narrow
+    * codegen projection chain (no join — m, v, vv ride as literals). */
+  private def pcaDeflated(spark: SparkSession, dir: String,
+      m: Array[Long], v: Array[Long]): org.apache.spark.sql.DataFrame = {
+    val vv = v.map(x => x * x).sum
+    kmQuantized(spark, dir)
+      .select(expr(pcaCenterExpr(m)).as("c"))
+      .withColumn("u", expr(s"vec_dot(c, ${pcaVLit(v)})"))
+      .select(expr(
+        s"""transform(c, (x, j) -> CAST(CAST(x * ${vv}D
+           |  - element_at(${pcaVLit(v)}, j + 1) * u AS BIGINT)
+           |  DIV ${Pca2Requant}L AS DOUBLE))""".stripMargin).as("c2"))
+  }
+
+  /** Trained second direction (integer deflation + the dir-1 power
+    * loop), once per (JVM, generation). See the worksheet above; the
+    * loud envelope guard uses the MEASURED max|c₂|, not the worksheet
+    * bound, so a corpus outside the modeled range fails clearly. */
+  private[graft] def pca2ArithState(spark: SparkSession, dir: String)
+      : (Array[Long], Array[Long], Array[Long]) =
+    QueryModule.cachedLocal(s"pca2arith:$dir", tableStamp(dir, "embeddings")) {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val (m, v) = pcaArithState(spark, dir)
+      val c2f = pcaDeflated(spark, dir, m, v)
+      val absMax = expr((0 until 64).map(d => s"abs(c2[$d])")
+        .mkString("greatest(", ", ", ")"))
+      val g = c2f.agg(count(lit(1)).as("n"), max(absMax).as("mx"))
+        .collect().head
+      val n = g.getLong(0)
+      val maxc2 = g.getDouble(1).toLong
+      require(n.toDouble * maxc2 * maxc2 * 64.0 * 10000.0
+          < 9007199254740992.0, // 2^53
+        s"pca2ArithState: n=$n, max|c2|=$maxc2 exceed the exact-double " +
+          "envelope (n·max|c2|²·64·10000 ≥ 2^53) — raise Pca2Requant or " +
+          "train over a sample")
+      var v2 = Array.fill(64)(1L)
+      for (_ <- 1 to 3) {
+        val pCols = (0 until 64).map(d => sum(expr(s"c2[$d] * u2")).as(s"p$d"))
+        val pr = c2f.withColumn("u2", expr(s"vec_dot(c2, ${pcaVLit(v2)})"))
+          .agg(pCols.head, pCols.tail: _*).collect().head
+        val p = Array.tabulate(64)(d => pr.getDouble(d).toLong)
+        val s = p.map(math.abs).max
+        if (s != 0L) v2 = p.map(x => x * 10000L / s)
+      }
+      (m, v, v2)
+    }
+
+  /** The deflation + second power loop as DuckDB CTEs appended to
+    * [[pcaArithCtes]] (requires WITH RECURSIVE): c₂ = (c·vv − v·⟨c,v⟩)
+    * trunc-div 10¹⁰, then the dir-1 LIST-state loop verbatim over c₂. */
+  private val pca2ArithCtes =
+    s"""dfl AS (SELECT vec_id, list_transform(c, (x, j) ->
+              (x * vv - v[j] * cu) // $Pca2Requant) AS c2
+            FROM (SELECT vec_id, c, v,
+                    CAST(list_sum(list_transform(c, (x, j) -> x * v[j]))
+                      AS BIGINT) AS cu,
+                    CAST(list_sum(list_transform(v, x -> x * x))
+                      AS BIGINT) AS vv
+                  FROM cv CROSS JOIN fin)),
+            vl2 AS (SELECT list(c2 ORDER BY vec_id) AS cs2 FROM dfl),
+            it2 AS (
+              SELECT 0 AS step,
+                list_transform(range(1, 65), d -> CAST(1 AS BIGINT)) AS v2
+              FROM (SELECT 1)
+              UNION ALL
+              SELECT step + 1,
+                CASE WHEN s = 0 THEN v2 ELSE
+                  list_transform(p, x -> CAST((x * 10000) // s AS BIGINT))
+                END AS v2
+              FROM (SELECT step, v2, p,
+                      list_max(list_transform(p, x -> abs(x))) AS s
+                    FROM (SELECT step, v2,
+                            list_transform(v2, (vd, d) -> CAST(
+                              list_sum(list_transform(cs2, w ->
+                                w[d] * list_sum(list_transform(w,
+                                  (x, j) -> x * v2[j])))) AS BIGINT)) AS p
+                          FROM it2, vl2))
+              WHERE step < 3),
+            fin2 AS (SELECT v2 FROM it2 ORDER BY step DESC LIMIT 1)"""
+
+  /** ORACLE-BACKED second principal direction — extends the PCA
+    * trust-anchor family past the leading direction (VERDICT r13 #3,
+    * gated on the magnitude worksheet above): the classical
+    * deflate-then-iterate scheme (Hotelling 1933's successive
+    * extraction, the textbook power-deflation method) made
+    * integer-exact. Deflation removes dir 1 WITHOUT normalizing it:
+    * c′ = c·⟨v,v⟩ − v·⟨c,v⟩ is the orthogonal projection scaled by
+    * ⟨v,v⟩ — a positive scalar that leaves the second direction
+    * untouched — so no division, no float; the one new step vs dir 1
+    * is the trunc-div re-quantization c₂ = c′ DIV 10¹⁰ that returns
+    * the magnitudes to dir-1's envelope (see the worksheet — without
+    * it the power chain multiplies by |v|² ≈ 10⁸ per component and
+    * leaves 2^53). Both engines replay the deflation, the
+    * re-quantization and all three power steps bit-for-bit; output per
+    * dim additionally recomputes the corpus projection sum
+    * Σᵢ c₂ᵢ_d·⟨c₂ᵢ, v₂⟩ live, the x_pca_oracle pattern. The
+    * quantized deflation is the declared algebra: truncation makes v₂
+    * a second direction of the RE-QUANTIZED deflated corpus (exactly
+    * reproducible everywhere) rather than a float PCA's — the
+    * trust-anchor split all five training families use.
+    *
+    * Scale shape (Spark): dir-1 training reused (cachedLocal); the
+    * deflated frame is ONE narrow codegen projection chain (m, v, vv
+    * ride as literals — no join); training = 3 × (narrow vec_dot pass
+    * + ONE wide 64-sum aggregate); the declared query is one narrow
+    * pass + one wide aggregate + a 64-row constant stack. Driver
+    * traffic: 64 values per step plus the 2-value envelope probe. */
+  private val pca2Oracle = Q(
+    "x_pca2_oracle",
+    Some(s"""WITH RECURSIVE
+            $pcaArithCtes,
+            $pca2ArithCtes,
+            res2 AS (SELECT v2,
+                      list_transform(v2, (vd, d) -> CAST(
+                        list_sum(list_transform(cs2, w ->
+                          w[d] * list_sum(list_transform(w,
+                            (x, j) -> x * v2[j])))) AS BIGINT)) AS p2
+                    FROM fin2 CROSS JOIN vl2)
+            SELECT CAST(d AS BIGINT) AS dim, CAST(v2[d] AS BIGINT) AS comp2,
+              CAST(p2[d] AS BIGINT) AS proj2_sum
+            FROM res2 CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+            ORDER BY dim"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val (m, v, v2) = pca2ArithState(spark, dir)
+      val pCols = (0 until 64).map(d =>
+        sum(expr(s"c2[$d] * u2")).cast("long").as(s"p$d"))
+      pcaDeflated(spark, dir, m, v)
+        .withColumn("u2", expr(s"vec_dot(c2, ${pcaVLit(v2)})"))
+        .agg(pCols.head, pCols.tail: _*)
+        .select(expr("stack(64, " + (0 until 64).map(d =>
+          s"CAST(${d + 1} AS BIGINT), CAST(${v2(d)} AS BIGINT), p$d")
+          .mkString(", ") + ") AS (dim, comp2, proj2_sum)"))
+        .orderBy($"dim")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
       embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall,
       annIncremental, annIncrementalExact, lshAnnOracle, lshMultiprobeOracle,
-      kmeansOracle, pqOracle, pcaOracle, pcaOutliers)
+      kmeansOracle, pqOracle, pcaOracle, pcaOutliers, pca2Oracle)
 }

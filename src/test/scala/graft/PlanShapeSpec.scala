@@ -519,16 +519,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("x_pca_oracle: one narrow projection pass + one wide aggregate — " +
-      "no join at all, no window, no corpus explode") {
-    // the trained direction rides the plan as literals and the output
+  test("x_pca_oracle / x_pca2_oracle: one narrow projection pass + one " +
+      "wide aggregate — no join at all, no window, no corpus explode") {
+    // the trained direction(s) ride the plan as literals and the output
     // is a 64-row stack of the single aggregate row — the only
-    // exchange beyond the aggregate is the final ORDER BY
-    val p = plan("x_pca_oracle")
-    assert(!p.contains("Join") && !p.contains("Window"),
-      s"x_pca_oracle: corpus-side join/window appeared:\n$p")
-    assert(!p.contains("Generate explode"),
-      s"x_pca_oracle: corpus explode appeared (the fused 64-sum " +
-        s"aggregate regressed):\n$p")
+    // exchange beyond the aggregate is the final ORDER BY; the second
+    // direction's deflation is one more NARROW projection, not a join
+    for (q <- Seq("x_pca_oracle", "x_pca2_oracle")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q: corpus-side join/window appeared:\n$p")
+      assert(!p.contains("Generate explode"),
+        s"$q: corpus explode appeared (the fused 64-sum " +
+          s"aggregate regressed):\n$p")
+    }
   }
 }

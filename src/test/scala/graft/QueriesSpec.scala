@@ -253,4 +253,32 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(a - n).toDouble / n <= 0.15, s"$k: approx=$a exact=$n")
     }
   }
+
+  test("x_hazard_km: the corpus-calibrated 2-day churn threshold keeps " +
+      "BOTH branches nonzero at both GATE SFs (VERDICT r13 #6)") {
+    // the threshold is corpus-calibrated (x_hazard_km's scaladoc: max
+    // observed absence is 2 days — a 7-day production rule would churn
+    // nobody here). A testdata regeneration that silently zeroes either
+    // the churned or the censored branch would ship a degenerate hazard
+    // table through a green hash-match (an all-zero column still
+    // matches); fail HERE instead, with a recalibration pointer.
+    // Scoped to the GATE SFs (sf0.01: 1 churned/149 censored; sf0.1:
+    // 13/1487 — measured r14): the 15-user sf0.001 corpus has a max
+    // end-gap of ONE day, so its churn branch is zero BY THE DATA (the
+    // oracle hash-matches the all-zero column; writing this pin at
+    // sf0.001 was how that fact surfaced) — sf0.001 is the fast dev
+    // loop, not a graded gate.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rows = SparkEntry.queries("x_hazard_km")(spark, dir).collect()
+      assert(rows.nonEmpty, s"$dir: empty hazard table")
+      val churned = rows.map(_.getLong(2)).sum
+      val censored = rows.map(_.getLong(3)).sum
+      assert(churned > 0,
+        s"$dir: the 2-day threshold churns NOBODY — recalibrate it " +
+          "against the corpus's max observed absence (scaladoc rule)")
+      assert(censored > 0,
+        s"$dir: the censored branch is empty — the threshold churns " +
+          "everyone; recalibrate")
+    }
+  }
 }

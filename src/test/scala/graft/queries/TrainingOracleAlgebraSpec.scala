@@ -123,6 +123,33 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
     (m, v, proj(v))
   }
 
+  /** Independent reference of the x_pca2_oracle algebra (spec, not
+    * code): deflate each centered vector by c₂ = (c·⟨v,v⟩ − v·⟨c,v⟩)
+    * trunc-div 10¹⁰ against the dir-1 reference, then run the dir-1
+    * power loop verbatim over c₂. Returns (v₂, final p₂). */
+  private def refPca2(qs: Seq[(Long, Array[Long])])
+      : (Array[Long], Array[Long]) = {
+    val (m, v, _) = refPca(qs)
+    val dims = qs.head._2.length
+    val cs = qs.map(_._2.zip(m).map { case (x, mm) => x - mm })
+    val vv = v.map(x => x * x).sum
+    val cs2 = cs.map { c =>
+      val cu = dot(c, v)
+      Array.tabulate(dims)(d => (c(d) * vv - v(d) * cu) / 10000000000L)
+    }
+    def proj(w: Array[Long]): Array[Long] = {
+      val u = cs2.map(c => dot(c, w))
+      Array.tabulate(dims)(d => cs2.zip(u).map { case (c, ui) => c(d) * ui }.sum)
+    }
+    var v2 = Array.fill(dims)(1L)
+    for (_ <- 1 to 3) {
+      val p = proj(v2)
+      val s = p.map(math.abs).max
+      if (s != 0L) v2 = p.map(x => x * 10000L / s)
+    }
+    (v2, proj(v2))
+  }
+
   test("edge branches: zero vector → cid 1; empty cell keeps its centroid; " +
       "duplicate vectors tie to the lowest cid") {
     // 12 vectors in TWO tight clusters + one zero vector PLANTED AT
@@ -194,6 +221,16 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => (r.getLong(1), r.getLong(2)))
       assert(gotTop.sameElements(wantTop),
         s"pca outliers diverged at seed $seed")
+      // the SECOND direction: deflation, re-quantization and the
+      // second power loop against the independent reference
+      val (wv2, wp2) = refPca2(qs)
+      val (_, _, gv2) = VectorOps.pca2ArithState(spark, dir)
+      assert(gv2.sameElements(wv2), s"pca2 state diverged at seed $seed")
+      val out2 = graft.SparkEntry.queries("x_pca2_oracle")(spark, dir).collect()
+      assert(out2.length == 64)
+      assert(out2.map(_.getLong(1)).sameElements(wv2) &&
+        out2.map(_.getLong(2)).sameElements(wp2),
+        s"pca2 declared output diverged at seed $seed")
     }
   }
 
@@ -232,5 +269,14 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
     // and the reference agrees on the same rows
     val (wm, wv, wp) = refPca(const.map { case (id, q) => id -> q.map(_.toLong) })
     assert(wm.sameElements(m) && wv.sameElements(v) && wp.forall(_ == 0L))
+    // second direction on the constant corpus: every centered vector is
+    // 0 → deflation and re-quantization stay 0 → p₂ ≡ 0 keeps v₂ = 1⁶⁴
+    // in the trainer, the declared query AND the reference
+    val (_, _, v2) = VectorOps.pca2ArithState(spark, dir)
+    assert(v2.forall(_ == 1L), "s = 0 must keep the all-ones v2")
+    val out2 = graft.SparkEntry.queries("x_pca2_oracle")(spark, dir).collect()
+    assert(out2.forall(r => r.getLong(1) == 1L && r.getLong(2) == 0L))
+    val (wv2, wp2) = refPca2(const.map { case (id, q) => id -> q.map(_.toLong) })
+    assert(wv2.forall(_ == 1L) && wp2.forall(_ == 0L))
   }
 }
