@@ -140,8 +140,12 @@ object ScaleOps extends QueryModule {
     * ONE fused aggregate pass (the production kernel's shape; see
     * minhashArith) while the ORACLE keeps the paper's ×32 explode
     * spelling — so the hash-match additionally pins fused ≡ explode.
-    * The vocab window is a single-partition row_number over the
-    * CLOSED vocabulary (tiny by declaration; a real corpus broadcasts a
+    * Since r14 the front-end is PERSISTED per (JVM, generation)
+    * (minhashArith's scaladoc states exactly what this twin's
+    * hash-match still pins live — the banding join, the exact-Jaccard
+    * verify, the report order — vs what the build pins). The vocab
+    * window is a single-partition row_number over the CLOSED
+    * vocabulary (tiny by declaration; a real corpus broadcasts a
     * precomputed token dictionary — same join shape). */
   /** The shared CTE chain of the three arithmetic MinHash oracles
     * (tokens → vocab ids → shingles → 32 affine minima → 8×4 band
@@ -612,7 +616,11 @@ object ScaleOps extends QueryModule {
     * the serving path. Scale note: since r12 the Spark side computes
     * all 64 vote sums in ONE fused aggregate (the kernel's shape)
     * while the ORACLE keeps the per-occurrence ×64 explode spelling —
-    * the hash-match pins fused ≡ explode. */
+    * the hash-match pins fused ≡ explode. Since r14 the signed rows are
+    * PERSISTED per (JVM, generation) (simhashArtifacts' scaladoc —
+    * this twin's hash-match still pins the chunk banding join, the
+    * inline Hamming verify and the pair order live; the vote/packing
+    * algebra is pinned by the build and recomputed by the oracle). */
   private val simhashOracle = Q(
     "x_simhash_oracle",
     Some(s"""WITH $simhashArithCtes,
