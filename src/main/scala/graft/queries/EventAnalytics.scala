@@ -1351,10 +1351,172 @@ object EventAnalytics extends QueryModule {
         .orderBy($"t_days")
     })
 
+  /** Trained steady-state weights of the quantized event-type Markov
+    * chain, once per (JVM, generation): the transition matrix in basis
+    * points (x_event_transitions' own p_bp quantization — n·10⁴ DIV
+    * row total), then 5 fixed rounds of w ← wᵀP_bp with the
+    * scale-invariant integer renormalization (w·10⁴) trunc-div max(w)
+    * (the x_pca_oracle trick — power iteration only needs a DIRECTION,
+    * so the float row-normalization is replaced by exact integers).
+    * Type space = ALL distinct event types, sorted; bounded by
+    * declaration (the vocab-window rule) and GUARDED at ≤ 256 — the
+    * oracle's position-unnest cap; beyond it the Spark side fails
+    * loudly where the oracle would silently truncate (the k-core
+    * cap-coupling rule, documented there). Driver traffic: ≤ K² + K
+    * bounded values once per generation. Envelope: w ≤ 10⁴, p ≤ 10⁴ →
+    * wᵀP entries ≤ K·10⁸ ≤ 2.6·10¹⁰ — inside Long trivially, inside
+    * BIGINT in the oracle; all values nonnegative, so trunc ≡ floor
+    * everywhere and the signed-division trap has no surface. */
+  private[graft] def markovState(spark: SparkSession, dir: String)
+      : (Seq[String], Array[Long]) =
+    QueryModule.cachedLocal(s"markov:$dir", tableStamp(dir, "events")) {
+      import spark.implicits._
+      val wU = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val c = t(spark, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts)").as("ts_us"))
+        .withColumn("prev_type", lag($"event_type", 1).over(wU))
+        .where($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum($"n").over(Window.partitionBy($"prev_type")))
+        .select($"prev_type", $"next_type",
+          expr("(n * 10000) DIV tot").as("p_bp"))
+        .collect()
+      val types = t(spark, dir, "events").select($"event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(types.length <= 256,
+        s"markovState: ${types.length} event types exceed the declared " +
+          "bounded type space (oracle position cap 256) — widen both or sample")
+      val idx = types.zipWithIndex.toMap
+      val k = types.length
+      val m = Array.ofDim[Long](k, k)
+      c.foreach(r =>
+        m(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))
+      var w = Array.fill(k)(1L)
+      for (_ <- 1 to 5) {
+        val wp = Array.tabulate(k)(j =>
+          (0 until k).map(i => w(i) * m(i)(j)).sum)
+        val s = wp.map(math.abs).max
+        if (s != 0L) w = wp.map(x => x * 10000L / s)
+      }
+      (types, w)
+    }
+
+  /** ORACLE-BACKED Markov steady state — the long-run event-mix read
+    * that sits one step past x_event_transitions: where that query
+    * emits the per-edge transition probabilities, this one answers
+    * "where does a user session SPEND its time in the limit" — the
+    * dominant left eigenvector of the quantized transition matrix by
+    * power iteration, the same analytics read PageRank serves on
+    * graphs, here on the behavioral chain. The algebra both engines
+    * replay exactly: P in basis points (n·10⁴ DIV row total —
+    * LITERALLY x_event_transitions' p_bp column, so the chain being
+    * iterated is itself an already-declared artifact), w⁰ = 1ᴷ, five
+    * synchronous w ← wᵀP steps with the (w·10⁴) trunc-div max integer
+    * renormalization (x_pca_oracle's scale-invariance argument — the
+    * steady state is a direction), every value a nonnegative exact
+    * integer. Output per type: LIVE-recomputed outgoing/incoming
+    * transition mass (the corpus side, not stored state) next to the
+    * trained steady weight and its share steady_bp = w·10⁴ DIV Σw.
+    * Types missing from the chain (never adjacent to anything) carry
+    * n_out = n_in = 0 through the LEFT join in both engines. The
+    * DuckDB twin replays the whole loop in a recursive-CTE LIST-state
+    * row (nested lambda matrix build from the edge list — the
+    * x_graph_lpa closure technique).
+    *
+    * Scale shape: ONE user-keyed lag window + a K²-bounded rollup
+    * (training, per generation); the declared query re-runs that
+    * window (live evidence) plus two ≤K-row rollups and a broadcast
+    * join of the ≤K-row steady constants. K is type cardinality —
+    * bounded by declaration, guarded at 256. */
+  private val markovSteady = Q(
+    "x_markov_steady",
+    Some("""WITH RECURSIVE
+            e AS (SELECT user_id, event_id, event_type,
+                    epoch_us(ts) AS ts_us FROM events),
+            p AS (SELECT lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type,
+                    event_type AS next_type
+                  FROM e),
+            c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+                  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            tt AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+                   FROM c GROUP BY 1),
+            pb AS (SELECT c.prev_type AS a, c.next_type AS b,
+                     CAST((c.n * 10000) // tt.tot AS BIGINT) AS v
+                   FROM c JOIN tt USING (prev_type)),
+            ty AS (SELECT list(t ORDER BY t) AS ts
+                   FROM (SELECT DISTINCT event_type AS t FROM events)),
+            el AS (SELECT coalesce(list(struct_pack(a := a, b := b, v := v)),
+                     []) AS es FROM pb),
+            pm AS (SELECT ts, list_transform(ts, x -> list_transform(ts, y ->
+                     coalesce(list_min(list_transform(
+                       list_filter(es, q -> q.a = x AND q.b = y),
+                       q -> q.v)), 0))) AS m
+                   FROM ty CROSS JOIN el),
+            it AS (
+              SELECT 0 AS step, list_transform(ts, t -> CAST(1 AS BIGINT)) AS w
+              FROM ty
+              UNION ALL
+              SELECT step + 1,
+                CASE WHEN s = 0 THEN w ELSE
+                  list_transform(wp, x -> CAST((x * 10000) // s AS BIGINT))
+                END AS w
+              FROM (SELECT step, w, wp,
+                      list_max(list_transform(wp, x -> abs(x))) AS s
+                    FROM (SELECT step, w,
+                            list_transform(range(1, len(w) + 1), j -> CAST(
+                              list_sum(list_transform(range(1, len(w) + 1),
+                                i -> w[i] * m[i][j])) AS BIGINT)) AS wp
+                          FROM it CROSS JOIN pm))
+              WHERE step < 5),
+            fin AS (SELECT w FROM it ORDER BY step DESC LIMIT 1),
+            sw AS (SELECT ts, w, CAST(list_sum(w) AS BIGINT) AS wt
+                   FROM fin CROSS JOIN ty),
+            outs AS (SELECT prev_type AS t, CAST(sum(n) AS BIGINT) AS n_out
+                     FROM c GROUP BY 1),
+            ins AS (SELECT next_type AS t, CAST(sum(n) AS BIGINT) AS n_in
+                    FROM c GROUP BY 1),
+            base AS (SELECT ts[k] AS event_type, CAST(w[k] AS BIGINT) AS steady_w,
+                       CAST((w[k] * 10000) // wt AS BIGINT) AS steady_bp
+                     FROM sw CROSS JOIN (SELECT unnest(range(1, 257)) AS k)
+                     WHERE k <= len(ts))
+            SELECT b.event_type, coalesce(o.n_out, 0) AS n_out,
+              coalesce(i.n_in, 0) AS n_in, b.steady_w, b.steady_bp
+            FROM base b
+            LEFT JOIN outs o ON o.t = b.event_type
+            LEFT JOIN ins i ON i.t = b.event_type
+            ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val (types, w) = markovState(spark, dir)
+      val wt = w.sum
+      val steady = broadcast(types.zip(w).map { case (ty, wi) =>
+        (ty, wi, wi * 10000L / wt) }.toDF("event_type", "steady_w", "steady_bp"))
+      val wU = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val c = t(spark, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts)").as("ts_us"))
+        .withColumn("prev_type", lag($"event_type", 1).over(wU))
+        .where($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val outs = c.groupBy($"prev_type".as("event_type"))
+        .agg(sum($"n").as("n_out"))
+      val ins = c.groupBy($"next_type".as("event_type"))
+        .agg(sum($"n").as("n_in"))
+      steady.join(outs, Seq("event_type"), "left")
+        .join(ins, Seq("event_type"), "left")
+        .na.fill(0L, Seq("n_out", "n_in"))
+        .select($"event_type", $"n_out", $"n_in", $"steady_w", $"steady_bp")
+        .orderBy($"event_type")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
     gini, hourProfile, schemaDrift, hillTail, userOverlap, forecastSes,
     attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ,
-    hazardKm)
+    hazardKm, markovSteady)
 }

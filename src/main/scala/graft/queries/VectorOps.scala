@@ -1928,10 +1928,148 @@ object VectorOps extends QueryModule {
         .orderBy($"dim")
     })
 
+  // ---- x_kcenter_coreset: greedy farthest-point diverse selection ----
+
+  /** Exact integer L2² of the qd column against a constant quantized
+    * vector, via the dot identity ‖w‖² − 2⟨w,s⟩ + ‖s‖² (three codegen
+    * vec_dot-class terms; every value integer-valued and ≪ 2^53 while
+    * max|q| ≤ 2^22 — the corpus envelope is ~10²). */
+  private def l2ToConst(s: Array[Long]): String = {
+    val sLit = s.map(x => s"${x}D").mkString("array(", ", ", ")")
+    val ss = s.map(x => x * x).sum
+    s"(vec_dot(qd, qd) - 2 * vec_dot(qd, $sLit) + ${ss}D)"
+  }
+
+  /** min over selected-point distances — Spark's least() needs ≥2 args,
+    * so a 1-element set is the bare expression. */
+  private def minOverSel(ds: Seq[String]): String =
+    if (ds.length == 1) ds.head else ds.mkString("least(", ", ", ")")
+
+  /** Greedy k-center selection state (Gonzalez 1985 farthest-point
+    * traversal), once per (JVM, generation): seed = the lowest vec_id,
+    * then min(8, n) − 1 rounds of "add the vector farthest from the
+    * selected set" — distance = EXACT integer L2² over the quantized
+    * vectors (the x_pq_oracle arithmetic class: no sqrt, no division,
+    * no float anywhere), farthest = max of (min over selected), ties →
+    * lowest vec_id. The partial-selection fin (n < 8 → fewer steps) is
+    * the r13 MMR lesson applied up front. Per round: ONE narrow
+    * codegen pass + a TopK(1) sort; driver traffic = 66 values/round
+    * (the kmeansArithCents discipline). Returns (step, vec_id,
+    * maxmin_d2, q) per selected point. */
+  private[graft] def kcenterState(spark: SparkSession, dir: String)
+      : Seq[(Long, Long, Long, Array[Long])] =
+    QueryModule.cachedLocal(s"kcenter:$dir", tableStamp(dir, "embeddings")) {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val base = kmQuantized(spark, dir)
+      val seedRow = base.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"qd").collect()
+      require(seedRow.nonEmpty, "kcenterState: embeddings table is empty")
+      def qOf(r: org.apache.spark.sql.Row, i: Int): Array[Long] =
+        r.getSeq[Double](i).map(_.toLong).toArray
+      val sel = scala.collection.mutable.ArrayBuffer(
+        (1L, seedRow.head.getLong(0), 0L, qOf(seedRow.head, 1)))
+      var more = true
+      while (sel.length < 8 && more) {
+        val dExpr = minOverSel(sel.map(s => l2ToConst(s._4)).toSeq)
+        val next = base
+          .where(!$"vec_id".isin(sel.map(_._2).toSeq: _*))
+          .select($"vec_id", expr(dExpr).as("d"), $"qd")
+          .orderBy($"d".desc, $"vec_id").limit(1)
+          .collect()
+        if (next.isEmpty) more = false
+        else {
+          val r = next.head
+          sel += ((sel.length + 1L, r.getLong(0),
+            r.getDouble(1).toLong, qOf(r, 2)))
+        }
+      }
+      sel.toSeq
+    }
+
+  /** ORACLE-BACKED greedy k-center coreset — the diversity-selection
+    * read a curation pipeline runs when it wants a maximally-spread
+    * sample (coreset seeding, eval-set picking, outlier-probe
+    * selection); the deterministic complement of x_mmr_rerank's
+    * relevance-diversity tradeoff. Gonzalez (1985) farthest-point
+    * traversal over the integer-quantized embeddings: seed = lowest
+    * vec_id, each round adds argmax over remaining of
+    * min_{s∈S} L2²(q, q_s) with ties to the lowest vec_id — every
+    * distance an exact integer (no float step at all, the x_pq_oracle
+    * class), so both engines replay the whole greedy trajectory
+    * bit-for-bit through the recursive-CTE LIST-state row (selected
+    * POSITIONS into the vec_id-sorted list + their selection
+    * distances; first-position list_max ≡ the lowest-id tie rule).
+    * Output per step: the selected vec_id, its selection distance
+    * maxmin_d2, and cover_d2 — the LIVE corpus-recomputed k-center
+    * objective max_v min_{s∈S} L2²(v, s) after the full selection
+    * (the 2-approximation certificate: max over the corpus of the
+    * distance to the chosen set), the proj_sum pattern of recomputing
+    * against the corpus rather than trusting stored state.
+    *
+    * Scale shape (Spark): training = ≤7 × (narrow codegen pass +
+    * TopK(1)), once per (JVM, generation); the declared query is one
+    * narrow pass + a 1-row max aggregate + an ≤8-row constant stack
+    * broadcast-joined. At 100 TB k-center runs over a bounded sample
+    * (like PCA) or the per-partition prefix — the greedy trajectory is
+    * inherently sequential in k, and k is small by design. */
+  private val kcenterCoreset = Q(
+    "x_kcenter_coreset",
+    Some("""WITH RECURSIVE
+            qv AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                     x -> CAST(floor(x * 100.0) AS BIGINT)) AS q FROM embeddings),
+            vl AS (SELECT list(vec_id ORDER BY vec_id) AS ids,
+                          list(q ORDER BY vec_id) AS qs FROM qv),
+            it AS (
+              SELECT 1 AS step, [CAST(1 AS BIGINT)] AS sel,
+                     [CAST(0 AS BIGINT)] AS dist
+              FROM (SELECT 1)
+              UNION ALL
+              SELECT step + 1, list_append(sel, CAST(list_position(dl,
+                       list_max(dl)) AS BIGINT)),
+                     list_append(dist, list_max(dl))
+              FROM (SELECT step, sel, dist, len(qs) AS nq,
+                      list_transform(range(1, len(qs) + 1), i ->
+                        CASE WHEN list_contains(sel, CAST(i AS BIGINT))
+                             THEN CAST(-1 AS BIGINT)
+                        ELSE CAST(list_min(list_transform(sel, s ->
+                          list_sum(list_transform(range(1, 65), d ->
+                            (qs[i][d] - qs[s][d]) * (qs[i][d] - qs[s][d])))))
+                          AS BIGINT)
+                        END) AS dl
+                    FROM it, vl)
+              WHERE step < least(8, nq)),
+            fin AS (SELECT sel, dist FROM it ORDER BY step DESC LIMIT 1),
+            cov AS (SELECT CAST(max(list_min(list_transform(sel, s ->
+                      list_sum(list_transform(range(1, 65), d ->
+                        (q[d] - qs[s][d]) * (q[d] - qs[s][d])))))) AS BIGINT)
+                      AS cover_d2
+                    FROM qv CROSS JOIN fin CROSS JOIN vl)
+            SELECT CAST(k AS BIGINT) AS step, ids[sel[k]] AS vec_id,
+              CAST(dist[k] AS BIGINT) AS maxmin_d2, cover_d2
+            FROM fin CROSS JOIN vl CROSS JOIN cov
+            CROSS JOIN (SELECT unnest(range(1, 9)) AS k)
+            WHERE k <= len(sel)
+            ORDER BY step"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val sel = kcenterState(spark, dir)
+      val covExpr = minOverSel(sel.map(s => l2ToConst(s._4)))
+      val cover = kmQuantized(spark, dir)
+        .agg(max(expr(covExpr)).cast("long").as("cover_d2"))
+      val selDf = sel.map { case (st, id, d, _) => (st, id, d) }
+        .toDF("step", "vec_id", "maxmin_d2")
+      broadcast(selDf).crossJoin(cover)
+        .select($"step", $"vec_id", $"maxmin_d2", $"cover_d2")
+        .orderBy($"step")
+    })
+
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
       embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall,
       annIncremental, annIncrementalExact, lshAnnOracle, lshMultiprobeOracle,
-      kmeansOracle, pqOracle, pcaOracle, pcaOutliers, pca2Oracle)
+      kmeansOracle, pqOracle, pcaOracle, pcaOutliers, pca2Oracle,
+      kcenterCoreset)
 }

@@ -254,6 +254,22 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("x_markov_steady: nonnegative max-scaled weights, shares sum to " +
+      "≤ 10^4, and outgoing mass balances incoming mass") {
+    val rows = SparkEntry.queries("x_markov_steady")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ws = rows.map(_.getLong(3))
+    assert(ws.forall(_ >= 0), s"negative steady weight: ${ws.mkString(",")}")
+    // the scale-invariant renorm pins max|w| = 10^4 whenever the chain
+    // has any transition (s != 0 at the final step — true on the corpus)
+    assert(ws.max == 10000L, s"max weight ${ws.max} != 10000")
+    val bps = rows.map(_.getLong(4))
+    assert(bps.forall(_ >= 0) && bps.sum <= 10000L,
+      s"steady shares must floor-sum to <= 10^4: ${bps.mkString(",")}")
+    // every transition leaves one type and enters one: Σ n_out = Σ n_in
+    assert(rows.map(_.getLong(1)).sum == rows.map(_.getLong(2)).sum)
+  }
+
   test("x_hazard_km: the corpus-calibrated 2-day churn threshold keeps " +
       "BOTH branches nonzero at both GATE SFs (VERDICT r13 #6)") {
     // the threshold is corpus-calibrated (x_hazard_km's scaladoc: max

@@ -150,6 +150,28 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
     (v2, proj(v2))
   }
 
+  /** Independent reference of the x_kcenter_coreset algebra: seed =
+    * lowest vec_id, then argmax over remaining of min-L2²-to-selected,
+    * ties → lowest vec_id, min(8, n) selections; plus the live cover
+    * objective max over ALL vectors of min-dist-to-selected. */
+  private def refKcenter(qs: Seq[(Long, Array[Long])])
+      : (Seq[(Long, Long, Long)], Long) = {
+    val sorted = qs.sortBy(_._1)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sel = scala.collection.mutable.ArrayBuffer(
+      (1L, sorted.head._1, 0L))
+    def selQ = sel.map(s => sorted.find(_._1 == s._2).get._2)
+    while (sel.length < math.min(8, sorted.length)) {
+      val cand = sorted.filterNot(v => sel.exists(_._2 == v._1))
+        .map { case (id, q) => (id, selQ.map(sq => l2(q, sq)).min) }
+      val best = cand.minBy { case (id, d) => (-d, id) }
+      sel += ((sel.length + 1L, best._1, best._2))
+    }
+    val cover = sorted.map { case (_, q) => selQ.map(sq => l2(q, sq)).min }.max
+    (sel.toSeq, cover)
+  }
+
   test("edge branches: zero vector → cid 1; empty cell keeps its centroid; " +
       "duplicate vectors tie to the lowest cid") {
     // 12 vectors in TWO tight clusters + one zero vector PLANTED AT
@@ -231,7 +253,32 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
       assert(out2.map(_.getLong(1)).sameElements(wv2) &&
         out2.map(_.getLong(2)).sameElements(wp2),
         s"pca2 declared output diverged at seed $seed")
+      // k-center: the greedy trajectory AND the live cover objective
+      val (wSel, wCover) = refKcenter(qs)
+      val outK = graft.SparkEntry.queries("x_kcenter_coreset")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(outK.map(t => (t._1, t._2, t._3)).toSeq == wSel,
+        s"kcenter trajectory diverged at seed $seed:\n got=${outK.toSeq}\nwant=$wSel")
+      assert(outK.forall(_._4 == wCover),
+        s"kcenter cover objective diverged at seed $seed")
     }
+  }
+
+  test("kcenter partial selection: n < 8 vectors emit exactly n steps " +
+      "(the MMR max-step fin rule, applied up front)") {
+    val rows: Seq[(Long, Array[Int])] = Seq(
+      5L -> Array.fill(64)(30), 9L -> Array.fill(64)(-20),
+      2L -> Array.fill(64)(0))
+    val dir = writeEmb(rows)
+    val qs = rows.map { case (id, q) => id -> q.map(_.toLong) }
+    val (wSel, wCover) = refKcenter(qs)
+    assert(wSel.length == 3 && wSel.head._2 == 2L) // seed = lowest vec_id
+    val out = graft.SparkEntry.queries("x_kcenter_coreset")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 3, s"partial selection emitted ${out.length} rows")
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq == wSel, out.mkString(","))
+    // with every vector selected the cover objective is exactly 0
+    assert(wCover == 0L && out.forall(_._4 == 0L))
   }
 
   test("undersized tables fail LOUDLY in the training helpers (ADVICE r12)") {
