@@ -1945,6 +1945,13 @@ object VectorOps extends QueryModule {
   private def minOverSel(ds: Seq[String]): String =
     if (ds.length == 1) ds.head else ds.mkString("least(", ", ", ")")
 
+  /** The cover-distance expression over a `qd` column (min exact
+    * integer L2² to the selected coreset points) — shared LITERALLY by
+    * the batch x_kcenter_coreset query and the streaming cover monitor
+    * so both serve the same codegen expression. */
+  private[graft] def kcenterCoverExpr(sel: Seq[Array[Long]]): String =
+    minOverSel(sel.map(l2ToConst))
+
   /** Greedy k-center selection state (Gonzalez 1985 farthest-point
     * traversal), once per (JVM, generation): seed = the lowest vec_id,
     * then min(8, n) − 1 rounds of "add the vector farthest from the
@@ -2055,7 +2062,7 @@ object VectorOps extends QueryModule {
       import spark.implicits._
       graft.functions.VecDot.register(spark)
       val sel = kcenterState(spark, dir)
-      val covExpr = minOverSel(sel.map(s => l2ToConst(s._4)))
+      val covExpr = kcenterCoverExpr(sel.map(_._4))
       val cover = kmQuantized(spark, dir)
         .agg(max(expr(covExpr)).cast("long").as("cover_d2"))
       val selDf = sel.map { case (st, id, d, _) => (st, id, d) }
