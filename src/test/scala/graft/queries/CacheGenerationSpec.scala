@@ -39,4 +39,39 @@ class CacheGenerationSpec extends AnyFunSuite with SparkTestBase {
     // deterministic retrain on identical content: same centroids
     assert(c1.zip(c3).forall { case (a, b) => a.sameElements(b) })
   }
+
+  test("cachedIndex regeneration drill: a regenerated documents table " +
+      "rebuilds the persisted near-dup pair list (r14 artifact class)") {
+    // r14 moved corpus-derived artifacts (ngramPairs, the oracle-twin
+    // signatures) to cachedIndex parquet; the stamp rule must hold for
+    // them exactly as for cachedLocal models: same generation → served
+    // warm and identical, regenerated CONTENT at the same path → a
+    // REBUILD from the new bytes, never a stale artifact.
+    def copyDocs(from: String, to: String): Unit = {
+      val dst = Paths.get(to, "documents.parquet")
+      Files.copy(Paths.get(s"$from/documents.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      // ensure the mtime term moves even on a same-second copy
+      assert(dst.toFile.setLastModified(System.currentTimeMillis() + 5000))
+    }
+    def pairs(dir: String): Seq[String] =
+      graft.SparkEntry.queries("x_dedup_ngram")(spark, dir)
+        .collect().map(_.toString).toSeq
+
+    val dir = tmpDir("regenpairs")
+    copyDocs("/root/testdata/sf0.001", dir)
+    val first = pairs(dir)
+    assert(pairs(dir) == first, "warm generation not served identically")
+
+    // regeneration with DIFFERENT content at the same path
+    copyDocs("/root/testdata/sf0.01", dir)
+    val regen = pairs(dir)
+    // fresh cache key over the same new content = the rebuild reference
+    val fresh = tmpDir("freshpairs")
+    copyDocs("/root/testdata/sf0.01", fresh)
+    assert(regen == pairs(fresh),
+      "regenerated table did not rebuild the pair-list artifact")
+    assert(regen != first,
+      "drill vacuous: the two corpora produced identical pair lists")
+  }
 }
