@@ -206,4 +206,27 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(out.nonEmpty)
     out.foreach(r => assert(r.getLong(3) == 0L, s"constant series bp: $r"))
   }
+
+  test("x_markov_steady: a transition-free corpus keeps w = 1 per type " +
+      "(the empty-edge-list branch the gate corpus never exercises)") {
+    import spark.implicits._
+    val ts0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val dir = tmpDir("markovdegen")
+    // one event per user → no lag pairs anywhere → the transition edge
+    // list is EMPTY: the matrix is all zeros, every power step yields
+    // p ≡ 0, and the s = 0 rule must hold w at 1 per type — with
+    // n_out = n_in = 0 through the left joins. Two types → shares
+    // floor to exactly 5000 bp each.
+    Seq((1L, ts0, 1L, "alpha", 1.0, "{}"),
+        (2L, ts0, 2L, "beta", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_markov_steady")(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("alpha", "beta"))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L, s"mass must be 0: $r")
+      assert(r.getLong(3) == 1L, s"s = 0 must keep w = 1: $r")
+      assert(r.getLong(4) == 5000L, s"two-type share: $r")
+    }
+  }
 }
