@@ -1495,19 +1495,24 @@ object EventAnalytics extends QueryModule {
       val steady = broadcast(types.zip(w).map { case (ty, wi) =>
         (ty, wi, wi * 10000L / wt) }.toDF("event_type", "steady_w", "steady_bp"))
       val wU = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
-      val c = t(spark, dir, "events")
+      // ONE live pass: each transition contributes an (out, prev) and an
+      // (in, next) occurrence, folded by one map-side-combined aggregate
+      // — the two-rollup spelling (the oracle's outs/ins CTEs) would
+      // re-run the user-keyed lag window per branch (no exchange reuse
+      // across differently-keyed rollups); values identical by Σ over
+      // the same transitions.
+      val mass = t(spark, dir, "events")
         .select($"user_id", $"event_id", $"event_type",
           expr("unix_micros(ts)").as("ts_us"))
         .withColumn("prev_type", lag($"event_type", 1).over(wU))
         .where($"prev_type".isNotNull)
-        .groupBy($"prev_type", $"event_type".as("next_type"))
-        .agg(count(lit(1)).as("n"))
-      val outs = c.groupBy($"prev_type".as("event_type"))
-        .agg(sum($"n").as("n_out"))
-      val ins = c.groupBy($"next_type".as("event_type"))
-        .agg(sum($"n").as("n_in"))
-      steady.join(outs, Seq("event_type"), "left")
-        .join(ins, Seq("event_type"), "left")
+        .select(explode(expr(
+          """array(named_struct('side', 'out', 't', prev_type),
+                   named_struct('side', 'in',  't', event_type))""")).as("e"))
+        .groupBy($"e.t".as("event_type"))
+        .agg(sum(when($"e.side" === "out", 1L).otherwise(0L)).as("n_out"),
+          sum(when($"e.side" === "in", 1L).otherwise(0L)).as("n_in"))
+      steady.join(mass, Seq("event_type"), "left")
         .na.fill(0L, Seq("n_out", "n_in"))
         .select($"event_type", $"n_out", $"n_in", $"steady_w", $"steady_bp")
         .orderBy($"event_type")
