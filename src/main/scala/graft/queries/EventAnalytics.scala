@@ -920,6 +920,99 @@ object EventAnalytics extends QueryModule {
         .orderBy($"week_idx", $"event_type")
     })
 
+  /** Two-sample Kolmogorov–Smirnov drift test — x_drift_tvd's
+    * distribution-level sibling (TVD compares binned type MIX across
+    * weeks; this compares the full VALUE DISTRIBUTION's shape): per
+    * event type, the KS distance between the early-half and late-half
+    * value distributions (split at the calendar midpoint
+    * (d0 + d1) DIV 2 — integer, both engines), in EXACT INTEGERS
+    * throughout: values quantize to cents (the declared bucketing —
+    * floor(value·100), the kmQuantized rule), the ECDF difference at
+    * every distinct cent level is cross-multiplied
+    * |cumE·n_late − cumL·n_early| (never divided per level), the KS
+    * sup is an integer max, and ONE trunc division at the end scales
+    * to bp: ks_bp = max·10⁴ DIV (n_early·n_late). ks_at_cents = the
+    * SMALLEST cent level achieving the max (deterministic tie rule) —
+    * where the two distributions diverge most, the level a drift
+    * investigation starts at. Types with an empty half drop out
+    * identically in both engines (the x_hill_tail rule; never a
+    * division by zero). (Kolmogorov 1933 / Smirnov 1939.)
+    *
+    * Overflow envelope: cum ≤ n ≤ corpus rows per type; cumE·n_late ≤
+    * n² ≈ 1.4·10¹⁰ at sf0.1 and the ×10⁴ scale applies AFTER the max —
+    * BIGINT throughout, ≪ 2^63 while per-type rows < 3·10⁷ (guarded by
+    * the corpus envelope, not a runtime check — the cross-multiply is
+    * the standard exact-ECDF spelling).
+    *
+    * Scale shape: one (type, cents) aggregate (map-side combined), ONE
+    * type-keyed window over the distinct-cent rows (partition size =
+    * distinct value levels — the cents quantization is what bounds it;
+    * a wider-valued corpus coarsens the quantizer, same plan), a
+    * type-cardinality rollup. Nothing downstream of the first
+    * aggregate depends on event volume. */
+  private val driftKs = Q(
+    "x_drift_ks",
+    Some("""WITH d AS (SELECT event_type,
+                         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                         epoch_ms(ts) // 86400000 AS day FROM events),
+            dr AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+            s AS (SELECT event_type, cents,
+                    CAST(sum(CASE WHEN day <= (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+                    CAST(sum(CASE WHEN day > (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS la
+                  FROM d CROSS JOIN dr GROUP BY 1, 2),
+            c AS (SELECT event_type, cents,
+                    CAST(sum(ea) OVER w AS BIGINT) AS cume,
+                    CAST(sum(la) OVER w AS BIGINT) AS cuml,
+                    CAST(sum(ea) OVER t AS BIGINT) AS ne,
+                    CAST(sum(la) OVER t AS BIGINT) AS nl
+                  FROM s
+                  WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   t AS (PARTITION BY event_type)),
+            m AS (SELECT event_type, cents, ne, nl,
+                    abs(cume * nl - cuml * ne) AS term,
+                    max(abs(cume * nl - cuml * ne))
+                      OVER (PARTITION BY event_type) AS mx
+                  FROM c WHERE ne > 0 AND nl > 0)
+            SELECT event_type, CAST(ne AS BIGINT) AS n_early,
+              CAST(nl AS BIGINT) AS n_late,
+              CAST(min(cents) AS BIGINT) AS ks_at_cents,
+              CAST(mx * 10000 // (ne * nl) AS BIGINT) AS ks_bp
+            FROM m WHERE term = mx
+            GROUP BY event_type, ne, nl, mx
+            ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .select($"event_type",
+          expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val dr = d.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val s = d.crossJoin(broadcast(dr))
+        .withColumn("early", $"day" <= expr("(d0 + d1) DIV 2"))
+        .groupBy($"event_type", $"cents")
+        .agg(sum(when($"early", 1L).otherwise(0L)).as("ea"),
+          sum(when(!$"early", 1L).otherwise(0L)).as("la"))
+      val wC = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy($"event_type")
+      val c = s.select($"event_type", $"cents",
+        sum($"ea").over(wC).as("cume"), sum($"la").over(wC).as("cuml"),
+        sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
+        .where($"ne" > 0 && $"nl" > 0)
+        .withColumn("term", abs($"cume" * $"nl" - $"cuml" * $"ne"))
+        .withColumn("mx", max($"term").over(wT))
+      c.where($"term" === $"mx")
+        .groupBy($"event_type", $"ne", $"nl", $"mx")
+        .agg(min($"cents").as("ks_at_cents"))
+        .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
+          $"ks_at_cents",
+          expr("mx * 10000 DIV (ne * nl)").as("ks_bp"))
+        .orderBy($"event_type")
+    })
+
   /** Inter-arrival-time histogram per event type: the gap between a
     * user's consecutive events of the same type, bucketed into seven
     * fixed spans (sub-second through ≥ 1 day) — the cadence profile
@@ -1523,5 +1616,5 @@ object EventAnalytics extends QueryModule {
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
     gini, hourProfile, schemaDrift, hillTail, userOverlap, forecastSes,
     attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ,
-    hazardKm, markovSteady)
+    hazardKm, markovSteady, driftKs)
 }

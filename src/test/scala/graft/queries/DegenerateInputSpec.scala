@@ -207,6 +207,32 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     out.foreach(r => assert(r.getLong(3) == 0L, s"constant series bp: $r"))
   }
 
+  test("x_drift_ks closed forms: identical halves => 0 bp; disjoint " +
+      "value supports => exactly 10000 bp") {
+    import spark.implicits._
+    val dir = tmpDir("ksdegen")
+    // 'same': the same 10 values in both calendar halves (days 0 and
+    // 10 split at (0+10) DIV 2 = 5) → every ECDF cross-term cancels →
+    // ks_bp = 0, ks_at = the minimum cent level.
+    // 'shift': late-half values all strictly above the early half →
+    // at the early support's top the ECDF gap is ne·nl exactly →
+    // ks_bp = 10000 and ks_at = the early half's max cent level.
+    val same = (1L to 10L).flatMap(i => Seq(
+      (i, new Timestamp(0L), i, "same", i.toDouble, "{}"),
+      (100 + i, new Timestamp(864000000L), i, "same", i.toDouble, "{}")))
+    val shift = (1L to 10L).flatMap(i => Seq(
+      (200 + i, new Timestamp(0L), i, "shift", i.toDouble, "{}"),
+      (300 + i, new Timestamp(864000000L), i, "shift", 100.0 + i, "{}")))
+    (same ++ shift)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_drift_ks")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("same") == ((10L, 10L, 100L, 0L)), rows("same").toString)
+    assert(rows("shift") == ((10L, 10L, 1000L, 10000L)), rows("shift").toString)
+  }
+
   test("x_markov_steady: a transition-free corpus keeps w = 1 per type " +
       "(the empty-edge-list branch the gate corpus never exercises)") {
     import spark.implicits._
