@@ -49,8 +49,12 @@ object LabelPropagation {
     // the probe's limit() is Int-capped, so the effective driver gate is
     // min(driverLimit, Int.MaxValue − 1): a caller passing a larger
     // driverLimit must NOT be routed to the driver path on a probe that
-    // merely hit its Int cap (ADVICE r13 — that collect() would OOM)
-    val cap = math.min(driverLimit, Int.MaxValue - 1L)
+    // merely hit its Int cap (ADVICE r13 — that collect() would OOM).
+    // Clamped below at 0 (ADVICE r14): a degenerate driverLimit < −1
+    // would otherwise make limit(cap+1) throw an AnalysisException at
+    // runtime instead of routing distributed; any driverLimit ≤ 0 means
+    // "never take the driver path" and now does exactly that.
+    val cap = math.max(0L, math.min(driverLimit, Int.MaxValue - 1L))
     val probeCount = canon.limit(cap.toInt + 1).count()
     val out =
       if (probeCount <= cap) driverLpa(canon, rounds)

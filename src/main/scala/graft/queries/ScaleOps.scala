@@ -725,7 +725,16 @@ object ScaleOps extends QueryModule {
     * with (a_id + b_id) % 16 = 0 (~1/16, ≈92k pairs), applied BEFORE
     * the distinct so the collision join never materializes the full
     * pair set. n_pairs_scaled = n_pairs·16 reports the implied corpus
-    * rate.
+    * rate UNDER A UNIFORM-RESIDUE ASSUMPTION (ADVICE r14): the ×16
+    * extrapolation is unbiased only when (a_id + b_id) mod 16 is
+    * uniform over candidate pairs — true for this corpus's dense
+    * sequential doc_ids, but a caller whose ids share a modulus (e.g.
+    * ids all ≡ 0 mod 16, or the %10 striping the incremental split
+    * uses) would see the kept fraction deviate from 1/16 and the
+    * implied rate bias accordingly. Both engines agree by
+    * construction (same filter), so correctness is unaffected; the
+    * column's MEANING carries this validity condition. n_pairs itself
+    * (the sampled count) is assumption-free.
     *
     * Arithmetic both engines replay exactly: hamming is inline
     * bit_count over the 4 persisted chunks; dot = Σ w_a(t)·w_b(t) and

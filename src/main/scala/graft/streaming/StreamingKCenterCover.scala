@@ -52,7 +52,16 @@ object StreamingKCenterCover {
       .select(expr(graft.queries.VectorOps.kcenterCoverExpr(sel))
         .cast("long").as("d2"))
       .groupBy()
-      .agg(count(lit(1)).as("n_vectors"), max(col("d2")).as("cover_d2"))
+      // coalesce (ADVICE r14): Complete-mode max over ZERO arrivals is
+      // NULL — an empty first micro-batch would commit a snapshot whose
+      // cover_d2 NPEs cover()'s getLong and compares as NULL against
+      // the batch query. An empty arrival set has cover radius 0 by
+      // definition (sup over the empty set of nonnegative distances),
+      // which is also what the batch query reports on an empty corpus
+      // slice — so 0 is the semantically-correct served value, not a
+      // sentinel.
+      .agg(count(lit(1)).as("n_vectors"),
+        coalesce(max(col("d2")), lit(0L)).as("cover_d2"))
       .writeStream
       .outputMode(OutputMode.Complete())
       .option("checkpointLocation", checkpoint)

@@ -55,11 +55,30 @@ object StreamingPcaProject {
     // integer), so the spec's stream ≡ batch equality is unchanged.
     val pCols = (0 until 64).map(d =>
       sum(expr(s"CAST(c[$d] * u AS BIGINT)")).as(s"p$d"))
+    // Per-row LOUD envelope guard (ADVICE r14): the exactness of
+    // CAST(c[d]·u AS BIGINT) needs |c[d]·u| < 2^53 — the batch
+    // pcaArithState require bounds the TRAINED corpus, not what the
+    // stream delivers, so an unguarded off-manifold arrival (|q| ~ 4e5
+    // per dim) would round the double product BEFORE the cast and
+    // silently break the exact stream ≡ batch contract. With the
+    // trained |v|∞ ≤ 10⁴, |u| ≤ 64·|c|∞·10⁴, so per-row exactness
+    // holds iff |c|∞² · 64·10⁴ < 2^53 ⇔ |c|∞ ≤ 118632; we reject at
+    // 118000 (118000²·640000 ≈ 8.91e15 < 2^53 ≈ 9.01e15), mirroring
+    // the batch-side loud require rather than clamping — a clamped
+    // arrival would serve a silently-wrong projection, the exact
+    // failure mode the guard exists to prevent.
+    val envB = 118000L
     embStream
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0) AS DOUBLE))")
           .as("qd"))
-      .select(expr(graft.queries.VectorOps.pcaCenterExpr(m)).as("c"))
+      .select(expr(graft.queries.VectorOps.pcaCenterExpr(m)).as("c0"))
+      .select(expr(
+        s"""IF(forall(c0, x -> abs(x) <= ${envB}D), c0,
+           |raise_error(concat('StreamingPcaProject: arrival exceeds the ',
+           |'trained exact-double envelope (|c| > $envB) — off-manifold ',
+           |'vector; retrain or widen the quantization before serving')))"""
+          .stripMargin.replace("\n", " ")).as("c"))
       .withColumn("u", expr(s"vec_dot(c, ${graft.queries.VectorOps.pcaVLit(v)})"))
       .groupBy()
       .agg(count(lit(1)).as("n_vectors"), pCols: _*)

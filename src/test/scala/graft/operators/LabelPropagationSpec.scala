@@ -65,6 +65,13 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a negative driverLimit routes distributed instead of throwing " +
+      "(ADVICE r14: limit(cap+1) on a negative cap was an AnalysisException)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val got = run(edges, driverLimit = -5L) // degenerate: never driver path
+    assert(got == run(edges), s"negative-limit route diverged: $got")
+  }
+
   test("self-loops and duplicate edges are canonicalized away; " +
       "string ids order lexicographically") {
     import spark.implicits._

@@ -103,4 +103,23 @@ class StreamingKCenterSpec extends AnyFunSuite with SparkTestBase {
         s"outlier arrival did not raise cover_d2: $base -> $drift")
     } finally q.stop()
   }
+
+  test("an EMPTY first micro-batch serves (0, 0), never a NULL cover " +
+      "(ADVICE r14: max over zero rows is NULL in Complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("kcempty")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingKCenterCover.start(
+      mem.toDS().toDF("vec_id", "embedding"),
+      model, outDir = s"$dir/out", checkpoint = s"$dir/ckpt")
+    try {
+      mem.addData(Seq.empty[(Long, Seq[Float])]) // zero-row micro-batch
+      q.processAllAvailable()
+      // cover() must not NPE and must serve the empty-set cover radius 0
+      assert(live(s"$dir/out") == (0L, 0L),
+        "empty-batch snapshot did not serve (n_vectors=0, cover_d2=0)")
+    } finally q.stop()
+  }
 }

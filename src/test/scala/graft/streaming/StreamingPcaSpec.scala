@@ -78,4 +78,29 @@ class StreamingPcaSpec extends AnyFunSuite with SparkTestBase {
     assert(liveProjections(s"$dir/out") == batchExpected,
       "post-restart rollup diverged from the batch reference")
   }
+
+  test("an off-envelope arrival FAILS LOUDLY instead of rounding silently " +
+      "(ADVICE r14: per-row exactness needs |c|∞ within the trained envelope)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("pcaenv")
+    val (m, v) = model
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingPcaProject.start(
+      mem.toDS().toDF("vec_id", "embedding"),
+      m, v, outDir = s"$dir/out", checkpoint = s"$dir/ckpt")
+    try {
+      // |q| = floor(4e5·100) = 4e7 per dim — the ADVICE scenario: the
+      // double product c[d]·u would exceed 2^53 and round BEFORE the
+      // BIGINT cast; the guard must kill the query, not serve the row
+      mem.addData(Seq((999999L, Seq.fill(64)(4.0e5f))))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(ex).exists(t => Option(t.getMessage)
+          .exists(_.contains("trained exact-double envelope"))),
+        s"query failed for the wrong reason: $ex")
+    } finally q.stop()
+  }
 }
