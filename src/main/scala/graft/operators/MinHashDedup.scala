@@ -194,14 +194,28 @@ object MinHashDedup {
   def calibration(
       docs: DataFrame,
       idCol: String,
-      tokensCol: String): DataFrame = {
-    val spark = docs.sparkSession
+      tokensCol: String): DataFrame =
+    calibrationFromSigned(signDocs(docs, idCol, tokensCol))
+
+  /** The signed front-end (id, sh, sig) as a standalone frame — public
+    * so the per-(JVM, generation) artifact lifecycle can persist it
+    * once and re-enter via [[calibrationFromSigned]] (the
+    * sign-once/store-slim-rows shape a dedup deployment runs anyway:
+    * the signature pass is the corpus-scan cost; everything downstream
+    * reads slim signed rows). */
+  def signDocs(docs: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    signedDocs(docs, idCol, tokensCol)
+
+  /** [[calibration]] from an already-signed (id, sh, sig) frame — the
+    * banding join, signature-agreement count, exact Jaccard and decile
+    * rollup all stay LIVE here; only the signature build is upstream. */
+  def calibrationFromSigned(signed: DataFrame): DataFrame = {
+    val spark = signed.sparkSession
     import spark.implicits._
-    graft.functions.Shingles.register(spark)
     // same barrier-free shape as signedDocs/explodeBands (sig carried
     // across the Generate boundary as an attribute), keeping sig in the
     // band rows because the estimate needs signature agreement per pair
-    val banded = signedDocs(docs, idCol, tokensCol)
+    val banded = signed
       .select($"id", $"sh", $"sig",
         explode(expr(s"sequence(0, ${Bands - 1})")).as("band"))
       .withColumn("bkey", expr(s"xxhash64(band, " +

@@ -72,6 +72,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(cal.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("x_minhash_error (persisted signed front-end) EQUALS the live " +
+      "calibration chain bit-for-bit (VERDICT r14 #3 artifact pin)") {
+    // the declared query reads the per-(JVM, generation) signed-docs
+    // artifact; the live chain re-signs the corpus — equality pins that
+    // persisting the front-end changed WHERE the signatures come from,
+    // never their values or anything downstream
+    val viaArtifact = graft.SparkEntry.queries("x_minhash_error")(spark, sf)
+      .collect().map(_.toString)
+    val live = MinHashDedup.calibration(
+      docTokens.select(col("doc_id"), col("toks")), "doc_id", "toks")
+      .collect().map(_.toString)
+    assert(viaArtifact.sameElements(live),
+      s"artifact path diverged from live:\n ${viaArtifact.mkString("|")}\n ${live.mkString("|")}")
+  }
+
   test("simhash expression: codegen path == kernel; identical token sets → distance 0") {
     import spark.implicits._
     SimHash.register(spark)
