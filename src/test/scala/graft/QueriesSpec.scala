@@ -297,4 +297,30 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
           "everyone; recalibrate")
     }
   }
+
+  test("x_hazard_km_7d: the production threshold is LOUDLY near-degenerate " +
+      "on this corpus — all-zero churn with the lifetime/at-risk columns " +
+      "identical to the 2-day variant (VERDICT r14 #4)") {
+    // the 7-day rule ships as a declared read precisely BECAUSE the
+    // corpus can't exercise it (max observed absence is 2 days): this
+    // pin documents the expected degenerate shape at both gate SFs so
+    // a regeneration that suddenly makes 7-day churn fire — or a code
+    // drift that breaks the threshold plumbing — both surface here.
+    // (t_days, n_at-derived n_risk) don't depend on the threshold, so
+    // they must match the 2-day variant's rows exactly.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val prod = SparkEntry.queries("x_hazard_km_7d")(spark, dir).collect()
+      val cal = SparkEntry.queries("x_hazard_km")(spark, dir).collect()
+      assert(prod.nonEmpty, s"$dir: empty hazard table")
+      assert(prod.forall(r => r.getLong(2) == 0L && r.getLong(4) == 0L),
+        s"$dir: 7-day churn fired — the corpus now has week-scale " +
+          "absences; update this pin AND x_hazard_km's calibration note")
+      assert(prod.forall(r => r.getLong(3) > 0L),
+        s"$dir: a lifetime row with zero censored users under an " +
+          "all-censoring threshold is impossible")
+      assert(prod.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+          cal.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+        s"$dir: lifetime/at-risk columns must be threshold-independent")
+    }
+  }
 }

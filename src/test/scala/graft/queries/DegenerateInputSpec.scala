@@ -255,4 +255,43 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(4) == 5000L, s"two-type share: $r")
     }
   }
+
+  test("x_markov_absorb: immediate absorption is EXACTLY one step; a " +
+      "2-cycle replays the closed-form truncated Neumann value") {
+    import spark.implicits._
+    val ts0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val dir = tmpDir("absorbdegen")
+    // corpus 1 — single-event users: every occurrence is stream-final,
+    // Q ≡ 0, so absorb_steps_bp must be EXACTLY 10000 (one step to END,
+    // the s⁰ + nothing branch) with q_row_bp = 0 and all mass in n_end
+    Seq((1L, ts0, 1L, "alpha", 1.0, "{}"),
+        (2L, ts0, 2L, "beta", 1.0, "{}"),
+        (3L, ts0, 3L, "beta", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val one = SparkEntry.queries("x_markov_absorb")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(one("alpha") == ((0L, 1L, 0L, 10000L)), one("alpha").toString)
+    assert(one("beta") == ((0L, 2L, 0L, 10000L)), one("beta").toString)
+
+    // corpus 2 — the 2-cycle [A,B] + [B,A]: each type has one outgoing
+    // transition and one stream end → tot = 2, q = 5000 bp both ways.
+    // The fixed-8-round series from s⁰ = 10⁴ (both coordinates equal by
+    // symmetry): s_{m+1} = 10⁴ + (5000·s_m) DIV 10⁴ → 15000, 17500,
+    // 18750, 19375, 19687, 19843, 19921, 19960 — a monotone LOWER
+    // bound of the true 2·10⁴ (the documented truncation bias, pinned
+    // here so a round-count or renorm change can't drift silently)
+    val dir2 = tmpDir("absorbcycle")
+    val t1 = new Timestamp(ts0.getTime + 1000L)
+    Seq((1L, ts0, 1L, "a", 1.0, "{}"), (2L, t1, 1L, "b", 1.0, "{}"),
+        (3L, ts0, 2L, "b", 1.0, "{}"), (4L, t1, 2L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val cyc = SparkEntry.queries("x_markov_absorb")(spark, dir2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(cyc("a") == ((1L, 1L, 5000L, 19960L)), cyc("a").toString)
+    assert(cyc("b") == ((1L, 1L, 5000L, 19960L)), cyc("b").toString)
+  }
 }
