@@ -1928,6 +1928,158 @@ object VectorOps extends QueryModule {
         .orderBy($"dim")
     })
 
+  // ---- x_pca3_oracle: the THIRD direction — the deflation composes ----
+
+  /** THIRD-DIRECTION WORKSHEET (fresh, as gated by the r14 verdict —
+    * "only with the worksheet first"; numbers at gate scale, maxq ≤ 58,
+    * measured max|c₂| ≤ 149 at sf0.1):
+    *
+    *   COMPOSITION LAW of one re-quantized deflation: with |w|∞ ≤ 10⁴
+    *   and ww = Σw² ≤ 64·10⁸, deflating a frame of magnitude class M
+    *   gives |c′| ≤ M·ww + 10⁴·(64·M·10⁴) = M·(ww + 64·10⁸)
+    *   ≤ M·1.28·10¹⁰, so after the ÷10¹⁰ re-quantization the class is
+    *   M·1.28 — the divisor eats the 10¹⁰, and each direction GROWS
+    *   THE ENVELOPE BY ≤ 1.28×, not by the |v|² ≈ 10⁸ the unquantized
+    *   chain would (this is why the r14 concern "each power multiplies
+    *   the bp scale" resolves benignly: the re-quantization is part of
+    *   the per-direction recipe, so the chain is geometric at 1.28).
+    *
+    *   dir-3 instance: |c₃| ≤ 1.28·max|c₂| ≈ 191; intermediates
+    *   |c₂·vv₂| and |v₂·u₂| ≤ 149·6.4·10⁹ ≈ 9.5·10¹¹ ≪ 2^53 (exact ✓);
+    *   u₂ = ⟨c₂,v₂⟩ ≤ 64·149·10⁴ ≈ 9.5·10⁷ (exact ✓).
+    *   power step: n·maxc₃²·64·10⁴ at n = 2000, maxc₃ = 191 →
+    *   4.7·10¹³, ~190× headroom under 2^53 (guarded on the MEASURED
+    *   max|c₃| below, like dir 2). Driver renorm p·10⁴ < 2^63 ✓.
+    *   A hypothetical dir 4 (class ≈ 245) would still fit with ~115×
+    *   headroom — the family's practical boundary at gate scale is
+    *   maxc ≈ 2650 (n·maxc²·64·10⁴ = 2^53), ≈ dir 9; directions past
+    *   the third add no analytic value on 64-dim embeddings, so the
+    *   declared surface stops here. */
+  private def pcaDeflated3(spark: SparkSession, dir: String,
+      m: Array[Long], v: Array[Long], v2: Array[Long])
+      : org.apache.spark.sql.DataFrame = {
+    val vv2 = v2.map(x => x * x).sum
+    pcaDeflated(spark, dir, m, v)
+      .withColumn("u2", expr(s"vec_dot(c2, ${pcaVLit(v2)})"))
+      .select(expr(
+        s"""transform(c2, (x, j) -> CAST(CAST(x * ${vv2}D
+           |  - element_at(${pcaVLit(v2)}, j + 1) * u2 AS BIGINT)
+           |  DIV ${Pca2Requant}L AS DOUBLE))""".stripMargin).as("c3"))
+  }
+
+  /** Trained third direction: dir-2's deflation recipe applied ONCE
+    * MORE (deflate c₂ by v₂, re-quantize, run the dir-1 power loop) —
+    * see the composition worksheet above. Loud guard on the MEASURED
+    * max|c₃|, the dir-2 discipline. */
+  private[graft] def pca3ArithState(spark: SparkSession, dir: String)
+      : (Array[Long], Array[Long], Array[Long], Array[Long]) =
+    QueryModule.cachedLocal(s"pca3arith:$dir", tableStamp(dir, "embeddings")) {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val (m, v, v2) = pca2ArithState(spark, dir)
+      val c3f = pcaDeflated3(spark, dir, m, v, v2)
+      val absMax = expr((0 until 64).map(d => s"abs(c3[$d])")
+        .mkString("greatest(", ", ", ")"))
+      val g = c3f.agg(count(lit(1)).as("n"), max(absMax).as("mx"))
+        .collect().head
+      val n = g.getLong(0)
+      val maxc3 = g.getDouble(1).toLong
+      require(n.toDouble * maxc3 * maxc3 * 64.0 * 10000.0
+          < 9007199254740992.0, // 2^53
+        s"pca3ArithState: n=$n, max|c3|=$maxc3 exceed the exact-double " +
+          "envelope (n·max|c3|²·64·10000 ≥ 2^53) — raise Pca2Requant or " +
+          "train over a sample")
+      var v3 = Array.fill(64)(1L)
+      for (_ <- 1 to 3) {
+        val pCols = (0 until 64).map(d => sum(expr(s"c3[$d] * u3")).as(s"p$d"))
+        val pr = c3f.withColumn("u3", expr(s"vec_dot(c3, ${pcaVLit(v3)})"))
+          .agg(pCols.head, pCols.tail: _*).collect().head
+        val p = Array.tabulate(64)(d => pr.getDouble(d).toLong)
+        val s = p.map(math.abs).max
+        if (s != 0L) v3 = p.map(x => x * 10000L / s)
+      }
+      (m, v, v2, v3)
+    }
+
+  /** Second deflation + third power loop as DuckDB CTEs appended to
+    * [[pca2ArithCtes]]: literally the dfl/it2 shapes one level up. */
+  private val pca3ArithCtes =
+    s"""dfl3 AS (SELECT vec_id, list_transform(c2, (x, j) ->
+              (x * vv2 - v2[j] * cu2) // $Pca2Requant) AS c3
+            FROM (SELECT vec_id, c2, v2,
+                    CAST(list_sum(list_transform(c2, (x, j) -> x * v2[j]))
+                      AS BIGINT) AS cu2,
+                    CAST(list_sum(list_transform(v2, x -> x * x))
+                      AS BIGINT) AS vv2
+                  FROM dfl CROSS JOIN fin2)),
+            vl3 AS (SELECT list(c3 ORDER BY vec_id) AS cs3 FROM dfl3),
+            it3 AS (
+              SELECT 0 AS step,
+                list_transform(range(1, 65), d -> CAST(1 AS BIGINT)) AS v3
+              FROM (SELECT 1)
+              UNION ALL
+              SELECT step + 1,
+                CASE WHEN s = 0 THEN v3 ELSE
+                  list_transform(p, x -> CAST((x * 10000) // s AS BIGINT))
+                END AS v3
+              FROM (SELECT step, v3, p,
+                      list_max(list_transform(p, x -> abs(x))) AS s
+                    FROM (SELECT step, v3,
+                            list_transform(v3, (vd, d) -> CAST(
+                              list_sum(list_transform(cs3, w ->
+                                w[d] * list_sum(list_transform(w,
+                                  (x, j) -> x * v3[j])))) AS BIGINT)) AS p
+                          FROM it3, vl3))
+              WHERE step < 3),
+            fin3 AS (SELECT v3 FROM it3 ORDER BY step DESC LIMIT 1)"""
+
+  /** ORACLE-BACKED third principal direction — the deflation recipe's
+    * second composition (VERDICT r14 #5, shipped because the fresh
+    * worksheet above shows the envelope chain is GEOMETRIC AT 1.28×
+    * per direction, not multiplicative in |v|²): deflate the deflated
+    * corpus by v₂ exactly as dir 2 deflated by v₁, re-quantize with
+    * the same 10¹⁰ divisor, run the same 3-step scaled power loop.
+    * Both engines replay every stage bit-for-bit; output per dim pairs
+    * the trained component with the LIVE corpus-recomputed projection
+    * sum over the twice-deflated frame (the family pattern). The
+    * independent reference (TrainingOracleAlgebraSpec.refPca3) guards
+    * against a shared-bug hash-match.
+    *
+    * Scale shape: identical to x_pca2_oracle plus one more narrow
+    * deflation stage in the same codegen projection chain (v₂, vv₂
+    * ride as literals — still no join, no window, no explode; pinned
+    * in PlanShapeSpec). */
+  private val pca3Oracle = Q(
+    "x_pca3_oracle",
+    Some(s"""WITH RECURSIVE
+            $pcaArithCtes,
+            $pca2ArithCtes,
+            $pca3ArithCtes,
+            res3 AS (SELECT v3,
+                      list_transform(v3, (vd, d) -> CAST(
+                        list_sum(list_transform(cs3, w ->
+                          w[d] * list_sum(list_transform(w,
+                            (x, j) -> x * v3[j])))) AS BIGINT)) AS p3
+                    FROM fin3 CROSS JOIN vl3)
+            SELECT CAST(d AS BIGINT) AS dim, CAST(v3[d] AS BIGINT) AS comp3,
+              CAST(p3[d] AS BIGINT) AS proj3_sum
+            FROM res3 CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+            ORDER BY dim"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val (m, v, v2, v3) = pca3ArithState(spark, dir)
+      val pCols = (0 until 64).map(d =>
+        sum(expr(s"c3[$d] * u3")).cast("long").as(s"p$d"))
+      pcaDeflated3(spark, dir, m, v, v2)
+        .withColumn("u3", expr(s"vec_dot(c3, ${pcaVLit(v3)})"))
+        .agg(pCols.head, pCols.tail: _*)
+        .select(expr("stack(64, " + (0 until 64).map(d =>
+          s"CAST(${d + 1} AS BIGINT), CAST(${v3(d)} AS BIGINT), p$d")
+          .mkString(", ") + ") AS (dim, comp3, proj3_sum)"))
+        .orderBy($"dim")
+    })
+
   // ---- x_kcenter_coreset: greedy farthest-point diverse selection ----
 
   /** Exact integer L2² of the qd column against a constant quantized
@@ -2140,5 +2292,5 @@ object VectorOps extends QueryModule {
       embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall,
       annIncremental, annIncrementalExact, lshAnnOracle, lshMultiprobeOracle,
       kmeansOracle, pqOracle, pcaOracle, pcaOutliers, pca2Oracle,
-      kcenterCoreset)
+      pca3Oracle, kcenterCoreset)
 }

@@ -519,13 +519,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("x_pca_oracle / x_pca2_oracle: one narrow projection pass + one " +
-      "wide aggregate — no join at all, no window, no corpus explode") {
+  test("x_pca_oracle / x_pca2_oracle / x_pca3_oracle: one narrow projection " +
+      "pass + one wide aggregate — no join at all, no window, no corpus explode") {
     // the trained direction(s) ride the plan as literals and the output
     // is a 64-row stack of the single aggregate row — the only
-    // exchange beyond the aggregate is the final ORDER BY; the second
+    // exchange beyond the aggregate is the final ORDER BY; each further
     // direction's deflation is one more NARROW projection, not a join
-    for (q <- Seq("x_pca_oracle", "x_pca2_oracle")) {
+    for (q <- Seq("x_pca_oracle", "x_pca2_oracle", "x_pca3_oracle")) {
       val p = plan(q)
       assert(!p.contains("Join") && !p.contains("Window"),
         s"$q: corpus-side join/window appeared:\n$p")

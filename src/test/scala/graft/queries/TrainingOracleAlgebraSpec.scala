@@ -150,6 +150,39 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
     (v2, proj(v2))
   }
 
+  /** Independent reference of the x_pca3_oracle algebra: the dir-2
+    * deflation recipe composed once more — deflate the (already
+    * deflated) c₂ frame by v₂, re-quantize by the same 10¹⁰, run the
+    * power loop. Returns (v₃, final p₃). */
+  private def refPca3(qs: Seq[(Long, Array[Long])])
+      : (Array[Long], Array[Long]) = {
+    val (m, v, _) = refPca(qs)
+    val (v2, _) = refPca2(qs)
+    val dims = qs.head._2.length
+    val cs = qs.map(_._2.zip(m).map { case (x, mm) => x - mm })
+    val vv = v.map(x => x * x).sum
+    val cs2 = cs.map { c =>
+      val cu = dot(c, v)
+      Array.tabulate(dims)(d => (c(d) * vv - v(d) * cu) / 10000000000L)
+    }
+    val vv2 = v2.map(x => x * x).sum
+    val cs3 = cs2.map { c =>
+      val cu2 = dot(c, v2)
+      Array.tabulate(dims)(d => (c(d) * vv2 - v2(d) * cu2) / 10000000000L)
+    }
+    def proj(w: Array[Long]): Array[Long] = {
+      val u = cs3.map(c => dot(c, w))
+      Array.tabulate(dims)(d => cs3.zip(u).map { case (c, ui) => c(d) * ui }.sum)
+    }
+    var v3 = Array.fill(dims)(1L)
+    for (_ <- 1 to 3) {
+      val p = proj(v3)
+      val s = p.map(math.abs).max
+      if (s != 0L) v3 = p.map(x => x * 10000L / s)
+    }
+    (v3, proj(v3))
+  }
+
   /** Independent reference of the x_kcenter_coreset algebra: seed =
     * lowest vec_id, then argmax over remaining of min-L2²-to-selected,
     * ties → lowest vec_id, min(k, n) selections; plus the live cover
@@ -253,6 +286,16 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
       assert(out2.map(_.getLong(1)).sameElements(wv2) &&
         out2.map(_.getLong(2)).sameElements(wp2),
         s"pca2 declared output diverged at seed $seed")
+      // the THIRD direction: the composed deflation against the
+      // independent reference (guards a shared-bug hash-match)
+      val (wv3, wp3) = refPca3(qs)
+      val (_, _, _, gv3) = VectorOps.pca3ArithState(spark, dir)
+      assert(gv3.sameElements(wv3), s"pca3 state diverged at seed $seed")
+      val out3 = graft.SparkEntry.queries("x_pca3_oracle")(spark, dir).collect()
+      assert(out3.length == 64)
+      assert(out3.map(_.getLong(1)).sameElements(wv3) &&
+        out3.map(_.getLong(2)).sameElements(wp3),
+        s"pca3 declared output diverged at seed $seed")
       // k-center: the greedy trajectory AND the live cover objective
       val (wSel, wCover) = refKcenter(qs)
       val outK = graft.SparkEntry.queries("x_kcenter_coreset")(spark, dir)
