@@ -57,15 +57,23 @@ class CacheGenerationSpec extends AnyFunSuite with SparkTestBase {
     def pairs(dir: String): Seq[String] =
       graft.SparkEntry.queries("x_dedup_ngram")(spark, dir)
         .collect().map(_.toString).toSeq
+    // r15's mhsigned artifact (x_minhash_error's persisted signed
+    // front-end) — same cachedIndex class, drilled alongside
+    def cal(dir: String): Seq[String] =
+      graft.SparkEntry.queries("x_minhash_error")(spark, dir)
+        .collect().map(_.toString).toSeq
 
     val dir = tmpDir("regenpairs")
     copyDocs("/root/testdata/sf0.001", dir)
     val first = pairs(dir)
+    val calFirst = cal(dir)
     assert(pairs(dir) == first, "warm generation not served identically")
+    assert(cal(dir) == calFirst, "warm signed front-end not served identically")
 
     // regeneration with DIFFERENT content at the same path
     copyDocs("/root/testdata/sf0.01", dir)
     val regen = pairs(dir)
+    val calRegen = cal(dir)
     // fresh cache key over the same new content = the rebuild reference
     val fresh = tmpDir("freshpairs")
     copyDocs("/root/testdata/sf0.01", fresh)
@@ -73,5 +81,9 @@ class CacheGenerationSpec extends AnyFunSuite with SparkTestBase {
       "regenerated table did not rebuild the pair-list artifact")
     assert(regen != first,
       "drill vacuous: the two corpora produced identical pair lists")
+    assert(calRegen == cal(fresh),
+      "regenerated table did not rebuild the signed front-end artifact")
+    assert(calRegen != calFirst,
+      "drill vacuous: the two corpora produced identical calibrations")
   }
 }
