@@ -1013,6 +1013,105 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Population Stability Index per event type — the third member of
+    * the drift trio (x_drift_tvd = binned type mix, x_drift_ks = full
+    * value-distribution shape, PSI = the banded drift score model
+    * monitoring teams actually threshold on: <0.1 stable, 0.1–0.25
+    * moderate, >0.25 significant). Same calendar-midpoint split and
+    * cents quantization as x_drift_ks; bins = TEN equal-population
+    * bands of the EARLY (reference) distribution, assigned to each
+    * distinct cent level by integer ECDF arithmetic — b = least(9,
+    * greatest(0, (cumE−1)·10 DIV n_early)) — so the banding is exact
+    * and engine-identical (the greatest(0,·) normalizes the cumE = 0
+    * rows, the one place floor-vs-trunc division could diverge on a
+    * negative operand; everything else is nonnegative). Late-only
+    * levels above the early support land in the top band BY
+    * CONSTRUCTION — the documented reference-binned-PSI blindness
+    * (x_drift_ks is the shape-sensitive complement; that is why the
+    * trio ships together). PSI = Σ_b (q_b − p_b)·ln(q_b/p_b) with the
+    * industry ε = 10⁻⁴ clamp on both proportions; bands with no mass
+    * at all are OMITTED, which equals the clamped convention exactly
+    * ((ε − ε)·ln 1 = 0). Types with an empty half drop identically in
+    * both engines (the x_drift_ks rule). Float policy = the
+    * x_token_kl envelope: exact integer counts until one ln-sum over
+    * ≤ 10 bands, identical operand trees, round-4 absorbing the
+    * sub-1e-12 order skew.
+    *
+    * Scale shape: the same (type, cents) aggregate and type-keyed
+    * window as x_drift_ks (volume only in the first map-side-combined
+    * exchange), then a ≤ 10-row-per-type rollup. */
+  private val driftPsi = Q(
+    "x_drift_psi",
+    Some("""WITH d AS (SELECT event_type,
+                         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                         epoch_ms(ts) // 86400000 AS day FROM events),
+            dr AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+            s AS (SELECT event_type, cents,
+                    CAST(sum(CASE WHEN day <= (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+                    CAST(sum(CASE WHEN day > (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS la
+                  FROM d CROSS JOIN dr GROUP BY 1, 2),
+            c AS (SELECT event_type, ea, la,
+                    CAST(sum(ea) OVER w AS BIGINT) AS cume,
+                    CAST(sum(ea) OVER t AS BIGINT) AS ne,
+                    CAST(sum(la) OVER t AS BIGINT) AS nl
+                  FROM s
+                  WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   t AS (PARTITION BY event_type)),
+            b AS (SELECT event_type, ne, nl,
+                    least(9, greatest(0, ((cume - 1) * 10) // ne)) AS bin,
+                    CAST(sum(ea) AS BIGINT) AS ce,
+                    CAST(sum(la) AS BIGINT) AS cl
+                  FROM c WHERE ne > 0 AND nl > 0
+                  GROUP BY 1, 2, 3, 4)
+            SELECT event_type, CAST(ne AS BIGINT) AS n_early,
+              CAST(nl AS BIGINT) AS n_late,
+              CAST(count(*) AS BIGINT) AS n_bins,
+              round(sum((greatest(CAST(cl AS DOUBLE) / nl, 0.0001)
+                       - greatest(CAST(ce AS DOUBLE) / ne, 0.0001))
+                    * ln(greatest(CAST(cl AS DOUBLE) / nl, 0.0001)
+                       / greatest(CAST(ce AS DOUBLE) / ne, 0.0001))), 4)
+                AS psi
+            FROM b GROUP BY event_type, ne, nl
+            ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .select($"event_type",
+          expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val dr = d.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val s = d.crossJoin(broadcast(dr))
+        .withColumn("early", $"day" <= expr("(d0 + d1) DIV 2"))
+        .groupBy($"event_type", $"cents")
+        .agg(sum(when($"early", 1L).otherwise(0L)).as("ea"),
+          sum(when(!$"early", 1L).otherwise(0L)).as("la"))
+      val wC = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy($"event_type")
+      s.select($"event_type", $"ea", $"la",
+          sum($"ea").over(wC).as("cume"),
+          sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
+        .where($"ne" > 0 && $"nl" > 0)
+        .withColumn("bin",
+          expr("least(9, greatest(0, ((cume - 1) * 10) DIV ne))"))
+        .groupBy($"event_type", $"ne", $"nl", $"bin")
+        .agg(sum($"ea").as("ce"), sum($"la").as("cl"))
+        .groupBy($"event_type", $"ne", $"nl")
+        .agg(count(lit(1)).as("n_bins"),
+          round(sum(
+            (greatest($"cl".cast("double") / $"nl", lit(0.0001))
+              - greatest($"ce".cast("double") / $"ne", lit(0.0001)))
+            * log(greatest($"cl".cast("double") / $"nl", lit(0.0001))
+              / greatest($"ce".cast("double") / $"ne", lit(0.0001)))), 4)
+            .as("psi"))
+        .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
+          $"n_bins", $"psi")
+        .orderBy($"event_type")
+    })
+
   /** Inter-arrival-time histogram per event type: the gap between a
     * user's consecutive events of the same type, bucketed into seven
     * fixed spans (sub-second through ≥ 1 day) — the cadence profile
@@ -1796,5 +1895,5 @@ object EventAnalytics extends QueryModule {
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
     gini, hourProfile, schemaDrift, hillTail, userOverlap, forecastSes,
     attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ,
-    hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs)
+    hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi)
 }

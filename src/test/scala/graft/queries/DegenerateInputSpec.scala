@@ -231,6 +231,22 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(rows("same") == ((10L, 10L, 100L, 0L)), rows("same").toString)
     assert(rows("shift") == ((10L, 10L, 1000L, 10000L)), rows("shift").toString)
+
+    // x_drift_psi on the SAME corpora: identical halves put p_b = q_b in
+    // every band → psi exactly 0.0; the shifted half stacks ALL late
+    // mass in the top early band (the documented reference-binned
+    // blindness) → 9 bands at (ε − 0.1)·ln(ε/0.1) plus (1 − 0.1)·ln(10),
+    // replicated here with the query's own clamped double arithmetic
+    val psi = SparkEntry.queries("x_drift_psi")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(psi("same") == ((10L, 10L, 10L, 0.0)), psi("same").toString)
+    val eps = 0.0001
+    val term0 = (eps - 0.1) * math.log(eps / 0.1)
+    val term9 = (1.0 - 0.1) * math.log(1.0 / 0.1)
+    val want = BigDecimal(9 * term0 + term9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(psi("shift") == ((10L, 10L, 10L, want)), psi("shift").toString)
   }
 
   test("x_markov_steady: a transition-free corpus keeps w = 1 per type " +
