@@ -764,6 +764,47 @@ object TextOps extends QueryModule {
         .limit(20)
     })
 
+  /** The shared bigram-LM count tables (cb: bigram → corpus count,
+    * cu: token → corpus count) persisted as parquet once per (JVM,
+    * table generation) — the train-once/score-many LM lifecycle
+    * (operators.DsirLm's precedent, applied to the two bigram-NLL
+    * consumers x_ngram_lm and x_quality_vs_lm, which previously each
+    * re-aggregated the corpus-wide tables per invocation; the r15
+    * budget move paying for the round's new queries). The two
+    * consumers' count tables are PROVABLY the same relation:
+    * x_quality_vs_lm's length(text) > 0 pre-filter only removes docs
+    * that contribute no tokens anyway. Proof split (the r14 rule,
+    * stated precisely): each consumer's hash-match still pins LIVE its
+    * per-doc bigram extraction and collapse (dbg), both scoring joins,
+    * the add-one smoothing arithmetic and its rollup; the corpus-wide
+    * count aggregates are pinned by the BUILD (same expressions, run
+    * by whichever consumer goes first per generation) — and both
+    * DuckDB oracles recompute cb/cu from raw text on every gate run,
+    * so a stale or corrupt artifact hash-mismatches both consumers
+    * immediately. At 100 TB this is what an LM-filter deployment does
+    * anyway: the count tables are the nightly-trained model, scoring
+    * is the per-batch read. */
+  private def bigramLm(spark: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val path = QueryModule.cachedIndex(
+        s"bigramlm:$dir", tableStamp(dir, "documents")) { p =>
+      val toks = t(spark, dir, "documents")
+        .select(expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"))
+      toks.where(size($"tk") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
+          .as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("c12"))
+        .write.parquet(s"$p/cb")
+      toks.select(explode($"tk").as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("c1"))
+        .write.parquet(s"$p/cu")
+    }
+    (spark.read.parquet(s"$path/cb").select($"bigram".as("cb_bigram"), $"c12"),
+      spark.read.parquet(s"$path/cu").select($"token".as("cu_token"), $"c1"))
+  }
+
   /** Bigram language-model quality screen — the KenLM-perplexity
     * filter of the classic curation stack, restated relationally: a
     * corpus-trained add-one-smoothed bigram model scores every
@@ -821,17 +862,14 @@ object TextOps extends QueryModule {
             FROM doc GROUP BY source ORDER BY source"""),
     (spark, dir) => {
       import spark.implicits._
-      // two consumers (bigram branch, unigram branch) each inline the
-      // tokenize once: two column-pruned parquet scans, no exchange —
-      // the InlineCost-measured trade (a scan is cheaper than a full
-      // shuffle of the tokenized corpus)
+      // per-doc bigram evidence stays LIVE; the corpus-wide count
+      // tables come from the persisted LM ([[bigramLm]] — proof split
+      // documented there)
       val toks = t(spark, dir, "documents")
         .select($"doc_id", $"source",
           expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"))
       // `bigram` leaves the Generate as an attribute (no inline hazard,
-      // no barrier needed); the corpus-wide count cb is the sum of
-      // per-doc occ over dbg — same value, one bigram-stream aggregate
-      // instead of two.
+      // no barrier needed)
       val bg = toks.where(size($"tk") >= 2)
         .select($"doc_id", $"source", explode(expr(
           "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
@@ -839,11 +877,7 @@ object TextOps extends QueryModule {
       val dbg = bg.groupBy($"doc_id", $"source", $"bigram")
         .agg(count(lit(1)).as("occ"))
         .withColumn("w1", expr("split(bigram, ' ')[0]"))
-      val cb = dbg.groupBy($"bigram".as("cb_bigram"))
-        .agg(sum($"occ").as("c12"))
-      val uni = toks.select(explode($"tk").as("token"))
-      val cu = uni.groupBy($"token".as("cu_token"))
-        .agg(count(lit(1)).as("c1"))
+      val (cb, cu) = bigramLm(spark, dir)
       val v = cu.agg(count(lit(1)).as("vsz"))
       val doc = dbg
         .join(cb, $"cb_bigram" === $"bigram")
@@ -1213,10 +1247,9 @@ object TextOps extends QueryModule {
                   DIV 1000"""))
             .as("bucket"))
       // `bigram` leaves the Generate as an attribute (no inline hazard,
-      // no barrier needed) and is aggregated ONCE: the corpus-wide count
-      // cb is the sum of per-doc occ over dbg — same value, but the
-      // second aggregate runs over the collapsed per-doc groups instead
-      // of re-scanning every bigram occurrence.
+      // no barrier needed); count tables from the shared persisted LM
+      // ([[bigramLm]] — its length(text) > 0 equivalence note covers
+      // this consumer's pre-filter)
       val bg = toks.where(size($"tk") >= 2)
         .select($"doc_id", $"bucket", explode(expr(
           "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"))
@@ -1224,11 +1257,7 @@ object TextOps extends QueryModule {
       val dbg = bg.groupBy($"doc_id", $"bucket", $"bigram")
         .agg(count(lit(1)).as("occ"))
         .withColumn("w1", expr("split(bigram, ' ')[0]"))
-      val cb = dbg.groupBy($"bigram".as("cb_bigram"))
-        .agg(sum($"occ").as("c12"))
-      val cu = toks.select(explode($"tk").as("token"))
-        .groupBy($"token".as("cu_token"))
-        .agg(count(lit(1)).as("c1"))
+      val (cb, cu) = bigramLm(spark, dir)
       val v = cu.agg(count(lit(1)).as("vsz"))
       val doc = dbg
         .join(cb, $"cb_bigram" === $"bigram")
