@@ -512,6 +512,47 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("live absorbing-chain mass: streamed (n_out, n_end) EQUALS the batch " +
+      "x_markov_absorb live columns across micro-batch splits (24th twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // the exact per-user order the batch lead window uses: (µs, event_id)
+    val prepared = eventsNanos(sf)
+      .select($"user_id", expr("ts DIV 1000").as("ts_us"),
+        $"event_id", $"event_type")
+      .orderBy($"ts_us", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = graft.streaming.StreamingAbsorbMass.emissions(
+        mem.toDS().toDF("user_id", "ts_us", "event_id", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("absorb1").start()
+    try {
+      // three batches: a user's transition spanning a split must come
+      // from state, and an event that was stream-final in batch 1 must
+      // flip to "followed" when its successor arrives in batch 2 — the
+      // arr − out identity absorbs the flip without any retraction
+      val third = prepared.length / 3
+      mem.addData(prepared.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      val streamed = graft.streaming.StreamingAbsorbMass
+        .massOf(spark.table("absorb1"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // the batch query's live columns are oracle-hash-matched, so this
+      // equality chains stream ≡ batch ≡ DuckDB
+      val batch = graft.SparkEntry.queries("x_markov_absorb")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed mass != batch: ${streamed.take(3)} vs ${batch.take(3)}")
+    } finally q.stop()
+  }
+
   test("live session windows: closed sessions match the batch r_stream_session rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
