@@ -553,6 +553,51 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("live absorbing-chain mass: checkpoint RESTART resumes the per-user " +
+      "state — file-sink emissions still fold to the batch columns") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("absorbrestart")
+
+    val prepared = eventsNanos(sf)
+      .select($"user_id", expr("ts DIV 1000").as("ts_us"),
+        $"event_id", $"event_type")
+      .orderBy($"ts_us", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val half = prepared.length / 2
+
+    // a parquet sink (unlike the memory sink) survives the restart, so
+    // this drill pins BOTH exactly-once emission replay and the
+    // flatMapGroupsWithState store resuming a user's last type
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    def start() =
+      graft.streaming.StreamingAbsorbMass.emissions(
+          mem.toDS().toDF("user_id", "ts_us", "event_id", "event_type"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try { mem.addData(prepared.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    // same source + checkpoint, new query (the StreamingKCenterSpec
+    // restart shape): the restarted query must resume a user's last
+    // type from the state store, not re-derive it — a reset state
+    // would emit "arr" without the "out" for cross-restart transitions
+    val q2 = start()
+    try { mem.addData(prepared.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val streamed = graft.streaming.StreamingAbsorbMass
+      .massOf(spark.read.parquet(s"$dir/out"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.SparkEntry.queries("x_markov_absorb")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch,
+      s"post-restart mass != batch: ${streamed.take(3)} vs ${batch.take(3)}")
+  }
+
   test("live session windows: closed sessions match the batch r_stream_session rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
