@@ -309,5 +309,28 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(cyc("a") == ((1L, 1L, 5000L, 19960L)), cyc("a").toString)
     assert(cyc("b") == ((1L, 1L, 5000L, 19960L)), cyc("b").toString)
+
+    // x_markov_absorb_to on the SAME corpora. Corpus 1 (Q = 0): every
+    // type absorbs into itself immediately — the B matrix is the
+    // identity in bp, covered exactly 10⁴.
+    val to1 = SparkEntry.queries("x_markov_absorb_to")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(to1(("alpha", "alpha")) == ((10000L, 10000L, 1L)), to1.toString)
+    assert(to1(("alpha", "beta")) == ((0L, 10000L, 2L)), to1.toString)
+    assert(to1(("beta", "beta")) == ((10000L, 10000L, 2L)), to1.toString)
+    // Corpus 2 (the 2-cycle, q = r = 5000 both types): the truncated
+    // series replayed by hand — S(A,A): 5000, 5000, 6250, 6250, 6562,
+    // 6562, 6640, 6640, 6660; S(A,B): 0, 2500, 2500, 3125, 3125, 3281,
+    // 3281, 3320, 3320 — monotone lower bounds of the true 2/3 and 1/3
+    // (6667/3333 bp); covered = 9980 makes the 20 bp truncation
+    // residual a VISIBLE column.
+    val to2 = SparkEntry.queries("x_markov_absorb_to")(spark, dir2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(to2(("a", "a")) == ((6660L, 9980L, 1L)), to2.toString)
+    assert(to2(("a", "b")) == ((3320L, 9980L, 1L)), to2.toString)
+    assert(to2(("b", "a")) == ((3320L, 9980L, 1L)), to2.toString)
+    assert(to2(("b", "b")) == ((6660L, 9980L, 1L)), to2.toString)
   }
 }
