@@ -553,6 +553,47 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("live path mining: checkpoint RESTART resumes the last-two-types " +
+      "state — file-sink trigrams still reproduce the batch top-20") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("pathsrestart")
+
+    val prepared = eventsNanos(sf)
+      .select($"user_id",
+        expr("unix_millis(timestamp_micros(ts DIV 1000))").as("ms"),
+        $"event_id", $"event_type")
+      .orderBy($"ms", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val half = prepared.length / 2
+
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    def start() = graft.streaming.StreamingPaths.paths(
+        mem.toDS().toDF("user_id", "ts_ms", "event_id", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try { mem.addData(prepared.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    // a reset state would drop every trigram whose first two legs
+    // arrived before the restart
+    val q2 = start()
+    try { mem.addData(prepared.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val streamedTop = spark.read.parquet(s"$dir/out")
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path").limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.SparkEntry.queries("x_event_paths")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamedTop.nonEmpty && streamedTop == batch,
+      s"post-restart top-20 != batch: ${streamedTop.take(3)} vs ${batch.take(3)}")
+  }
+
   test("live absorbing-chain mass: checkpoint RESTART resumes the per-user " +
       "state — file-sink emissions still fold to the batch columns") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
