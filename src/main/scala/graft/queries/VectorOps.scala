@@ -2080,6 +2080,111 @@ object VectorOps extends QueryModule {
         .orderBy($"dim")
     })
 
+  /** ORACLE-BACKED PCA energy decomposition — the "variance explained"
+    * read that closes the family: per trained direction d ∈ {1,2,3},
+    * the share of its TRAINING frame's energy captured along v_d (the
+    * Rayleigh quotient Σu²/(‖v‖²·Σ‖f‖²) in bp). Because each later
+    * direction trains on the previous stage's DEFLATED frame, stage
+    * d's share reads as "of the variance still unexplained after the
+    * earlier directions, how much does this one capture" — the number
+    * a practitioner checks before trusting a 3-direction projection.
+    *
+    * ENVELOPE WORKSHEET (fresh): u = ⟨f, v⟩ is integer-valued and
+    * exact in a double under the family's standing guards; u² can pass
+    * 2^53, so BOTH engines square in INT64 — CAST(u AS BIGINT)² — and
+    * re-quantize per row, qe = u² DIV 10⁴. Under the pca3ArithState
+    * guard n·maxc²·64·10⁴ < 2^53: u² ≤ (64·maxc·10⁴)² and
+    * Σqe ≤ n·u²/10⁴ = (n·maxc²·64·10⁴)·(64·10⁴)/10⁴ < 2^53·64
+    * ≈ 5.8·10¹⁷ ≪ 2^63 — the guard that protects the power loop
+    * protects this sum too (worst INT64 product u·u needs |u| <
+    * 3·10⁹ ⇔ maxc < 4700, already inside the 2653 the power guard
+    * enforces). The ratio is taken with the scale-cancelling pair
+    * vvq = ‖v‖² DIV 10⁴ and proj_energy = Σqe DIV vvq (≈ Σu²/‖v‖²,
+    * frame units, ≤ frame_energy ≤ 4.7·10⁹), then explained_bp =
+    * proj_energy·10⁴ DIV frame_energy ≤ ~10⁴·(1+ε). Every division is
+    * nonnegative → trunc ≡ floor. Degenerate branch: a constant
+    * corpus leaves v at the all-ones seed (vv = 64 → vvq = 0) and has
+    * frame_energy = 0 — both engines emit 0 through the same CASE.
+    *
+    * Scale shape: three narrow codegen passes (one per frame — the
+    * same chains the pca oracles run) each ending in a 2-value
+    * aggregate; trained vectors ride as literals; no join, no window,
+    * no explode (PlanShapeSpec-pinned with the family). */
+  private val pcaEnergy = Q(
+    "x_pca_energy",
+    Some(s"""WITH RECURSIVE
+            $pcaArithCtes,
+            $pca2ArithCtes,
+            $pca3ArithCtes,
+            s1 AS (SELECT CAST(list_sum(list_transform(c, x -> x * x))
+                     AS BIGINT) AS cc,
+                     CAST(list_sum(list_transform(c, (x, j) -> x * v[j]))
+                       AS BIGINT) AS u,
+                     CAST(list_sum(list_transform(v, x -> x * x)) // 10000
+                       AS BIGINT) AS vvq
+                   FROM cv CROSS JOIN fin),
+            s2 AS (SELECT CAST(list_sum(list_transform(c2, x -> x * x))
+                     AS BIGINT) AS cc,
+                     CAST(list_sum(list_transform(c2, (x, j) -> x * v2[j]))
+                       AS BIGINT) AS u,
+                     CAST(list_sum(list_transform(v2, x -> x * x)) // 10000
+                       AS BIGINT) AS vvq
+                   FROM dfl CROSS JOIN fin2),
+            s3 AS (SELECT CAST(list_sum(list_transform(c3, x -> x * x))
+                     AS BIGINT) AS cc,
+                     CAST(list_sum(list_transform(c3, (x, j) -> x * v3[j]))
+                       AS BIGINT) AS u,
+                     CAST(list_sum(list_transform(v3, x -> x * x)) // 10000
+                       AS BIGINT) AS vvq
+                   FROM dfl3 CROSS JOIN fin3),
+            ex AS (
+              SELECT 1 AS dir, CAST(sum(cc) AS BIGINT) AS frame_energy,
+                CAST(sum((u * u) // 10000) AS BIGINT) AS qe,
+                CAST(max(vvq) AS BIGINT) AS vvq FROM s1
+              UNION ALL
+              SELECT 2, CAST(sum(cc) AS BIGINT),
+                CAST(sum((u * u) // 10000) AS BIGINT),
+                CAST(max(vvq) AS BIGINT) FROM s2
+              UNION ALL
+              SELECT 3, CAST(sum(cc) AS BIGINT),
+                CAST(sum((u * u) // 10000) AS BIGINT),
+                CAST(max(vvq) AS BIGINT) FROM s3)
+            SELECT CAST(dir AS BIGINT) AS dir, frame_energy,
+              CAST(CASE WHEN vvq = 0 THEN 0
+                   ELSE qe // vvq END AS BIGINT) AS proj_energy,
+              CAST(CASE WHEN vvq = 0 OR frame_energy = 0 THEN 0
+                   ELSE ((qe // vvq) * 10000) // frame_energy END
+                AS BIGINT) AS explained_bp
+            FROM ex ORDER BY dir"""),
+    (spark, dir) => {
+      import spark.implicits._
+      graft.functions.VecDot.register(spark)
+      val (m, v, v2, v3) = pca3ArithState(spark, dir)
+      def stage(dirNo: Long, frame: org.apache.spark.sql.DataFrame,
+          fcol: String, w: Array[Long]): org.apache.spark.sql.DataFrame = {
+        val vvq = w.map(x => x * x).sum / 10000L
+        val agg = frame
+          .withColumn("u", expr(s"vec_dot($fcol, ${pcaVLit(w)})"))
+          .select(expr(s"vec_dot($fcol, $fcol)").as("cc"),
+            expr("(CAST(u AS BIGINT) * CAST(u AS BIGINT)) DIV 10000")
+              .as("uq"))
+          .agg(sum($"cc").cast("long").as("frame_energy"),
+            sum($"uq").as("qe"))
+        val proj =
+          if (vvq == 0L) lit(0L) else expr(s"qe DIV ${vvq}L")
+        agg.select(lit(dirNo).as("dir"), $"frame_energy",
+          proj.as("proj_energy"),
+          when(lit(vvq == 0L) || $"frame_energy" === 0L, 0L)
+            .otherwise(expr(s"((qe DIV ${vvq}L) * 10000) DIV frame_energy"))
+            .cast("long").as("explained_bp"))
+      }
+      val f1 = kmQuantized(spark, dir).select(expr(pcaCenterExpr(m)).as("c"))
+      stage(1L, f1, "c", v)
+        .unionAll(stage(2L, pcaDeflated(spark, dir, m, v), "c2", v2))
+        .unionAll(stage(3L, pcaDeflated3(spark, dir, m, v, v2), "c3", v3))
+        .orderBy($"dir")
+    })
+
   // ---- x_kcenter_coreset: greedy farthest-point diverse selection ----
 
   /** Exact integer L2² of the qd column against a constant quantized
@@ -2292,5 +2397,5 @@ object VectorOps extends QueryModule {
       embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall,
       annIncremental, annIncrementalExact, lshAnnOracle, lshMultiprobeOracle,
       kmeansOracle, pqOracle, pcaOracle, pcaOutliers, pca2Oracle,
-      pca3Oracle, kcenterCoreset)
+      pca3Oracle, pcaEnergy, kcenterCoreset)
 }

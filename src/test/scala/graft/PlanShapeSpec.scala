@@ -525,7 +525,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // is a 64-row stack of the single aggregate row — the only
     // exchange beyond the aggregate is the final ORDER BY; each further
     // direction's deflation is one more NARROW projection, not a join
-    for (q <- Seq("x_pca_oracle", "x_pca2_oracle", "x_pca3_oracle")) {
+    for (q <- Seq("x_pca_oracle", "x_pca2_oracle", "x_pca3_oracle",
+        "x_pca_energy")) {
       val p = plan(q)
       assert(!p.contains("Join") && !p.contains("Window"),
         s"$q: corpus-side join/window appeared:\n$p")

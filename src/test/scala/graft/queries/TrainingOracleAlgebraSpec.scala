@@ -183,6 +183,36 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
     (v3, proj(v3))
   }
 
+  /** Independent reference of the x_pca_energy algebra: per stage, the
+    * frame energy Σ‖f‖², the re-quantized projection energy
+    * (Σ(u² DIV 10⁴)) DIV (‖v‖² DIV 10⁴) and its bp share — the
+    * vvq = 0 / zero-energy branches emit 0. */
+  private def refPcaEnergy(qs: Seq[(Long, Array[Long])])
+      : Seq[(Long, Long, Long, Long)] = {
+    val (m, v, _) = refPca(qs)
+    val (v2, _) = refPca2(qs)
+    val (v3, _) = refPca3(qs)
+    val dims = qs.head._2.length
+    val cs = qs.map(_._2.zip(m).map { case (x, mm) => x - mm })
+    def deflate(fs: Seq[Array[Long]], w: Array[Long]): Seq[Array[Long]] = {
+      val ww = w.map(x => x * x).sum
+      fs.map { f =>
+        val fu = dot(f, w)
+        Array.tabulate(dims)(d => (f(d) * ww - w(d) * fu) / 10000000000L)
+      }
+    }
+    val cs2 = deflate(cs, v)
+    val cs3 = deflate(cs2, v2)
+    Seq((1L, cs, v), (2L, cs2, v2), (3L, cs3, v3)).map { case (d, fs, w) =>
+      val fe = fs.map(f => f.map(x => x * x).sum).sum
+      val qe = fs.map { f => val u = dot(f, w); u * u / 10000L }.sum
+      val vvq = w.map(x => x * x).sum / 10000L
+      val proj = if (vvq == 0L) 0L else qe / vvq
+      val bp = if (vvq == 0L || fe == 0L) 0L else proj * 10000L / fe
+      (d, fe, proj, bp)
+    }
+  }
+
   /** Independent reference of the x_kcenter_coreset algebra: seed =
     * lowest vec_id, then argmax over remaining of min-L2²-to-selected,
     * ties → lowest vec_id, min(k, n) selections; plus the live cover
@@ -296,6 +326,13 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
       assert(out3.map(_.getLong(1)).sameElements(wv3) &&
         out3.map(_.getLong(2)).sameElements(wp3),
         s"pca3 declared output diverged at seed $seed")
+      // the energy decomposition against the independent reference
+      val wantE = refPcaEnergy(qs)
+      val gotE = graft.SparkEntry.queries("x_pca_energy")(spark, dir)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(gotE == wantE, s"pca energy diverged at seed $seed:\n" +
+        s" got=$gotE\nwant=$wantE")
       // k-center: the greedy trajectory AND the live cover objective
       val (wSel, wCover) = refKcenter(qs)
       val outK = graft.SparkEntry.queries("x_kcenter_coreset")(spark, dir)
@@ -396,5 +433,12 @@ class TrainingOracleAlgebraSpec extends AnyFunSuite with SparkTestBase {
     assert(out2.forall(r => r.getLong(1) == 1L && r.getLong(2) == 0L))
     val (wv2, wp2) = refPca2(const.map { case (id, q) => id -> q.map(_.toLong) })
     assert(wv2.forall(_ == 1L) && wp2.forall(_ == 0L))
+    // energy decomposition on the constant corpus: vv = 64 → vvq = 0
+    // and frame_energy = 0 — BOTH zero-guard branches fire, all three
+    // rows all-zero in both engines (the declared degenerate rule)
+    val outE = graft.SparkEntry.queries("x_pca_energy")(spark, dir).collect()
+    assert(outE.length == 3 && outE.forall(r =>
+        r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L),
+      outE.mkString(","))
   }
 }
