@@ -1112,6 +1112,96 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Mann–Whitney rank-sum drift test — the drift family's
+    * NONPARAMETRIC LOCATION member (TVD = type mix, KS = worst-point
+    * shape gap, PSI = banded score; MW answers the direction question
+    * none of those do: "did values systematically move UP or DOWN
+    * between the halves?"). Same calendar-midpoint split and cents
+    * quantization as x_drift_ks; per type, the rank-sum U statistic of
+    * the early half vs the late half in EXACT INTEGERS throughout: ties
+    * take midranks, and every midrank is carried DOUBLED so the
+    * half-integers never materialize — at a cent level with cb values
+    * below it and c = ea + la values tied at it, each value's doubled
+    * midrank is 2·cb + c + 1, so the early half's doubled rank sum is
+    * 2R = Σ ea·(2·cb + ea + la + 1) (one window prefix sum, the KS
+    * spelling), u2 = 2U = 2R − ne·(ne+1), and the common-language
+    * effect size P(early > late) + ½P(tie) lands in bp by ONE trunc
+    * division: cles_bp = u2·10⁴ DIV (2·ne·nl) ≡ floor(U·10⁴/(ne·nl))
+    * (numerator and denominator share the factor 2 exactly). 5000 bp =
+    * no shift; 0 / 10000 = every late value above / below every early
+    * value — and identical half-multisets give EXACTLY 5000 by the
+    * pairing symmetry (u2 = ne·nl), not just in expectation — the
+    * DegenerateInputSpec pins. Types with an empty half drop
+    * identically in both engines (the x_drift_ks rule).
+    * (Mann & Whitney 1947; Wilcoxon 1945.)
+    *
+    * Overflow envelope: cb ≤ n per type, so Σ ea·(2cb+c+1) ≤ n·(2n+2)
+    * ≈ 2n² and u2·10⁴ ≤ 2·10⁴·n² — BIGINT-safe while per-type rows
+    * n < 2·10⁷ (the x_drift_ks corpus-envelope class, stated not
+    * runtime-checked).
+    *
+    * Scale shape: identical to x_drift_ks — one map-side-combined
+    * (type, cents) aggregate, ONE type-keyed window over the
+    * distinct-cent rows (bounded by the cents quantizer), a
+    * type-cardinality rollup. Nothing downstream of the first
+    * aggregate depends on event volume. */
+  private val driftMw = Q(
+    "x_drift_mw",
+    Some("""WITH d AS (SELECT event_type,
+                         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                         epoch_ms(ts) // 86400000 AS day FROM events),
+            dr AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+            s AS (SELECT event_type, cents,
+                    CAST(sum(CASE WHEN day <= (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+                    CAST(sum(CASE WHEN day > (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS la
+                  FROM d CROSS JOIN dr GROUP BY 1, 2),
+            c AS (SELECT event_type, ea, la,
+                    CAST(sum(ea + la) OVER w - (ea + la) AS BIGINT) AS cb,
+                    CAST(sum(ea) OVER t AS BIGINT) AS ne,
+                    CAST(sum(la) OVER t AS BIGINT) AS nl
+                  FROM s
+                  WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   t AS (PARTITION BY event_type))
+            SELECT event_type, CAST(ne AS BIGINT) AS n_early,
+              CAST(nl AS BIGINT) AS n_late,
+              CAST(sum(ea * (2 * cb + ea + la + 1)) - ne * (ne + 1)
+                AS BIGINT) AS u2,
+              CAST((sum(ea * (2 * cb + ea + la + 1)) - ne * (ne + 1))
+                * 10000 // (2 * ne * nl) AS BIGINT) AS cles_bp
+            FROM c WHERE ne > 0 AND nl > 0
+            GROUP BY event_type, ne, nl
+            ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .select($"event_type",
+          expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val dr = d.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val s = d.crossJoin(broadcast(dr))
+        .withColumn("early", $"day" <= expr("(d0 + d1) DIV 2"))
+        .groupBy($"event_type", $"cents")
+        .agg(sum(when($"early", 1L).otherwise(0L)).as("ea"),
+          sum(when(!$"early", 1L).otherwise(0L)).as("la"))
+      val wC = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy($"event_type")
+      s.select($"event_type", $"ea", $"la",
+          (sum($"ea" + $"la").over(wC) - ($"ea" + $"la")).as("cb"),
+          sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
+        .where($"ne" > 0 && $"nl" > 0)
+        .groupBy($"event_type", $"ne", $"nl")
+        .agg(sum($"ea" * (lit(2) * $"cb" + $"ea" + $"la" + 1)).as("r2"))
+        .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
+          ($"r2" - $"ne" * ($"ne" + 1)).as("u2"),
+          expr("(r2 - ne * (ne + 1)) * 10000 DIV (2 * ne * nl)")
+            .as("cles_bp"))
+        .orderBy($"event_type")
+    })
+
   /** Inter-arrival-time histogram per event type: the gap between a
     * user's consecutive events of the same type, bucketed into seven
     * fixed spans (sub-second through ≥ 1 day) — the cadence profile
@@ -1497,9 +1587,13 @@ object EventAnalytics extends QueryModule {
     * a per-t rollup bounded by the calendar span, and ONE
     * single-partition window over those ≤ span-days rows (tiny by
     * construction — the arithTokenIds vocab-window rule). */
-  private def hazardKmAt(name: String, gapDays: Int): Q = Q(
-    name,
-    Some(s"""WITH d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+  /** Shared oracle CTE prefix of the survival family (x_hazard_km /
+    * x_hazard_km_7d / x_hazard_na): per-user lifetimes under the
+    * gap-day churn rule, the per-lifetime rollup, and the at-risk
+    * reverse cumulative sum — through the `km` relation every member's
+    * SELECT reads. */
+  private def kmSqlCtes(gapDays: Int): String =
+    s"""d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
                        FROM events),
             u AS (SELECT user_id, min(day) AS fd, max(day) AS ld
                   FROM d GROUP BY user_id),
@@ -1515,29 +1609,41 @@ object EventAnalytics extends QueryModule {
                      CAST(sum(n_at) OVER (ORDER BY t DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS n_risk
-                   FROM at)
+                   FROM at)"""
+
+  /** The Spark side of the same build: (t, n_risk, n_churn,
+    * n_censored) per distinct lifetime — the at-risk table both KM
+    * variants and the Nelson–Aalen read finish from. */
+  private def kmAtRiskFrame(spark: SparkSession, dir: String,
+      gapDays: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val days = t(spark, dir, "events")
+      .select($"user_id", expr("unix_millis(ts) DIV 86400000").as("day"))
+    val u = days.groupBy($"user_id")
+      .agg(min($"day").as("fd"), max($"day").as("ld"))
+    // corpus end from the per-user rollup (max of lds ≡ max of days)
+    // — one events scan, not two
+    val e = u.agg(max($"ld").as("e"))
+    val lt = u.crossJoin(broadcast(e))
+      .select(($"ld" - $"fd").as("t"),
+        when($"ld" <= $"e" - gapDays, 1L).otherwise(0L).as("churned"))
+    val at = lt.groupBy($"t")
+      .agg(count(lit(1)).as("n_at"), sum($"churned").as("n_churn"),
+        sum(lit(1L) - $"churned").as("n_censored"))
+    at.withColumn("n_risk", sum($"n_at").over(
+      Window.orderBy($"t".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private def hazardKmAt(name: String, gapDays: Int): Q = Q(
+    name,
+    Some(s"""WITH ${kmSqlCtes(gapDays)}
             SELECT CAST(t AS BIGINT) AS t_days, n_risk, n_churn, n_censored,
               CAST(n_churn * 10000 // n_risk AS BIGINT) AS hazard_bp
             FROM km ORDER BY t_days"""),
     (spark, dir) => {
       import spark.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val days = t(spark, dir, "events")
-        .select($"user_id", expr("unix_millis(ts) DIV 86400000").as("day"))
-      val u = days.groupBy($"user_id")
-        .agg(min($"day").as("fd"), max($"day").as("ld"))
-      // corpus end from the per-user rollup (max of lds ≡ max of days)
-      // — one events scan, not two
-      val e = u.agg(max($"ld").as("e"))
-      val lt = u.crossJoin(broadcast(e))
-        .select(($"ld" - $"fd").as("t"),
-          when($"ld" <= $"e" - gapDays, 1L).otherwise(0L).as("churned"))
-      val at = lt.groupBy($"t")
-        .agg(count(lit(1)).as("n_at"), sum($"churned").as("n_churn"),
-          sum(lit(1L) - $"churned").as("n_censored"))
-      at.withColumn("n_risk", sum($"n_at").over(
-          Window.orderBy($"t".desc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      kmAtRiskFrame(spark, dir, gapDays)
         .select($"t".as("t_days"), $"n_risk", $"n_churn", $"n_censored",
           expr("n_churn * 10000 DIV n_risk").as("hazard_bp"))
         .orderBy($"t_days")
@@ -1558,6 +1664,55 @@ object EventAnalytics extends QueryModule {
     * corpus with week-scale absences both branches carry rows with no
     * code change. */
   private val hazardKm7d = hazardKmAt("x_hazard_km_7d", 7)
+
+  /** Nelson–Aalen cumulative hazard — the survival family's second
+    * estimator next to x_hazard_km's per-lifetime hazard table:
+    * Ĥ(t) = Σ_{s ≤ t} d(s)/n_risk(s), the cumulative-hazard curve a
+    * retention team reads when hazards are small and additive
+    * (−ln S(t) ≈ Ĥ(t) — the additive dual of KM's ∏(1−h) product,
+    * which is exactly why it CAN ship hash-matched while the survival
+    * product itself deliberately does not: a cross-engine float
+    * product chain is the one piece two engines won't reproduce, but
+    * a prefix SUM of already-quantized integers is exact). Same
+    * lifetime/churn construction and 2-day corpus-calibrated rule as
+    * x_hazard_km (the calibration note there); each per-lifetime
+    * hazard term floors to bp EXACTLY ONCE (d·10⁴ DIV n_risk, the
+    * same trunc division both engines already hash-match in KM), and
+    * na_bp is then an exact BIGINT prefix sum of those floored terms.
+    * Quantize-then-sum is the DECLARED semantics: each term's floor
+    * error is < 1 bp, so the curve sits within #levels bp below the
+    * rational Ĥ·10⁴ — the bound is part of the contract, not an
+    * accident. Zero-churn lifetimes contribute exactly 0 and stay in
+    * the output (the at-risk table is shared with KM; dropping them
+    * would desynchronize the two reads' t_days axes).
+    * (Nelson 1972, Aalen 1978.)
+    *
+    * Scale shape: identical to x_hazard_km — one per-user min/max
+    * aggregate (map-side combined), a calendar-bounded per-t rollup,
+    * and single-partition windows over ≤ span-days rows (tiny by
+    * construction — the arithTokenIds vocab-window rule); the
+    * cumulative sum is a second frame over those same rows. */
+  private val hazardNa = Q(
+    "x_hazard_na",
+    Some(s"""WITH ${kmSqlCtes(2)},
+            h AS (SELECT CAST(t AS BIGINT) AS t_days, n_risk, n_churn,
+                    CAST(n_churn * 10000 // n_risk AS BIGINT) AS hazard_bp
+                  FROM km)
+            SELECT t_days, n_risk, n_churn, hazard_bp,
+              CAST(sum(hazard_bp) OVER (ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS na_bp
+            FROM h ORDER BY t_days"""),
+    (spark, dir) => {
+      import spark.implicits._
+      kmAtRiskFrame(spark, dir, 2)
+        .select($"t".as("t_days"), $"n_risk", $"n_churn",
+          expr("n_churn * 10000 DIV n_risk").as("hazard_bp"))
+        .withColumn("na_bp", sum($"hazard_bp").over(
+          Window.orderBy($"t_days")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy($"t_days")
+    })
 
   /** Trained steady-state weights of the quantized event-type Markov
     * chain, once per (JVM, generation): the transition matrix in basis
@@ -2043,5 +2198,5 @@ object EventAnalytics extends QueryModule {
     gini, hourProfile, schemaDrift, hillTail, userOverlap, forecastSes,
     attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ,
     hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi,
-    markovAbsorbTo)
+    markovAbsorbTo, hazardNa, driftMw)
 }

@@ -926,6 +926,68 @@ object MiningOps extends QueryModule {
         .limit(20)
     })
 
+  /** Link-prediction candidates over the token co-occurrence graph —
+    * the top NON-adjacent token pairs by shared neighborhood
+    * (common-neighbors score, Liben-Nowell & Kleinberg 2003): the
+    * vocabulary-bridge read a curation team runs to find term pairs
+    * the corpus treats as related without ever co-occurring above the
+    * edge threshold (near-synonym candidates, template-family seams).
+    * Exact integers throughout: cn = # common neighbors via ONE wedge
+    * self-join of the symmetrized edge list, existing edges removed by
+    * a NOT EXISTS on the canonical a < b form, and the neighborhood
+    * Jaccard in bp — since neither endpoint neighbors the other,
+    * |N(x) ∪ N(z)| = dg_x + dg_z − cn EXACTLY (no inclusion-exclusion
+    * over the pair itself), so jaccard_bp = cn·10⁴ DIV (dg_x+dg_z−cn)
+    * is one trunc division of exact counts. Top-20 by (cn, jaccard,
+    * pair) — fully tie-broken.
+    *
+    * Scale shape: every join runs over the ≤ C(100,2) = 4,950-row
+    * LOCALIZED edge artifact (tokenGraphEdges' cachedLocal build — the
+    * nightly-graph pattern); wedge fan-out is Σ deg² ≤ (2m)²/n over
+    * that bounded list, a driver-trivial relation at ANY corpus size
+    * because the vocabulary cap is part of the edge definition. */
+  private val graphLinkpred = Q(
+    "x_graph_linkpred",
+    Some(s"""WITH $graphEdgeCtes,
+            sym AS (SELECT a AS u, b AS v FROM e
+                    UNION ALL SELECT b, a FROM e),
+            dg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS dg
+                   FROM sym GROUP BY u),
+            cn AS (SELECT s1.u AS x, s2.u AS z,
+                     CAST(count(*) AS BIGINT) AS cn
+                   FROM sym s1 JOIN sym s2
+                     ON s1.v = s2.v AND s1.u < s2.u
+                   GROUP BY 1, 2),
+            cand AS (SELECT x, z, cn FROM cn
+                     WHERE NOT EXISTS (SELECT 1 FROM e
+                       WHERE e.a = cn.x AND e.b = cn.z))
+            SELECT x AS a_tok, z AS b_tok, cn AS common_n,
+              CAST(cn * 10000 // (da.dg + dz.dg - cn) AS BIGINT)
+                AS jaccard_bp
+            FROM cand JOIN dg da ON da.id = x JOIN dg dz ON dz.id = z
+            ORDER BY common_n DESC, jaccard_bp DESC, a_tok, b_tok
+            LIMIT 20"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = tokenGraphEdges(spark, dir)
+      val sym = e.select($"a_tok".as("u"), $"b_tok".as("v"))
+        .union(e.select($"b_tok", $"a_tok"))
+      val dgs = sym.groupBy($"u").agg(count(lit(1)).as("dg"))
+      val s2 = sym.select($"u".as("u2"), $"v".as("v2"))
+      val cn = sym.join(s2, $"v" === $"v2" && $"u" < $"u2")
+        .groupBy($"u".as("x"), $"u2".as("z"))
+        .agg(count(lit(1)).as("cn"))
+      val cand = cn.join(e,
+          $"a_tok" === $"x" && $"b_tok" === $"z", "left_anti")
+      cand
+        .join(dgs.select($"u".as("xid"), $"dg".as("dgx")), $"xid" === $"x")
+        .join(dgs.select($"u".as("zid"), $"dg".as("dgz")), $"zid" === $"z")
+        .select($"x".as("a_tok"), $"z".as("b_tok"), $"cn".as("common_n"),
+          expr("cn * 10000 DIV (dgx + dgz - cn)").as("jaccard_bp"))
+        .orderBy($"common_n".desc, $"jaccard_bp".desc, $"a_tok", $"b_tok")
+        .limit(20)
+    })
+
   /** Core-number distribution of the token co-occurrence graph — the
     * community-density profile (how much of the vocabulary survives
     * into the densest subgraph). ORACLE-BACKED since r12: the h-index
@@ -1460,7 +1522,7 @@ object MiningOps extends QueryModule {
   def all: Seq[Q] = Seq(tfidf, cooccur, graphDegree, dupInflation,
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
-    graphTriangles, graphLcc, graphKcore, graphLpa, zipfSlope, heapsFit,
+    graphTriangles, graphLcc, graphLinkpred, graphKcore, graphLpa, zipfSlope, heapsFit,
     tokenKl, tokenEntropy, bpeTrain, bpeFertility, sourceOverlap,
     docDiversityApproxQ)
 }

@@ -323,4 +323,31 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
         s"$dir: lifetime/at-risk columns must be threshold-independent")
     }
   }
+
+  test("x_hazard_na: na_bp IS the exact prefix sum of x_hazard_km's " +
+      "hazard_bp over the shared t_days axis (the declared " +
+      "quantize-then-sum semantics)") {
+    // The NA read shares the KM pipeline through the at-risk table
+    // (same 2-day rule), so its per-level hazard column must equal
+    // x_hazard_km's row for row, and the cumulative column must be the
+    // running sum of those already-floored terms — never a re-derived
+    // rational. Both gate SFs, same scoping as the KM pins.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val na = SparkEntry.queries("x_hazard_na")(spark, dir).collect()
+      val km = SparkEntry.queries("x_hazard_km")(spark, dir).collect()
+      assert(na.nonEmpty, s"$dir: empty NA table")
+      assert(na.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+          km.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+        s"$dir: (t_days, n_risk, n_churn) must match the KM table")
+      assert(na.map(_.getLong(3)).toSeq ==
+          km.map(_.getLong(4)).toSeq,
+        s"$dir: per-level hazard_bp must equal x_hazard_km's")
+      val cum = na.map(_.getLong(3)).scanLeft(0L)(_ + _).drop(1)
+      assert(na.map(_.getLong(4)).toSeq == cum.toSeq,
+        s"$dir: na_bp must be the exact prefix sum of hazard_bp")
+      assert(na.last.getLong(4) >= na.head.getLong(4) &&
+          na.map(_.getLong(4)).toSeq.sorted == na.map(_.getLong(4)).toSeq,
+        s"$dir: a cumulative hazard must be nondecreasing")
+    }
+  }
 }

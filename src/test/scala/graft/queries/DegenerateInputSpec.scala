@@ -249,6 +249,57 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(psi("shift") == ((10L, 10L, 10L, want)), psi("shift").toString)
   }
 
+  test("x_drift_mw closed forms: identical halves => EXACTLY 5000 bp " +
+      "(pairing symmetry, not expectation); late half strictly above " +
+      "=> u2 = 0 and 0 bp") {
+    import spark.implicits._
+    val dir = tmpDir("mwdegen")
+    // same corpora shape as the x_drift_ks pins: 'same' puts the same
+    // 10 values in both calendar halves → for every (early, late) pair
+    // the reversed pair exists, so 2U = ne·nl exactly and cles_bp =
+    // (ne·nl·10⁴) DIV (2·ne·nl) = 5000 regardless of parity. 'shift'
+    // puts every late value strictly above every early one → early
+    // wins NO pair → u2 = 0, cles_bp = 0 (the direction KS cannot
+    // express: its 10000 bp says "maximally different", MW's 0 says
+    // "moved UP").
+    val same = (1L to 10L).flatMap(i => Seq(
+      (i, new Timestamp(0L), i, "same", i.toDouble, "{}"),
+      (100 + i, new Timestamp(864000000L), i, "same", i.toDouble, "{}")))
+    val shift = (1L to 10L).flatMap(i => Seq(
+      (200 + i, new Timestamp(0L), i, "shift", i.toDouble, "{}"),
+      (300 + i, new Timestamp(864000000L), i, "shift", 100.0 + i, "{}")))
+    (same ++ shift)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_drift_mw")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("same") == ((10L, 10L, 100L, 5000L)), rows("same").toString)
+    assert(rows("shift") == ((10L, 10L, 0L, 0L)), rows("shift").toString)
+  }
+
+  test("x_graph_linkpred closed form: a path graph a—b—c yields the " +
+      "single candidate (a, c) with cn = 1 and jaccard exactly 10000") {
+    import spark.implicits._
+    val dir = tmpDir("linkpreddegen")
+    // 5 docs {aa bb} + 5 docs {bb cc}: overlap(aa,bb) = 5/min(5,10) =
+    // 10000 bp ≥ 8200 → edge; same for (bb,cc); (aa,cc) never co-occur
+    // → no edge. The only wedge is aa—bb—cc, so the candidate list is
+    // exactly {(aa, cc)}: cn = 1, dg(aa) = dg(cc) = 1, and since
+    // neither endpoint neighbors the other |N∪| = 1+1−1 = 1 →
+    // jaccard_bp = 10000 — the closed form of the "neighborhoods
+    // coincide" extreme.
+    val docs = (1L to 5L).map(i => (i, "aa bb", "en", "s0", 5L)) ++
+      (6L to 10L).map(i => (i, "bb cc", "en", "s0", 5L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x_graph_linkpred")(spark, dir).collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    val r = rows.head
+    assert(r.getString(0) == "aa" && r.getString(1) == "cc", r.toString)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 10000L, r.toString)
+  }
+
   test("x_markov_steady: a transition-free corpus keeps w = 1 per type " +
       "(the empty-edge-list branch the gate corpus never exercises)") {
     import spark.implicits._
