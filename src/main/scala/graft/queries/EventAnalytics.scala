@@ -1563,6 +1563,173 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Weekly growth accounting — the new / retained / resurrected /
+    * churned decomposition every growth team runs on its active-user
+    * curve (the "quick ratio" read): per calendar week, active users
+    * split into NEW (first-ever week), RETAINED (also active the
+    * immediately-previous week) and RESURRECTED (active before, but
+    * not last week); churned(w) = active(w−1) − retained(w) — the
+    * users who were there last week and didn't come back — and the
+    * quick ratio (new + resurrected)·10⁴ DIV churned in bp (the
+    * >10⁴ = growing threshold), zero-guarded to 0 when nobody churned.
+    * All EXACT integer counts: the per-user previous-active-week is
+    * one lag window, the classification is a three-way CASE on
+    * (w = first, prev = w−1), and when w > first a previous active
+    * week always exists so the lag is never NULL in the resurrected
+    * branch (stated, not coalesced). x_retention reads the same
+    * motion as a cohort grid; this is the single-curve decomposition
+    * executives actually chart.
+    *
+    * Scale shape: one DISTINCT (user, week) exchange (map-side
+    * combined), one user-keyed lag window over each user's ≤
+    * calendar-weeks rows, a week-cardinality rollup and ONE
+    * single-partition lag over those ≤ span-weeks rows (tiny by
+    * construction). Nothing downstream of the distinct depends on
+    * event volume. */
+  private val growthAccounting = Q(
+    "x_growth_accounting",
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+                         epoch_ms(ts) // 604800000 AS w FROM events),
+            f AS (SELECT user_id, min(w) AS fw FROM a GROUP BY user_id),
+            l AS (SELECT a.user_id, a.w, f.fw,
+                    lag(a.w) OVER (PARTITION BY a.user_id ORDER BY a.w)
+                      AS pw
+                  FROM a JOIN f ON f.user_id = a.user_id),
+            c AS (SELECT w, CAST(count(*) AS BIGINT) AS n_active,
+                    CAST(sum(CASE WHEN w = fw THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_new,
+                    CAST(sum(CASE WHEN w > fw AND pw = w - 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                    CAST(sum(CASE WHEN w > fw AND pw < w - 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_resurrected
+                  FROM l GROUP BY w),
+            g AS (SELECT w, n_active, n_new, n_retained, n_resurrected,
+                    CAST(coalesce(lag(n_active) OVER (ORDER BY w), 0)
+                      - n_retained AS BIGINT) AS n_churned
+                  FROM c)
+            SELECT w - (SELECT min(w) FROM a) AS week_idx, n_active,
+              n_new, n_retained, n_resurrected, n_churned,
+              CAST(CASE WHEN n_churned > 0
+                THEN (n_new + n_resurrected) * 10000 // n_churned
+                ELSE 0 END AS BIGINT) AS quick_ratio_bp
+            FROM g ORDER BY week_idx"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val a = t(spark, dir, "events")
+        .select($"user_id", expr("unix_millis(ts) DIV 604800000").as("w"))
+        .distinct()
+      val f = a.groupBy($"user_id").agg(min($"w").as("fw"))
+      val wU = Window.partitionBy($"user_id").orderBy($"w")
+      val l = a.join(f, "user_id")
+        .withColumn("pw", lag($"w", 1).over(wU))
+      val c = l.groupBy($"w")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when($"w" === $"fw", 1L).otherwise(0L)).as("n_new"),
+          sum(when($"w" > $"fw" && $"pw" === $"w" - 1, 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when($"w" > $"fw" && $"pw" < $"w" - 1, 1L).otherwise(0L))
+            .as("n_resurrected"))
+      val w0 = a.agg(min($"w").as("w0"))
+      c.withColumn("n_churned",
+          coalesce(lag($"n_active", 1).over(Window.orderBy($"w")), lit(0L))
+            - $"n_retained")
+        .crossJoin(broadcast(w0))
+        .select(($"w" - $"w0").as("week_idx"), $"n_active", $"n_new",
+          $"n_retained", $"n_resurrected", $"n_churned",
+          when($"n_churned" > 0,
+            expr("(n_new + n_resurrected) * 10000 DIV n_churned"))
+            .otherwise(0L).as("quick_ratio_bp"))
+        .orderBy($"week_idx")
+    })
+
+  /** Holt's linear-trend forecast (double exponential smoothing,
+    * α = β = 1/2) of per-type daily counts — the forecasting family's
+    * TREND member next to x_forecast_ses (SES assumes a level; Holt
+    * carries a slope, the read that distinguishes "volume is settling"
+    * from "volume is climbing"). Unlike SES's dyadic-float fold, the
+    * two-equation recursion is NOT float-exact (each step compounds
+    * the denominators ~2 bits — 30 days ≫ the 52-bit mantissa), so
+    * the state is QUANTIZED INTEGER bp from the start: l ←
+    * (x·10⁴ + l + b) DIV 2, b ← ((l' − l) + b) DIV 2, both trunc
+    * divisions — DELIBERATE trunc on the possibly-negative trend
+    * operand, the SCALING §determinism rule both engines share — and
+    * the one-step-ahead backtest error accumulates |x·10⁴ − (l + b)|
+    * in the same exact integers. Seeds l = x₁·10⁴, b = 0 (the
+    * zero-trend seed; the x₂−x₁ alternative injects first-step noise
+    * on bursty series — documented choice, not an accident). Both
+    * engines replay the identical fold: Spark as a sequential
+    * `aggregate` over the day-ordered list (named_struct fields all
+    * read the PRE-step acc — safe where DuckDB's struct_pack is not),
+    * DuckDB as list_reduce over a flat [l, b, e] BIGINT list with the
+    * seed branch on len(acc) = 1 (the first reduce step sees the bare
+    * seed element). forecast_next_bp = l + b; mae_bp = e DIV (n−1)
+    * (n ≥ 2 guarded: singleton series emit 0 — both engines).
+    * (Holt 1957/2004.)
+    *
+    * Overflow: counts ≤ 10⁷/day at sf0.1 → l, b ≤ ~10¹¹ bp; e ≤
+    * span·10¹¹ ≪ 2^63.
+    *
+    * Scale shape: the x_forecast_ses shape exactly — one
+    * calendar-bounded (type, day) aggregate, then a per-type fold
+    * over ≤ span-days arrays (a types-cardinality task, never a
+    * corpus window). */
+  private val forecastHolt = Q(
+    "x_forecast_holt",
+    Some("""WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type, list(n ORDER BY day) AS xs
+                  FROM d GROUP BY 1),
+            f AS (SELECT event_type, len(xs) AS n_days,
+                    list_reduce(list_transform(xs, x -> [x]),
+                      (acc, x) -> CASE WHEN len(acc) = 1
+                        THEN [(x[1] * 10000 + acc[1] * 10000 + 0) // 2,
+                              ((x[1] * 10000 + acc[1] * 10000 + 0) // 2
+                                - acc[1] * 10000 + 0) // 2,
+                              abs(x[1] * 10000 - acc[1] * 10000 - 0)]
+                        ELSE [(x[1] * 10000 + acc[1] + acc[2]) // 2,
+                              ((x[1] * 10000 + acc[1] + acc[2]) // 2
+                                - acc[1] + acc[2]) // 2,
+                              acc[3] + abs(x[1] * 10000 - acc[1] - acc[2])]
+                        END) AS st
+                  FROM s)
+            SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+              CAST(CASE WHEN n_days = 1 THEN 10000 * st[1] ELSE st[1] END
+                AS BIGINT) AS level_bp,
+              CAST(CASE WHEN n_days = 1 THEN 0 ELSE st[2] END
+                AS BIGINT) AS trend_bp,
+              CAST(CASE WHEN n_days = 1 THEN 10000 * st[1]
+                   ELSE st[1] + st[2] END AS BIGINT) AS forecast_next_bp,
+              CAST(CASE WHEN n_days >= 2 THEN st[3] // (n_days - 1)
+                   ELSE 0 END AS BIGINT) AS mae_bp
+            FROM f ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .groupBy($"event_type", expr("unix_millis(ts) DIV 86400000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      d.groupBy($"event_type")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(day, n))), p -> p.n)")
+          .as("xs"))
+        .select($"event_type", size($"xs").cast("long").as("n_days"),
+          expr("""aggregate(slice(xs, 2, size(xs) - 1),
+                    named_struct('l', xs[0] * 10000L, 'b', 0L, 'e', 0L),
+                    (acc, x) -> named_struct(
+                      'l', (x * 10000L + acc.l + acc.b) DIV 2,
+                      'b', ((x * 10000L + acc.l + acc.b) DIV 2
+                            - acc.l + acc.b) DIV 2,
+                      'e', acc.e + abs(x * 10000L - acc.l - acc.b)))""")
+            .as("st"))
+        .select($"event_type", $"n_days",
+          $"st.l".as("level_bp"), $"st.b".as("trend_bp"),
+          ($"st.l" + $"st.b").as("forecast_next_bp"),
+          when($"n_days" >= 2, expr("st.e DIV (n_days - 1)"))
+            .otherwise(0L).as("mae_bp"))
+        .orderBy($"event_type")
+    })
+
   /** Kaplan–Meier churn hazard table — the survival-analysis read a
     * retention team runs next to x_retention's cohort grid: per user,
     * lifetime t = last active day − first active day; a user counts as
@@ -2198,5 +2365,5 @@ object EventAnalytics extends QueryModule {
     gini, hourProfile, schemaDrift, hillTail, userOverlap, forecastSes,
     attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ,
     hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi,
-    markovAbsorbTo, hazardNa, driftMw)
+    markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt)
 }

@@ -300,6 +300,70 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(2) == 1L && r.getLong(3) == 10000L, r.toString)
   }
 
+  test("x_growth_accounting closed form: a 4-user 3-week corpus replays " +
+      "the full new/retained/resurrected/churned decomposition by hand") {
+    import spark.implicits._
+    val dir = tmpDir("growthdegen")
+    // A active w0,w1,w2; B w0 only; C w0,w2 (skips w1); D w1 only.
+    // w0: active 3 (A,B,C) all new; churned 0 (no prior week).
+    // w1: active 2 (A,D) — D new, A retained; churned = 3 − 1 = 2
+    //     (B and C both missed w1) → quick = 1·10⁴ DIV 2 = 5000.
+    // w2: active 2 (A,C) — A retained, C RESURRECTED (prev active week
+    //     0 < w−1); churned = 2 − 1 = 1 (D) → quick = 10⁴.
+    val wk = 604800000L
+    val ev = Seq((1L, 0L), (2L, wk), (3L, 2 * wk), // A
+      (4L, 0L), // B
+      (5L, 0L), (6L, 2 * wk), // C
+      (7L, wk)) // D
+    val users = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      6L -> 3L, 7L -> 4L)
+    ev.map { case (id, ms) =>
+      (id, new Timestamp(ms), users(id), "visit", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_growth_accounting")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(rows(0L) == ((3L, 3L, 0L, 0L, 0L, 0L)), rows(0L).toString)
+    assert(rows(1L) == ((2L, 1L, 1L, 0L, 2L, 5000L)), rows(1L).toString)
+    assert(rows(2L) == ((2L, 0L, 1L, 1L, 1L, 10000L)), rows(2L).toString)
+  }
+
+  test("x_forecast_holt closed forms: constant series is a fixpoint " +
+      "(trend 0, mae 0); two-point series replays by hand; singleton " +
+      "day takes the n_days = 1 branch in BOTH engines") {
+    import spark.implicits._
+    val dir = tmpDir("holtdegen")
+    // 'flat': 5 days × 3 events/day → l = 3·10⁴ every step, b = 0,
+    // e = 0 (the quantized recursion's exact fixpoint).
+    // 'pair': day0 4 events, day1 8 → l' = 6·10⁴, b' = 10⁴,
+    // forecast 7·10⁴, mae = |8−4|·10⁴ DIV 1 = 4·10⁴.
+    // 'once': one day, 2 events → the seed-only branch.
+    val day = 86400000L
+    val flat = for { d <- 0L until 5L; k <- 0L until 3L } yield
+      (d * 10 + k, new Timestamp(d * day), k, "flat", 1.0, "{}")
+    val pair = (0L until 4L).map(i =>
+      (100 + i, new Timestamp(0L), i, "pair", 1.0, "{}")) ++
+      (0L until 8L).map(i =>
+        (200 + i, new Timestamp(day), i, "pair", 1.0, "{}"))
+    val once = (0L until 2L).map(i =>
+      (300 + i, new Timestamp(0L), i, "once", 1.0, "{}"))
+    (flat ++ pair ++ once)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_forecast_holt")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(rows("flat") == ((5L, 30000L, 0L, 30000L, 0L)),
+      rows("flat").toString)
+    assert(rows("pair") == ((2L, 60000L, 10000L, 70000L, 40000L)),
+      rows("pair").toString)
+    assert(rows("once") == ((1L, 20000L, 0L, 20000L, 0L)),
+      rows("once").toString)
+  }
+
   test("x_markov_steady: a transition-free corpus keeps w = 1 per type " +
       "(the empty-edge-list branch the gate corpus never exercises)") {
     import spark.implicits._
