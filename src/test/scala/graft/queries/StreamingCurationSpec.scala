@@ -553,6 +553,89 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("live growth accounting: streamed weekly decomposition EQUALS the " +
+      "batch x_growth_accounting rows across micro-batch splits (25th twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // the per-user order the batch lag window reads: in event-time order
+    val prepared = eventsNanos(sf)
+      .select($"user_id",
+        expr("unix_millis(timestamp_micros(ts DIV 1000))").as("ts_ms"),
+        $"event_id")
+      .orderBy($"ts_ms", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.StreamingGrowthAccounting.emissions(
+        mem.toDS().toDF("user_id", "ts_ms", "event_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("growth1").start()
+    try {
+      // three batches: a user whose week boundary spans a split must
+      // classify from state (retained vs resurrected both read ONLY
+      // past weeks — the append-only property under test)
+      val third = prepared.length / 3
+      mem.addData(prepared.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      val streamed = graft.streaming.StreamingGrowthAccounting
+        .growthOf(spark.table("growth1"))
+        .collect().map(_.toSeq).toSeq
+      // the batch query is oracle-hash-matched, so this equality chains
+      // stream ≡ batch ≡ DuckDB for the full decomposition
+      val batch = graft.SparkEntry.queries("x_growth_accounting")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed growth != batch: ${streamed.take(2)} vs ${batch.take(2)}")
+    } finally q.stop()
+  }
+
+  test("live growth accounting: checkpoint RESTART resumes the per-user " +
+      "week-span state — file-sink emissions still fold to the batch rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("growthrestart")
+
+    val prepared = eventsNanos(sf)
+      .select($"user_id",
+        expr("unix_millis(timestamp_micros(ts DIV 1000))").as("ts_ms"),
+        $"event_id")
+      .orderBy($"ts_ms", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val half = prepared.length / 2
+
+    // parquet sink + checkpoint (the StreamingAbsorbMass drill shape):
+    // a reset state would re-emit "new" for users first seen before the
+    // restart and misclassify their post-restart week transitions
+    val mem = MemoryStream[(Long, Long, Long)]
+    def start() =
+      graft.streaming.StreamingGrowthAccounting.emissions(
+          mem.toDS().toDF("user_id", "ts_ms", "event_id"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try { mem.addData(prepared.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { mem.addData(prepared.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val streamed = graft.streaming.StreamingGrowthAccounting
+      .growthOf(spark.read.parquet(s"$dir/out"))
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.SparkEntry.queries("x_growth_accounting")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"post-restart growth != batch: ${streamed.take(2)} vs ${batch.take(2)}")
+  }
+
   test("live path mining: checkpoint RESTART resumes the last-two-types " +
       "state — file-sink trigrams still reproduce the batch top-20") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
