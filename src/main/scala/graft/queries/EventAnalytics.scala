@@ -1643,6 +1643,55 @@ object EventAnalytics extends QueryModule {
         .orderBy($"week_idx")
     })
 
+  /** DAU/WAU stickiness — the engagement-frequency ratio product teams
+    * chart next to the growth accounting (how much of the weekly
+    * audience shows up on a given day; 10⁴ bp = everybody, ~1430 =
+    * one-day-a-week users): per day, distinct daily actives over
+    * distinct CALENDAR-week actives (day DIV 7 ≡ the ms//604800000
+    * week x_growth_accounting uses — identical integer arithmetic on
+    * nonnegative epochs), one trunc division to bp. The calendar-week
+    * denominator is the DECLARED choice (vs a trailing-7-day window,
+    * which needs a ×7 row amplification or interval machinery — the
+    * classic WAU definitions differ and this one is exact, cheap and
+    * self-consistent with the weekly decomposition); dau ≤ wau by
+    * construction so the ratio never exceeds 10⁴.
+    *
+    * Scale shape: one DISTINCT (user, day) exchange (map-side
+    * combined), a calendar-bounded day rollup, a second distinct over
+    * the ALREADY-distinct (user, day) rows rolled to weeks, and a
+    * broadcast join of the ≤ span-weeks WAU table — nothing downstream
+    * of the first distinct depends on event volume. */
+  private val stickiness = Q(
+    "x_stickiness",
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+                         epoch_ms(ts) // 86400000 AS day FROM events),
+            dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                    FROM a GROUP BY day),
+            aw AS (SELECT DISTINCT user_id, day // 7 AS wk FROM a),
+            wau AS (SELECT wk, CAST(count(*) AS BIGINT) AS wau
+                    FROM aw GROUP BY wk),
+            d0 AS (SELECT min(day) AS d0 FROM a)
+            SELECT day - d0 AS day_idx, dau, wau,
+              CAST(dau * 10000 // wau AS BIGINT) AS stickiness_bp
+            FROM dau JOIN wau ON wau.wk = dau.day // 7
+            CROSS JOIN d0 ORDER BY day_idx"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val a = t(spark, dir, "events")
+        .select($"user_id", expr("unix_millis(ts) DIV 86400000").as("day"))
+        .distinct()
+      val dau = a.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = a.select($"user_id", expr("day DIV 7").as("wk"))
+        .distinct()
+        .groupBy($"wk").agg(count(lit(1)).as("wau"))
+      val d0 = a.agg(min($"day").as("d0"))
+      dau.join(broadcast(wau), expr("day DIV 7") === $"wk")
+        .crossJoin(broadcast(d0))
+        .select(($"day" - $"d0").as("day_idx"), $"dau", $"wau",
+          expr("dau * 10000 DIV wau").as("stickiness_bp"))
+        .orderBy($"day_idx")
+    })
+
   /** Holt's linear-trend forecast (double exponential smoothing,
     * α = β = 1/2) of per-type daily counts — the forecasting family's
     * TREND member next to x_forecast_ses (SES assumes a level; Holt
@@ -2365,5 +2414,6 @@ object EventAnalytics extends QueryModule {
     gini, hourProfile, schemaDrift, hillTail, userOverlap, forecastSes,
     attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ,
     hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi,
-    markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt)
+    markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
+    stickiness)
 }

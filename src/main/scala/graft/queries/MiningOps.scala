@@ -67,6 +67,77 @@ object MiningOps extends QueryModule {
         .orderBy($"lang", $"rk")
     })
 
+  /** Token burstiness profile (Church & Gale 1995) — the
+    * corpus-linguistics read that separates TOPICAL terms (bursty:
+    * once a document mentions them, it mentions them repeatedly) from
+    * FUNCTION-like terms (Poisson-ish: occurrences scatter
+    * independently), the signal term-weighting and boilerplate
+    * detection both condition on. Per top-50-df token, in EXACT
+    * integers: df, total occurrences S, burstiness = mean occurrences
+    * per CONTAINING doc in bp (S·10⁴ DIV df), and the index of
+    * dispersion over ALL docs (zeros included) cross-multiplied to one
+    * trunc division — VMR = var/mean = (n·SS − S²)·10⁴ DIV (n·S)
+    * with SS = Σc² (nonnegative by Cauchy–Schwarz, so the division
+    * never sees a sign). VMR ≈ 10⁴ bp = Poisson; ≫ 10⁴ = bursty. The
+    * vocabulary cap is the x_cooccur declaration (top-50 by df desc,
+    * token — deterministic), so every row downstream of the per-(token,
+    * doc) rollup is vocabulary-bounded.
+    *
+    * Overflow envelope: n·SS ≤ n·S·c_max and the ×10⁴ applies after
+    * the subtract — BIGINT-safe while n·S·c_max < 9·10¹⁴ (stated; the
+    * gate corpora sit orders of magnitude below).
+    *
+    * Scale shape: one (token, doc) aggregate (map-side combined over
+    * the explode), one token rollup, a 50-row ranked cap — corpus
+    * volume only in the first exchange. */
+  private val tokenBurstiness = Q(
+    "x_token_burstiness",
+    Some("""WITH tok AS (SELECT doc_id,
+                unnest(list_filter(string_split_regex(lower(text), ' +'),
+                  x -> x <> '')) AS token
+              FROM documents),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            pd AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+                   FROM tok GROUP BY 1, 2),
+            agg AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+                      CAST(sum(c) AS BIGINT) AS s,
+                      CAST(sum(c * c) AS BIGINT) AS ss
+                    FROM pd GROUP BY token),
+            v AS (SELECT token, df, s, ss,
+                    row_number() OVER (ORDER BY df DESC, token) AS rk
+                  FROM agg)
+            SELECT token, df, s AS total,
+              CAST(s * 10000 // df AS BIGINT) AS burst_bp,
+              CAST((n_docs * ss - s * s) * 10000 // (n_docs * s)
+                AS BIGINT) AS vmr_bp
+            FROM v CROSS JOIN n WHERE rk <= 50
+            ORDER BY vmr_bp DESC, token"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val docs = t(spark, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val pd = docs
+        .select($"doc_id",
+          explode(expr("filter(split(lower(text), ' +'), x -> x != '')"))
+            .as("token"))
+        .groupBy($"token", $"doc_id")
+        .agg(count(lit(1)).as("c"))
+      val agg = pd.groupBy($"token")
+        .agg(count(lit(1)).as("df"), sum($"c").as("s"),
+          sum($"c" * $"c").as("ss"))
+      // TakeOrdered vocab cap (the x_cooccur idiom) — NOT a global
+      // row_number window, which would single-partition the full
+      // token dictionary at scale
+      agg
+        .orderBy($"df".desc, $"token").limit(50)
+        .crossJoin(broadcast(n))
+        .select($"token", $"df", $"s".as("total"),
+          expr("s * 10000 DIV df").as("burst_bp"),
+          expr("(n_docs * ss - s * s) * 10000 DIV (n_docs * s)")
+            .as("vmr_bp"))
+        .orderBy($"vmr_bp".desc, $"token")
+    })
+
   /** Token association mining: top-20 co-occurring token pairs by
     * overlap coefficient `|docs(a)∩docs(b)| / min(|docs(a)|,|docs(b)|)`
     * (basis points, exact int arithmetic — n_ab*10000 cannot overflow).
@@ -1523,6 +1594,7 @@ object MiningOps extends QueryModule {
     dedupCompare, freqItems, bigramCoverage, freqSpectrum, vocabGrowth,
     bpePairs, dupPagerank, docDiversity, novelty, assocRules,
     graphTriangles, graphLcc, graphLinkpred, graphKcore, graphLpa, zipfSlope, heapsFit,
+    tokenBurstiness,
     tokenKl, tokenEntropy, bpeTrain, bpeFertility, sourceOverlap,
     docDiversityApproxQ)
 }

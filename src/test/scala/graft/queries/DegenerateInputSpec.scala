@@ -364,6 +364,51 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
       rows("once").toString)
   }
 
+  test("x_token_burstiness closed forms: a once-per-doc token has VMR 0 " +
+      "(deterministic, NOT Poisson's 10000); a one-doc burst replays " +
+      "k(n-1)*10^4 DIV n by hand") {
+    import spark.implicits._
+    val dir = tmpDir("burstdegen")
+    // 10 docs all containing "base" exactly once; doc 1 additionally
+    // holds "burst" 5 times. base: df=10, S=10 → burst_bp = 10⁴,
+    // vmr = (10·10 − 100)·10⁴ DIV 100 = 0 — a token that appears
+    // EXACTLY once everywhere is maximally UNDER-dispersed (variance
+    // 0), which is precisely what separates VMR from the burst ratio.
+    // burst: df=1, S=5, SS=25 → burst_bp = 5·10⁴,
+    // vmr = (10·25 − 25)·10⁴ DIV 50 = 45000.
+    val docs = (1L to 10L).map(i =>
+      (i, if (i == 1) "base burst burst burst burst burst" else "base",
+        "en", "s0", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x_token_burstiness")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows("base") == ((10L, 10L, 10000L, 0L)), rows("base").toString)
+    assert(rows("burst") == ((1L, 5L, 50000L, 45000L)),
+      rows("burst").toString)
+  }
+
+  test("x_stickiness closed form: a daily user and a once-a-week user " +
+      "give 10000 bp on the shared day and 5000 on the rest") {
+    import spark.implicits._
+    val dir = tmpDir("stickdegen")
+    val day = 86400000L
+    // user 1 active days 0..6, user 2 active day 0 only — one calendar
+    // week, wau = 2; day 0 dau = 2 → 10000, days 1..6 dau = 1 → 5000.
+    val ev = (0L until 7L).map(d =>
+      (d, new Timestamp(d * day), 1L, "visit", 1.0, "{}")) :+
+      (100L, new Timestamp(0L), 2L, "visit", 1.0, "{}")
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_stickiness")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(0L) == ((2L, 2L, 10000L)), rows(0L).toString)
+    (1L to 6L).foreach(d =>
+      assert(rows(d) == ((1L, 2L, 5000L)), s"day $d: ${rows(d)}"))
+  }
+
   test("x_markov_steady: a transition-free corpus keeps w = 1 per type " +
       "(the empty-edge-list branch the gate corpus never exercises)") {
     import spark.implicits._
