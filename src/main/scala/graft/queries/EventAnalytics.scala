@@ -2408,6 +2408,127 @@ object EventAnalytics extends QueryModule {
         .orderBy($"start_type", $"end_type")
     })
 
+  /** ORACLE-BACKED target-hitting read — the Markov family's fourth
+    * member (steady = long-run mix, absorb = steps to END, absorb_to =
+    * WHICH end; this answers the conversion question: "starting from
+    * each event type, what fraction of continuations ever REACH
+    * `purchase` before the stream ends"). First-passage probabilities
+    * over the substochastic chain: h = q(·,τ) + Q_{−τ}·h (hit the
+    * target directly, or move to a non-target type and hit from
+    * there), replayed as the same FIXED-8-round integer series
+    * s ← q(·,τ) + (Q_{−τ}·s) DIV 10⁴ from s⁰ = q(·,τ). The target
+    * row reads as the RETURN probability (from purchase, reach
+    * purchase again — q(τ,τ) counts the direct repeat). An
+    * expected-steps-to-target read is deliberately NOT emitted: with
+    * end-absorption competing, E[steps to τ] conditions on reaching τ
+    * at all (taboo-renormalized chain) — a division by h that leaves
+    * integer algebra; the probability IS the well-defined quantity.
+    *
+    * ENVELOPE WORKSHEET (fresh, before the SQL): s⁰ = q(·,τ) ≤ 10⁴;
+    * induction s_{m+1}(i) ≤ q(i,τ) + (Σ_{j≠τ} q(i,j)·10⁴) DIV 10⁴ ≤
+    * q(i,τ) + Σ_{j≠τ} q(i,j) ≤ 10⁴ (the absorb_to sum-of-floors
+    * bound with R's diagonal replaced by the target column); matvec ≤
+    * 10⁴·10⁴ = 10⁸ ≪ 2^53, K never enters. All nonnegative → trunc ≡
+    * floor. s₈ is a monotone LOWER bound of h·10⁴ (truncated series +
+    * per-step floors). A corpus with NO `purchase` type yields an
+    * EMPTY result in both engines (the target position filter — the
+    * declared behavior, pinned), never a fabricated zero table.
+    *
+    * Scale shape: the chain collect is shared ([[markovAbsorbChain]],
+    * cached); the K×K driver iteration is ≤ 8·256² bounded ops; the
+    * declared query is one live lead-window pass (n_to_target — the
+    * corpus evidence) plus a ≤K-row broadcast of trained constants. */
+  private val markovReach = Q(
+    "x_markov_reach",
+    Some("""WITH RECURSIVE
+            e AS (SELECT user_id, event_id, event_type,
+                    epoch_us(ts) AS ts_us FROM events),
+            p AS (SELECT event_type AS cur, lead(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt
+                  FROM e),
+            c AS (SELECT cur AS a, nxt AS b, CAST(count(*) AS BIGINT) AS n
+                  FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            en AS (SELECT cur AS t, CAST(count(*) AS BIGINT) AS n_end
+                   FROM p WHERE nxt IS NULL GROUP BY 1),
+            outs AS (SELECT a AS t, CAST(sum(n) AS BIGINT) AS n_out
+                     FROM c GROUP BY 1),
+            ty AS (SELECT list(t ORDER BY t) AS ts
+                   FROM (SELECT DISTINCT event_type AS t FROM events)),
+            tt AS (SELECT u.t,
+                     coalesce(o.n_out, 0) + coalesce(e2.n_end, 0) AS tot
+                   FROM (SELECT DISTINCT event_type AS t FROM events) u
+                   LEFT JOIN outs o ON o.t = u.t
+                   LEFT JOIN en e2 ON e2.t = u.t),
+            qb AS (SELECT c.a, c.b,
+                     CAST((c.n * 10000) // tt.tot AS BIGINT) AS v
+                   FROM c JOIN tt ON tt.t = c.a),
+            el AS (SELECT coalesce(list(struct_pack(a := a, b := b, v := v)),
+                     []) AS es FROM qb),
+            qm AS (SELECT ts, list_transform(ts, x -> list_transform(ts, y ->
+                     coalesce(list_min(list_transform(
+                       list_filter(es, q -> q.a = x AND q.b = y),
+                       q -> q.v)), 0))) AS m
+                   FROM ty CROSS JOIN el),
+            tv AS (SELECT ts, m, list_position(ts, 'purchase') AS ti,
+                     list_transform(range(1, len(ts) + 1),
+                       i -> m[i][list_position(ts, 'purchase')]) AS v
+                   FROM qm
+                   WHERE coalesce(list_position(ts, 'purchase'), 0) > 0),
+            it AS (SELECT 0 AS step, v AS s FROM tv
+                   UNION ALL
+                   SELECT step + 1,
+                     list_transform(range(1, len(s) + 1), i -> CAST(
+                       v[i] + list_sum(list_transform(range(1, len(s) + 1),
+                         j -> (CASE WHEN j = ti THEN 0 ELSE m[i][j] END)
+                           * s[j])) // 10000 AS BIGINT)) AS s
+                   FROM it CROSS JOIN tv WHERE step < 8),
+            fin AS (SELECT s FROM it ORDER BY step DESC LIMIT 1),
+            base AS (SELECT ts[k] AS event_type,
+                       CAST(v[k] AS BIGINT) AS q_to_target_bp,
+                       CAST(s[k] AS BIGINT) AS reach_bp
+                     FROM fin CROSS JOIN tv
+                     CROSS JOIN (SELECT unnest(range(1, 257)) AS k)
+                     WHERE k <= len(ts)),
+            live AS (SELECT cur AS t, CAST(sum(CASE WHEN nxt = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_to_target
+                     FROM p WHERE nxt IS NOT NULL GROUP BY 1)
+            SELECT b.event_type, coalesce(l.n_to_target, 0) AS n_to_target,
+              b.q_to_target_bp, b.reach_bp
+            FROM base b LEFT JOIN live l ON l.t = b.event_type
+            ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val (types, q, _) = markovAbsorbChain(spark, dir)
+      val ti = types.indexOf("purchase")
+      val trained =
+        if (ti < 0) Seq.empty[(String, Long, Long)]
+            .toDF("event_type", "q_to_target_bp", "reach_bp")
+        else {
+          val k = types.length
+          val v = Array.tabulate(k)(i => q(i)(ti))
+          var s = v.clone()
+          for (_ <- 1 to 8)
+            s = Array.tabulate(k)(i =>
+              v(i) + (0 until k).filter(_ != ti)
+                .map(j => q(i)(j) * s(j)).sum / 10000L)
+          types.indices.map(i => (types(i), v(i), s(i)))
+            .toDF("event_type", "q_to_target_bp", "reach_bp")
+        }
+      val wU = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val live = t(spark, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts)").as("ts_us"))
+        .withColumn("nxt", lead($"event_type", 1).over(wU))
+        .groupBy($"event_type")
+        .agg(sum(when($"nxt" === "purchase", 1L).otherwise(0L))
+          .as("n_to_target"))
+      broadcast(trained).join(live, Seq("event_type"), "left")
+        .na.fill(0L, Seq("n_to_target"))
+        .select($"event_type", $"n_to_target", $"q_to_target_bp",
+          $"reach_bp")
+        .orderBy($"event_type")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
@@ -2415,5 +2536,5 @@ object EventAnalytics extends QueryModule {
     attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ,
     hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi,
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
-    stickiness)
+    stickiness, markovReach)
 }

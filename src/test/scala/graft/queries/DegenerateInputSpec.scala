@@ -409,6 +409,39 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
       assert(rows(d) == ((1L, 2L, 5000L)), s"day $d: ${rows(d)}"))
   }
 
+  test("x_markov_reach closed forms: a view-purchase alternation " +
+      "hand-replays reach 10000 / return 6666; a target-free corpus " +
+      "yields EMPTY (never a fabricated zero table)") {
+    import spark.implicits._
+    val ts0 = 0L
+    val dir = tmpDir("reachdegen")
+    // one user: view,purchase,view,purchase,view,purchase.
+    // view: 3 occurrences all followed by purchase → q(v,τ) = 10⁴ →
+    // reach(view) = 10⁴ at every round. purchase: 3 occurrences, 2 →
+    // view, 1 stream-final → q(τ,view) = 6666; return(purchase) =
+    // 0 + (6666·10⁴) DIV 10⁴ = 6666 after round 1, stable after.
+    val ev = (0 until 6).map(i =>
+      (i.toLong, new Timestamp(ts0 + i * 1000L), 1L,
+        if (i % 2 == 0) "view" else "purchase", 1.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_markov_reach")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("view") == ((3L, 10000L, 10000L)), rows("view").toString)
+    assert(rows("purchase") == ((0L, 0L, 6666L)), rows("purchase").toString)
+
+    // target-free corpus: the declared behavior is an EMPTY result in
+    // both engines (the list_position filter / the Spark ti < 0 arm)
+    val dir2 = tmpDir("reachdegen2")
+    Seq((1L, new Timestamp(ts0), 1L, "view", 1.0, "{}"),
+        (2L, new Timestamp(ts0 + 1000L), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val empty = SparkEntry.queries("x_markov_reach")(spark, dir2).collect()
+    assert(empty.isEmpty, s"target-free corpus must be empty: ${empty.toSeq}")
+  }
+
   test("x_markov_steady: a transition-free corpus keeps w = 1 per type " +
       "(the empty-edge-list branch the gate corpus never exercises)") {
     import spark.implicits._
