@@ -2408,6 +2408,78 @@ object EventAnalytics extends QueryModule {
         .orderBy($"start_type", $"end_type")
     })
 
+  /** RFM segmentation cube — the recency / frequency / monetary user
+    * grid every lifecycle-marketing and LTV team cuts its base by:
+    * per user, weeks since last activity (corpus-end anchored — the
+    * x_hazard_km convention), event count banded on a power-of-two
+    * ladder, and exact lifetime cents banded on a decimal ladder; the
+    * output is the (rec_wk, f_band, m_band) cube with user counts and
+    * exact total cents. The bands are FIXED CASE LADDERS by
+    * declaration — the quantile alternative (true quintiles) needs a
+    * global rank over users, i.e. a single-partition window at corpus
+    * scale; fixed ladders are exact, engine-identical, and
+    * segment-stable release to release (the property marketing
+    * automation actually wants — a user's segment shouldn't move
+    * because OTHER users changed). Money through the DECIMAL(18,2)
+    * cast ×100 → per-row exact BIGINT cents before any sum (the money
+    * rule, applied before aggregation so both engines sum integers).
+    *
+    * Scale shape: one per-user rollup (map-side combined), a broadcast
+    * 1-row corpus-end anchor, a cube-cardinality aggregate (≤ weeks ×
+    * 7 × 6 cells). Nothing downstream of the user rollup depends on
+    * event volume. */
+  private val rfmProfile = Q(
+    "x_rfm_profile",
+    Some("""WITH u AS (SELECT user_id,
+                         max(epoch_ms(ts) // 86400000) AS ld,
+                         CAST(count(*) AS BIGINT) AS f,
+                         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+                       FROM events GROUP BY user_id),
+            e AS (SELECT max(ld) AS ce FROM u),
+            b AS (SELECT (ce - ld) // 7 AS rec_wk,
+                    CASE WHEN f >= 64 THEN 64 WHEN f >= 32 THEN 32
+                         WHEN f >= 16 THEN 16 WHEN f >= 8 THEN 8
+                         WHEN f >= 4 THEN 4 WHEN f >= 2 THEN 2
+                         ELSE 1 END AS f_band,
+                    CASE WHEN cents >= 10000000 THEN 5
+                         WHEN cents >= 1000000 THEN 4
+                         WHEN cents >= 100000 THEN 3
+                         WHEN cents >= 10000 THEN 2
+                         WHEN cents >= 1000 THEN 1
+                         ELSE 0 END AS m_band,
+                    cents
+                  FROM u CROSS JOIN e)
+            SELECT CAST(rec_wk AS BIGINT) AS rec_wk,
+              CAST(f_band AS BIGINT) AS f_band,
+              CAST(m_band AS BIGINT) AS m_band,
+              CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM b GROUP BY 1, 2, 3
+            ORDER BY rec_wk, f_band, m_band"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val u = t(spark, dir, "events")
+        .groupBy($"user_id")
+        .agg(max(expr("unix_millis(ts) DIV 86400000")).as("ld"),
+          count(lit(1)).as("f"),
+          sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("cents"))
+      val e = u.agg(max($"ld").as("ce"))
+      u.crossJoin(broadcast(e))
+        .select(expr("(ce - ld) DIV 7").as("rec_wk"),
+          when($"f" >= 64, 64L).when($"f" >= 32, 32L).when($"f" >= 16, 16L)
+            .when($"f" >= 8, 8L).when($"f" >= 4, 4L).when($"f" >= 2, 2L)
+            .otherwise(1L).as("f_band"),
+          when($"cents" >= 10000000L, 5L).when($"cents" >= 1000000L, 4L)
+            .when($"cents" >= 100000L, 3L).when($"cents" >= 10000L, 2L)
+            .when($"cents" >= 1000L, 1L).otherwise(0L).as("m_band"),
+          $"cents")
+        .groupBy($"rec_wk", $"f_band", $"m_band")
+        .agg(count(lit(1)).as("n_users"), sum($"cents").as("total_cents"))
+        .orderBy($"rec_wk", $"f_band", $"m_band")
+    })
+
   /** ORACLE-BACKED target-hitting read — the Markov family's fourth
     * member (steady = long-run mix, absorb = steps to END, absorb_to =
     * WHICH end; this answers the conversion question: "starting from
@@ -2536,5 +2608,5 @@ object EventAnalytics extends QueryModule {
     attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ,
     hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi,
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
-    stickiness, markovReach)
+    stickiness, markovReach, rfmProfile)
 }

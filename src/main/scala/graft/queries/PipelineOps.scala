@@ -1424,11 +1424,69 @@ object PipelineOps extends QueryModule {
         .orderBy($"split")
     })
 
+  /** k-anonymity profile of the event release — the privacy audit next
+    * to x_pii_scrub's content scan (PII regexes catch direct
+    * identifiers; k-anonymity measures QUASI-identifier risk — Sweeney
+    * 2002): under the declared quasi-identifier (event_type, day,
+    * ~$10 value band = cents DIV 1000), how much of the corpus sits in
+    * groups small enough to re-identify. Each QI group's size s lands
+    * in one of four bands keyed by its MINIMUM k (1 = unique rows —
+    * the re-identification surface; 2 = 2–4; 5 = 5–19; 20 = 20+ —
+    * the usual release thresholds), and the output is the band
+    * histogram: group count, event count, and the event share in bp
+    * (one trunc division of exact counts). ALL exact integers; the QI
+    * is a DECLARED choice, stated so an audit can tighten it (adding
+    * user-local columns only shrinks groups — this profile is the
+    * optimistic bound).
+    *
+    * Scale shape: one (type, day, band) aggregate (map-side combined),
+    * a ≤4-row band rollup, one broadcast total. Nothing downstream of
+    * the first exchange depends on event volume. */
+  private val kanonProfile = Q(
+    "x_kanon_profile",
+    Some("""WITH q AS (SELECT event_type,
+                         epoch_ms(ts) // 86400000 AS day,
+                         CAST(floor(value * 100.0) AS BIGINT) // 1000
+                           AS vband
+                       FROM events),
+            g AS (SELECT event_type, day, vband,
+                    CAST(count(*) AS BIGINT) AS s
+                  FROM q GROUP BY 1, 2, 3),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+            b AS (SELECT CASE WHEN s = 1 THEN 1 WHEN s < 5 THEN 2
+                              WHEN s < 20 THEN 5 ELSE 20 END AS min_k,
+                    s FROM g)
+            SELECT CAST(min_k AS BIGINT) AS min_k,
+              CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(s) AS BIGINT) AS n_events,
+              CAST(sum(s) * 10000 // total AS BIGINT) AS event_share_bp
+            FROM b CROSS JOIN n GROUP BY min_k, total
+            ORDER BY min_k"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val q = t(spark, dir, "events")
+        .select($"event_type",
+          expr("unix_millis(ts) DIV 86400000").as("day"),
+          expr("CAST(floor(value * 100.0) AS BIGINT) DIV 1000").as("vband"))
+      val g = q.groupBy($"event_type", $"day", $"vband")
+        .agg(count(lit(1)).as("s"))
+      val n = t(spark, dir, "events").agg(count(lit(1)).as("total"))
+      g.select(
+          when($"s" === 1, 1L).when($"s" < 5, 2L).when($"s" < 20, 5L)
+            .otherwise(20L).as("min_k"), $"s")
+        .groupBy($"min_k")
+        .agg(count(lit(1)).as("n_groups"), sum($"s").as("n_events"))
+        .crossJoin(broadcast(n))
+        .select($"min_k", $"n_groups", $"n_events",
+          expr("n_events * 10000 DIV total").as("event_share_bp"))
+        .orderBy($"min_k")
+    })
+
   override def all: Seq[Q] =
     Seq(decontaminate, decontamBloom, sampleStratified, repetition,
       filterChain, tokenBudget, sampleTemperature, dedupKeepBest,
       curationE2e, shardAssign, packSequences, sampleQuality,
       sampleReservoir, statsProfile, lengthHistogram, chunkDocs, epochPlan,
       qualityVsDup, piiScrub, datasetCard, gopherRules, splitLeakage,
-      dsirWeights, dsirResample, dsirIncremental)
+      dsirWeights, dsirResample, dsirIncremental, kanonProfile)
 }

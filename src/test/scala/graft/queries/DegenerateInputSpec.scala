@@ -409,6 +409,48 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
       assert(rows(d) == ((1L, 2L, 5000L)), s"day $d: ${rows(d)}"))
   }
 
+  test("x_kanon_profile closed form: constructed 1/3/20-sized QI groups " +
+      "land in the min_k 1/2/20 bands with exact shares") {
+    import spark.implicits._
+    val ts0 = new Timestamp(0L)
+    val dir = tmpDir("kanondegen")
+    // all same day and value band; the QI separates on event_type:
+    // 'u' x1 (unique → min_k 1), 'm' x3 (→ band 2), 'l' x20 (→ 20).
+    // total 24 events → shares 416 / 1250 / 8333 bp (trunc).
+    val ev = Seq((1L, "u")) ++ (2L to 4L).map((_, "m")) ++
+      (5L to 24L).map((_, "l"))
+    ev.map { case (id, t) => (id, ts0, id, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_kanon_profile")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == ((1L, 1L, 416L)), rows(1L).toString)
+    assert(rows(2L) == ((1L, 3L, 1250L)), rows(2L).toString)
+    assert(rows(20L) == ((1L, 20L, 8333L)), rows(20L).toString)
+  }
+
+  test("x_rfm_profile closed form: two hand-placed users land in the " +
+      "expected (rec_wk, f_band, m_band) cells with exact cents") {
+    import spark.implicits._
+    val day = 86400000L
+    val dir = tmpDir("rfmdegen")
+    // A: one $5.00 event on day 0 → f_band 1, cents 500 → m_band 0,
+    // rec_wk = (7 − 0) DIV 7 = 1. B: four $30.00 events on day 7 →
+    // f_band 4, cents 12000 → m_band 2, rec_wk 0 (corpus end anchor).
+    val ev = Seq((1L, new Timestamp(0L), 1L, "visit", 5.0, "{}")) ++
+      (2L to 5L).map(i =>
+        (i, new Timestamp(7 * day), 2L, "visit", 30.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_rfm_profile")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(rows((1L, 1L, 0L)) == ((1L, 500L)), rows.toString)
+    assert(rows((0L, 4L, 2L)) == ((1L, 12000L)), rows.toString)
+    assert(rows.size == 2, rows.toString)
+  }
+
   test("x_markov_reach closed forms: a view-purchase alternation " +
       "hand-replays reach 10000 / return 6666; a target-free corpus " +
       "yields EMPTY (never a fabricated zero table)") {
