@@ -2408,6 +2408,79 @@ object EventAnalytics extends QueryModule {
         .orderBy($"start_type", $"end_type")
     })
 
+  /** Conversion-lag histogram — x_funnel's TIME dimension: the funnel
+    * counts who converts; this measures HOW LONG first view → first
+    * subsequent purchase takes, the number a checkout-latency or
+    * campaign-attribution team sizes windows from (x_funnel's 24 h/72 h
+    * stage windows are exactly the constants this read calibrates).
+    * Per converting user, lag = min purchase ms strictly after the
+    * first view − first view ms; lags land on a fixed six-rung span
+    * ladder (<1 h, 1–6 h, 6–24 h, 1–3 d, 3–7 d, ≥7 d — the
+    * x_interarrival fixed-span discipline) with exact counts, the
+    * share in bp (one trunc division) and exact min/avg/max lag ms per
+    * band (avg = sum DIV n — the declared integer mean). Users with
+    * purchases only AT or BEFORE their first view don't convert here —
+    * strictly-after is the funnel's own rule, stated.
+    *
+    * Scale shape: two filtered per-user min-aggregates and one
+    * broadcast-joined rollup to ≤ 6 rows — the x_funnel shape; never
+    * an event-pair join. */
+  private val conversionLag = Q(
+    "x_conversion_lag",
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+                       FROM events),
+            v AS (SELECT user_id, min(ms) AS t1 FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            p AS (SELECT e.user_id, min(ms) AS t2 FROM e
+                  JOIN v ON e.user_id = v.user_id AND e.ms > v.t1
+                  WHERE event_type = 'purchase' GROUP BY e.user_id),
+            l AS (SELECT v.user_id, t2 - t1 AS lag_ms
+                  FROM v JOIN p ON p.user_id = v.user_id),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_conv FROM l),
+            b AS (SELECT CASE WHEN lag_ms < 3600000 THEN 0
+                              WHEN lag_ms < 21600000 THEN 1
+                              WHEN lag_ms < 86400000 THEN 2
+                              WHEN lag_ms < 259200000 THEN 3
+                              WHEN lag_ms < 604800000 THEN 4
+                              ELSE 5 END AS lag_band, lag_ms FROM l)
+            SELECT CAST(lag_band AS BIGINT) AS lag_band,
+              CAST(count(*) AS BIGINT) AS n_users,
+              CAST(count(*) * 10000 // n_conv AS BIGINT) AS share_bp,
+              CAST(min(lag_ms) AS BIGINT) AS min_lag_ms,
+              CAST(sum(lag_ms) // count(*) AS BIGINT) AS avg_lag_ms,
+              CAST(max(lag_ms) AS BIGINT) AS max_lag_ms
+            FROM b CROSS JOIN n GROUP BY lag_band, n_conv
+            ORDER BY lag_band"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "events")
+        .select($"user_id", $"event_type", expr("unix_millis(ts)").as("ms"))
+      val v = e.where($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ms").as("t1"))
+      val p = e.where($"event_type" === "purchase")
+        .join(v.select($"user_id".as("vu"), $"t1"),
+          $"user_id" === $"vu" && $"ms" > $"t1")
+        .groupBy($"user_id").agg(min($"ms").as("t2"))
+        .select($"user_id".as("pu"), $"t2")
+      val l = v.join(p, $"user_id" === $"pu")
+        .select(($"t2" - $"t1").as("lag_ms"))
+      val n = l.agg(count(lit(1)).as("n_conv"))
+      l.select(
+          when($"lag_ms" < 3600000L, 0L).when($"lag_ms" < 21600000L, 1L)
+            .when($"lag_ms" < 86400000L, 2L).when($"lag_ms" < 259200000L, 3L)
+            .when($"lag_ms" < 604800000L, 4L).otherwise(5L).as("lag_band"),
+          $"lag_ms")
+        .groupBy($"lag_band")
+        .agg(count(lit(1)).as("n_users"), min($"lag_ms").as("min_lag_ms"),
+          sum($"lag_ms").as("sum_lag"), max($"lag_ms").as("max_lag_ms"))
+        .crossJoin(broadcast(n))
+        .select($"lag_band", $"n_users",
+          expr("n_users * 10000 DIV n_conv").as("share_bp"),
+          $"min_lag_ms", expr("sum_lag DIV n_users").as("avg_lag_ms"),
+          $"max_lag_ms")
+        .orderBy($"lag_band")
+    })
+
   /** RFM segmentation cube — the recency / frequency / monetary user
     * grid every lifecycle-marketing and LTV team cuts its base by:
     * per user, weeks since last activity (corpus-end anchored — the
@@ -2608,5 +2681,5 @@ object EventAnalytics extends QueryModule {
     attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ,
     hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi,
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
-    stickiness, markovReach, rfmProfile)
+    stickiness, markovReach, rfmProfile, conversionLag)
 }

@@ -720,6 +720,95 @@ object TextOps extends QueryModule {
         .orderBy($"lang", $"pred_lang")
     })
 
+  /** Pairwise Jensen–Shannon divergence between the DECLARED languages'
+    * unigram token distributions — the lang-separation calibration read
+    * next to x_lang_confusion (confusion measures the heuristic
+    * classifier's errors; JSD measures how separable the languages ARE
+    * — a pair with tiny JSD is one no classifier on this feature space
+    * will split, so it bounds achievable confusion from below).
+    * JSD(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M) with M the even mixture —
+    * symmetric and bounded by ln 2 (Lin 1991). Exact integer counts
+    * until the one ln-sum: per unordered lang pair (a < b), the token
+    * universe is walked once with both counts coalesced to 0, each
+    * side's terms sum only where its count > 0 (the clamped-omission
+    * rule — a zero count contributes 0·ln(·) = 0 exactly), and the
+    * float policy is the x_token_kl envelope: identical operand trees
+    * in both engines, round-4 absorbing the sub-1e-12 aggregation-order
+    * skew.
+    *
+    * Scale shape: one (lang, token) aggregate (vocabulary-bounded,
+    * map-side combined), lang-count broadcast, and a langs² × vocab
+    * walk over the bounded universe — corpus volume only in the first
+    * exchange. */
+  private val langJsd = Q(
+    "x_lang_jsd",
+    Some("""WITH tok AS (SELECT lang, unnest(list_filter(
+                string_split_regex(lower(text), ' +'), x -> x <> '')) AS token
+              FROM documents),
+            st AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+                   FROM tok GROUP BY 1, 2),
+            nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+                   FROM st GROUP BY 1),
+            u AS (SELECT DISTINCT token FROM st),
+            pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                     a.n AS na, b.n AS nb
+                   FROM nl a JOIN nl b ON a.lang < b.lang),
+            j AS (SELECT pr.lang_a, pr.lang_b, pr.na, pr.nb, u.token,
+                    coalesce(sa.c, 0) AS ca, coalesce(sb.c, 0) AS cb
+                  FROM pr CROSS JOIN u
+                  LEFT JOIN st sa ON sa.lang = pr.lang_a
+                    AND sa.token = u.token
+                  LEFT JOIN st sb ON sb.lang = pr.lang_b
+                    AND sb.token = u.token)
+            SELECT lang_a, lang_b, CAST(na AS BIGINT) AS n_a,
+              CAST(nb AS BIGINT) AS n_b,
+              round(sum(CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
+                  * ln((CAST(ca AS DOUBLE) / na)
+                    / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb)
+                       / 2)) ELSE 0.0 END
+                + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
+                  * ln((CAST(cb AS DOUBLE) / nb)
+                    / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb)
+                       / 2)) ELSE 0.0 END), 4) AS jsd
+            FROM j GROUP BY lang_a, lang_b, na, nb
+            ORDER BY lang_a, lang_b"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val st = t(spark, dir, "documents")
+        .select($"lang",
+          explode(expr("filter(split(lower(text), ' +'), x -> x != '')"))
+            .as("token"))
+        .groupBy($"lang", $"token")
+        .agg(count(lit(1)).as("c"))
+      val nl = st.groupBy($"lang").agg(sum($"c").as("n"))
+      val u = st.select($"token").distinct()
+      val pr = nl.select($"lang".as("lang_a"), $"n".as("na"))
+        .join(nl.select($"lang".as("lang_b"), $"n".as("nb")),
+          $"lang_a" < $"lang_b")
+      val j = pr.crossJoin(u)
+        .join(broadcast(st.select($"lang".as("la2"), $"token".as("ta2"),
+          $"c".as("ca"))), $"la2" === $"lang_a" && $"ta2" === $"token",
+          "left")
+        .join(broadcast(st.select($"lang".as("lb2"), $"token".as("tb2"),
+          $"c".as("cb"))), $"lb2" === $"lang_b" && $"tb2" === $"token",
+          "left")
+        .na.fill(0L, Seq("ca", "cb"))
+      j.groupBy($"lang_a", $"lang_b", $"na", $"nb")
+        .agg(round(sum(
+          when($"ca" > 0, lit(0.5) * ($"ca".cast("double") / $"na")
+            * log(($"ca".cast("double") / $"na")
+              / (($"ca".cast("double") / $"na"
+                + $"cb".cast("double") / $"nb") / 2))).otherwise(0.0)
+          + when($"cb" > 0, lit(0.5) * ($"cb".cast("double") / $"nb")
+            * log(($"cb".cast("double") / $"nb")
+              / (($"ca".cast("double") / $"na"
+                + $"cb".cast("double") / $"nb") / 2))).otherwise(0.0)), 4)
+          .as("jsd"))
+        .select($"lang_a", $"lang_b", $"na".as("n_a"), $"nb".as("n_b"),
+          $"jsd")
+        .orderBy($"lang_a", $"lang_b")
+    })
+
   /** Template / boilerplate detection by shared document OPENING: docs
     * whose first three tokens coincide form a prefix cluster — the
     * cheap screen for generated-form letters, scraped listing pages and
@@ -1336,5 +1425,6 @@ object TextOps extends QueryModule {
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
     dedupSampled, dedupWinnow, winnowVsSampled, dedupCross, langConfusion,
     tokenFertility, templatePrefix, ngramLm, containment, rareTokenDocs,
-    thresholdSweep, dupGramMass, qualityVsLm, dedupIncremental, dupSpans)
+    thresholdSweep, dupGramMass, qualityVsLm, dedupIncremental, dupSpans,
+    langJsd)
 }

@@ -406,6 +406,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"no partial aggregate below the exchange:\n$p")
   }
 
+  test("x_forecast_holt: calendar-bounded rollup + per-type integer fold — " +
+      "no corpus window/join (the SES plan contract)") {
+    val p = plan("x_forecast_holt")
+    assert(!p.contains("Join"), s"Holt must not join:\n$p")
+    assert(!p.contains("Window"), s"the fold is an aggregate HOF, not a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"no partial aggregate below the exchange:\n$p")
+  }
+
+  test("x_conversion_lag/x_kanon_profile: no event-pair join, no cartesian " +
+      "blowup, partial aggregates present") {
+    Seq("x_conversion_lag", "x_kanon_profile").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q built a cartesian:\n$p")
+      assert(!p.contains("Window"), s"$q needs no window:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q missing partial aggregation:\n$p")
+    }
+  }
+
   test("x_attrib_linear: one user-keyed window exchange; credits never join back") {
     val p = plan("x_attrib_linear")
     assert(!p.contains("Join"), s"attribution must not self-join:\n$p")

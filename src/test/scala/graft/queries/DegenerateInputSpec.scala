@@ -451,6 +451,54 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.size == 2, rows.toString)
   }
 
+  test("x_conversion_lag closed form: hand-placed lags land in their " +
+      "bands; view-less, purchase-less and purchase-BEFORE-view users " +
+      "are all excluded (the strictly-after rule)") {
+    import spark.implicits._
+    val dir = tmpDir("convlagdegen")
+    val h = 3600000L
+    val ev = Seq(
+      (1L, new Timestamp(0L), 1L, "view", 1.0, "{}"), // A converts in 30 min
+      (2L, new Timestamp(h / 2), 1L, "purchase", 1.0, "{}"),
+      (3L, new Timestamp(0L), 2L, "view", 1.0, "{}"), // B converts in 2 h
+      (4L, new Timestamp(2 * h), 2L, "purchase", 1.0, "{}"),
+      (5L, new Timestamp(0L), 3L, "purchase", 1.0, "{}"), // C: no view
+      (6L, new Timestamp(0L), 4L, "view", 1.0, "{}"), // D: no purchase
+      (7L, new Timestamp(0L), 5L, "purchase", 1.0, "{}"), // E: buys FIRST
+      (8L, new Timestamp(h), 5L, "view", 1.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_conversion_lag")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(rows.size == 2, rows.toString)
+    assert(rows(0L) == ((1L, 5000L, h / 2, h / 2, h / 2)), rows(0L).toString)
+    assert(rows(1L) == ((1L, 5000L, 2 * h, 2 * h, 2 * h)), rows(1L).toString)
+  }
+
+  test("x_lang_jsd closed forms: identical distributions => 0.0; " +
+      "disjoint vocabularies => exactly round(ln 2, 4)") {
+    import spark.implicits._
+    val dir = tmpDir("jsddegen")
+    // aa and bb share the identical token multiset → every mixture
+    // term cancels → 0.0; cc is vocabulary-disjoint from both → each
+    // side's terms are p·ln 2 summing to ln 2 (the JSD maximum).
+    val docs = Seq(
+      (1L, "x y", "aa", "s0", 3L), (2L, "x y", "bb", "s0", 3L),
+      (3L, "z w", "cc", "s0", 3L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x_lang_jsd")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4))
+      .toMap
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(("aa", "bb")) == 0.0, rows.toString)
+    assert(rows(("aa", "cc")) == ln2, rows.toString)
+    assert(rows(("bb", "cc")) == ln2, rows.toString)
+  }
+
   test("x_markov_reach closed forms: a view-purchase alternation " +
       "hand-replays reach 10000 / return 6666; a target-free corpus " +
       "yields EMPTY (never a fabricated zero table)") {
