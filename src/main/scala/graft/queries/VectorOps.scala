@@ -697,6 +697,79 @@ object VectorOps extends QueryModule {
         .orderBy($"dim")
     })
 
+  /** Per-dimension embedding drift between corpus halves — the
+    * model-version skew monitor: re-embedding part of a corpus with a
+    * different model (or a silently changed normalization) shifts
+    * per-dimension MEANS, which is invisible to x_dim_stats' pooled
+    * profile and to cosine top-k reads until recall quietly degrades.
+    * Split at the vec_id midpoint ((min+max) DIV 2 — the drift
+    * family's integer split applied to ids, the DECLARED ingest-order
+    * proxy since embeddings carry no timestamp; stated, not implied),
+    * then per dimension the mean gap in EXACT integers: quantized
+    * qv = floor(v·10⁴) (the x_dim_stats quantizer), cross-multiplied
+    * |Se·nl − Sl·ne| with ONE trunc division by ne·nl — magnitude and
+    * sign carried SEPARATELY (the x_drift_tvd rule: signed integer
+    * division floors differently across engines; abs + sign never
+    * does). gap_q is in quantized units — directly comparable to
+    * x_dim_stats' mean_bp column.
+    *
+    * Overflow envelope: |Se| ≤ n·10⁴, ×nl ≤ n²·10⁴ — BIGINT-safe
+    * while n < 3·10⁷ vectors (the x_drift_ks corpus-envelope class).
+    *
+    * Scale shape: one posexplode (64 narrow rows per vector) into a
+    * dim-cardinality aggregate with map-side combine and a broadcast
+    * 1-row midpoint — output exactly 64 rows, no joins beyond the
+    * broadcast, no windows. */
+  private val embedDrift = Q(
+    "x_embed_drift",
+    Some("""WITH mm AS (SELECT (min(vec_id) + max(vec_id)) // 2 AS mid
+                        FROM embeddings),
+            q AS (SELECT vec_id <= mid AS early,
+                    unnest(list_transform(embedding::DOUBLE[],
+                      (v, i) -> {'dim': i,
+                        'qv': CAST(floor(v * 10000) AS BIGINT)}),
+                      recursive := true)
+                  FROM embeddings CROSS JOIN mm),
+            s AS (SELECT dim,
+                    CAST(sum(CASE WHEN early THEN qv ELSE 0 END)
+                      AS BIGINT) AS se,
+                    CAST(sum(CASE WHEN early THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ne,
+                    CAST(sum(CASE WHEN early THEN 0 ELSE qv END)
+                      AS BIGINT) AS sl,
+                    CAST(sum(CASE WHEN early THEN 0 ELSE 1 END)
+                      AS BIGINT) AS nl
+                  FROM q GROUP BY dim)
+            SELECT CAST(dim AS BIGINT) AS dim, ne AS n_early,
+              nl AS n_late,
+              CAST(abs(se * nl - sl * ne) // (ne * nl) AS BIGINT) AS gap_q,
+              CAST(CASE WHEN se * nl > sl * ne THEN 1
+                        WHEN se * nl < sl * ne THEN -1
+                        ELSE 0 END AS BIGINT) AS gap_sign
+            FROM s WHERE ne > 0 AND nl > 0 ORDER BY dim"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val emb = t(spark, dir, "embeddings")
+      val mm = emb.agg(expr("(min(vec_id) + max(vec_id)) DIV 2").as("mid"))
+      val q = emb.crossJoin(broadcast(mm))
+        .select(($"vec_id" <= $"mid").as("early"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+        .select($"early", ($"pos" + 1).cast("long").as("dim"),
+          expr("CAST(floor(col * 10000) AS BIGINT)").as("qv"))
+      q.groupBy($"dim")
+        .agg(sum(when($"early", $"qv").otherwise(0L)).as("se"),
+          sum(when($"early", 1L).otherwise(0L)).as("ne"),
+          sum(when(!$"early", $"qv").otherwise(0L)).as("sl"),
+          sum(when(!$"early", 1L).otherwise(0L)).as("nl"))
+        .where($"ne" > 0 && $"nl" > 0)
+        .select($"dim", $"ne".as("n_early"), $"nl".as("n_late"),
+          expr("abs(se * nl - sl * ne) DIV (ne * nl)").as("gap_q"),
+          when($"se" * $"nl" > $"sl" * $"ne", 1L)
+            .when($"se" * $"nl" < $"sl" * $"ne", -1L)
+            .otherwise(0L).as("gap_sign"))
+        .orderBy($"dim")
+    })
+
   /** MMR diversity re-rank (operators/Mmr): top-20 cosine candidates
     * per probe, greedily re-ranked to top-5 by
     * λ·sim(q,d) − (1−λ)·max cos(d, selected), λ=0.7 — the serving
@@ -2394,7 +2467,7 @@ object VectorOps extends QueryModule {
   override def all: Seq[Q] =
     Seq(simTopk, embedNeardup, annIvf, annLsh, annIvfKmeans, semanticDedup,
       annPq, retrieval, knnLabel, annIvfPq, contamEmbed, clusterPurity,
-      embedOutliers, dimError, dimStats, mmrRerank, labelBalance, annRecall,
+      embedOutliers, dimError, dimStats, embedDrift, mmrRerank, labelBalance, annRecall,
       annIncremental, annIncrementalExact, lshAnnOracle, lshMultiprobeOracle,
       kmeansOracle, pqOracle, pcaOracle, pcaOutliers, pca2Oracle,
       pca3Oracle, pcaEnergy, kcenterCoreset)

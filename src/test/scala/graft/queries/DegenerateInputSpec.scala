@@ -451,6 +451,25 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.size == 2, rows.toString)
   }
 
+  test("x_embed_drift closed form: constant-0.5 early half vs " +
+      "constant-0.25 late half => gap_q exactly 2500, sign +1, every dim") {
+    import spark.implicits._
+    val dir = tmpDir("embdriftdegen")
+    // midpoint (1+4) DIV 2 = 2 → vec_ids 1,2 early / 3,4 late.
+    // Se = 2·5000, Sl = 2·2500 per dim → |Se·nl − Sl·ne| DIV (ne·nl)
+    // = (20000−10000)·... = 10000 DIV 4 = 2500, early above → +1.
+    val rows = (1L to 4L).map(i =>
+      (i, Array.fill(64)(if (i <= 2) 0.5f else 0.25f)))
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("x_embed_drift")(spark, dir).collect()
+    assert(out.length == 64, s"want 64 dims: ${out.length}")
+    out.foreach { r =>
+      assert(r.getLong(1) == 2L && r.getLong(2) == 2L, r.toString)
+      assert(r.getLong(3) == 2500L && r.getLong(4) == 1L, r.toString)
+    }
+  }
+
   test("x_conversion_lag closed form: hand-placed lags land in their " +
       "bands; view-less, purchase-less and purchase-BEFORE-view users " +
       "are all excluded (the strictly-after rule)") {
