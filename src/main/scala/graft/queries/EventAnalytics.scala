@@ -2408,6 +2408,67 @@ object EventAnalytics extends QueryModule {
         .orderBy($"start_type", $"end_type")
     })
 
+  /** Benford first-digit screen over event values — the classic
+    * fabricated-data / unit-mix audit (Benford 1938; Hill 1995): real
+    * multi-scale monetary data leads with digit d at frequency
+    * log₁₀(1 + 1/d), and a synthetic generator, a unit mix-up (cents
+    * vs dollars upstream) or injected traffic bends the profile.
+    * First digit of the exact cents (DECIMAL(18,2)→BIGINT, the money
+    * rule; cents ≥ 1 — zero/negative rows carry no leading digit and
+    * are filtered identically, the declared domain), taken as the
+    * first character of the base-10 string (both engines' integer
+    * printing is sign-free here by the filter). The Benford expectation
+    * ships as an EXACT CONSTANT TABLE in bp (floor(log₁₀(1+1/d)·10⁴):
+    * 3010, 1760, 1249, 969, 791, 669, 579, 511, 457) so the deviation
+    * column is integer arithmetic, not a float recomputed per engine.
+    * NOTE: this corpus's values are synthetic-uniform, so the profile
+    * SHOULD deviate loudly — the read's job is to measure, not to
+    * pass; the pin constructs a conforming corpus instead.
+    *
+    * Scale shape: one narrow projection into a 9-row digit aggregate
+    * (map-side combined) + a broadcast total and the 9-row constant
+    * table. Nothing downstream depends on volume. */
+  private val valueBenford = Q(
+    "x_value_benford",
+    Some("""WITH c AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS cents FROM events),
+            d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                         AS BIGINT) AS digit
+                  FROM c WHERE cents >= 1),
+            g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY digit),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+            e AS (SELECT * FROM (VALUES (1, 3010), (2, 1760), (3, 1249),
+                    (4, 969), (5, 791), (6, 669), (7, 579), (8, 511),
+                    (9, 457)) AS e(digit, expected_bp))
+            SELECT CAST(g.digit AS BIGINT) AS digit, g.n,
+              CAST(g.n * 10000 // t.total AS BIGINT) AS share_bp,
+              CAST(e.expected_bp AS BIGINT) AS expected_bp,
+              CAST(abs(g.n * 10000 // t.total - e.expected_bp)
+                AS BIGINT) AS dev_bp
+            FROM g JOIN e ON e.digit = g.digit CROSS JOIN t
+            ORDER BY digit"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val benford = Seq(1L -> 3010L, 2L -> 1760L, 3L -> 1249L, 4L -> 969L,
+        5L -> 791L, 6L -> 669L, 7L -> 579L, 8L -> 511L, 9L -> 457L)
+        .toDF("e_digit", "expected_bp")
+      val d = t(spark, dir, "events")
+        .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+        .where($"cents" >= 1)
+        .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+      val g = d.groupBy($"digit").agg(count(lit(1)).as("n"))
+      val tot = g.agg(sum($"n").as("total"))
+      g.join(broadcast(benford), $"e_digit" === $"digit")
+        .crossJoin(broadcast(tot))
+        .select($"digit", $"n",
+          expr("n * 10000 DIV total").as("share_bp"), $"expected_bp",
+          expr("abs(n * 10000 DIV total - expected_bp)").as("dev_bp"))
+        .orderBy($"digit")
+    })
+
   /** Conversion-lag histogram — x_funnel's TIME dimension: the funnel
     * counts who converts; this measures HOW LONG first view → first
     * subsequent purchase takes, the number a checkout-latency or
@@ -2681,5 +2742,5 @@ object EventAnalytics extends QueryModule {
     attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ,
     hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi,
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
-    stickiness, markovReach, rfmProfile, conversionLag)
+    stickiness, markovReach, rfmProfile, conversionLag, valueBenford)
 }

@@ -451,6 +451,33 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.size == 2, rows.toString)
   }
 
+  test("x_value_benford closed form: one event per leading digit => " +
+      "uniform 1111 bp shares with exact deviations; zero and negative " +
+      "values are filtered (no leading digit)") {
+    import spark.implicits._
+    val ts0 = new Timestamp(0L)
+    val dir = tmpDir("benforddegen")
+    // digits 1..9 once each (value d.0 → cents d·100 → leading digit d)
+    // plus a 0.0 and a −5.0 event that carry no leading digit and must
+    // not change any count
+    val ev = (1L to 9L).map(d =>
+      (d, ts0, d, "pay", d.toDouble, "{}")) ++
+      Seq((10L, ts0, 10L, "pay", 0.0, "{}"),
+        (11L, ts0, 11L, "pay", -5.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_value_benford")(spark, dir).collect()
+    assert(rows.length == 9, rows.mkString("; "))
+    val expected = Map(1L -> 3010L, 2L -> 1760L, 3L -> 1249L, 4L -> 969L,
+      5L -> 791L, 6L -> 669L, 7L -> 579L, 8L -> 511L, 9L -> 457L)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) == 1L && r.getLong(2) == 1111L, r.toString)
+      assert(r.getLong(3) == expected(d), r.toString)
+      assert(r.getLong(4) == math.abs(1111L - expected(d)), r.toString)
+    }
+  }
+
   test("x_embed_drift closed form: constant-0.5 early half vs " +
       "constant-0.25 late half => gap_q exactly 2500, sign +1, every dim") {
     import spark.implicits._
