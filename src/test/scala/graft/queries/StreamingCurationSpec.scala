@@ -636,6 +636,117 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       s"post-restart growth != batch: ${streamed.take(2)} vs ${batch.take(2)}")
   }
 
+  test("live MW location drift: streamed rank-sum rows EQUAL the batch " +
+      "x_drift_mw output at the stream's end (26th twin, frozen early " +
+      "artifact)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // the batch query's own split arithmetic, replayed here to freeze
+    // the early histogram and extract the late-half arrival stream
+    val d = eventsNanos(sf)
+      .select($"event_type",
+        expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+        expr("unix_millis(timestamp_micros(ts DIV 1000)) DIV 86400000")
+          .as("day"),
+        expr("ts DIV 1000").as("ts_us"), $"event_id")
+    val Array(dd0, dd1) = d.agg(min($"day"), max($"day")).collect()
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (dd0 + dd1) / 2
+    val early = d.where($"day" <= mid)
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("ea"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    val late = d.where($"day" > mid)
+      .orderBy($"ts_us", $"event_id")
+      .select($"event_type", $"cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingDriftMw.drift(
+        mem.toDS().toDF("event_type", "cents"), early)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("mwdrift1").start()
+    try {
+      // three splits: per-arrival contributions are closed against the
+      // frozen artifact, so the running rows must agree with the batch
+      // at the final prefix regardless of the batch boundaries
+      val third = late.length / 3
+      mem.addData(late.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(late.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(late.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      // last emission per type = the running row at the stream's end
+      val streamed = spark.table("mwdrift1")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).map { case (t, xs) =>
+          t -> xs.map(_._2).maxBy(_._2) }
+      val batch = graft.SparkEntry.queries("x_drift_mw")(spark, sf)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed MW != batch: $streamed vs $batch")
+    } finally q.stop()
+  }
+
+  test("live MW location drift: checkpoint RESTART resumes the per-type " +
+      "(n_late, u2) state — final file-sink rows still equal the batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("mwdriftrestart")
+
+    val d = eventsNanos(sf)
+      .select($"event_type",
+        expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+        expr("unix_millis(timestamp_micros(ts DIV 1000)) DIV 86400000")
+          .as("day"),
+        expr("ts DIV 1000").as("ts_us"), $"event_id")
+    val Array(dd0, dd1) = d.agg(min($"day"), max($"day")).collect()
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (dd0 + dd1) / 2
+    val early = d.where($"day" <= mid)
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("ea"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    val late = d.where($"day" > mid)
+      .orderBy($"ts_us", $"event_id")
+      .select($"event_type", $"cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val half = late.length / 2
+
+    // a reset state would restart u2/n_late from zero and the final
+    // rows would undercount every pre-restart arrival
+    val mem = MemoryStream[(String, Long)]
+    def start() = graft.streaming.StreamingDriftMw.drift(
+        mem.toDS().toDF("event_type", "cents"), early)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try { mem.addData(late.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { mem.addData(late.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).maxBy(_._2) }
+    val batch = graft.SparkEntry.queries("x_drift_mw")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed == batch,
+      s"post-restart MW != batch: $streamed vs $batch")
+  }
+
   test("live path mining: checkpoint RESTART resumes the last-two-types " +
       "state — file-sink trigrams still reproduce the batch top-20") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
