@@ -1112,6 +1112,95 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Two-sample chi-square drift test over the PSI bands — completing
+    * the banded side of the drift family (PSI = the thresholded score;
+    * χ² = the variance-weighted statistic a significance test reads,
+    * with dof alongside): same calendar-midpoint split, cents
+    * quantization and TEN equal-population early-reference bands as
+    * x_drift_psi, then the 2×B-table identity χ² = Σ_b
+    * (ce·nl − cl·ne)²·(ne+nl) / (ne·nl·(ce+cl)). The cross term
+    * ce·nl − cl·ne is EXACT BIGINT (≤ ne·nl ≪ 2^53, so its double
+    * image is exact) and is squared IN DOUBLE — squaring in int64
+    * would overflow at (10¹⁰)²; the per-band term then follows the
+    * x_token_kl float envelope (identical operand trees in both
+    * engines, one ln-free ratio chain, round-4 absorbing aggregation
+    * -order skew). dof = n_bins − 1 rides along so the row is directly
+    * threshold-able against a χ² table. Empty bands are absent from
+    * the rollup and contribute exactly 0 (ce = cl = 0 ⇒ numerator 0)
+    * — omission ≡ the zero term, the PSI rule's χ² analogue.
+    *
+    * Scale shape: identical to x_drift_psi — the same (type, cents)
+    * aggregate and type-keyed window, a ≤ 10-row-per-type rollup. */
+  private val driftChi2 = Q(
+    "x_drift_chi2",
+    Some("""WITH d AS (SELECT event_type,
+                         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                         epoch_ms(ts) // 86400000 AS day FROM events),
+            dr AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+            s AS (SELECT event_type, cents,
+                    CAST(sum(CASE WHEN day <= (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+                    CAST(sum(CASE WHEN day > (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS la
+                  FROM d CROSS JOIN dr GROUP BY 1, 2),
+            c AS (SELECT event_type, ea, la,
+                    CAST(sum(ea) OVER w AS BIGINT) AS cume,
+                    CAST(sum(ea) OVER t AS BIGINT) AS ne,
+                    CAST(sum(la) OVER t AS BIGINT) AS nl
+                  FROM s
+                  WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   t AS (PARTITION BY event_type)),
+            b AS (SELECT event_type, ne, nl,
+                    least(9, greatest(0, ((cume - 1) * 10) // ne)) AS bin,
+                    CAST(sum(ea) AS BIGINT) AS ce,
+                    CAST(sum(la) AS BIGINT) AS cl
+                  FROM c WHERE ne > 0 AND nl > 0
+                  GROUP BY 1, 2, 3, 4)
+            SELECT event_type, CAST(ne AS BIGINT) AS n_early,
+              CAST(nl AS BIGINT) AS n_late,
+              CAST(count(*) - 1 AS BIGINT) AS dof,
+              round(sum(CAST(ce * nl - cl * ne AS DOUBLE)
+                      * CAST(ce * nl - cl * ne AS DOUBLE) * (ne + nl)
+                    / (CAST(ne AS DOUBLE) * nl * (ce + cl))), 4) AS chi2
+            FROM b GROUP BY event_type, ne, nl
+            ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .select($"event_type",
+          expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val dr = d.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val s = d.crossJoin(broadcast(dr))
+        .withColumn("early", $"day" <= expr("(d0 + d1) DIV 2"))
+        .groupBy($"event_type", $"cents")
+        .agg(sum(when($"early", 1L).otherwise(0L)).as("ea"),
+          sum(when(!$"early", 1L).otherwise(0L)).as("la"))
+      val wC = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy($"event_type")
+      s.select($"event_type", $"ea", $"la",
+          sum($"ea").over(wC).as("cume"),
+          sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
+        .where($"ne" > 0 && $"nl" > 0)
+        .withColumn("bin",
+          expr("least(9, greatest(0, ((cume - 1) * 10) DIV ne))"))
+        .groupBy($"event_type", $"ne", $"nl", $"bin")
+        .agg(sum($"ea").as("ce"), sum($"la").as("cl"))
+        .groupBy($"event_type", $"ne", $"nl")
+        .agg((count(lit(1)) - 1).as("dof"),
+          round(sum(
+            ($"ce" * $"nl" - $"cl" * $"ne").cast("double")
+              * ($"ce" * $"nl" - $"cl" * $"ne").cast("double")
+              * ($"ne" + $"nl")
+              / ($"ne".cast("double") * $"nl" * ($"ce" + $"cl"))), 4)
+            .as("chi2"))
+        .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
+          $"dof", $"chi2")
+        .orderBy($"event_type")
+    })
+
   /** Mann–Whitney rank-sum drift test — the drift family's
     * NONPARAMETRIC LOCATION member (TVD = type mix, KS = worst-point
     * shape gap, PSI = banded score; MW answers the direction question
@@ -2742,5 +2831,6 @@ object EventAnalytics extends QueryModule {
     attribLinear, userSkewApproxQ, sessionStatsApproxQ, valueOutliersApproxQ,
     hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi,
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
-    stickiness, markovReach, rfmProfile, conversionLag, valueBenford)
+    stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
+    driftChi2)
 }

@@ -451,6 +451,33 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.size == 2, rows.toString)
   }
 
+  test("x_drift_chi2 closed forms: identical halves => 0.0; the " +
+      "all-late-in-top-band shift replays 9*20 + 8100*20/1100 by hand") {
+    import spark.implicits._
+    val dir = tmpDir("chi2degen")
+    // the x_drift_ks/psi corpora: 'same' puts the same 10 values in
+    // both halves → every cross term ce*nl − cl*ne is exactly 0.
+    // 'shift' stacks all 10 late values in the top early band →
+    // bins 0..8: (10−0)²·20/(100·1) = 20 each; bin 9:
+    // (10−100)²·20/(100·11) = 8100·20/1100; dof = 9 both.
+    val same = (1L to 10L).flatMap(i => Seq(
+      (i, new Timestamp(0L), i, "same", i.toDouble, "{}"),
+      (100 + i, new Timestamp(864000000L), i, "same", i.toDouble, "{}")))
+    val shift = (1L to 10L).flatMap(i => Seq(
+      (200 + i, new Timestamp(0L), i, "shift", i.toDouble, "{}"),
+      (300 + i, new Timestamp(864000000L), i, "shift", 100.0 + i, "{}")))
+    (same ++ shift)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_drift_chi2")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows("same") == ((10L, 10L, 9L, 0.0)), rows("same").toString)
+    val want = BigDecimal(9 * 20.0 + 8100.0 * 20.0 / 1100.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows("shift") == ((10L, 10L, 9L, want)), rows("shift").toString)
+  }
+
   test("x_value_benford closed form: one event per leading digit => " +
       "uniform 1111 bp shares with exact deviations; zero and negative " +
       "values are filtered (no leading digit)") {
