@@ -2497,6 +2497,83 @@ object EventAnalytics extends QueryModule {
         .orderBy($"start_type", $"end_type")
     })
 
+  /** Retention half-life — the single number executives quote from
+    * x_retention's whole grid: pool all cohorts by week OFFSET k
+    * (active users at k ≥ 1 over the full user base), fit
+    * ln(rate) = a + b·k by least squares, and half_life_w =
+    * ln 2 / (−b) — the weeks for retention to halve under the fitted
+    * exponential decay (the standard retention-curve model; the grid
+    * remains the ground truth, this is its summary statistic).
+    * Exact integer counts until the ln: rates are n_k / n_users
+    * (DISTINCT (user, week) rows make count(*) per offset the distinct
+    * user count), the fit runs over ≤ span-weeks points with identical
+    * operand trees in both engines (the x_zipf_slope envelope), every
+    * emitted float is round-4 **+ 0.0** — the IEEE −0.0 normalization
+    * (−0.0 + 0.0 = +0.0), because a perfectly-zero intercept rounds to
+    * the SIGNED zero of whichever side the 1e-16 residue fell on and
+    * the two engines may disagree on the sign. Guards: fewer than 2
+    * offsets, or a non-decaying fit (slope ≥ 0), emit half_life_w = 0
+    * — the loud "no decay measured" sentinel, never a negative or
+    * infinite half-life.
+    *
+    * Scale shape: one DISTINCT (user, week) exchange, a per-user min,
+    * an offset-cardinality rollup (≤ span weeks) and a 1-row fit.
+    * Nothing downstream of the distinct depends on event volume. */
+  private val retentionHalflife = Q(
+    "x_retention_halflife",
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+                         epoch_ms(ts) // 604800000 AS w FROM events),
+            f AS (SELECT user_id, min(w) AS fw FROM a GROUP BY user_id),
+            o AS (SELECT a.user_id, a.w - f.fw AS k
+                  FROM a JOIN f ON f.user_id = a.user_id),
+            n0 AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f),
+            nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k
+                   FROM o WHERE k >= 1 GROUP BY k),
+            pts AS (SELECT CAST(k AS DOUBLE) AS x,
+                      ln(CAST(n_k AS DOUBLE) / n_users) AS y
+                    FROM nk CROSS JOIN n0),
+            fit AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                      sum(x) AS sx, sum(y) AS sy,
+                      sum(x * x) AS sxx, sum(x * y) AS sxy FROM pts)
+            SELECT m AS n_offsets,
+              round(CASE WHEN m >= 2
+                THEN (m * sxy - sx * sy) / (m * sxx - sx * sx)
+                ELSE 0 END, 4) + 0.0 AS slope,
+              round(CASE WHEN m >= 2
+                THEN (sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx)
+                  / m ELSE 0 END, 4) + 0.0 AS intercept,
+              round(CASE WHEN m >= 2 AND m * sxy - sx * sy < 0
+                THEN ln(2) * (m * sxx - sx * sx) / (sx * sy - m * sxy)
+                ELSE 0 END, 4) + 0.0 AS half_life_w
+            FROM fit ORDER BY n_offsets"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val a = t(spark, dir, "events")
+        .select($"user_id", expr("unix_millis(ts) DIV 604800000").as("w"))
+        .distinct()
+      val f = a.groupBy($"user_id").agg(min($"w").as("fw"))
+      val o = a.join(f, "user_id").select(($"w" - $"fw").as("k"))
+      val n0 = f.agg(count(lit(1)).as("n_users"))
+      val pts = o.where($"k" >= 1).groupBy($"k")
+        .agg(count(lit(1)).as("n_k"))
+        .crossJoin(broadcast(n0))
+        .select($"k".cast("double").as("x"),
+          log($"n_k".cast("double") / $"n_users").as("y"))
+      pts.agg(count(lit(1)).as("m"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+        .select($"m".as("n_offsets"),
+          (round(when($"m" >= 2,
+            expr("(m * sxy - sx * sy) / (m * sxx - sx * sx)"))
+            .otherwise(0.0), 4) + 0.0).as("slope"),
+          (round(when($"m" >= 2,
+            expr("(sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m"))
+            .otherwise(0.0), 4) + 0.0).as("intercept"),
+          (round(when($"m" >= 2 && $"m" * $"sxy" - $"sx" * $"sy" < 0,
+            expr("ln(2) * (m * sxx - sx * sx) / (sx * sy - m * sxy)"))
+            .otherwise(0.0), 4) + 0.0).as("half_life_w"))
+        .orderBy($"n_offsets")
+    })
+
   /** Benford first-digit screen over event values — the classic
     * fabricated-data / unit-mix audit (Benford 1938; Hill 1995): real
     * multi-scale monetary data leads with digit d at frequency
@@ -2832,5 +2909,5 @@ object EventAnalytics extends QueryModule {
     hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi,
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
-    driftChi2)
+    driftChi2, retentionHalflife)
 }

@@ -478,6 +478,43 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("shift") == ((10L, 10L, 9L, want)), rows("shift").toString)
   }
 
+  test("x_retention_halflife closed forms: perfect halving fits " +
+      "half-life exactly 1.0 with intercept +0.0 (the signed-zero " +
+      "normalization); a single offset takes the m < 2 guard") {
+    import spark.implicits._
+    val wk = 604800000L
+    val dir = tmpDir("halflifedegen")
+    // 8 users at week 0; users 1-4 also week 1; 1-2 also week 2; 1
+    // also week 3 → rates 1/2, 1/4, 1/8 → y = −ln2·k exactly →
+    // slope −0.6931, intercept 0.0 (the −0.0 hazard the +0.0 kills),
+    // half_life ln2/ln2 = 1.0.
+    val act = (1L to 8L).map(u => (u, 0L)) ++
+      (1L to 4L).map(u => (u, 1L)) ++
+      (1L to 2L).map(u => (u, 2L)) :+ ((1L, 3L))
+    act.zipWithIndex.map { case ((u, w), i) =>
+      (i.toLong, new Timestamp(w * wk), u, "visit", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("x_retention_halflife")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) == 3L, r.toString)
+    assert(r.getDouble(1) == -0.6931, r.toString)
+    assert(r.getDouble(2) == 0.0 &&
+      !(1.0 / r.getDouble(2)).isNegInfinity, s"signed zero: $r")
+    assert(r.getDouble(3) == 1.0, r.toString)
+
+    // one offset only → the m < 2 guard: all-zero fit columns
+    val dir2 = tmpDir("halflifedegen2")
+    Seq((1L, new Timestamp(0L), 1L, "visit", 1.0, "{}"),
+        (2L, new Timestamp(wk), 1L, "visit", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val g = SparkEntry.queries("x_retention_halflife")(spark, dir2)
+      .collect().head
+    assert(g.getLong(0) == 1L && g.getDouble(1) == 0.0 &&
+      g.getDouble(2) == 0.0 && g.getDouble(3) == 0.0, g.toString)
+  }
+
   test("x_value_benford closed form: one event per leading digit => " +
       "uniform 1111 bp shares with exact deviations; zero and negative " +
       "values are filtered (no leading digit)") {
