@@ -1657,10 +1657,22 @@ object EventAnalytics extends QueryModule {
     * curve (the "quick ratio" read): per calendar week, active users
     * split into NEW (first-ever week), RETAINED (also active the
     * immediately-previous week) and RESURRECTED (active before, but
-    * not last week); churned(w) = active(w−1) − retained(w) — the
-    * users who were there last week and didn't come back — and the
+    * not last week); churned(w) = active(w⁻) − retained(w) — the
+    * users who were there last time and didn't come back — and the
     * quick ratio (new + resurrected)·10⁴ DIV churned in bp (the
     * >10⁴ = growing threshold), zero-guarded to 0 when nobody churned.
+    * WEEK-AXIS SEMANTICS (ADVICE r15, precision over the earlier
+    * doc): the churn lag runs over PRESENT weeks — w⁻ is the previous
+    * NON-EMPTY week, not the calendar week w−1. A calendar week with
+    * zero actives emits no row at all, so its churn is not lost but
+    * ROLLS FORWARD to the next active week (which reports
+    * active(w⁻) − retained = the whole prior audience, since nobody
+    * separated by ≥ 2 calendar weeks classifies as retained — the
+    * conservation identity still balances). Densifying the axis with
+    * zero rows was declined: it changes the executive chart's shape
+    * for a purely-empty period and both engines agree on the present-
+    * weeks convention; the gap-week roll-forward is pinned in
+    * DegenerateInputSpec so the semantic is tested, not just stated.
     * All EXACT integer counts: the per-user previous-active-week is
     * one lag window, the classification is a three-way CASE on
     * (w = first, prev = w−1), and when w > first a previous active
@@ -2901,6 +2913,160 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** ORACLE-BACKED conditional mean-first-passage read — the Markov
+    * family member x_markov_reach deliberately did NOT emit, closed by
+    * the worksheet the r15 verdict gated it on (task #4): "of the
+    * continuations that DO reach `purchase`, how many steps does it
+    * take, per starting type". The naive spelling conditions the chain
+    * (taboo renormalization q̃(i,j) = q(i,j)·h(j)/h(i)) — a division in
+    * the middle of the algebra that leaves integers. The LINEARIZATION
+    * dissolves it: let u(i) = E_i[N·1{reach}] (reach-mass-weighted
+    * steps). Splitting on the first transition,
+    *   u(i) = q(i,τ) + Σ_{j≠τ} q(i,j)·(h(j) + u(j)) = h(i) + Σ_{j≠τ} q(i,j)·u(j)
+    * — the SAME substochastic operator as h's own equation, so u
+    * replays as a second FIXED-8-round integer series
+    * u ← h_bp + (Q_{−τ,bp}·u) DIV 10⁴ from u⁰ = h_bp, and the taboo
+    * division becomes ONE final float step g = u/h per row — exactly
+    * the x_token_kl envelope (hash-exact integers in, one
+    * correctly-rounded IEEE op out, round-4 + 0.0 both engines).
+    *
+    * ENVELOPE WORKSHEET (fresh, before the SQL): h_bp = the reach
+    * series' s₈ ≤ 10⁴ (proved at x_markov_reach). u⁰ = h_bp ≤ 10⁴;
+    * induction u_{m+1}(i) ≤ 10⁴ + (Σ_{j≠τ} q(i,j)·max u) DIV 10⁴ ≤
+    * 10⁴ + max u (row sums ≤ 10⁴), so u_m ≤ (m+1)·10⁴ and u₈ ≤ 9·10⁴;
+    * the matvec intermediate ≤ 10⁴·9·10⁴ = 9·10⁸ ≪ 2^53 — K never
+    * enters. All values nonnegative → trunc ≡ floor. u₈ is a monotone
+    * LOWER bound of 10⁴·u (its inputs h_bp are themselves lower bounds
+    * and every per-step floor rounds down). The RATIO of two lower
+    * bounds is NOT itself a bound — mfpt_cond is the declared 8-round
+    * approximant both engines replay bit-for-bit, the absorb family's
+    * standing truncation convention, made loud here. The final
+    * division is total and ≥ 1 on every emitted row: rows are
+    * filtered to h_bp > 0 (a type that cannot reach τ at 10⁴
+    * granularity has no conditional expectation — the same
+    * quantized-chain domain rule as x_markov_absorb_to's r_bp > 0),
+    * and u₈ ≥ u⁰ = h_bp since every added term is nonnegative. Both
+    * operands are exact int64 ≤ 9·10⁴ → exact doubles → one
+    * correctly-rounded IEEE division identical cross-engine.
+    *
+    * Scale shape: the chain collect is shared ([[markovAbsorbChain]],
+    * cached once per (JVM, generation)); the two K-vector iterations
+    * are ≤ 16·256² driver ops; the declared query is one live
+    * lead-window pass (n_to_target, the corpus evidence — one scan,
+    * one user-keyed window, one exchange) plus a ≤K-row broadcast of
+    * trained constants. A target-free corpus yields EMPTY in both
+    * engines (the x_markov_reach rule, pinned). */
+  private val markovMfpt = Q(
+    "x_markov_mfpt",
+    Some("""WITH RECURSIVE
+            e AS (SELECT user_id, event_id, event_type,
+                    epoch_us(ts) AS ts_us FROM events),
+            p AS (SELECT event_type AS cur, lead(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt
+                  FROM e),
+            c AS (SELECT cur AS a, nxt AS b, CAST(count(*) AS BIGINT) AS n
+                  FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            en AS (SELECT cur AS t, CAST(count(*) AS BIGINT) AS n_end
+                   FROM p WHERE nxt IS NULL GROUP BY 1),
+            outs AS (SELECT a AS t, CAST(sum(n) AS BIGINT) AS n_out
+                     FROM c GROUP BY 1),
+            ty AS (SELECT list(t ORDER BY t) AS ts
+                   FROM (SELECT DISTINCT event_type AS t FROM events)),
+            tt AS (SELECT u.t,
+                     coalesce(o.n_out, 0) + coalesce(e2.n_end, 0) AS tot
+                   FROM (SELECT DISTINCT event_type AS t FROM events) u
+                   LEFT JOIN outs o ON o.t = u.t
+                   LEFT JOIN en e2 ON e2.t = u.t),
+            qb AS (SELECT c.a, c.b,
+                     CAST((c.n * 10000) // tt.tot AS BIGINT) AS v
+                   FROM c JOIN tt ON tt.t = c.a),
+            el AS (SELECT coalesce(list(struct_pack(a := a, b := b, v := v)),
+                     []) AS es FROM qb),
+            qm AS (SELECT ts, list_transform(ts, x -> list_transform(ts, y ->
+                     coalesce(list_min(list_transform(
+                       list_filter(es, q -> q.a = x AND q.b = y),
+                       q -> q.v)), 0))) AS m
+                   FROM ty CROSS JOIN el),
+            tv AS (SELECT ts, m, list_position(ts, 'purchase') AS ti,
+                     list_transform(range(1, len(ts) + 1),
+                       i -> m[i][list_position(ts, 'purchase')]) AS v
+                   FROM qm
+                   WHERE coalesce(list_position(ts, 'purchase'), 0) > 0),
+            it AS (SELECT 0 AS step, v AS s FROM tv
+                   UNION ALL
+                   SELECT step + 1,
+                     list_transform(range(1, len(s) + 1), i -> CAST(
+                       v[i] + list_sum(list_transform(range(1, len(s) + 1),
+                         j -> (CASE WHEN j = ti THEN 0 ELSE m[i][j] END)
+                           * s[j])) // 10000 AS BIGINT)) AS s
+                   FROM it CROSS JOIN tv WHERE step < 8),
+            fin AS (SELECT s FROM it ORDER BY step DESC LIMIT 1),
+            it2 AS (SELECT 0 AS step, s AS u FROM fin
+                    UNION ALL
+                    SELECT step + 1,
+                      list_transform(range(1, len(u) + 1), i -> CAST(
+                        f.s[i] + list_sum(list_transform(
+                          range(1, len(u) + 1),
+                          j -> (CASE WHEN j = ti THEN 0 ELSE m[i][j] END)
+                            * u[j])) // 10000 AS BIGINT)) AS u
+                    FROM it2 CROSS JOIN tv CROSS JOIN fin f WHERE step < 8),
+            fin2 AS (SELECT u FROM it2 ORDER BY step DESC LIMIT 1),
+            base AS (SELECT ts[k] AS event_type,
+                       CAST(f.s[k] AS BIGINT) AS reach_bp,
+                       CAST(u[k] AS BIGINT) AS steps_mass_bp
+                     FROM fin2 CROSS JOIN fin f CROSS JOIN tv
+                     CROSS JOIN (SELECT unnest(range(1, 257)) AS k)
+                     WHERE k <= len(ts) AND f.s[k] > 0),
+            live AS (SELECT cur AS t, CAST(sum(CASE WHEN nxt = 'purchase'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_to_target
+                     FROM p WHERE nxt IS NOT NULL GROUP BY 1)
+            SELECT b.event_type, coalesce(l.n_to_target, 0) AS n_to_target,
+              b.reach_bp, b.steps_mass_bp,
+              round(CAST(b.steps_mass_bp AS DOUBLE) / b.reach_bp, 4) + 0.0
+                AS mfpt_cond
+            FROM base b LEFT JOIN live l ON l.t = b.event_type
+            ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val (types, q, _) = markovAbsorbChain(spark, dir)
+      val ti = types.indexOf("purchase")
+      val trained =
+        if (ti < 0) Seq.empty[(String, Long, Long)]
+            .toDF("event_type", "reach_bp", "steps_mass_bp")
+        else {
+          val k = types.length
+          val v = Array.tabulate(k)(i => q(i)(ti))
+          var h = v.clone()
+          for (_ <- 1 to 8)
+            h = Array.tabulate(k)(i =>
+              v(i) + (0 until k).filter(_ != ti)
+                .map(j => q(i)(j) * h(j)).sum / 10000L)
+          var u = h.clone()
+          for (_ <- 1 to 8)
+            u = Array.tabulate(k)(i =>
+              h(i) + (0 until k).filter(_ != ti)
+                .map(j => q(i)(j) * u(j)).sum / 10000L)
+          types.indices.filter(i => h(i) > 0)
+            .map(i => (types(i), h(i), u(i)))
+            .toDF("event_type", "reach_bp", "steps_mass_bp")
+        }
+      val wU = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val live = t(spark, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts)").as("ts_us"))
+        .withColumn("nxt", lead($"event_type", 1).over(wU))
+        .groupBy($"event_type")
+        .agg(sum(when($"nxt" === "purchase", 1L).otherwise(0L))
+          .as("n_to_target"))
+      broadcast(trained).join(live, Seq("event_type"), "left")
+        .na.fill(0L, Seq("n_to_target"))
+        .select($"event_type", $"n_to_target", $"reach_bp",
+          $"steps_mass_bp",
+          (round($"steps_mass_bp".cast("double") / $"reach_bp", 4) + 0.0)
+            .as("mfpt_cond"))
+        .orderBy($"event_type")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
@@ -2909,5 +3075,5 @@ object EventAnalytics extends QueryModule {
     hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi,
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
-    driftChi2, retentionHalflife)
+    driftChi2, retentionHalflife, markovMfpt)
 }

@@ -31,6 +31,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * timestamps are post-epoch; a pre-1970 stream would need floorDiv in
   * BOTH engines — the SCALING trunc rule).
   *
+  * CONTRACT ENFORCEMENT (ADVICE r15): under in-order delivery a
+  * user's week sequence is non-decreasing, so ANY arrival with
+  * w < lastW is a cross-micro-batch reorder — and if it carries the
+  * user's only activity for an uncounted mid-span week, the stream
+  * silently undercounts that (user, week) relative to batch. The
+  * two-long state cannot distinguish that case from a benign repeat
+  * of an already-counted week, so the fold counts EVERY w < lastW
+  * arrival in the [[outOfOrderArrivals]] accumulator — a loud upper
+  * bound: zero means the parity guarantee held exactly; nonzero
+  * means the in-order contract was violated and parity is void until
+  * re-fed in order. (Task retries can inflate the count — it is a
+  * violation DETECTOR, not a metric; the parity claim needs only
+  * zero/nonzero.)
+  *
   * Trust chain: the batch x_growth_accounting is oracle-hash-matched,
   * so the parity spec's equality pins stream ≡ batch ≡ DuckDB for the
   * full weekly decomposition across micro-batch splits and a
@@ -44,9 +58,19 @@ object StreamingGrowthAccounting {
 
   final case class GrowthHit(cls: String, w: Long)
 
+  /** The in-order-contract violation detector for the most recent
+    * [[emissions]] call — test/operator access to the accumulator the
+    * fold increments on every w < lastW arrival (see the class doc's
+    * CONTRACT ENFORCEMENT paragraph). */
+  @volatile var outOfOrderArrivals
+      : Option[org.apache.spark.util.LongAccumulator] = None
+
   /** events: (user_id, ts_ms, event_id) — ts as epoch millis. */
   def emissions(events: DataFrame): Dataset[GrowthHit] = {
     import events.sparkSession.implicits._
+    val oooAcc = events.sparkSession.sparkContext
+      .longAccumulator("graft.growth.outOfOrderArrivals")
+    outOfOrderArrivals = Some(oooAcc)
     events.select("user_id", "ts_ms", "event_id")
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
@@ -64,7 +88,12 @@ object StreamingGrowthAccounting {
               out += GrowthHit(
                 if (st.lastW == w - 1) "retained" else "resurrected", w)
               st = st.copy(lastW = w)
-            } // w <= lastW: same (or older — contract) week, counted
+            } else if (w < st.lastW) {
+              // in-order weeks are non-decreasing: this is a reorder
+              // across micro-batches — surfaced, never silent (ADVICE
+              // r15). w == lastW stays the benign same-week repeat.
+              oooAcc.add(1L)
+            }
           }
           state.update(st)
           out.iterator

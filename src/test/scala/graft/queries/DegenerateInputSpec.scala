@@ -726,4 +726,85 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(to2(("b", "a")) == ((3320L, 9980L, 1L)), to2.toString)
     assert(to2(("b", "b")) == ((6660L, 9980L, 1L)), to2.toString)
   }
+
+  test("x_markov_mfpt closed forms: direct hit = EXACTLY 1.0, a 2-step " +
+      "chain = EXACTLY 2.0, and conditioning neutralizes a competing " +
+      "END (the read x_markov_reach deliberately withheld)") {
+    import spark.implicits._
+    val ts0 = 0L
+    def ev(dir: String, rows: Seq[(Long, Long, Long, String)]): String = {
+      rows.map { case (id, ts, u, t) =>
+        (id, new Timestamp(ts0 + ts), u, t, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // corpus 1 — [click, view, purchase]: q(c,v) = q(v,p) = 10⁴, so
+    // h(v) = 10⁴ at round 0 and h(c) = 10⁴ after round 1; the u series
+    // is u(v) = 10⁴ (nothing off-target from v) and u(c) = h(c) +
+    // q(c,v)·u(v) DIV 10⁴ = 2·10⁴. mfpt: view EXACTLY 1.0, click
+    // EXACTLY 2.0 — the step count a path replay gives by hand. The
+    // purchase row itself has h(τ) = q(τ,τ) = 0 (no repeat) and is
+    // DROPPED: the declared h_bp > 0 domain rule, pinned here.
+    val d1 = ev(tmpDir("mfptchain"), Seq(
+      (1L, 0L, 1L, "click"), (2L, 1000L, 1L, "view"),
+      (3L, 2000L, 1L, "purchase")))
+    val m1 = SparkEntry.queries("x_markov_mfpt")(spark, d1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(m1.keySet == Set("click", "view"), m1.toString)
+    assert(m1("click") == ((0L, 10000L, 20000L, 2.0)), m1("click").toString)
+    assert(m1("view") == ((1L, 10000L, 10000L, 1.0)), m1("view").toString)
+
+    // corpus 2 — the conditioning pin: from `a` half the continuations
+    // purchase and half just END (user 2's stream stops). h(a) = 5000,
+    // but CONDITIONED on reaching, it is always one step: u(a) = h(a)
+    // (q(a, j≠τ) = 0 → the series never grows) → mfpt EXACTLY 1.0.
+    // The unconditioned expectation doesn't exist (half the mass never
+    // arrives) — this pin is the whole point of the linearization.
+    val d2 = ev(tmpDir("mfptcond"), Seq(
+      (1L, 0L, 1L, "a"), (2L, 1000L, 1L, "purchase"),
+      (3L, 0L, 2L, "a")))
+    val m2 = SparkEntry.queries("x_markov_mfpt")(spark, d2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(m2.keySet == Set("a"), m2.toString)
+    assert(m2("a") == ((5000L, 5000L, 1.0)), m2("a").toString)
+
+    // target-free corpus → EMPTY both engines (the x_markov_reach rule)
+    val d3 = ev(tmpDir("mfptfree"), Seq(
+      (1L, 0L, 1L, "view"), (2L, 1000L, 1L, "click")))
+    val m3 = SparkEntry.queries("x_markov_mfpt")(spark, d3).collect()
+    assert(m3.isEmpty, s"target-free corpus must be empty: ${m3.toSeq}")
+  }
+
+  test("x_growth_accounting gap-week semantics (ADVICE r15): an empty " +
+      "calendar week emits NO row and its churn rolls FORWARD to the " +
+      "next active week — the documented present-weeks convention") {
+    import spark.implicits._
+    val dir = tmpDir("growthgap")
+    val wk = 604800000L
+    // users A and B active week 0; NOBODY active week 1; A returns in
+    // week 2. The present-weeks lag makes week 2's churn read
+    // active(week 0) − retained(week 2) = 2 − 0 = 2: B's week-0→gone
+    // churn AND A's week-1 absence both land on the week-2 row (A is
+    // resurrected, not retained, across the ≥2-week gap). Week 1
+    // emits nothing — the pin that the axis is present-weeks-only.
+    Seq((1L, new Timestamp(0L), 1L, "view", 1.0, "{}"),
+        (2L, new Timestamp(1000L), 2L, "view", 1.0, "{}"),
+        (3L, new Timestamp(2 * wk + 1000L), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_growth_accounting")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.keySet == Set(0L, 2L),
+      s"gap week must emit no row: ${rows.keySet}")
+    // week 0: both new, nothing churned yet
+    assert(rows(0L) == ((2L, 2L, 0L, 0L, 0L, 0L)), rows(0L).toString)
+    // week 2: A resurrected; churned = active(w⁻ = week 0) − retained
+    // = 2 (rolls forward); quick ratio = 1·10⁴ DIV 2 = 5000
+    assert(rows(2L) == ((1L, 0L, 0L, 1L, 2L, 5000L)), rows(2L).toString)
+  }
 }

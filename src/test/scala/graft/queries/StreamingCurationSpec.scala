@@ -747,6 +747,184 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       s"post-restart MW != batch: $streamed vs $batch")
   }
 
+  test("live growth accounting: an out-of-order cross-batch arrival " +
+      "trips the in-order-contract accumulator; a clean feed keeps it " +
+      "at zero (ADVICE r15 — violations surface, never silent)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wk = 604800000L
+
+    // clean in-order feed across two batches → accumulator stays 0
+    val memA = MemoryStream[(Long, Long, Long)]
+    val qA = graft.streaming.StreamingGrowthAccounting.emissions(
+        memA.toDS().toDF("user_id", "ts_ms", "event_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gaooo1").start()
+    val accA = graft.streaming.StreamingGrowthAccounting
+      .outOfOrderArrivals.get
+    try {
+      memA.addData((1L, 0L, 1L)); qA.processAllAvailable()
+      memA.addData((1L, 2 * wk, 2L)); qA.processAllAvailable()
+      assert(accA.value == 0L, s"clean feed tripped the detector: ${accA.value}")
+    } finally qA.stop()
+
+    // the ADVICE scenario: user active weeks 0 and 2 in batch 1, then
+    // a week-1 event arrives in batch 2 — strictly inside the span,
+    // silently dropped from the counts (two-long state can't recover
+    // it) but now LOUDLY counted as a contract violation
+    val memB = MemoryStream[(Long, Long, Long)]
+    val qB = graft.streaming.StreamingGrowthAccounting.emissions(
+        memB.toDS().toDF("user_id", "ts_ms", "event_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gaooo2").start()
+    val accB = graft.streaming.StreamingGrowthAccounting
+      .outOfOrderArrivals.get
+    try {
+      memB.addData(Seq((1L, 0L, 1L), (1L, 2 * wk, 2L))); qB.processAllAvailable()
+      memB.addData((1L, wk, 3L)); qB.processAllAvailable()
+      assert(accB.value == 1L,
+        s"mid-span reorder must trip the detector: ${accB.value}")
+    } finally qB.stop()
+  }
+
+  test("live KS shape drift: streamed sup rows EQUAL the batch " +
+      "x_drift_ks output at EVERY split prefix (27th twin, merged-level " +
+      "ECDF over a frozen early artifact)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // the batch query's own split arithmetic, replayed to freeze the
+    // early histogram and extract the late-half arrival stream
+    val d = eventsNanos(sf)
+      .select($"event_type",
+        expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+        expr("unix_millis(timestamp_micros(ts DIV 1000)) DIV 86400000")
+          .as("day"),
+        expr("ts DIV 1000").as("ts_us"), $"event_id")
+    val Array(dd0, dd1) = d.agg(min($"day"), max($"day")).collect()
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (dd0 + dd1) / 2
+    val early = d.where($"day" <= mid)
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("ea"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    val late = d.where($"day" > mid)
+      .orderBy($"ts_us", $"event_id")
+      .select($"event_type", $"cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingDriftKs.drift(
+        mem.toDS().toDF("event_type", "cents"), early)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ksdrift1").start()
+    try {
+      // the sup is re-derived per emission (no closed per-arrival
+      // term exists — the twin's whole point), so parity is checked
+      // at the FINAL prefix against the hash-matched batch query
+      val third = late.length / 3
+      mem.addData(late.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(late.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(late.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      val streamed = spark.table("ksdrift1")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).map { case (t, xs) =>
+          t -> xs.map(_._2).maxBy(_._2) }
+      val batch = graft.SparkEntry.queries("x_drift_ks")(spark, sf)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed KS != batch: $streamed vs $batch")
+
+      // mid-stream correctness (the claim the twin's scaladoc makes
+      // for ANY prefix): re-derive the 1/3-prefix emission off-line
+      // against a batch recompute over early + that prefix
+      val pre = late.take(third)
+      val preByType = pre.groupBy(_._1)
+      val firstEmit = spark.table("ksdrift1")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1).map { case (t, xs) =>
+          t -> xs.map(_._2).minBy(_._2) }
+      preByType.filter(kv => early.contains(kv._1)).foreach { case (t, xs) =>
+        val lateHist = xs.groupBy(_._2).map { case (c, g) => c -> g.length.toLong }
+        val eSide = early(t).sortBy(_._1)
+        val ne = eSide.map(_._2).sum
+        val nl = xs.length.toLong
+        val merged = (eSide.map(_._1) ++ lateHist.keys).distinct.sorted
+        var cumE = 0L; var cumL = 0L; var mx = -1L; var at = 0L
+        merged.foreach { v =>
+          cumE += eSide.filter(_._1 == v).map(_._2).sum
+          cumL += lateHist.getOrElse(v, 0L)
+          val term = math.abs(cumE * nl - cumL * ne)
+          if (term > mx) { mx = term; at = v }
+        }
+        assert(firstEmit(t) == ((ne, nl, at, mx * 10000L / (ne * nl))),
+          s"prefix emission for $t: ${firstEmit(t)}")
+      }
+    } finally q.stop()
+  }
+
+  test("live KS shape drift: checkpoint RESTART resumes the per-type " +
+      "late histogram — final file-sink rows still equal the batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("ksdriftrestart")
+
+    val d = eventsNanos(sf)
+      .select($"event_type",
+        expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+        expr("unix_millis(timestamp_micros(ts DIV 1000)) DIV 86400000")
+          .as("day"),
+        expr("ts DIV 1000").as("ts_us"), $"event_id")
+    val Array(dd0, dd1) = d.agg(min($"day"), max($"day")).collect()
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (dd0 + dd1) / 2
+    val early = d.where($"day" <= mid)
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("ea"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    val late = d.where($"day" > mid)
+      .orderBy($"ts_us", $"event_id")
+      .select($"event_type", $"cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val half = late.length / 2
+
+    // a reset state would restart the late histogram from empty and
+    // the final sup would see only post-restart arrivals
+    val mem = MemoryStream[(String, Long)]
+    def start() = graft.streaming.StreamingDriftKs.drift(
+        mem.toDS().toDF("event_type", "cents"), early)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try { mem.addData(late.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { mem.addData(late.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).maxBy(_._2) }
+    val batch = graft.SparkEntry.queries("x_drift_ks")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed == batch,
+      s"post-restart KS != batch: $streamed vs $batch")
+  }
+
   test("live path mining: checkpoint RESTART resumes the last-two-types " +
       "state — file-sink trigrams still reproduce the batch top-20") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
