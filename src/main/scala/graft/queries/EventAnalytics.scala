@@ -3067,6 +3067,222 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** ORACLE-BACKED behavioral-predictability read — the Markov
+    * family's entropy member (steady = where time is spent, absorb =
+    * how long until END, reach/mfpt = conversion; this answers "HOW
+    * PREDICTABLE is the next step from each state", the
+    * Shannon/Khinchin entropy-rate decomposition): per event type i
+    * with observed outgoing transitions, row_entropy_nats =
+    * Σ_j (p_bp/10⁴)·ln(10⁴/p_bp) over the QUANTIZED transition row
+    * (LITERALLY x_event_transitions' p_bp column — the chain is an
+    * already-declared artifact), and h_contrib_nats =
+    * (steady_bp/10⁴)·row_entropy — the type's term in the chain's
+    * entropy rate H = Σ_i π(i)·H(row i), with π = x_markov_steady's
+    * declared steady share. Σ h_contrib over the output IS the
+    * entropy rate of the quantized behavioral chain (0 = perfectly
+    * scripted sessions, ln K = uniform wandering).
+    *
+    * Float policy = the x_token_kl envelope: every input to the ln
+    * stage is an exact integer both engines hash-match elsewhere
+    * (p_bp, steady_bp); the ln-sum runs over ≤ K ≤ 256 terms per row
+    * with identical operand trees (CAST(·)/10⁴ · ln(10⁴/·)) and
+    * round-4 absorbs the float-sum order skew. Edges whose
+    * probability QUANTIZES to zero (n·10⁴ < tot) are excluded from
+    * the entropy sum in BOTH engines — the 10⁴-granularity domain
+    * rule (x_markov_absorb_to's r_bp > 0 convention; the 0·ln 0 = 0
+    * limit applied at the quantizer's resolution) — while n_out keeps
+    * counting ALL outgoing transitions (the live corpus evidence).
+    * Types never observed with a successor (stream-final-only) have
+    * no transition row and emit nothing — documented domain.
+    *
+    * Scale shape: the steady vector is the cached [[markovState]]
+    * collect; the declared query is ONE live user-keyed lag-window
+    * pass into a ≤K²-row rollup + a ≤K-row broadcast join. K is type
+    * cardinality — bounded by declaration, guarded at 256. */
+  private val markovEntropy = Q(
+    "x_markov_entropy",
+    Some("""WITH RECURSIVE
+            e AS (SELECT user_id, event_id, event_type,
+                    epoch_us(ts) AS ts_us FROM events),
+            p AS (SELECT lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type,
+                    event_type AS next_type
+                  FROM e),
+            c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+                  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            tt AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+                   FROM c GROUP BY 1),
+            pb AS (SELECT c.prev_type AS a, c.next_type AS b,
+                     CAST((c.n * 10000) // tt.tot AS BIGINT) AS v
+                   FROM c JOIN tt USING (prev_type)),
+            ty AS (SELECT list(t ORDER BY t) AS ts
+                   FROM (SELECT DISTINCT event_type AS t FROM events)),
+            el AS (SELECT coalesce(list(struct_pack(a := a, b := b, v := v)),
+                     []) AS es FROM pb),
+            pm AS (SELECT ts, list_transform(ts, x -> list_transform(ts, y ->
+                     coalesce(list_min(list_transform(
+                       list_filter(es, q -> q.a = x AND q.b = y),
+                       q -> q.v)), 0))) AS m
+                   FROM ty CROSS JOIN el),
+            it AS (
+              SELECT 0 AS step, list_transform(ts, t -> CAST(1 AS BIGINT)) AS w
+              FROM ty
+              UNION ALL
+              SELECT step + 1,
+                CASE WHEN s = 0 THEN w ELSE
+                  list_transform(wp, x -> CAST((x * 10000) // s AS BIGINT))
+                END AS w
+              FROM (SELECT step, w, wp,
+                      list_max(list_transform(wp, x -> abs(x))) AS s
+                    FROM (SELECT step, w,
+                            list_transform(range(1, len(w) + 1), j -> CAST(
+                              list_sum(list_transform(range(1, len(w) + 1),
+                                i -> w[i] * m[i][j])) AS BIGINT)) AS wp
+                          FROM it CROSS JOIN pm))
+              WHERE step < 5),
+            fin AS (SELECT w FROM it ORDER BY step DESC LIMIT 1),
+            sw AS (SELECT ts, w, CAST(list_sum(w) AS BIGINT) AS wt
+                   FROM fin CROSS JOIN ty),
+            sb AS (SELECT ts[k] AS t,
+                     CAST((w[k] * 10000) // wt AS BIGINT) AS steady_bp
+                   FROM sw CROSS JOIN (SELECT unnest(range(1, 257)) AS k)
+                   WHERE k <= len(ts)),
+            outs AS (SELECT prev_type AS t, CAST(sum(n) AS BIGINT) AS n_out
+                     FROM c GROUP BY 1),
+            re AS (SELECT a AS t,
+                     sum((CAST(v AS DOUBLE) / 10000.0)
+                       * ln(10000.0 / CAST(v AS DOUBLE))) AS rent
+                   FROM pb WHERE v > 0 GROUP BY 1)
+            SELECT re.t AS event_type, o.n_out,
+              round(re.rent, 4) + 0.0 AS row_entropy_nats, sb.steady_bp,
+              round((CAST(sb.steady_bp AS DOUBLE) / 10000.0) * re.rent, 4)
+                + 0.0 AS h_contrib_nats
+            FROM re JOIN outs o ON o.t = re.t
+            JOIN sb ON sb.t = re.t
+            ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val (types, w) = markovState(spark, dir)
+      val wt = w.sum
+      val steady = broadcast(types.zip(w).map { case (ty, wi) =>
+        (ty, wi * 10000L / wt) }.toDF("event_type", "steady_bp"))
+      val wU = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val edges = t(spark, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts)").as("ts_us"))
+        .withColumn("prev_type", lag($"event_type", 1).over(wU))
+        .where($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum($"n").over(Window.partitionBy($"prev_type")))
+        .withColumn("p_bp", expr("(n * 10000) DIV tot"))
+      val rows = edges.groupBy($"prev_type".as("event_type"))
+        .agg(sum($"n").as("n_out"),
+          sum(when($"p_bp" > 0,
+            expr("(CAST(p_bp AS DOUBLE) / 10000.0D)"
+              + " * ln(10000.0D / CAST(p_bp AS DOUBLE))"))).as("rent"))
+      rows.join(steady, Seq("event_type"))
+        .select($"event_type", $"n_out",
+          (round($"rent", 4) + 0.0).as("row_entropy_nats"),
+          $"steady_bp",
+          (round(expr("(CAST(steady_bp AS DOUBLE) / 10000.0D) * rent"), 4)
+            + 0.0).as("h_contrib_nats"))
+        .orderBy($"event_type")
+    })
+
+  /** ORACLE-BACKED Jensen–Shannon drift — the drift family's
+    * symmetric-divergence member (TVD = binned mix, KS = shape sup,
+    * PSI/chi2 = banded scores, MW = location; JSD = the bounded
+    * symmetric divergence retrieval/LM teams actually compare
+    * distributions with — Lin 1991, the x_lang_jsd arithmetic carried
+    * to the drift split): per event type, JSD between the early-half
+    * and late-half cents distributions (same calendar-midpoint split
+    * and quantization as x_drift_ks), in nats, bounded by ln 2.
+    *
+    * Arithmetic: with p = ea/ne and q = la/nl per distinct cent
+    * level, the mixture ratios CROSS-MULTIPLY to integer forms —
+    * p/m = 2·ea·nl / (ea·nl + la·ne) — so every ln argument is a
+    * ratio of exact int64 products (≤ ne·nl ≪ 2^53 at any per-type
+    * event count this side of 3·10⁹ — the x_drift_ks product
+    * envelope, stated there) and both engines evaluate IDENTICAL
+    * operand trees; one ln-sum per type (≤ distinct-levels terms),
+    * round-4 + 0.0 absorbing float-sum order skew and the signed-zero
+    * residue (a level-wise-identical pair sums EXACT +0.0 terms).
+    * Terms with ea = 0 (resp. la = 0) are absent from the p-sum
+    * (resp. q-sum) — the 0·ln 0 = 0 limit, structurally enforced
+    * because a level only carries the sides that have mass. Types
+    * with an empty half drop identically in both engines (the
+    * x_drift_ks rule).
+    *
+    * Scale shape: the same (type, cents) aggregate as the rest of the
+    * drift family (volume only in that one map-side-combined
+    * exchange), a broadcast of the ≤K-row per-type totals, one
+    * level-cardinality rollup. */
+  private val driftJs = Q(
+    "x_drift_js",
+    Some("""WITH d AS (SELECT event_type,
+                         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                         epoch_ms(ts) // 86400000 AS day FROM events),
+            dr AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+            s AS (SELECT event_type, cents,
+                    CAST(sum(CASE WHEN day <= (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+                    CAST(sum(CASE WHEN day > (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS la
+                  FROM d CROSS JOIN dr GROUP BY 1, 2),
+            tt AS (SELECT event_type, CAST(sum(ea) AS BIGINT) AS ne,
+                     CAST(sum(la) AS BIGINT) AS nl
+                   FROM s GROUP BY 1),
+            j AS (SELECT s.event_type, tt.ne, tt.nl,
+                    sum(CASE WHEN s.ea > 0 THEN
+                      0.5 * (CAST(s.ea AS DOUBLE) / tt.ne)
+                        * ln(CAST(2 * s.ea * tt.nl AS DOUBLE)
+                             / CAST(s.ea * tt.nl + s.la * tt.ne AS DOUBLE))
+                      ELSE 0.0 END
+                    + CASE WHEN s.la > 0 THEN
+                      0.5 * (CAST(s.la AS DOUBLE) / tt.nl)
+                        * ln(CAST(2 * s.la * tt.ne AS DOUBLE)
+                             / CAST(s.ea * tt.nl + s.la * tt.ne AS DOUBLE))
+                      ELSE 0.0 END) AS jsd
+                  FROM s JOIN tt USING (event_type)
+                  WHERE tt.ne > 0 AND tt.nl > 0
+                  GROUP BY 1, 2, 3)
+            SELECT event_type, ne AS n_early, nl AS n_late,
+              round(jsd, 4) + 0.0 AS jsd_nats
+            FROM j ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .select($"event_type",
+          expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val dr = d.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val s = d.crossJoin(broadcast(dr))
+        .withColumn("early", $"day" <= expr("(d0 + d1) DIV 2"))
+        .groupBy($"event_type", $"cents")
+        .agg(sum(when($"early", 1L).otherwise(0L)).as("ea"),
+          sum(when(!$"early", 1L).otherwise(0L)).as("la"))
+      val tt = s.groupBy($"event_type")
+        .agg(sum($"ea").as("ne"), sum($"la").as("nl"))
+      s.join(broadcast(tt), Seq("event_type"))
+        .where($"ne" > 0 && $"nl" > 0)
+        .groupBy($"event_type", $"ne", $"nl")
+        .agg(sum(
+          when($"ea" > 0,
+            expr("0.5 * (CAST(ea AS DOUBLE) / ne)"
+              + " * ln(CAST(2 * ea * nl AS DOUBLE)"
+              + "      / CAST(ea * nl + la * ne AS DOUBLE))"))
+            .otherwise(0.0)
+          + when($"la" > 0,
+            expr("0.5 * (CAST(la AS DOUBLE) / nl)"
+              + " * ln(CAST(2 * la * ne AS DOUBLE)"
+              + "      / CAST(ea * nl + la * ne AS DOUBLE))"))
+            .otherwise(0.0)).as("jsd"))
+        .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
+          (round($"jsd", 4) + 0.0).as("jsd_nats"))
+        .orderBy($"event_type")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
@@ -3075,5 +3291,5 @@ object EventAnalytics extends QueryModule {
     hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi,
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
-    driftChi2, retentionHalflife, markovMfpt)
+    driftChi2, retentionHalflife, markovMfpt, markovEntropy, driftJs)
 }

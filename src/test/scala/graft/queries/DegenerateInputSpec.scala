@@ -778,6 +778,70 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(m3.isEmpty, s"target-free corpus must be empty: ${m3.toSeq}")
   }
 
+  test("x_drift_js closed forms: identical halves => EXACTLY 0.0; " +
+      "disjoint value supports => round(ln 2, 4) — the JSD maximum " +
+      "(the x_lang_jsd bounds carried to the drift split)") {
+    import spark.implicits._
+    val dir = tmpDir("jsdriftdegen")
+    // same corpora as the x_drift_ks pin: 'same' has identical value
+    // multisets in both calendar halves → every level's mixture ratio
+    // is 1 → each ln term is EXACTLY +0.0 → jsd_nats +0.0; 'shift'
+    // has disjoint supports → each side's terms are 0.5·p·ln 2
+    // summing to 0.5·ln 2 per side → exactly round(ln 2, 4).
+    val same = (1L to 10L).flatMap(i => Seq(
+      (i, new Timestamp(0L), i, "same", i.toDouble, "{}"),
+      (100 + i, new Timestamp(864000000L), i, "same", i.toDouble, "{}")))
+    val shift = (1L to 10L).flatMap(i => Seq(
+      (200 + i, new Timestamp(0L), i, "shift", i.toDouble, "{}"),
+      (300 + i, new Timestamp(864000000L), i, "shift", 100.0 + i, "{}")))
+    (same ++ shift)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_drift_js")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows("same") == ((10L, 10L, 0.0)), rows("same").toString)
+    assert(rows("shift") == ((10L, 10L, ln2)), rows("shift").toString)
+  }
+
+  test("x_markov_entropy closed forms: a deterministic alternation has " +
+      "row entropy EXACTLY 0.0; a uniform 2-way branch has round(ln 2, " +
+      "4); a stream-final-only type emits NO row (the declared domain)") {
+    import spark.implicits._
+    val dir = tmpDir("mentdegen")
+    // user 1: a,b,a,b,a,b — every a→b and b→a at p_bp = 10⁴ →
+    // ln(10⁴/10⁴) = 0 → both rows EXACTLY 0.0 (and h_contrib 0.0)
+    (0 until 6).map(i => (i.toLong, new Timestamp(i * 1000L), 1L,
+        if (i % 2 == 0) "a" else "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val det = SparkEntry.queries("x_markov_entropy")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(4)))).toMap
+    assert(det("a") == ((3L, 0.0, 0.0)), det("a").toString)
+    assert(det("b") == ((2L, 0.0, 0.0)), det("b").toString)
+
+    // user 1: a,b,a,c — a branches uniformly to b and c (5000/5000 →
+    // row entropy ln 2); b is deterministic (0.0); c is STREAM-FINAL
+    // only → no transition row → absent from the output entirely
+    val dir2 = tmpDir("mentdegen2")
+    val seq2 = Seq("a", "b", "a", "c")
+    seq2.zipWithIndex.map { case (t2, i) =>
+        (i.toLong, new Timestamp(i * 1000L), 1L, t2, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val br = SparkEntry.queries("x_markov_entropy")(spark, dir2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(br.keySet == Set("a", "b"), br.toString)
+    assert(br("a") == ((2L, ln2)), br("a").toString)
+    assert(br("b") == ((1L, 0.0)), br("b").toString)
+  }
+
   test("x_growth_accounting gap-week semantics (ADVICE r15): an empty " +
       "calendar week emits NO row and its churn rolls FORWARD to the " +
       "next active week — the documented present-weeks convention") {

@@ -747,6 +747,106 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       s"post-restart MW != batch: $streamed vs $batch")
   }
 
+  test("live DAU/WAU stickiness: streamed distinct-existence hits fold " +
+      "to the batch x_stickiness rows across micro-batch splits (28th " +
+      "twin); a clean feed keeps the reorder detector at zero") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    val prepared = eventsNanos(sf)
+      .select($"user_id",
+        expr("unix_millis(timestamp_micros(ts DIV 1000))").as("ts_ms"),
+        $"event_id")
+      .orderBy($"ts_ms", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.StreamingStickiness.emissions(
+        mem.toDS().toDF("user_id", "ts_ms", "event_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stick1").start()
+    val acc = graft.streaming.StreamingStickiness.outOfOrderArrivals.get
+    try {
+      // three batches: users crossing a day or week boundary at a
+      // split must classify from state (the 7-bit mask makes within-
+      // week order irrelevant; week-level order comes from the feed)
+      val third = prepared.length / 3
+      mem.addData(prepared.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(prepared.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      val streamed = graft.streaming.StreamingStickiness
+        .stickinessOf(spark.table("stick1"))
+        .collect().map(_.toSeq).toSeq
+      // the batch query is oracle-hash-matched, so this equality
+      // chains stream ≡ batch ≡ DuckDB
+      val batch = graft.SparkEntry.queries("x_stickiness")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed stickiness != batch: ${streamed.take(2)} vs ${batch.take(2)}")
+      assert(acc.value == 0L, s"in-order feed tripped the detector: ${acc.value}")
+    } finally q.stop()
+  }
+
+  test("live DAU/WAU stickiness: checkpoint RESTART resumes the per-user " +
+      "(week, mask) state — file-sink hits still fold to the batch rows; " +
+      "a prior-week reorder trips the detector") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("stickrestart")
+
+    val prepared = eventsNanos(sf)
+      .select($"user_id",
+        expr("unix_millis(timestamp_micros(ts DIV 1000))").as("ts_ms"),
+        $"event_id")
+      .orderBy($"ts_ms", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val half = prepared.length / 2
+
+    // a reset state would re-emit dau/wau hits for already-counted
+    // (user, day) pairs and overcount the batch rows
+    val mem = MemoryStream[(Long, Long, Long)]
+    def start() = graft.streaming.StreamingStickiness.emissions(
+        mem.toDS().toDF("user_id", "ts_ms", "event_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try { mem.addData(prepared.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { mem.addData(prepared.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val streamed = graft.streaming.StreamingStickiness
+      .stickinessOf(spark.read.parquet(s"$dir/out"))
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.SparkEntry.queries("x_stickiness")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"post-restart stickiness != batch: ${streamed.take(2)} vs ${batch.take(2)}")
+
+    // reorder detector: a user seen in week w then fed a week-(w-1)
+    // event in a later batch must increment the accumulator
+    val mem2 = MemoryStream[(Long, Long, Long)]
+    val wk = 604800000L
+    val q3 = graft.streaming.StreamingStickiness.emissions(
+        mem2.toDS().toDF("user_id", "ts_ms", "event_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stick2").start()
+    val acc2 = graft.streaming.StreamingStickiness.outOfOrderArrivals.get
+    try {
+      mem2.addData((9L, 2 * wk, 1L)); q3.processAllAvailable()
+      mem2.addData((9L, wk, 2L)); q3.processAllAvailable()
+      assert(acc2.value == 1L,
+        s"prior-week reorder must trip the detector: ${acc2.value}")
+    } finally q3.stop()
+  }
+
   test("live growth accounting: an out-of-order cross-batch arrival " +
       "trips the in-order-contract accumulator; a clean feed keeps it " +
       "at zero (ADVICE r15 — violations surface, never silent)") {
