@@ -3283,6 +3283,93 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** ORACLE-BACKED session-timeout sensitivity sweep — the operational
+    * read that JUSTIFIES a sessionizer's gap constant (r_stream_session
+    * and x_session_stats both pin 30 min by declaration; this query
+    * shows what that choice does): for each threshold on a declared
+    * ladder (1/5/15/30/60 min), the number of sessions the corpus
+    * splits into and the resulting events-per-session density. The
+    * identity that makes it ONE pass: sessions(T) = n_users +
+    * #{user-adjacent gaps > T} — every user contributes one session
+    * plus one boundary per above-threshold gap — so the whole ladder
+    * is five conditional sums over the SAME interarrival frame
+    * (x_interarrival's user-keyed lag window, here WITHOUT the
+    * per-type partition: sessions interleave types), then a 5-row
+    * constant unpivot. All exact integers; density = n_events·10⁴ DIV
+    * n_sessions bp (one trunc division per ladder row). A
+    * single-event-per-user corpus has no gaps: sessions(T) = n_users
+    * flat across the ladder (pinned).
+    *
+    * Scale shape: one user-keyed lag window (the exchange) into ONE
+    * 6-value aggregate, then a 5-row constant stack — nothing after
+    * the window depends on volume; the ladder multiplies conditional
+    * sums inside the same map-side-combined aggregate, never rows. */
+  private val sessionGapSweep = Q(
+    "x_session_gap_sweep",
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+                       FROM events),
+            g AS (SELECT ms - lag(ms) OVER (PARTITION BY user_id
+                    ORDER BY ms, event_id) AS gap FROM e),
+            a AS (SELECT
+                    (SELECT CAST(count(*) AS BIGINT) FROM events)
+                      AS n_events,
+                    (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                     FROM events) AS n_users,
+                    CAST(sum(CASE WHEN gap > 60000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS g1,
+                    CAST(sum(CASE WHEN gap > 300000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS g5,
+                    CAST(sum(CASE WHEN gap > 900000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS g15,
+                    CAST(sum(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS g30,
+                    CAST(sum(CASE WHEN gap > 3600000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS g60
+                  FROM g WHERE gap IS NOT NULL),
+            l AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)),
+                    (CAST(5 AS BIGINT)), (CAST(15 AS BIGINT)),
+                    (CAST(30 AS BIGINT)), (CAST(60 AS BIGINT)))
+                  AS t(threshold_min)),
+            r AS (SELECT threshold_min,
+                    n_users + coalesce(CASE threshold_min WHEN 1 THEN g1
+                               WHEN 5 THEN g5 WHEN 15 THEN g15
+                               WHEN 30 THEN g30 ELSE g60 END, 0)
+                      AS n_sessions,
+                    n_events
+                  FROM l CROSS JOIN a)
+            SELECT threshold_min, CAST(n_sessions AS BIGINT) AS n_sessions,
+              CAST(n_events * 10000 // n_sessions AS BIGINT)
+                AS events_per_session_bp
+            FROM r ORDER BY threshold_min"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val e = t(spark, dir, "events")
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
+      val wU = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val totals = e.agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"))
+      val g = e.withColumn("gap", $"ms" - lag($"ms", 1).over(wU))
+        .where($"gap".isNotNull)
+        .agg(sum(when($"gap" > 60000L, 1L).otherwise(0L)).as("g1"),
+          sum(when($"gap" > 300000L, 1L).otherwise(0L)).as("g5"),
+          sum(when($"gap" > 900000L, 1L).otherwise(0L)).as("g15"),
+          sum(when($"gap" > 1800000L, 1L).otherwise(0L)).as("g30"),
+          sum(when($"gap" > 3600000L, 1L).otherwise(0L)).as("g60"))
+      val ladder = Seq(1L, 5L, 15L, 30L, 60L).toDF("threshold_min")
+      broadcast(ladder).crossJoin(broadcast(totals.crossJoin(g)))
+        .select($"threshold_min",
+          ($"n_users" + coalesce(when($"threshold_min" === 1, $"g1")
+            .when($"threshold_min" === 5, $"g5")
+            .when($"threshold_min" === 15, $"g15")
+            .when($"threshold_min" === 30, $"g30")
+            .otherwise($"g60"), lit(0L))).as("n_sessions"),
+          $"n_events")
+        .select($"threshold_min", $"n_sessions",
+          expr("n_events * 10000 DIV n_sessions")
+            .as("events_per_session_bp"))
+        .orderBy($"threshold_min")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
@@ -3291,5 +3378,6 @@ object EventAnalytics extends QueryModule {
     hazardKm, hazardKm7d, markovSteady, markovAbsorb, driftKs, driftPsi,
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
-    driftChi2, retentionHalflife, markovMfpt, markovEntropy, driftJs)
+    driftChi2, retentionHalflife, markovMfpt, markovEntropy, driftJs,
+    sessionGapSweep)
 }

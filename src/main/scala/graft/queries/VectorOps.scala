@@ -2335,15 +2335,43 @@ object VectorOps extends QueryModule {
       val seedQ = qArr(seedRow.head.getSeq[Double](1))
       val sel = scala.collection.mutable.ArrayBuffer(
         (1L, seedId, 0L, seedQ))
-      var cur = base.where($"vec_id" =!= seedId)
-        .select($"vec_id", $"qd",
-          expr(l2ToConst(seedQ)).as("dmin"))
-        .localCheckpoint()
+      // ROUND-LATENCY FOLD (r16 — the fold the r15 notes deferred).
+      // Two levers, measured separately in SCALING.md:
+      // 1. LAZY checkpoints: eager localCheckpoint made each round TWO
+      //    driver jobs (materialize, then argmax); with eager = false
+      //    the round's ONE argmax action materializes the pending
+      //    checkpoint as a side effect. Release discipline shifts one
+      //    round back: the previous round's blocks are the PARENT the
+      //    pending checkpoint computes from, so they are freed only
+      //    after the argmax completes (prev), never before.
+      // 2. STABLE PLAN TEXT: the winner's vector used to enter the
+      //    next frame as 64 array LITERALS (l2ToConst), so every round
+      //    re-ran Catalyst analysis + a fresh Janino compile of a new
+      //    64-term expression — the measured per-round floor. The
+      //    winner now rides a broadcast 1-row frame (wid, wq, wss) and
+      //    the distance expression references COLUMNS, so the plan
+      //    text is identical across rounds and the codegen cache hits
+      //    from round 2 on. The arithmetic is operand-for-operand the
+      //    same IEEE chain (vec_dot(qd,qd) − 2·vec_dot(qd,wq) + wss),
+      //    so the trajectory stays bit-identical — anchored by the
+      //    oracle hash-match and TrainingOracleAlgebraSpec's k=64
+      //    independent-reference pins.
+      def winnerDf(id: Long, q: Array[Long]) =
+        Seq((id, q.toSeq.map(_.toDouble), q.map(x => x * x).sum.toDouble))
+          .toDF("wid", "wq", "wss")
+      val l2ToW = "(vec_dot(qd, qd) - 2 * vec_dot(qd, wq) + wss)"
+      var prev: org.apache.spark.sql.DataFrame = null
+      var cur = base.crossJoin(broadcast(winnerDf(seedId, seedQ)))
+        .where($"vec_id" =!= $"wid")
+        .select($"vec_id", $"qd", expr(l2ToW).as("dmin"))
+        .localCheckpoint(false)
       var more = sel.length < k
       while (more) {
         val w = cur
           .agg(max(struct($"dmin", (-$"vec_id").as("nid"), $"qd")).as("w"))
-          .collect().head
+          .collect().head // materializes cur's pending checkpoint
+        if (prev != null) graft.operators.CheckpointHygiene.release(prev)
+        prev = null
         if (w.isNullAt(0)) more = false // corpus exhausted (n < k)
         else {
           val s = w.getStruct(0)
@@ -2351,15 +2379,18 @@ object VectorOps extends QueryModule {
           sel += ((sel.length + 1L, -s.getLong(1), s.getDouble(0).toLong, q))
           more = sel.length < k
           if (more) {
-            val next = cur.where($"vec_id" =!= -s.getLong(1))
+            val next = cur
+              .crossJoin(broadcast(winnerDf(-s.getLong(1), q)))
+              .where($"vec_id" =!= $"wid")
               .select($"vec_id", $"qd",
-                least($"dmin", expr(l2ToConst(q))).as("dmin"))
-              .localCheckpoint()
-            graft.operators.CheckpointHygiene.release(cur)
+                least($"dmin", expr(l2ToW)).as("dmin"))
+              .localCheckpoint(false)
+            prev = cur
             cur = next
           }
         }
       }
+      if (prev != null) graft.operators.CheckpointHygiene.release(prev)
       graft.operators.CheckpointHygiene.release(cur)
       sel.toSeq
     }

@@ -842,6 +842,43 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(br("b") == ((1L, 0.0)), br("b").toString)
   }
 
+  test("x_session_gap_sweep closed forms: hand-placed 2-min and 20-min " +
+      "gaps walk the ladder (3/2/2/1/1 sessions); a single-event-per-" +
+      "user corpus is n_users FLAT across every threshold") {
+    import spark.implicits._
+    val m = 60000L
+    // user 1: events at 0, 2 min, 22 min — gaps of 2 min and 20 min.
+    // T=1: both gaps split → 3 sessions; T=5/15: only the 20-min gap
+    // → 2; T=30/60: none → 1. Density = 3·10⁴ DIV sessions.
+    val dir = tmpDir("gapsweepdegen")
+    Seq((1L, new Timestamp(0L), 1L, "view", 1.0, "{}"),
+        (2L, new Timestamp(2 * m), 1L, "view", 1.0, "{}"),
+        (3L, new Timestamp(22 * m), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_session_gap_sweep")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(rows(1L) == ((3L, 10000L)), rows(1L).toString)
+    assert(rows(5L) == ((2L, 15000L)), rows(5L).toString)
+    assert(rows(15L) == ((2L, 15000L)), rows(15L).toString)
+    assert(rows(30L) == ((1L, 30000L)), rows(30L).toString)
+    assert(rows(60L) == ((1L, 30000L)), rows(60L).toString)
+
+    // gap-free corpus: two users, one event each — the NULL-sum
+    // coalesce branch: sessions = n_users = 2 on every ladder row
+    val dir2 = tmpDir("gapsweepdegen2")
+    Seq((1L, new Timestamp(0L), 1L, "view", 1.0, "{}"),
+        (2L, new Timestamp(0L), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val flat = SparkEntry.queries("x_session_gap_sweep")(spark, dir2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(flat.size == 5 && flat.values.forall(_ == ((2L, 10000L))),
+      flat.toString)
+  }
+
   test("x_growth_accounting gap-week semantics (ADVICE r15): an empty " +
       "calendar week emits NO row and its churn rolls FORWARD to the " +
       "next active week — the documented present-weeks convention") {

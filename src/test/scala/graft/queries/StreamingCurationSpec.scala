@@ -1025,6 +1025,130 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       s"post-restart KS != batch: $streamed vs $batch")
   }
 
+  test("live banded drift: streamed PSI AND chi2 rows EQUAL both batch " +
+      "queries at the stream's end (29th twin, one frozen-band state " +
+      "serving the pair)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    val d = eventsNanos(sf)
+      .select($"event_type",
+        expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+        expr("unix_millis(timestamp_micros(ts DIV 1000)) DIV 86400000")
+          .as("day"),
+        expr("ts DIV 1000").as("ts_us"), $"event_id")
+    val Array(dd0, dd1) = d.agg(min($"day"), max($"day")).collect()
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (dd0 + dd1) / 2
+    val early = d.where($"day" <= mid)
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("ea"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    val late = d.where($"day" > mid)
+      .orderBy($"ts_us", $"event_id")
+      .select($"event_type", $"cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingDriftBands.drift(
+        mem.toDS().toDF("event_type", "cents"), early)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bandsdrift1").start()
+    try {
+      val third = late.length / 3
+      mem.addData(late.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(late.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(late.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      val streamed = spark.table("bandsdrift1")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+           r.getLong(5), r.getDouble(6))))
+        .groupBy(_._1).map { case (t, xs) =>
+          t -> xs.map(_._2).maxBy(_._2) }
+      val psiB = graft.SparkEntry.queries("x_drift_psi")(spark, sf)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      val chiB = graft.SparkEntry.queries("x_drift_chi2")(spark, sf)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(streamed.nonEmpty, "no streamed rows")
+      streamed.foreach { case (t, (ne, nl, nBins, psi, dof, chi2)) =>
+        assert(psiB(t) == ((ne, nl, nBins, psi)),
+          s"PSI $t: streamed ($ne,$nl,$nBins,$psi) vs batch ${psiB(t)}")
+        assert(chiB(t) == ((ne, nl, dof, chi2)),
+          s"chi2 $t: streamed ($ne,$nl,$dof,$chi2) vs batch ${chiB(t)}")
+      }
+      assert(streamed.keySet == psiB.keySet, "type coverage differs")
+    } finally q.stop()
+  }
+
+  test("live banded drift: checkpoint RESTART resumes the per-type " +
+      "band counts — final file-sink rows still equal both batch queries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("bandsdriftrestart")
+
+    val d = eventsNanos(sf)
+      .select($"event_type",
+        expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+        expr("unix_millis(timestamp_micros(ts DIV 1000)) DIV 86400000")
+          .as("day"),
+        expr("ts DIV 1000").as("ts_us"), $"event_id")
+    val Array(dd0, dd1) = d.agg(min($"day"), max($"day")).collect()
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (dd0 + dd1) / 2
+    val early = d.where($"day" <= mid)
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("ea"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    val late = d.where($"day" > mid)
+      .orderBy($"ts_us", $"event_id")
+      .select($"event_type", $"cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val half = late.length / 2
+
+    // a reset state would restart every band counter and both
+    // statistics would read only post-restart arrivals
+    val mem = MemoryStream[(String, Long)]
+    def start() = graft.streaming.StreamingDriftBands.drift(
+        mem.toDS().toDF("event_type", "cents"), early)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try { mem.addData(late.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { mem.addData(late.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+         r.getLong(5), r.getDouble(6))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).maxBy(_._2) }
+    val psiB = graft.SparkEntry.queries("x_drift_psi")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val chiB = graft.SparkEntry.queries("x_drift_chi2")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    streamed.foreach { case (t, (ne, nl, nBins, psi, dof, chi2)) =>
+      assert(psiB(t) == ((ne, nl, nBins, psi)),
+        s"post-restart PSI $t: ($ne,$nl,$nBins,$psi) vs ${psiB(t)}")
+      assert(chiB(t) == ((ne, nl, dof, chi2)),
+        s"post-restart chi2 $t: ($ne,$nl,$dof,$chi2) vs ${chiB(t)}")
+    }
+    assert(streamed.keySet == psiB.keySet, "type coverage differs")
+  }
+
   test("live path mining: checkpoint RESTART resumes the last-two-types " +
       "state — file-sink trigrams still reproduce the batch top-20") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
