@@ -3370,6 +3370,137 @@ object EventAnalytics extends QueryModule {
         .orderBy($"threshold_min")
     })
 
+  /** Holt–Winters additive seasonal forecast (α = β = γ = 1/2, period
+    * 7) of per-type daily counts — the forecasting family's SEASONAL
+    * member (SES = level, Holt = level+trend; Holt–Winters adds the
+    * weekly profile, the component event volume actually has): per
+    * type, the QUANTIZED INTEGER-bp three-equation fold
+    *   l' = (x·10⁴ − s[i] + l + b) DIV 2
+    *   b' = ((l' − l) + b) DIV 2
+    *   s'[i] = ((x·10⁴ − l') + s[i]) DIV 2
+    * with i = day % 7 — CALENDAR-aligned seasonality (a gap day skips
+    * an observation but never rotates the profile; position-aligned
+    * indexing would — the documented choice), one-step-ahead backtest
+    * error e += |x·10⁴ − (l + b + s[i])| accumulated alongside. The
+    * x_forecast_holt worksheet applies verbatim and is STRONGER here:
+    * the three coupled recursions compound dyadic denominators even
+    * faster than Holt's two, so the float spelling was never a
+    * candidate — integer bp state from the start, with DELIBERATE
+    * trunc on the possibly-negative operands (the SCALING signed-
+    * division rule both engines share). Seeds l = x₁·10⁴, b = 0,
+    * s = 0⁷ (the zero-profile seed: the first week of observations IS
+    * the calibration). Envelope: daily counts ≤ 10⁵ keep every state
+    * value within a small multiple of 10⁹ and e ≤ n_days·2·10⁹ ≪ 2^63.
+    * Output: level/trend, the NEXT day's seasonal + forecast
+    * (l + b + s[(last_day+1) % 7]), the seasonal amplitude
+    * max(s) − min(s) (how much the weekly profile matters), and
+    * mae_bp. DuckDB replays the identical fold over a flat 10-list
+    * [l, b, s₀..s₆, e] with the x_forecast_holt seed-branch trick
+    * (len(acc) = 2 detects the [day, n] seed pair); Spark folds a
+    * named_struct with an array field, updated by indexed transform —
+    * the pre-step acc is read throughout, so both sequential
+    * spellings agree (the Holt named_struct note).
+    *
+    * Scale shape: one (type, day) map-side-combined aggregate, then a
+    * per-type sequential fold over ≤ span-days arrays — the
+    * x_forecast_holt shape with 8 more state longs. */
+  private val forecastHoltWinters = Q(
+    "x_forecast_holt_winters",
+    Some("""WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type,
+                    list(struct_pack(day := day, n := n) ORDER BY day) AS xs
+                  FROM d GROUP BY 1),
+            f AS (SELECT event_type, len(xs) AS n_days,
+                    xs[len(xs)].day AS last_day,
+                    list_reduce(list_transform(xs, x -> [x.day, x.n]),
+                      (acc, x) -> CASE WHEN len(acc) = 2 THEN
+                        [(x[2] * 10000 + acc[2] * 10000) // 2,
+                         ((x[2] * 10000 + acc[2] * 10000) // 2
+                           - acc[2] * 10000) // 2]
+                        || list_transform(range(0, 7), j ->
+                             CASE WHEN j = x[1] % 7
+                             THEN (x[2] * 10000
+                               - (x[2] * 10000 + acc[2] * 10000) // 2) // 2
+                             ELSE CAST(0 AS BIGINT) END)
+                        || [abs(x[2] * 10000 - acc[2] * 10000)]
+                      ELSE
+                        [(x[2] * 10000 - acc[3 + (x[1] % 7)]
+                            + acc[1] + acc[2]) // 2,
+                         ((x[2] * 10000 - acc[3 + (x[1] % 7)]
+                            + acc[1] + acc[2]) // 2 - acc[1] + acc[2]) // 2]
+                        || list_transform(range(0, 7), j ->
+                             CASE WHEN j = x[1] % 7
+                             THEN (x[2] * 10000
+                               - (x[2] * 10000 - acc[3 + (x[1] % 7)]
+                                  + acc[1] + acc[2]) // 2
+                               + acc[3 + j]) // 2
+                             ELSE acc[3 + j] END)
+                        || [acc[10] + abs(x[2] * 10000 - acc[1] - acc[2]
+                             - acc[3 + (x[1] % 7)])]
+                      END) AS st
+                  FROM s)
+            SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+              CAST(CASE WHEN n_days = 1 THEN st[2] * 10000 ELSE st[1] END
+                AS BIGINT) AS level_bp,
+              CAST(CASE WHEN n_days = 1 THEN 0 ELSE st[2] END
+                AS BIGINT) AS trend_bp,
+              CAST(CASE WHEN n_days = 1 THEN 0
+                   ELSE st[3 + ((last_day + 1) % 7)] END
+                AS BIGINT) AS season_next_bp,
+              CAST(CASE WHEN n_days = 1 THEN st[2] * 10000
+                   ELSE st[1] + st[2] + st[3 + ((last_day + 1) % 7)] END
+                AS BIGINT) AS forecast_next_bp,
+              CAST(CASE WHEN n_days = 1 THEN 0
+                   ELSE list_max(st[3:9]) - list_min(st[3:9]) END
+                AS BIGINT) AS season_amp_bp,
+              CAST(CASE WHEN n_days >= 2 THEN st[10] // (n_days - 1)
+                   ELSE 0 END AS BIGINT) AS mae_bp
+            FROM f ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .groupBy($"event_type", expr("unix_millis(ts) DIV 86400000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      d.groupBy($"event_type")
+        .agg(expr("sort_array(collect_list(struct(day, n)))").as("xs"))
+        .select($"event_type", size($"xs").cast("long").as("n_days"),
+          expr("element_at(xs, -1).day").as("last_day"),
+          expr("""aggregate(slice(xs, 2, size(xs) - 1),
+                    named_struct('l', xs[0].n * 10000L, 'b', 0L,
+                      's', array_repeat(0L, 7), 'e', 0L),
+                    (acc, x) -> named_struct(
+                      'l', (x.n * 10000L
+                        - element_at(acc.s, CAST(x.day % 7 AS INT) + 1)
+                        + acc.l + acc.b) DIV 2,
+                      'b', ((x.n * 10000L
+                        - element_at(acc.s, CAST(x.day % 7 AS INT) + 1)
+                        + acc.l + acc.b) DIV 2 - acc.l + acc.b) DIV 2,
+                      's', transform(acc.s, (v, j) ->
+                        IF(j = CAST(x.day % 7 AS INT),
+                           (x.n * 10000L
+                             - (x.n * 10000L
+                                - element_at(acc.s, CAST(x.day % 7 AS INT) + 1)
+                                + acc.l + acc.b) DIV 2
+                             + v) DIV 2,
+                           v)),
+                      'e', acc.e + abs(x.n * 10000L - acc.l - acc.b
+                        - element_at(acc.s, CAST(x.day % 7 AS INT) + 1))))""")
+            .as("st"))
+        .select($"event_type", $"n_days",
+          $"st.l".as("level_bp"), $"st.b".as("trend_bp"),
+          expr("element_at(st.s, CAST((last_day + 1) % 7 AS INT) + 1)")
+            .as("season_next_bp"),
+          expr("st.l + st.b"
+            + " + element_at(st.s, CAST((last_day + 1) % 7 AS INT) + 1)")
+            .as("forecast_next_bp"),
+          expr("array_max(st.s) - array_min(st.s)").as("season_amp_bp"),
+          when($"n_days" >= 2, expr("st.e DIV (n_days - 1)"))
+            .otherwise(0L).as("mae_bp"))
+        .orderBy($"event_type")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
@@ -3379,5 +3510,5 @@ object EventAnalytics extends QueryModule {
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
     driftChi2, retentionHalflife, markovMfpt, markovEntropy, driftJs,
-    sessionGapSweep)
+    sessionGapSweep, forecastHoltWinters)
 }

@@ -555,4 +555,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
           s"aggregate regressed):\n$p")
     }
   }
+
+  test("r16 Markov reads: trained constants broadcast onto ONE live " +
+      "window pass — no sort-merge join, no corpus self-join") {
+    // the scale contract of the chain family: the declared query is
+    // one scan + one user-keyed window + bounded-side broadcast joins;
+    // an SMJ here means the ≤K-row trained side started shuffling the
+    // corpus
+    for (q <- Seq("x_markov_mfpt", "x_markov_entropy")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: trained-constant join regressed to SMJ:\n$p")
+      assert("Window".r.findAllIn(p).length >= 1,
+        s"$q: the live lag-window evidence pass disappeared:\n$p")
+    }
+  }
+
+  test("x_session_gap_sweep: the ladder multiplies conditional sums, " +
+      "never rows — no Expand, no per-threshold corpus join") {
+    val p = plan("x_session_gap_sweep")
+    assert(!p.contains("Expand"),
+      s"ladder regressed to an Expand replication:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"ladder join regressed to SMJ:\n$p")
+    // the interarrival frame is ONE user-keyed window (the formatted
+    // plan names each instance once in the tree and once in the
+    // detail section — count the detail headers)
+    assert("""\(\d+\) Window""".r.findAllIn(p).length == 1,
+      s"gap frame must be exactly one window pass:\n$p")
+  }
+
+  test("x_drift_js shares the drift family's plan shape: one (type, " +
+      "cents) aggregate, broadcast totals, no SMJ") {
+    val p = plan("x_drift_js")
+    assert(!p.contains("SortMergeJoin"),
+      s"per-type totals join regressed to SMJ:\n$p")
+    assert(!p.contains("Window"),
+      s"x_drift_js needs no window at all (unlike KS):\n$p")
+  }
 }

@@ -879,6 +879,44 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
       flat.toString)
   }
 
+  test("x_forecast_holt_winters closed forms: a constant daily series " +
+      "is an EXACT fixpoint (level = x·10⁴, trend/seasonals/mae all 0); " +
+      "a two-day series replays by hand; a 1-day type takes the seed " +
+      "branch") {
+    import spark.implicits._
+    val day = 86400000L
+    val dir = tmpDir("hwdegen")
+    // type 'c': one event per day for 14 days — every update leaves
+    // (l, b, s, e) exactly where the seed put them (the fixpoint the
+    // scaladoc derives); type 'w': counts 2 then 4 on days 0, 1 —
+    // hand replay: l' = 30000, b' = 5000, s[1] = 5000, e = 20000,
+    // next-day seasonal index 2 is untouched (0) so forecast = 35000,
+    // amplitude 5000, mae 20000; type 'o': a single event → seed
+    // branch (level 10⁴, everything else 0, forecast = level).
+    val ev =
+      (0 until 14).map(i =>
+        (100L + i, new Timestamp(i * day), 1L, "c", 1.0, "{}")) ++
+      Seq((1L, new Timestamp(0L), 2L, "w", 1.0, "{}"),
+        (2L, new Timestamp(1000L), 3L, "w", 1.0, "{}"),
+        (3L, new Timestamp(day), 2L, "w", 1.0, "{}"),
+        (4L, new Timestamp(day + 1000L), 3L, "w", 1.0, "{}"),
+        (5L, new Timestamp(day + 2000L), 4L, "w", 1.0, "{}"),
+        (6L, new Timestamp(day + 3000L), 5L, "w", 1.0, "{}"),
+        (7L, new Timestamp(0L), 6L, "o", 1.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_forecast_holt_winters")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(rows("c") == ((14L, 10000L, 0L, 0L, 10000L, 0L, 0L)),
+      rows("c").toString)
+    assert(rows("w") == ((2L, 30000L, 5000L, 0L, 35000L, 5000L, 20000L)),
+      rows("w").toString)
+    assert(rows("o") == ((1L, 10000L, 0L, 0L, 10000L, 0L, 0L)),
+      rows("o").toString)
+  }
+
   test("x_growth_accounting gap-week semantics (ADVICE r15): an empty " +
       "calendar week emits NO row and its churn rolls FORWARD to the " +
       "next active week — the documented present-weeks convention") {

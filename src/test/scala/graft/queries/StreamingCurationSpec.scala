@@ -1149,6 +1149,61 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.keySet == psiB.keySet, "type coverage differs")
   }
 
+  test("live JS drift: streamed divergence rows EQUAL the batch " +
+      "x_drift_js output at the stream's end (30th twin — every drift " +
+      "member now has a live side); restart drill included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("jsdriftrestart")
+
+    val d = eventsNanos(sf)
+      .select($"event_type",
+        expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+        expr("unix_millis(timestamp_micros(ts DIV 1000)) DIV 86400000")
+          .as("day"),
+        expr("ts DIV 1000").as("ts_us"), $"event_id")
+    val Array(dd0, dd1) = d.agg(min($"day"), max($"day")).collect()
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (dd0 + dd1) / 2
+    val early = d.where($"day" <= mid)
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("ea"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    val late = d.where($"day" > mid)
+      .orderBy($"ts_us", $"event_id")
+      .select($"event_type", $"cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val half = late.length / 2
+
+    // parquet sink + checkpoint restart in one drill: parity at the
+    // end AND state survival across the restart
+    val mem = MemoryStream[(String, Long)]
+    def start() = graft.streaming.StreamingDriftJs.drift(
+        mem.toDS().toDF("event_type", "cents"), early)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try { mem.addData(late.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { mem.addData(late.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).maxBy(_._2) }
+    val batch = graft.SparkEntry.queries("x_drift_js")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed JS != batch: $streamed vs $batch")
+  }
+
   test("live path mining: checkpoint RESTART resumes the last-two-types " +
       "state — file-sink trigrams still reproduce the batch top-20") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
