@@ -1620,6 +1620,110 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("live Holt-Winters state: last emission per type EQUALS the " +
+      "batch x_forecast_holt_winters row across batch splits (31st " +
+      "twin); checkpoint restart resumes the 11-long state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("hwrestart")
+
+    // the same daily rollup the batch query folds, day-ordered
+    val rollup = eventsNanos(sf)
+      .select($"event_type", expr("ts DIV 86400000000000").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"day", $"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val half = rollup.length / 2
+
+    // parquet sink + restart in one drill: every emitted column is an
+    // exact integer, so the final row per type must be BIT-identical
+    // to the oracle-hash-matched batch row
+    val mem = MemoryStream[(String, Long, Long)]
+    def start() = graft.streaming.StreamingHoltWinters.levels(
+        mem.toDS().toDF("event_type", "day", "n"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try { mem.addData(rollup.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { mem.addData(rollup.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         r.getLong(6), r.getLong(7), r.getLong(8))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).maxBy(_._1) }
+    val batch = graft.SparkEntry.queries("x_forecast_holt_winters")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed HW != batch: $streamed vs $batch")
+  }
+
+  test("live session-count ladder: streamed hits fold to the batch " +
+      "x_session_gap_sweep rows across a checkpoint restart (32nd " +
+      "twin); a reorder trips the detector and a clean feed does not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("sesscount")
+
+    val prepared = eventsNanos(sf)
+      .select($"user_id",
+        expr("unix_millis(timestamp_micros(ts DIV 1000))").as("ts_ms"),
+        $"event_id")
+      .orderBy($"ts_ms", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val half = prepared.length / 2
+
+    val mem = MemoryStream[(Long, Long, Long)]
+    def start() = graft.streaming.StreamingSessionCount.emissions(
+        mem.toDS().toDF("user_id", "ts_ms", "event_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try { mem.addData(prepared.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val acc = graft.streaming.StreamingSessionCount.outOfOrderArrivals.get
+    val q2 = start()
+    try { mem.addData(prepared.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+    val acc2 = graft.streaming.StreamingSessionCount.outOfOrderArrivals.get
+    assert(acc.value + acc2.value == 0L,
+      s"clean feed tripped the detector: ${acc.value}/${acc2.value}")
+
+    val streamed = graft.streaming.StreamingSessionCount
+      .sessionsOf(spark.read.parquet(s"$dir/out"))
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.SparkEntry.queries("x_session_gap_sweep")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      s"post-restart sessions != batch: $streamed vs $batch")
+
+    // reorder detector: a user's earlier-ms event in a later batch
+    val mem2 = MemoryStream[(Long, Long, Long)]
+    val q3 = graft.streaming.StreamingSessionCount.emissions(
+        mem2.toDS().toDF("user_id", "ts_ms", "event_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sesscount2").start()
+    val acc3 = graft.streaming.StreamingSessionCount.outOfOrderArrivals.get
+    try {
+      mem2.addData((7L, 100000L, 1L)); q3.processAllAvailable()
+      mem2.addData((7L, 50000L, 2L)); q3.processAllAvailable()
+      assert(acc3.value == 1L,
+        s"reorder must trip the detector: ${acc3.value}")
+    } finally q3.stop()
+  }
+
   test("live CUSUM changepoint matches batch x_changepoint across batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
