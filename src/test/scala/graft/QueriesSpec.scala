@@ -350,4 +350,40 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
         s"$dir: a cumulative hazard must be nondecreasing")
     }
   }
+
+  test("r16 cross-query consistency: x_markov_entropy's steady_bp is " +
+      "LITERALLY x_markov_steady's; gap-sweep sessions are monotone in " +
+      "the threshold; drift_js shares KS's type domain and Lin's bound") {
+    // steady_bp rides two declared queries from one cached training
+    // artifact — a drifting copy would mean the cache key split
+    val ent = SparkEntry.queries("x_markov_entropy")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val std = SparkEntry.queries("x_markov_steady")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(ent.nonEmpty, "entropy table empty")
+    ent.foreach { case (t, bp) =>
+      assert(std(t) == bp, s"$t: steady_bp drifted: entropy $bp vs steady ${std(t)}")
+    }
+
+    // sessions(T) = n_users + #{gaps > T}: a larger threshold can only
+    // drop boundaries — n_sessions nonincreasing, density nondecreasing
+    val sweep = SparkEntry.queries("x_session_gap_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.map(_._1).toSeq == Seq(1L, 5L, 15L, 30L, 60L))
+    assert(sweep.map(_._2).toSeq.reverse.sorted == sweep.map(_._2).toSeq.reverse,
+      s"n_sessions must be nonincreasing in the threshold: $sweep")
+    assert(sweep.map(_._3).toSeq.sorted == sweep.map(_._3).toSeq,
+      s"events/session must be nondecreasing in the threshold: $sweep")
+
+    // JSD: same empty-half drop rule as KS (identical type domains)
+    // and Lin's bound 0 ≤ JSD ≤ ln 2
+    val js = SparkEntry.queries("x_drift_js")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val ks = SparkEntry.queries("x_drift_ks")(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(js.keySet == ks, s"JSD/KS type domains differ: ${js.keySet} vs $ks")
+    js.foreach { case (t, v) =>
+      assert(v >= 0.0 && v <= 0.6932, s"$t: JSD $v outside [0, ln 2]")
+    }
+  }
 }
