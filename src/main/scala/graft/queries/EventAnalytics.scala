@@ -3403,7 +3403,21 @@ object EventAnalytics extends QueryModule {
     *
     * Scale shape: one (type, day) map-side-combined aggregate, then a
     * per-type sequential fold over ≤ span-days arrays — the
-    * x_forecast_holt shape with 8 more state longs. */
+    * x_forecast_holt shape with 8 more state longs.
+    *
+    * MULTIPLICATIVE-VARIANT BOUNDARY (documented, not shipped): the
+    * multiplicative form seasonalizes by RATIO — l' depends on
+    * x/s[i] and s'[i] on x/l' — so every step performs a division
+    * whose quotient must feed the next step. Integer trunc there
+    * compounds a bias that the additive form's subtraction does not
+    * (subtraction is exact; division is not), and the mfpt
+    * linearization trick has no purchase because the recursion is
+    * multiplicative IN THE STATE, not a linear operator with a final
+    * ratio. A float spelling fails the same dyadic-compounding
+    * worksheet that killed float Holt. Teams needing multiplicative
+    * seasonality log-transform the series first — which IS the
+    * additive model shipped here, applied to ln(x); the boundary is
+    * the model family, not the engine. */
   private val forecastHoltWinters = Q(
     "x_forecast_holt_winters",
     Some("""WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
@@ -3501,6 +3515,85 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** ORACLE-BACKED per-cohort retention half-life — x_retention_halflife
+    * UNPOOLED: that query quotes ONE number for the whole corpus; this
+    * one fits the same exponential-decay model ln(rate) = a + b·k per
+    * FIRST-WEEK COHORT, which is the release-over-release question a
+    * growth team actually asks ("did the week-12 cohort retain better
+    * than week-11's?"). Same arithmetic discipline end-to-end: DISTINCT
+    * (user, week) makes each per-offset count a distinct-user count;
+    * exact integer counts until the ln; identical operand trees; every
+    * emitted float round-4 **+ 0.0** (the signed-zero rule — a
+    * perfectly-zero intercept rounds off a ±1e-16 residue); the m < 2
+    * and non-decaying-slope guards emit 0 — the loud no-decay sentinel,
+    * never a negative/infinite half-life. The LAST cohort always takes
+    * the guard branch (it has no ≥1 offsets yet) and still emits its
+    * size — the "too young to fit" row is information, not noise.
+    *
+    * Scale shape: one DISTINCT (user, week) exchange + per-user min +
+    * a (cohort × ≤span-weeks)-bounded rollup + a cohort-cardinality
+    * fit aggregate. Nothing downstream of the distinct depends on
+    * event volume. */
+  private val cohortHalflife = Q(
+    "x_cohort_halflife",
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+                         epoch_ms(ts) // 604800000 AS w FROM events),
+            f AS (SELECT user_id, min(w) AS fw FROM a GROUP BY user_id),
+            n0 AS (SELECT fw, CAST(count(*) AS BIGINT) AS n_users
+                   FROM f GROUP BY fw),
+            o AS (SELECT f.fw, a.w - f.fw AS k
+                  FROM a JOIN f ON f.user_id = a.user_id
+                  WHERE a.w > f.fw),
+            nk AS (SELECT fw, k, CAST(count(*) AS BIGINT) AS n_k
+                   FROM o GROUP BY fw, k),
+            pts AS (SELECT nk.fw, CAST(k AS DOUBLE) AS x,
+                      ln(CAST(n_k AS DOUBLE) / n0.n_users) AS y
+                    FROM nk JOIN n0 ON n0.fw = nk.fw),
+            fit AS (SELECT fw, CAST(count(*) AS BIGINT) AS m,
+                      sum(x) AS sx, sum(y) AS sy,
+                      sum(x * x) AS sxx, sum(x * y) AS sxy
+                    FROM pts GROUP BY fw),
+            w0 AS (SELECT min(w) AS w0 FROM a)
+            SELECT n0.fw - w0 AS cohort_w, n0.n_users,
+              CAST(coalesce(fit.m, 0) AS BIGINT) AS n_offsets,
+              round(CASE WHEN fit.m >= 2
+                THEN (fit.m * sxy - sx * sy) / (fit.m * sxx - sx * sx)
+                ELSE 0 END, 4) + 0.0 AS slope,
+              round(CASE WHEN fit.m >= 2 AND fit.m * sxy - sx * sy < 0
+                THEN ln(2) * (fit.m * sxx - sx * sx) / (sx * sy - fit.m * sxy)
+                ELSE 0 END, 4) + 0.0 AS half_life_w
+            FROM n0 LEFT JOIN fit ON fit.fw = n0.fw
+            CROSS JOIN w0 ORDER BY cohort_w"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val a = t(spark, dir, "events")
+        .select($"user_id", expr("unix_millis(ts) DIV 604800000").as("w"))
+        .distinct()
+      val f = a.groupBy($"user_id").agg(min($"w").as("fw"))
+      val n0 = f.groupBy($"fw").agg(count(lit(1)).as("n_users"))
+      val pts = a.join(f, "user_id").where($"w" > $"fw")
+        .groupBy($"fw", ($"w" - $"fw").as("k"))
+        .agg(count(lit(1)).as("n_k"))
+        .join(broadcast(n0), Seq("fw"))
+        .select($"fw", $"k".cast("double").as("x"),
+          log($"n_k".cast("double") / $"n_users").as("y"))
+      val fit = pts.groupBy($"fw")
+        .agg(count(lit(1)).as("m"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      val w0 = a.agg(min($"w").as("w0"))
+      n0.join(broadcast(fit), Seq("fw"), "left")
+        .crossJoin(broadcast(w0))
+        .select(($"fw" - $"w0").as("cohort_w"), $"n_users",
+          coalesce($"m", lit(0L)).as("n_offsets"),
+          (round(when($"m" >= 2,
+            expr("(m * sxy - sx * sy) / (m * sxx - sx * sx)"))
+            .otherwise(0.0), 4) + 0.0).as("slope"),
+          (round(when($"m" >= 2 && $"m" * $"sxy" - $"sx" * $"sy" < 0,
+            expr("ln(2) * (m * sxx - sx * sx) / (sx * sy - m * sxy)"))
+            .otherwise(0.0), 4) + 0.0).as("half_life_w"))
+        .orderBy($"cohort_w")
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
@@ -3510,5 +3603,5 @@ object EventAnalytics extends QueryModule {
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
     driftChi2, retentionHalflife, markovMfpt, markovEntropy, driftJs,
-    sessionGapSweep, forecastHoltWinters)
+    sessionGapSweep, forecastHoltWinters, cohortHalflife)
 }

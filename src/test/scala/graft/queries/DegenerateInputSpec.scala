@@ -917,6 +917,35 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
       rows("o").toString)
   }
 
+  test("x_cohort_halflife closed forms: a perfect-halving cohort fits " +
+      "half-life EXACTLY 1.0; a just-born cohort emits the guard row " +
+      "(size with zero offsets — information, not noise)") {
+    import spark.implicits._
+    val wk = 604800000L
+    val dir = tmpDir("cohorthldegen")
+    // cohort week 0: users 1-4 all active; 2 return in week 1; 1 in
+    // week 2 → rates 1/2, 1/4 → an exact ln-linear line with slope
+    // −ln 2 → half_life EXACTLY 1.0. user 5 first appears in week 2
+    // with no later activity → its cohort row is the m = 0 guard.
+    val ev =
+      (1L to 4L).map(u => (u, new Timestamp(0L), u, "view", 1.0, "{}")) ++
+      Seq((11L, new Timestamp(wk), 1L, "view", 1.0, "{}"),
+        (12L, new Timestamp(wk), 2L, "view", 1.0, "{}"),
+        (13L, new Timestamp(2 * wk), 1L, "view", 1.0, "{}"),
+        (14L, new Timestamp(2 * wk), 5L, "view", 1.0, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_cohort_halflife")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val slope = BigDecimal(-math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.keySet == Set(0L, 2L), rows.toString)
+    assert(rows(0L) == ((4L, 2L, slope, 1.0)), rows(0L).toString)
+    assert(rows(2L) == ((1L, 0L, 0.0, 0.0)), rows(2L).toString)
+  }
+
   test("x_growth_accounting gap-week semantics (ADVICE r15): an empty " +
       "calendar week emits NO row and its churn rolls FORWARD to the " +
       "next active week — the documented present-weeks convention") {

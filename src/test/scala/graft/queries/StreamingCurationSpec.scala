@@ -1724,6 +1724,47 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q3.stop()
   }
 
+  test("live Benford screen: streamed digit rows EQUAL the batch " +
+      "x_value_benford output across a checkpoint restart (33rd twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("benfordrestart")
+
+    val cents = eventsNanos(sf)
+      .select(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"), expr("ts DIV 1000").as("ts_us"), $"event_id")
+      .orderBy($"ts_us", $"event_id")
+      .collect().map(_.getLong(0))
+    val half = cents.length / 2
+
+    val mem = MemoryStream[Long]
+    def start() = graft.streaming.StreamingBenford.profile(
+        mem.toDS().toDF("cents"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try { mem.addData(cents.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { mem.addData(cents.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    // last emission per digit = the running profile at stream end;
+    // every column is an exact integer → bit-equal to the batch row
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).maxBy(_._1) }
+    val batch = graft.SparkEntry.queries("x_value_benford")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed Benford != batch: $streamed vs $batch")
+  }
+
   test("live CUSUM changepoint matches batch x_changepoint across batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
