@@ -940,9 +940,12 @@ object EventAnalytics extends QueryModule {
     *
     * Overflow envelope: cum ≤ n ≤ corpus rows per type; cumE·n_late ≤
     * n² ≈ 1.4·10¹⁰ at sf0.1 and the ×10⁴ scale applies AFTER the max —
-    * BIGINT throughout, ≪ 2^63 while per-type rows < 3·10⁷ (guarded by
-    * the corpus envelope, not a runtime check — the cross-multiply is
-    * the standard exact-ECDF spelling).
+    * the binding constraint is that one scaling multiply, mx·10⁴ with
+    * mx ≤ ne·nl, so the silent-overflow boundary is ne·nl < 2^63/10⁴ ≈
+    * 9.2·10¹⁴, i.e. per-type rows < 3·10⁷ when the halves balance
+    * (guarded by the corpus envelope, not a runtime check — the
+    * cross-multiply is the standard exact-ECDF spelling; beyond the
+    * boundary the scaling multiply needs Math.multiplyHigh/BigInt).
     *
     * Scale shape: one (type, cents) aggregate (map-side combined), ONE
     * type-keyed window over the distinct-cent rows (partition size =
@@ -3202,9 +3205,10 @@ object EventAnalytics extends QueryModule {
     * Arithmetic: with p = ea/ne and q = la/nl per distinct cent
     * level, the mixture ratios CROSS-MULTIPLY to integer forms —
     * p/m = 2·ea·nl / (ea·nl + la·ne) — so every ln argument is a
-    * ratio of exact int64 products (≤ ne·nl ≪ 2^53 at any per-type
-    * event count this side of 3·10⁹ — the x_drift_ks product
-    * envelope, stated there) and both engines evaluate IDENTICAL
+    * ratio of exact int64 products (the mixture sum ≤ 2·ne·nl stays
+    * exactly-representable while ne·nl < 2^52 ≈ 4.5·10¹⁵; the
+    * x_drift_ks ne·nl < 9.2·10¹⁴ envelope stated there is tighter
+    * and covers this one) and both engines evaluate IDENTICAL
     * operand trees; one ln-sum per type (≤ distinct-levels terms),
     * round-4 + 0.0 absorbing float-sum order skew and the signed-zero
     * residue (a level-wise-identical pair sums EXACT +0.0 terms).

@@ -20,11 +20,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * counts per distinct cent level, bounded by the cents quantizer's
   * level count, NOT by arrival volume — and each emission re-derives
   * the sup over the merged distinct levels (early ∪ late): one
-  * O(levels) walk with two running prefix counts. Integer envelope:
-  * cumE ≤ ne and cumL ≤ nl keep every term ≤ ne·nl, the same int64
-  * product the hash-matched batch query already lives under (< 2^63
-  * for ne, nl < 3·10⁹ — loud overflow territory far beyond any
-  * per-type event count here).
+  * O(levels) walk with two running prefix counts. Integer envelope
+  * (corrected, ADVICE r16): cumE ≤ ne and cumL ≤ nl keep every walk
+  * term ≤ ne·nl, but the binding constraint is the FINAL scaling
+  * ks_bp = mx·10⁴ with mx ≤ ne·nl — the silent-overflow boundary is
+  * ne·nl < 2^63/10⁴ ≈ 9.2·10¹⁴ (≈ 3·10⁷ events per side when the
+  * halves balance), the same envelope the hash-matched batch query
+  * states, shared because both compute the identical operand tree.
+  * Beyond it the fix is Math.multiplyHigh/BigInt on the one scaling
+  * multiply; the corpus sits orders of magnitude inside.
   *
   * Tie/argmax convention replayed from the batch query: the sup walks
   * levels in ASCENDING cents order and keeps the FIRST level achieving

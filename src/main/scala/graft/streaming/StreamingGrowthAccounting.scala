@@ -38,7 +38,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * silently undercounts that (user, week) relative to batch. The
   * two-long state cannot distinguish that case from a benign repeat
   * of an already-counted week, so the fold counts EVERY w < lastW
-  * arrival in the [[outOfOrderArrivals]] accumulator — a loud upper
+  * arrival in the accumulator [[emissions]] returns — a loud upper
   * bound: zero means the parity guarantee held exactly; nonzero
   * means the in-order contract was violated and parity is void until
   * re-fed in order. (Task retries can inflate the count — it is a
@@ -58,20 +58,22 @@ object StreamingGrowthAccounting {
 
   final case class GrowthHit(cls: String, w: Long)
 
-  /** The in-order-contract violation detector for the most recent
-    * [[emissions]] call — test/operator access to the accumulator the
-    * fold increments on every w < lastW arrival (see the class doc's
-    * CONTRACT ENFORCEMENT paragraph). */
-  @volatile var outOfOrderArrivals
-      : Option[org.apache.spark.util.LongAccumulator] = None
-
-  /** events: (user_id, ts_ms, event_id) — ts as epoch millis. */
-  def emissions(events: DataFrame): Dataset[GrowthHit] = {
+  /** events: (user_id, ts_ms, event_id) — ts as epoch millis.
+    *
+    * Returns the hit stream PAIRED with its freshly-created
+    * in-order-contract accumulator (the detector the fold increments
+    * on every w < lastW arrival — the class doc's CONTRACT
+    * ENFORCEMENT paragraph). Paired-per-call, not a shared handle
+    * (ADVICE r16): a last-writer-wins global Option meant two
+    * concurrent streams in one JVM could read the OTHER query's
+    * zero/nonzero parity signal; here each caller owns exactly the
+    * accumulator its own fold writes. */
+  def emissions(events: DataFrame)
+      : (Dataset[GrowthHit], org.apache.spark.util.LongAccumulator) = {
     import events.sparkSession.implicits._
     val oooAcc = events.sparkSession.sparkContext
       .longAccumulator("graft.growth.outOfOrderArrivals")
-    outOfOrderArrivals = Some(oooAcc)
-    events.select("user_id", "ts_ms", "event_id")
+    val hits = events.select("user_id", "ts_ms", "event_id")
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[WeekSpan, GrowthHit](
@@ -98,6 +100,7 @@ object StreamingGrowthAccounting {
           state.update(st)
           out.iterator
       }
+    (hits, oooAcc)
   }
 
   /** Fold a table of emissions into the batch query's full output

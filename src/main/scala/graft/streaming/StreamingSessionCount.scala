@@ -19,7 +19,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * cheapest state in the twin family alongside [[StreamingSes]].
   * CONTRACT: per-user in-order delivery; an arrival with ms < lastMs
   * is a cross-batch reorder whose gap pair the batch (which sorts)
-  * would have cut differently — it increments [[outOfOrderArrivals]]
+  * would have cut differently — it increments the accumulator
+  * [[emissions]] returns
   * and emits nothing (parity is void under violation, loudly, never
   * silently skewed — the growth twin's rule).
   *
@@ -31,17 +32,17 @@ object StreamingSessionCount {
 
   final case class SessHit(cls: String, gap_ms: Long)
 
-  /** Violation detector for the most recent [[emissions]] call. */
-  @volatile var outOfOrderArrivals
-      : Option[org.apache.spark.util.LongAccumulator] = None
-
-  /** events: (user_id, ts_ms, event_id) — ts as epoch millis. */
-  def emissions(events: DataFrame): Dataset[SessHit] = {
+  /** events: (user_id, ts_ms, event_id) — ts as epoch millis. Returns
+    * the hit stream paired with its own in-order-contract accumulator
+    * (the [[StreamingGrowthAccounting.emissions]] pairing rule —
+    * ADVICE r16: a global handle is last-writer-wins across
+    * concurrent streams in one JVM). */
+  def emissions(events: DataFrame)
+      : (Dataset[SessHit], org.apache.spark.util.LongAccumulator) = {
     import events.sparkSession.implicits._
     val oooAcc = events.sparkSession.sparkContext
       .longAccumulator("graft.sessioncount.outOfOrderArrivals")
-    outOfOrderArrivals = Some(oooAcc)
-    events.select("user_id", "ts_ms", "event_id")
+    val hits = events.select("user_id", "ts_ms", "event_id")
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[LastMs, SessHit](
@@ -60,6 +61,7 @@ object StreamingSessionCount {
           state.update(st)
           out.iterator
       }
+    (hits, oooAcc)
   }
 
   /** Fold a table of emissions into the batch query's full output

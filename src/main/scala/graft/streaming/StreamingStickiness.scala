@@ -25,7 +25,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * arrival with w < wk — a cross-micro-batch reorder into a PRIOR
   * week — may carry an uncounted (user, day) and silently undercount
   * DAU/WAU relative to batch; the two-long state cannot tell. Every
-  * such arrival increments [[outOfOrderArrivals]]: zero ⇒ the parity
+  * such arrival increments the accumulator [[emissions]] returns:
+  * zero ⇒ the parity
   * guarantee held; nonzero ⇒ the contract was violated, loudly.
   *
   * At 100 TB: state is |users| × two longs sharded by the state
@@ -37,17 +38,17 @@ object StreamingStickiness {
 
   final case class StickHit(cls: String, idx: Long)
 
-  /** Violation detector for the most recent [[emissions]] call. */
-  @volatile var outOfOrderArrivals
-      : Option[org.apache.spark.util.LongAccumulator] = None
-
-  /** events: (user_id, ts_ms, event_id) — ts as epoch millis. */
-  def emissions(events: DataFrame): Dataset[StickHit] = {
+  /** events: (user_id, ts_ms, event_id) — ts as epoch millis. Returns
+    * the hit stream paired with its own in-order-contract accumulator
+    * (the [[StreamingGrowthAccounting.emissions]] pairing rule —
+    * ADVICE r16: a global handle is last-writer-wins across
+    * concurrent streams in one JVM). */
+  def emissions(events: DataFrame)
+      : (Dataset[StickHit], org.apache.spark.util.LongAccumulator) = {
     import events.sparkSession.implicits._
     val oooAcc = events.sparkSession.sparkContext
       .longAccumulator("graft.stickiness.outOfOrderArrivals")
-    outOfOrderArrivals = Some(oooAcc)
-    events.select("user_id", "ts_ms", "event_id")
+    val hits = events.select("user_id", "ts_ms", "event_id")
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[WeekMask, StickHit](
@@ -74,6 +75,7 @@ object StreamingStickiness {
           state.update(st)
           out.iterator
       }
+    (hits, oooAcc)
   }
 
   /** Fold a table of emissions into the batch query's full output

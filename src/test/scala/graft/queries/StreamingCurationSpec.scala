@@ -570,7 +570,7 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
 
     val mem = MemoryStream[(Long, Long, Long)]
     val q = graft.streaming.StreamingGrowthAccounting.emissions(
-        mem.toDS().toDF("user_id", "ts_ms", "event_id"))
+        mem.toDS().toDF("user_id", "ts_ms", "event_id"))._1
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("growth1").start()
     try {
@@ -616,7 +616,7 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     val mem = MemoryStream[(Long, Long, Long)]
     def start() =
       graft.streaming.StreamingGrowthAccounting.emissions(
-          mem.toDS().toDF("user_id", "ts_ms", "event_id"))
+          mem.toDS().toDF("user_id", "ts_ms", "event_id"))._1
         .writeStream.outputMode(OutputMode.Append())
         .format("parquet").option("path", s"$dir/out")
         .option("checkpointLocation", s"$dir/ckpt").start()
@@ -763,11 +763,11 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
 
     val mem = MemoryStream[(Long, Long, Long)]
-    val q = graft.streaming.StreamingStickiness.emissions(
+    val (stickHits, acc) = graft.streaming.StreamingStickiness.emissions(
         mem.toDS().toDF("user_id", "ts_ms", "event_id"))
+    val q = stickHits
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("stick1").start()
-    val acc = graft.streaming.StreamingStickiness.outOfOrderArrivals.get
     try {
       // three batches: users crossing a day or week boundary at a
       // split must classify from state (the 7-bit mask makes within-
@@ -811,7 +811,7 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     // (user, day) pairs and overcount the batch rows
     val mem = MemoryStream[(Long, Long, Long)]
     def start() = graft.streaming.StreamingStickiness.emissions(
-        mem.toDS().toDF("user_id", "ts_ms", "event_id"))
+        mem.toDS().toDF("user_id", "ts_ms", "event_id"))._1
       .writeStream.outputMode(OutputMode.Append())
       .format("parquet").option("path", s"$dir/out")
       .option("checkpointLocation", s"$dir/ckpt").start()
@@ -834,11 +834,11 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     // event in a later batch must increment the accumulator
     val mem2 = MemoryStream[(Long, Long, Long)]
     val wk = 604800000L
-    val q3 = graft.streaming.StreamingStickiness.emissions(
+    val (stickHits2, acc2) = graft.streaming.StreamingStickiness.emissions(
         mem2.toDS().toDF("user_id", "ts_ms", "event_id"))
+    val q3 = stickHits2
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("stick2").start()
-    val acc2 = graft.streaming.StreamingStickiness.outOfOrderArrivals.get
     try {
       mem2.addData((9L, 2 * wk, 1L)); q3.processAllAvailable()
       mem2.addData((9L, wk, 2L)); q3.processAllAvailable()
@@ -857,12 +857,11 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
 
     // clean in-order feed across two batches → accumulator stays 0
     val memA = MemoryStream[(Long, Long, Long)]
-    val qA = graft.streaming.StreamingGrowthAccounting.emissions(
+    val (hitsA, accA) = graft.streaming.StreamingGrowthAccounting.emissions(
         memA.toDS().toDF("user_id", "ts_ms", "event_id"))
+    val qA = hitsA
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("gaooo1").start()
-    val accA = graft.streaming.StreamingGrowthAccounting
-      .outOfOrderArrivals.get
     try {
       memA.addData((1L, 0L, 1L)); qA.processAllAvailable()
       memA.addData((1L, 2 * wk, 2L)); qA.processAllAvailable()
@@ -874,12 +873,11 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     // silently dropped from the counts (two-long state can't recover
     // it) but now LOUDLY counted as a contract violation
     val memB = MemoryStream[(Long, Long, Long)]
-    val qB = graft.streaming.StreamingGrowthAccounting.emissions(
+    val (hitsB, accB) = graft.streaming.StreamingGrowthAccounting.emissions(
         memB.toDS().toDF("user_id", "ts_ms", "event_id"))
+    val qB = hitsB
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("gaooo2").start()
-    val accB = graft.streaming.StreamingGrowthAccounting
-      .outOfOrderArrivals.get
     try {
       memB.addData(Seq((1L, 0L, 1L), (1L, 2 * wk, 2L))); qB.processAllAvailable()
       memB.addData((1L, wk, 3L)); qB.processAllAvailable()
@@ -1642,17 +1640,23 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     // exact integer, so the final row per type must be BIT-identical
     // to the oracle-hash-matched batch row
     val mem = MemoryStream[(String, Long, Long)]
-    def start() = graft.streaming.StreamingHoltWinters.levels(
+    def start() = {
+      val (pts, acc) = graft.streaming.StreamingHoltWinters.levels(
         mem.toDS().toDF("event_type", "day", "n"))
-      .writeStream.outputMode(OutputMode.Append())
-      .format("parquet").option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/ckpt").start()
-    val q1 = start()
+      (pts.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start(), acc)
+    }
+    val (q1, acc1) = start()
     try { mem.addData(rollup.take(half).toIndexedSeq); q1.processAllAvailable() }
     finally q1.stop()
-    val q2 = start()
+    val (q2, acc2) = start()
     try { mem.addData(rollup.drop(half).toIndexedSeq); q2.processAllAvailable() }
     finally q2.stop()
+    // the day-ordered rollup is a clean in-order feed: the ADVICE-r16
+    // duplicate/reorder detector must stay at zero across the restart
+    assert(acc1.value + acc2.value == 0L,
+      s"clean feed tripped the HW detector: ${acc1.value}/${acc2.value}")
 
     val streamed = spark.read.parquet(s"$dir/out")
       .collect().map(r => (r.getString(0),
@@ -1665,6 +1669,28 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
           r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
     assert(streamed.nonEmpty && streamed == batch,
       s"streamed HW != batch: $streamed vs $batch")
+
+    // ADVICE r16: a re-delivered closed (type, day) row and a
+    // prior-day reorder must each trip the detector WITHOUT folding
+    // (the state after the violations equals the state before them)
+    val mem2 = MemoryStream[(String, Long, Long)]
+    val (pts2, accD) = graft.streaming.StreamingHoltWinters.levels(
+      mem2.toDS().toDF("event_type", "day", "n"))
+    val q3 = pts2.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("hwooo1").start()
+    try {
+      mem2.addData(Seq(("a", 10L, 5L), ("a", 11L, 7L))); q3.processAllAvailable()
+      val clean = spark.table("hwooo1").collect().map(_.toSeq).toSeq
+      mem2.addData(Seq(("a", 11L, 7L), ("a", 9L, 3L))); q3.processAllAvailable()
+      assert(accD.value == 2L,
+        s"duplicate + reorder must trip the detector twice: ${accD.value}")
+      // nothing was emitted for the violating rows, and a subsequent
+      // in-order day folds from the UNCORRUPTED state
+      mem2.addData(("a", 12L, 9L)); q3.processAllAvailable()
+      val after = spark.table("hwooo1").collect().map(_.toSeq).toSeq
+      assert(after.size == clean.size + 1,
+        s"violating rows must emit nothing: ${after.size} vs ${clean.size}")
+    } finally q3.stop()
   }
 
   test("live session-count ladder: streamed hits fold to the batch " +
@@ -1685,19 +1711,19 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     val half = prepared.length / 2
 
     val mem = MemoryStream[(Long, Long, Long)]
-    def start() = graft.streaming.StreamingSessionCount.emissions(
+    def start() = {
+      val (hits, acc) = graft.streaming.StreamingSessionCount.emissions(
         mem.toDS().toDF("user_id", "ts_ms", "event_id"))
-      .writeStream.outputMode(OutputMode.Append())
-      .format("parquet").option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/ckpt").start()
-    val q1 = start()
+      (hits.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start(), acc)
+    }
+    val (q1, acc) = start()
     try { mem.addData(prepared.take(half).toIndexedSeq); q1.processAllAvailable() }
     finally q1.stop()
-    val acc = graft.streaming.StreamingSessionCount.outOfOrderArrivals.get
-    val q2 = start()
+    val (q2, acc2) = start()
     try { mem.addData(prepared.drop(half).toIndexedSeq); q2.processAllAvailable() }
     finally q2.stop()
-    val acc2 = graft.streaming.StreamingSessionCount.outOfOrderArrivals.get
     assert(acc.value + acc2.value == 0L,
       s"clean feed tripped the detector: ${acc.value}/${acc2.value}")
 
@@ -1711,11 +1737,11 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
 
     // reorder detector: a user's earlier-ms event in a later batch
     val mem2 = MemoryStream[(Long, Long, Long)]
-    val q3 = graft.streaming.StreamingSessionCount.emissions(
+    val (sessHits2, acc3) = graft.streaming.StreamingSessionCount.emissions(
         mem2.toDS().toDF("user_id", "ts_ms", "event_id"))
+    val q3 = sessHits2
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("sesscount2").start()
-    val acc3 = graft.streaming.StreamingSessionCount.outOfOrderArrivals.get
     try {
       mem2.addData((7L, 100000L, 1L)); q3.processAllAvailable()
       mem2.addData((7L, 50000L, 2L)); q3.processAllAvailable()
