@@ -3519,6 +3519,153 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Log-additive Holt–Winters — the multiplicative-seasonality answer
+    * (x_forecast_holt_winters's boundary note, made executable, r16
+    * verdict #3): ratio seasonality IS additive seasonality on ln(x),
+    * so the shipped model is the SAME three-equation α = β = γ = 1/2
+    * fold, run on x = ln(daily count) in doubles — per type,
+    *   l' = (x − s[i] + l + b) / 2
+    *   b' = (l' − l + b) / 2
+    *   s'[i] = (x − l' + s[i]) / 2,  e += |x − l − b − s[i]|
+    * with the integer query's calendar-aligned i = day % 7, zero-profile
+    * seed (l = x₁, b = 0, s = 0⁷) and identical guard branches.
+    *
+    * FLOAT ADMISSIBILITY WORKSHEET (why doubles here when they were
+    * rejected for the count-domain forecasts): in the count domain an
+    * EXACT integer-bp spelling exists, so any inexact spelling is
+    * strictly worse — that was the x_forecast_holt rejection. ln is
+    * transcendental: no exact spelling exists and the engines' libm ln
+    * may already disagree at 1 ulp per input, so the contract here is
+    * the x_zipf_slope envelope instead — IDENTICAL operand trees over
+    * ulp-perturbed inputs, round-4 + 0.0 at the end. Drift bound:
+    * every /2 is EXACT in IEEE (exponent decrement; no subnormals at
+    * |x| ≤ ln 10⁷ ≈ 16), each step's 4 adds/subs are correctly rounded,
+    * and the 1/2-smoothing contracts inherited error geometrically, so
+    * the cross-engine skew after n days is ≲ 4·n·ulp(16) ≈ 300 days ·
+    * 4 · 1.8e-15 ≈ 2e-12 — twelve orders inside the 1e-4 rounding
+    * contract (vs the count-domain case, where exactness was FREE and
+    * float would have paid this bound for nothing). The seed-step
+    * simplification in the oracle ((x + l₁)/2 for (x − 0 + l₁ + 0)/2)
+    * is bit-exact because ±0.0 terms are IEEE-exact no-ops.
+    *
+    * Reading the output: everything is in LOG units (nats of daily
+    * count) — season_amp_ln is the log of the weekly max/min RATIO the
+    * multiplicative model would quote (exp of it = the ratio; the
+    * DegenerateInputSpec pin drives a constant-ratio weekly series and
+    * recovers ln of the planted ratio), trend_ln is the daily
+    * growth RATE (exp − 1 ≈ week-over-week percentage growth), and
+    * forecast_next_ln exponentiates to the count-scale forecast —
+    * presentation steps left to the reader so the declared surface
+    * stays in the domain the arithmetic is exact-by-contract in.
+    *
+    * Scale shape: identical to x_forecast_holt_winters — one
+    * (type, day) map-side-combined aggregate (ln applied to the closed
+    * count, one per rollup row), then a per-type sequential fold over
+    * ≤ span-days arrays; nothing downstream depends on event volume. */
+  private val forecastHwLog = Q(
+    "x_forecast_hw_log",
+    Some("""WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                ln(CAST(count(*) AS DOUBLE)) AS x
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type,
+                    list(struct_pack(day := day, x := x) ORDER BY day) AS xs
+                  FROM d GROUP BY 1),
+            f AS (SELECT event_type, len(xs) AS n_days,
+                    xs[len(xs)].day AS last_day,
+                    list_reduce(list_transform(xs, x ->
+                        [CAST(x.day AS DOUBLE), x.x]),
+                      (acc, x) -> CASE WHEN len(acc) = 2 THEN
+                        [(x[2] + acc[2]) / 2.0,
+                         ((x[2] + acc[2]) / 2.0 - acc[2]) / 2.0]
+                        || list_transform(range(0, 7), j ->
+                             CASE WHEN j = CAST(x[1] AS BIGINT) % 7
+                             THEN (x[2] - (x[2] + acc[2]) / 2.0) / 2.0
+                             ELSE CAST(0 AS DOUBLE) END)
+                        || [abs(x[2] - acc[2])]
+                      ELSE
+                        [(x[2] - acc[3 + (CAST(x[1] AS BIGINT) % 7)]
+                            + acc[1] + acc[2]) / 2.0,
+                         ((x[2] - acc[3 + (CAST(x[1] AS BIGINT) % 7)]
+                            + acc[1] + acc[2]) / 2.0 - acc[1] + acc[2]) / 2.0]
+                        || list_transform(range(0, 7), j ->
+                             CASE WHEN j = CAST(x[1] AS BIGINT) % 7
+                             THEN (x[2]
+                               - (x[2] - acc[3 + (CAST(x[1] AS BIGINT) % 7)]
+                                  + acc[1] + acc[2]) / 2.0
+                               + acc[3 + j]) / 2.0
+                             ELSE acc[3 + j] END)
+                        || [acc[10] + abs(x[2] - acc[1] - acc[2]
+                             - acc[3 + (CAST(x[1] AS BIGINT) % 7)])]
+                      END) AS st
+                  FROM s)
+            SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+              round(CASE WHEN n_days = 1 THEN st[2] ELSE st[1] END, 4)
+                + 0.0 AS level_ln,
+              round(CASE WHEN n_days = 1 THEN 0.0 ELSE st[2] END, 4)
+                + 0.0 AS trend_ln,
+              round(CASE WHEN n_days = 1 THEN 0.0
+                   ELSE st[3 + ((last_day + 1) % 7)] END, 4)
+                + 0.0 AS season_next_ln,
+              round(CASE WHEN n_days = 1 THEN st[2]
+                   ELSE st[1] + st[2] + st[3 + ((last_day + 1) % 7)] END, 4)
+                + 0.0 AS forecast_next_ln,
+              round(CASE WHEN n_days = 1 THEN 0.0
+                   ELSE list_max(st[3:9]) - list_min(st[3:9]) END, 4)
+                + 0.0 AS season_amp_ln,
+              round(CASE WHEN n_days >= 2 THEN st[10] / (n_days - 1)
+                   ELSE 0.0 END, 4) + 0.0 AS mae_ln
+            FROM f ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .groupBy($"event_type", expr("unix_millis(ts) DIV 86400000").as("day"))
+        .agg(expr("ln(CAST(count(*) AS DOUBLE))").as("x"))
+      d.groupBy($"event_type")
+        .agg(expr("sort_array(collect_list(struct(day, x)))").as("xs"))
+        .select($"event_type", size($"xs").cast("long").as("n_days"),
+          expr("element_at(xs, -1).day").as("last_day"),
+          expr("""aggregate(slice(xs, 2, size(xs) - 1),
+                    named_struct('l', xs[0].x, 'b', CAST(0.0 AS DOUBLE),
+                      's', array_repeat(CAST(0.0 AS DOUBLE), 7),
+                      'e', CAST(0.0 AS DOUBLE)),
+                    (acc, x) -> named_struct(
+                      'l', (x.x
+                        - element_at(acc.s, CAST(x.day % 7 AS INT) + 1)
+                        + acc.l + acc.b) / 2.0D,
+                      'b', ((x.x
+                        - element_at(acc.s, CAST(x.day % 7 AS INT) + 1)
+                        + acc.l + acc.b) / 2.0D - acc.l + acc.b) / 2.0D,
+                      's', transform(acc.s, (v, j) ->
+                        IF(j = CAST(x.day % 7 AS INT),
+                           (x.x
+                             - (x.x
+                                - element_at(acc.s, CAST(x.day % 7 AS INT) + 1)
+                                + acc.l + acc.b) / 2.0D
+                             + v) / 2.0D,
+                           v)),
+                      'e', acc.e + abs(x.x - acc.l - acc.b
+                        - element_at(acc.s, CAST(x.day % 7 AS INT) + 1))))""")
+            .as("st"))
+        .select($"event_type", $"n_days",
+          (round($"st.l", 4) + 0.0).as("level_ln"),
+          when($"n_days" === 1, 0.0)
+            .otherwise(round($"st.b", 4) + 0.0).as("trend_ln"),
+          when($"n_days" === 1, 0.0)
+            .otherwise(round(
+              expr("element_at(st.s, CAST((last_day + 1) % 7 AS INT) + 1)"),
+              4) + 0.0).as("season_next_ln"),
+          when($"n_days" === 1, round($"st.l", 4) + 0.0)
+            .otherwise(round(expr("st.l + st.b"
+              + " + element_at(st.s, CAST((last_day + 1) % 7 AS INT) + 1)"),
+              4) + 0.0).as("forecast_next_ln"),
+          when($"n_days" === 1, 0.0)
+            .otherwise(round(expr("array_max(st.s) - array_min(st.s)"), 4)
+              + 0.0).as("season_amp_ln"),
+          when($"n_days" >= 2, round(expr("st.e / (n_days - 1)"), 4) + 0.0)
+            .otherwise(0.0).as("mae_ln"))
+        .orderBy($"event_type")
+    })
+
   /** ORACLE-BACKED per-cohort retention half-life — x_retention_halflife
     * UNPOOLED: that query quotes ONE number for the whole corpus; this
     * one fits the same exponential-decay model ln(rate) = a + b·k per
@@ -3607,5 +3754,5 @@ object EventAnalytics extends QueryModule {
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
     driftChi2, retentionHalflife, markovMfpt, markovEntropy, driftJs,
-    sessionGapSweep, forecastHoltWinters, cohortHalflife)
+    sessionGapSweep, forecastHoltWinters, cohortHalflife, forecastHwLog)
 }

@@ -975,4 +975,70 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     // = 2 (rolls forward); quick ratio = 1·10⁴ DIV 2 = 5000
     assert(rows(2L) == ((1L, 0L, 0L, 1L, 2L, 5000L)), rows(2L).toString)
   }
+
+  test("x_forecast_hw_log closed forms: constant series is an EXACT " +
+      "float fixpoint; a planted constant-RATIO weekly series recovers " +
+      "ln of the ratio span (the multiplicative-seasonality pin); " +
+      "singleton day takes the n_days = 1 branch") {
+    import spark.implicits._
+    val dir = tmpDir("hwlogdegen")
+    val day = 86400000L
+    // 'flat': 10 days × 5 events/day. In log space x = ln 5 every day
+    // and the fold is an EXACT IEEE fixpoint (x − 0 + x + 0 = 2x and
+    // /2 are both exact): level = ln 5, trend/seasonals/mae all +0.0.
+    val flat = for { d <- 0L until 10L; k <- 0L until 5L } yield
+      (d * 10 + k, new Timestamp(d * day), k, "flat", 1.0, "{}")
+    // 'ratio': 100 weeks of counts 2^(day%7) — a PERFECT weekly ratio
+    // structure (each weekday 2× the previous), i.e. multiplicative
+    // seasonality with ratio span 64. In log space that is exact
+    // additive seasonality, and the converged profile's amplitude is
+    // ln 64 (the claim the integer query's boundary note makes:
+    // "teams log-transform instead" — this pin is that claim, run).
+    val ratio = for {
+      d <- 0L until 700L
+      k <- 0L until (1L << (d % 7L))
+    } yield (10000 + d * 100 + k, new Timestamp(d * day), k, "ratio",
+      1.0, "{}")
+    // 'young': one day, 3 events → seed-only branch, level = ln 3.
+    val young = (0L until 3L).map(i =>
+      (990000L + i, new Timestamp(0L), i, "young", 1.0, "{}"))
+    (flat ++ ratio ++ young)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_forecast_hw_log")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln5 = r4(math.log(5.0))
+    assert(rows("flat") == ((10L, ln5, 0.0, 0.0, ln5, 0.0, 0.0)),
+      rows("flat").toString)
+    val ln3 = r4(math.log(3.0))
+    assert(rows("young") == ((1L, ln3, 0.0, 0.0, ln3, 0.0, 0.0)),
+      rows("young").toString)
+    // the ratio pin, two ways: (a) bit-replay the fold in Scala (the
+    // same IEEE ops the query runs) — every column must match; (b) the
+    // interpretable claim: amplitude within 1e-3 of ln 64 and trend
+    // rounds to exactly 0.0 after 100 weeks.
+    var l = math.log(1.0); var b = 0.0; var e = 0.0
+    val s = Array.fill(7)(0.0)
+    (1 until 700).foreach { d =>
+      val x = math.log((1L << (d % 7)).toDouble)
+      val i = d % 7
+      val l2 = (x - s(i) + l + b) / 2.0
+      val b2 = (l2 - l + b) / 2.0
+      e += math.abs(x - l - b - s(i))
+      s(i) = (x - l2 + s(i)) / 2.0
+      l = l2; b = b2
+    }
+    val sNext = s(700 % 7)
+    val want = ((700L, r4(l), r4(b), r4(sNext), r4(l + b + sNext),
+      r4(s.max - s.min), r4(e / 699.0)))
+    assert(rows("ratio") == want, s"${rows("ratio")} vs $want")
+    assert(math.abs(rows("ratio")._6 - math.log(64.0)) < 1e-3,
+      s"amplitude must recover ln(ratio span): ${rows("ratio")._6}")
+    assert(rows("ratio")._3 == 0.0,
+      s"planted zero-growth series must show zero trend: ${rows("ratio")._3}")
+  }
 }
