@@ -3287,6 +3287,106 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Wasserstein-1 (earth-mover) drift — the drift family's sixth batch
+    * member (TVD = binned mix, KS = worst-level ECDF gap, MW = location
+    * direction, PSI/χ² = banded scores, JSD = symmetric divergence; W₁
+    * answers the magnitude question none of them do: HOW FAR did the
+    * value mass move, in the value's own units — a 1-cent shift and a
+    * $100 shift both max out KS at disjoint supports, but W₁ reads 1
+    * vs 10⁴). Same calendar-midpoint split and cents quantizer as
+    * x_drift_ks, and the SAME merged-level ECDF walk — summed with
+    * level-gap weights instead of sup'd: on the real line
+    * W₁ = ∫|F_E − F_L| dx = Σ_levels |cumE·nl − cuml·ne|·Δcents over
+    * the merged support (the CDFs are constant between levels), every
+    * term an exact int64 product (Vaserstein 1969; Villani's
+    * one-dimensional CDF formula).
+    *
+    * One final scaling to bp of a cent, spelled as the exact
+    * floor-division decomposition
+    *   w1_bp = (tot DIV d)·10⁴ + ((tot MOD d)·10⁴) DIV d,  d = ne·nl
+    * ≡ floor(tot·10⁴/d) for nonnegative operands (tot = q·d + r with
+    * r < d ⇒ floor(tot·10⁴/d) = q·10⁴ + floor(r·10⁴/d)) — chosen over
+    * the naive tot·10⁴ DIV d because tot ≤ ne·nl·range(cents) carries
+    * the RANGE factor the KS max does not: naive scaling overflows at
+    * ne·nl·range ≥ 2^63/10⁴ while the decomposition only needs
+    * tot < 2^63 AND the KS-class ne·nl < 2^63/10⁴ ≈ 9.2·10¹⁴ bound
+    * (r < d makes r·10⁴ < d·10⁴). At sf0.1: tot ≲ 1.4·10¹⁰·10⁴ =
+    * 1.4·10¹⁴ — four orders inside. The last merged level contributes
+    * 0 twice over (cumE·nl = cuml·ne = ne·nl there, and its gap is
+    * COALESCEd to 0) — no off-support tail term exists. Types with an
+    * empty half drop identically in both engines (the x_drift_ks
+    * rule). W₁ units: w1_bp = 10⁻⁴ cents, so a clean point-mass shift
+    * of d cents reads exactly d·10⁴ (the DegenerateInputSpec pin).
+    *
+    * Scale shape: identical to x_drift_ks — one map-side-combined
+    * (type, cents) aggregate, ONE type-keyed window pass (prefix sums,
+    * totals and the lead gap share the same partition), a
+    * type-cardinality rollup. Nothing downstream of the first
+    * aggregate depends on event volume. */
+  private val driftEmd = Q(
+    "x_drift_emd",
+    Some("""WITH d AS (SELECT event_type,
+                         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                         epoch_ms(ts) // 86400000 AS day FROM events),
+            dr AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+            s AS (SELECT event_type, cents,
+                    CAST(sum(CASE WHEN day <= (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+                    CAST(sum(CASE WHEN day > (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS la
+                  FROM d CROSS JOIN dr GROUP BY 1, 2),
+            c AS (SELECT event_type, cents,
+                    CAST(sum(ea) OVER w AS BIGINT) AS cume,
+                    CAST(sum(la) OVER w AS BIGINT) AS cuml,
+                    CAST(sum(ea) OVER t AS BIGINT) AS ne,
+                    CAST(sum(la) OVER t AS BIGINT) AS nl,
+                    lead(cents) OVER (PARTITION BY event_type
+                      ORDER BY cents) AS nxt
+                  FROM s
+                  WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   t AS (PARTITION BY event_type)),
+            m AS (SELECT event_type, ne, nl,
+                    CAST(sum(abs(cume * nl - cuml * ne)
+                      * (coalesce(nxt, cents) - cents)) AS BIGINT) AS tot
+                  FROM c WHERE ne > 0 AND nl > 0
+                  GROUP BY event_type, ne, nl)
+            SELECT event_type, CAST(ne AS BIGINT) AS n_early,
+              CAST(nl AS BIGINT) AS n_late,
+              CAST((tot // (ne * nl)) * 10000
+                + ((tot % (ne * nl)) * 10000) // (ne * nl)
+                AS BIGINT) AS w1_bp
+            FROM m ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .select($"event_type",
+          expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val dr = d.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val s = d.crossJoin(broadcast(dr))
+        .withColumn("early", $"day" <= expr("(d0 + d1) DIV 2"))
+        .groupBy($"event_type", $"cents")
+        .agg(sum(when($"early", 1L).otherwise(0L)).as("ea"),
+          sum(when(!$"early", 1L).otherwise(0L)).as("la"))
+      val wC = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy($"event_type")
+      val wL = Window.partitionBy($"event_type").orderBy($"cents")
+      val c = s.select($"event_type", $"cents",
+        sum($"ea").over(wC).as("cume"), sum($"la").over(wC).as("cuml"),
+        sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"),
+        lead($"cents", 1).over(wL).as("nxt"))
+        .where($"ne" > 0 && $"nl" > 0)
+      c.groupBy($"event_type", $"ne", $"nl")
+        .agg(sum(abs($"cume" * $"nl" - $"cuml" * $"ne")
+          * (coalesce($"nxt", $"cents") - $"cents")).as("tot"))
+        .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
+          expr("""(tot DIV (ne * nl)) * 10000
+            + ((tot % (ne * nl)) * 10000) DIV (ne * nl)""").as("w1_bp"))
+        .orderBy($"event_type")
+    })
+
   /** ORACLE-BACKED session-timeout sensitivity sweep — the operational
     * read that JUSTIFIES a sessionizer's gap constant (r_stream_session
     * and x_session_stats both pin 30 min by declaration; this query
@@ -3754,5 +3854,6 @@ object EventAnalytics extends QueryModule {
     markovAbsorbTo, hazardNa, driftMw, growthAccounting, forecastHolt,
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
     driftChi2, retentionHalflife, markovMfpt, markovEntropy, driftJs,
-    sessionGapSweep, forecastHoltWinters, cohortHalflife, forecastHwLog)
+    sessionGapSweep, forecastHoltWinters, cohortHalflife, forecastHwLog,
+    driftEmd)
 }

@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Live Kolmogorov–Smirnov shape drift — the 27th streaming twin and
-  * the drift family's last live member, incremental over x_drift_ks:
+/** Live Kolmogorov–Smirnov shape drift — the 27th streaming twin,
+  * incremental over x_drift_ks:
   * the frozen EARLY-half value distribution is the trained artifact
   * (the [[StreamingDrift]] / [[StreamingDriftMw]] contract), and the
   * late half arrives as a stream.
@@ -53,11 +53,13 @@ object StreamingDriftKs {
       n_late: Long, ks_at_cents: Long, ks_bp: Long)
 
   /** One type's frozen early side: level-sorted cents with prefix
-    * counts (cumLe(i) = #early values ≤ cents(i)). */
-  private final case class EarlySide(cents: Array[Long],
+    * counts (cumLe(i) = #early values ≤ cents(i)). Shared with
+    * [[StreamingDriftEmd]] — same artifact, same state, different
+    * walk (sup vs gap-weighted sum). */
+  private[streaming] final case class EarlySide(cents: Array[Long],
       cumLe: Array[Long], ne: Long)
 
-  private def build(hist: Map[String, Seq[(Long, Long)]])
+  private[streaming] def build(hist: Map[String, Seq[(Long, Long)]])
       : Map[String, EarlySide] =
     hist.collect { case (t, levels) if levels.nonEmpty =>
       val sorted = levels.sortBy(_._1).toArray

@@ -249,6 +249,39 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(psi("shift") == ((10L, 10L, 10L, want)), psi("shift").toString)
   }
 
+  test("x_drift_emd closed forms: identical halves => 0; point masses " +
+      "at distance d => w1_bp EXACTLY d*10^4; a uniform shift by s => " +
+      "exactly s*10^4") {
+    import spark.implicits._
+    val dir = tmpDir("emddegen")
+    // 'same': identical half-multisets → every cross term cancels → 0.
+    // 'point': early all at 1.00, late all at 8.00 → the verdict's
+    // closed form: disjoint point masses at distance d ⇒ W₁ = d =
+    // 700 cents ⇒ w1_bp = 700·10⁴ (the only nonzero term is the full
+    // ne·nl gap over the 700-cent span).
+    // 'shift': the KS pin's corpus — 10 uniform levels shifted up by
+    // exactly 100.00 → W₁ = 10⁴ cents ⇒ w1_bp = 10⁸ (translation
+    // invariance: W₁ of a pure shift IS the shift).
+    val same = (1L to 10L).flatMap(i => Seq(
+      (i, new Timestamp(0L), i, "same", i.toDouble, "{}"),
+      (100 + i, new Timestamp(864000000L), i, "same", i.toDouble, "{}")))
+    val point = (1L to 5L).flatMap(i => Seq(
+      (400 + i, new Timestamp(0L), i, "point", 1.0, "{}"),
+      (500 + i, new Timestamp(864000000L), i, "point", 8.0, "{}")))
+    val shift = (1L to 10L).flatMap(i => Seq(
+      (200 + i, new Timestamp(0L), i, "shift", i.toDouble, "{}"),
+      (300 + i, new Timestamp(864000000L), i, "shift", 100.0 + i, "{}")))
+    (same ++ point ++ shift)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_drift_emd")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("same") == ((10L, 10L, 0L)), rows("same").toString)
+    assert(rows("point") == ((5L, 5L, 7000000L)), rows("point").toString)
+    assert(rows("shift") == ((10L, 10L, 100000000L)), rows("shift").toString)
+  }
+
   test("x_drift_mw closed forms: identical halves => EXACTLY 5000 bp " +
       "(pairing symmetry, not expectation); late half strictly above " +
       "=> u2 = 0 and 0 bp") {

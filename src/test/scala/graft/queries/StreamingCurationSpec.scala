@@ -1023,6 +1023,143 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       s"post-restart KS != batch: $streamed vs $batch")
   }
 
+  test("live W1 earth-mover drift: streamed gap-weighted sums EQUAL the " +
+      "batch x_drift_emd output at every split prefix (34th twin, the " +
+      "KS state verbatim with a summed walk)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    val d = eventsNanos(sf)
+      .select($"event_type",
+        expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+        expr("unix_millis(timestamp_micros(ts DIV 1000)) DIV 86400000")
+          .as("day"),
+        expr("ts DIV 1000").as("ts_us"), $"event_id")
+    val Array(dd0, dd1) = d.agg(min($"day"), max($"day")).collect()
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (dd0 + dd1) / 2
+    val early = d.where($"day" <= mid)
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("ea"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    val late = d.where($"day" > mid)
+      .orderBy($"ts_us", $"event_id")
+      .select($"event_type", $"cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingDriftEmd.drift(
+        mem.toDS().toDF("event_type", "cents"), early)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("emddrift1").start()
+    try {
+      val third = late.length / 3
+      mem.addData(late.take(third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(late.slice(third, 2 * third).toIndexedSeq); q.processAllAvailable()
+      mem.addData(late.drop(2 * third).toIndexedSeq); q.processAllAvailable()
+
+      val streamed = spark.table("emddrift1")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (t, xs) =>
+          t -> xs.map(_._2).maxBy(_._2) }
+      // the batch query is oracle-hash-matched, so this equality
+      // chains stream ≡ batch ≡ DuckDB
+      val batch = graft.SparkEntry.queries("x_drift_emd")(spark, sf)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed W1 != batch: $streamed vs $batch")
+
+      // mid-stream correctness at the 1/3 prefix: re-derive the
+      // gap-weighted sum off-line over early + prefix
+      val pre = late.take(third)
+      val firstEmit = spark.table("emddrift1")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (t, xs) =>
+          t -> xs.map(_._2).minBy(_._2) }
+      pre.groupBy(_._1).filter(kv => early.contains(kv._1))
+        .foreach { case (t, xs) =>
+          val lateHist = xs.groupBy(_._2)
+            .map { case (c, g) => c -> g.length.toLong }
+          val eSide = early(t).sortBy(_._1)
+          val ne = eSide.map(_._2).sum
+          val nl = xs.length.toLong
+          val merged = (eSide.map(_._1) ++ lateHist.keys).distinct.sorted
+          var cumE = 0L; var cumL = 0L; var tot = 0L
+          merged.zipWithIndex.foreach { case (v, i) =>
+            cumE += eSide.filter(_._1 == v).map(_._2).sum
+            cumL += lateHist.getOrElse(v, 0L)
+            if (i + 1 < merged.length)
+              tot += math.abs(cumE * nl - cumL * ne) * (merged(i + 1) - v)
+          }
+          val d2 = ne * nl
+          val want = (ne, nl, (tot / d2) * 10000L + ((tot % d2) * 10000L) / d2)
+          assert(firstEmit(t) == want,
+            s"prefix emission for $t: ${firstEmit(t)} vs $want")
+        }
+    } finally q.stop()
+  }
+
+  test("live W1 earth-mover drift: checkpoint RESTART resumes the " +
+      "per-type late histogram — final file-sink rows still equal the " +
+      "batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("emddriftrestart")
+
+    val d = eventsNanos(sf)
+      .select($"event_type",
+        expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+        expr("unix_millis(timestamp_micros(ts DIV 1000)) DIV 86400000")
+          .as("day"),
+        expr("ts DIV 1000").as("ts_us"), $"event_id")
+    val Array(dd0, dd1) = d.agg(min($"day"), max($"day")).collect()
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = (dd0 + dd1) / 2
+    val early = d.where($"day" <= mid)
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("ea"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSeq }
+    val late = d.where($"day" > mid)
+      .orderBy($"ts_us", $"event_id")
+      .select($"event_type", $"cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val half = late.length / 2
+
+    // a reset state would restart the late histogram from empty and
+    // the final sum would see only post-restart arrivals
+    val mem = MemoryStream[(String, Long)]
+    def start() = graft.streaming.StreamingDriftEmd.drift(
+        mem.toDS().toDF("event_type", "cents"), early)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try { mem.addData(late.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { mem.addData(late.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).maxBy(_._2) }
+    val batch = graft.SparkEntry.queries("x_drift_emd")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch,
+      s"post-restart W1 != batch: $streamed vs $batch")
+  }
+
   test("live banded drift: streamed PSI AND chi2 rows EQUAL both batch " +
       "queries at the stream's end (29th twin, one frozen-band state " +
       "serving the pair)") {
