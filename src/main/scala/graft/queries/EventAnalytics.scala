@@ -1883,6 +1883,105 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Damped-trend Holt forecast (Gardner–McKenzie 1985; Gardner 2006's
+    * meta-review crowns it the best single forecasting benchmark) —
+    * the forecasting family's PRODUCTION-DEFAULT member between Holt
+    * and Holt–Winters: a raw linear trend extrapolated h steps ahead
+    * diverges (x_forecast_holt's known failure mode on settling
+    * series); damping multiplies the trend by φ per step so the
+    * forecast approaches a finite asymptote. φ = 3/4 — chosen INSIDE
+    * the integer discipline: φ·b = (b·3) DIV 4 is one exact trunc
+    * division (DELIBERATE trunc on the possibly-negative trend, the
+    * SCALING signed-division rule both engines share), no new scale
+    * factor, and 3/4 sits in the production 0.7–0.98 band. The fold
+    * (α = β = 1/2):
+    *   l' = (x·10⁴ + l + (b·3) DIV 4) DIV 2
+    *   b' = (l' − l + (b·3) DIV 4) DIV 2
+    *   e += |x·10⁴ − l − (b·3) DIV 4|
+    * — the Holt fold with every read of b damped first. Seeds
+    * l = x₁·10⁴, b = 0 (the Holt zero-trend seed). Derived columns,
+    * both exact closed forms of the geometric sum Σφᵏ on the emitted
+    * state: forecast_week_bp = l + (b·42591) DIV 16384 (h = 7:
+    * Σ_{k=1..7}(3/4)ᵏ = 3·(1 − 2187/16384) = 42591/16384, one exact
+    * trunc division — b·42591 ≤ 4·10¹⁵ at b ≤ 10¹¹, in envelope) and
+    * forecast_inf_bp = l + 3·b (Σ_{k≥1}(3/4)ᵏ = 3 — the model's
+    * finite asymptote, THE column that distinguishes damped from raw
+    * Holt, whose "asymptote" is ±∞ whenever b ≠ 0).
+    *
+    * Overflow: the x_forecast_holt envelope (counts ≤ 10⁷/day → state
+    * ≤ ~10¹¹ bp) plus the ×42591 week column ≪ 2^63.
+    *
+    * Scale shape: x_forecast_holt verbatim — one calendar-bounded
+    * (type, day) aggregate, then a per-type 3-long sequential fold. */
+  private val forecastHoltDamped = Q(
+    "x_forecast_holt_damped",
+    Some("""WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type, list(n ORDER BY day) AS xs
+                  FROM d GROUP BY 1),
+            f AS (SELECT event_type, len(xs) AS n_days,
+                    list_reduce(list_transform(xs, x -> [x]),
+                      (acc, x) -> CASE WHEN len(acc) = 1
+                        THEN [(x[1] * 10000 + acc[1] * 10000 + 0) // 2,
+                              ((x[1] * 10000 + acc[1] * 10000 + 0) // 2
+                                - acc[1] * 10000 + 0) // 2,
+                              abs(x[1] * 10000 - acc[1] * 10000 - 0)]
+                        ELSE [(x[1] * 10000 + acc[1]
+                                + (acc[2] * 3) // 4) // 2,
+                              ((x[1] * 10000 + acc[1]
+                                + (acc[2] * 3) // 4) // 2
+                                - acc[1] + (acc[2] * 3) // 4) // 2,
+                              acc[3] + abs(x[1] * 10000 - acc[1]
+                                - (acc[2] * 3) // 4)]
+                        END) AS st
+                  FROM s)
+            SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+              CAST(CASE WHEN n_days = 1 THEN 10000 * st[1] ELSE st[1] END
+                AS BIGINT) AS level_bp,
+              CAST(CASE WHEN n_days = 1 THEN 0 ELSE st[2] END
+                AS BIGINT) AS trend_bp,
+              CAST(CASE WHEN n_days = 1 THEN 10000 * st[1]
+                   ELSE st[1] + (st[2] * 3) // 4 END
+                AS BIGINT) AS forecast_next_bp,
+              CAST(CASE WHEN n_days = 1 THEN 10000 * st[1]
+                   ELSE st[1] + (st[2] * 42591) // 16384 END
+                AS BIGINT) AS forecast_week_bp,
+              CAST(CASE WHEN n_days = 1 THEN 10000 * st[1]
+                   ELSE st[1] + 3 * st[2] END
+                AS BIGINT) AS forecast_inf_bp,
+              CAST(CASE WHEN n_days >= 2 THEN st[3] // (n_days - 1)
+                   ELSE 0 END AS BIGINT) AS mae_bp
+            FROM f ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .groupBy($"event_type", expr("unix_millis(ts) DIV 86400000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      d.groupBy($"event_type")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(day, n))), p -> p.n)")
+          .as("xs"))
+        .select($"event_type", size($"xs").cast("long").as("n_days"),
+          expr("""aggregate(slice(xs, 2, size(xs) - 1),
+                    named_struct('l', xs[0] * 10000L, 'b', 0L, 'e', 0L),
+                    (acc, x) -> named_struct(
+                      'l', (x * 10000L + acc.l + (acc.b * 3L) DIV 4) DIV 2,
+                      'b', ((x * 10000L + acc.l + (acc.b * 3L) DIV 4) DIV 2
+                            - acc.l + (acc.b * 3L) DIV 4) DIV 2,
+                      'e', acc.e + abs(x * 10000L - acc.l
+                            - (acc.b * 3L) DIV 4)))""")
+            .as("st"))
+        .select($"event_type", $"n_days",
+          $"st.l".as("level_bp"), $"st.b".as("trend_bp"),
+          expr("st.l + (st.b * 3) DIV 4").as("forecast_next_bp"),
+          expr("st.l + (st.b * 42591) DIV 16384").as("forecast_week_bp"),
+          ($"st.l" + lit(3L) * $"st.b").as("forecast_inf_bp"),
+          when($"n_days" >= 2, expr("st.e DIV (n_days - 1)"))
+            .otherwise(0L).as("mae_bp"))
+        .orderBy($"event_type")
+    })
+
   /** Kaplan–Meier churn hazard table — the survival-analysis read a
     * retention team runs next to x_retention's cohort grid: per user,
     * lifetime t = last active day − first active day; a user counts as
@@ -3855,5 +3954,5 @@ object EventAnalytics extends QueryModule {
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
     driftChi2, retentionHalflife, markovMfpt, markovEntropy, driftJs,
     sessionGapSweep, forecastHoltWinters, cohortHalflife, forecastHwLog,
-    driftEmd)
+    driftEmd, forecastHoltDamped)
 }

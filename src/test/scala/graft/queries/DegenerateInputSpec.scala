@@ -397,6 +397,46 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
       rows("once").toString)
   }
 
+  test("x_forecast_holt_damped closed forms: constant series is a " +
+      "fixpoint; two-point series replays by hand with the trend " +
+      "VISIBLY damped vs raw Holt; singleton day takes the seed branch") {
+    import spark.implicits._
+    val dir = tmpDir("holtdampdegen")
+    val day = 86400000L
+    // 'flat': 5 days × 3/day → l = 3·10⁴ every step (damping a zero
+    // trend is zero), all three forecast columns = level, mae 0.
+    val flat = for { d <- 0L until 5L; k <- 0L until 3L } yield
+      (d * 10 + k, new Timestamp(d * day), k, "flat", 1.0, "{}")
+    // 'pair': day0 4, day1 8 → identical l/b to the Holt pin (the
+    // seed step damps b = 0): l = 6·10⁴, b = 10⁴, mae 4·10⁴ — but the
+    // FORECASTS differ from raw Holt's 7·10⁴: next = 6·10⁴ +
+    // (10⁴·3) DIV 4 = 67500, week = 6·10⁴ + (10⁴·42591) DIV 16384 =
+    // 85995 (trunc), asymptote = 6·10⁴ + 3·10⁴ = 9·10⁴ — finite,
+    // where raw Holt's h→∞ forecast diverges.
+    val pair = (0L until 4L).map(i =>
+      (100 + i, new Timestamp(0L), i, "pair", 1.0, "{}")) ++
+      (0L until 8L).map(i =>
+        (200 + i, new Timestamp(day), i, "pair", 1.0, "{}"))
+    val once = (0L until 2L).map(i =>
+      (300 + i, new Timestamp(0L), i, "once", 1.0, "{}"))
+    (flat ++ pair ++ once)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_forecast_holt_damped")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(rows("flat") ==
+      ((5L, 30000L, 0L, 30000L, 30000L, 30000L, 0L)),
+      rows("flat").toString)
+    assert(rows("pair") ==
+      ((2L, 60000L, 10000L, 67500L, 85995L, 90000L, 40000L)),
+      rows("pair").toString)
+    assert(rows("once") ==
+      ((1L, 20000L, 0L, 20000L, 20000L, 20000L, 0L)),
+      rows("once").toString)
+  }
+
   test("x_token_burstiness closed forms: a once-per-doc token has VMR 0 " +
       "(deterministic, NOT Poisson's 10000); a one-doc burst replays " +
       "k(n-1)*10^4 DIV n by hand") {

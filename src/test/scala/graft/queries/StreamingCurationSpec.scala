@@ -1887,6 +1887,71 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q3.stop()
   }
 
+  test("live cohort half-life: streamed existence hits fold to the " +
+      "batch x_cohort_halflife rows across a checkpoint restart (35th " +
+      "twin); a reorder trips the detector and a clean feed does not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("cohorthl")
+
+    val prepared = eventsNanos(sf)
+      .select($"user_id",
+        expr("unix_millis(timestamp_micros(ts DIV 1000))").as("ts_ms"),
+        $"event_id")
+      .orderBy($"ts_ms", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val half = prepared.length / 2
+
+    // parquet sink + restart in one drill: a reset state would re-seed
+    // already-cohorted users (overcounting n_users) and mis-offset
+    // their later weeks
+    val mem = MemoryStream[(Long, Long, Long)]
+    def start() = {
+      val (hits, acc) = graft.streaming.StreamingCohortHalflife.emissions(
+        mem.toDS().toDF("user_id", "ts_ms", "event_id"))
+      (hits.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start(), acc)
+    }
+    val (q1, acc1) = start()
+    try { mem.addData(prepared.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val (q2, acc2) = start()
+    try { mem.addData(prepared.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(acc1.value + acc2.value == 0L,
+      s"clean feed tripped the detector: ${acc1.value}/${acc2.value}")
+
+    val streamed = graft.streaming.StreamingCohortHalflife
+      .halfLifeOf(spark.read.parquet(s"$dir/out"))
+      .collect().map(_.toSeq).toSeq
+    // the batch query is oracle-hash-matched, so this equality chains
+    // stream ≡ batch ≡ DuckDB for the full per-cohort fit table
+    val batch = graft.SparkEntry.queries("x_cohort_halflife")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"post-restart cohort fit != batch: $streamed vs $batch")
+
+    // reorder detector: a user seen in week 2 then fed a week-1 event
+    // in a later batch (an uncounted mid-span week — the exact case
+    // the two-long state cannot recover)
+    val mem2 = MemoryStream[(Long, Long, Long)]
+    val wk = 604800000L
+    val (hits2, acc3) = graft.streaming.StreamingCohortHalflife.emissions(
+        mem2.toDS().toDF("user_id", "ts_ms", "event_id"))
+    val q3 = hits2
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cohorthl2").start()
+    try {
+      mem2.addData(Seq((5L, 0L, 1L), (5L, 2 * wk, 2L))); q3.processAllAvailable()
+      mem2.addData((5L, wk, 3L)); q3.processAllAvailable()
+      assert(acc3.value == 1L,
+        s"mid-span reorder must trip the detector: ${acc3.value}")
+    } finally q3.stop()
+  }
+
   test("live Benford screen: streamed digit rows EQUAL the batch " +
       "x_value_benford output across a checkpoint restart (33rd twin)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
