@@ -1952,6 +1952,75 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     } finally q3.stop()
   }
 
+  test("live conversion lag: streamed per-user lag hits fold to the " +
+      "batch x_conversion_lag ladder across a checkpoint restart (36th " +
+      "twin); a reorder trips the detector and a clean feed does not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("convlag")
+
+    val prepared = eventsNanos(sf)
+      .select($"user_id", $"event_type",
+        expr("unix_millis(timestamp_micros(ts DIV 1000))").as("ts_ms"),
+        $"event_id")
+      .orderBy($"ts_ms", $"event_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val half = prepared.length / 2
+
+    // restart drill: a reset state would forget first views (missing
+    // conversions) or re-emit for already-converted users
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    def start() = {
+      val (hits, acc) = graft.streaming.StreamingConversionLag.emissions(
+        mem.toDS().toDF("user_id", "event_type", "ts_ms", "event_id"))
+      (hits.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start(), acc)
+    }
+    val (q1, acc1) = start()
+    try { mem.addData(prepared.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val (q2, acc2) = start()
+    try { mem.addData(prepared.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(acc1.value + acc2.value == 0L,
+      s"clean feed tripped the detector: ${acc1.value}/${acc2.value}")
+
+    val streamed = graft.streaming.StreamingConversionLag
+      .ladderOf(spark.read.parquet(s"$dir/out"))
+      .collect().map(_.toSeq).toSeq
+    // the batch query is oracle-hash-matched, so this equality chains
+    // stream ≡ batch ≡ DuckDB for the full ladder
+    val batch = graft.SparkEntry.queries("x_conversion_lag")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"post-restart ladder != batch: $streamed vs $batch")
+
+    // detector + semantics micro-drill: user 42 purchases BEFORE any
+    // view (no conversion), views, then converts on the NEXT purchase;
+    // an out-of-order arrival afterwards trips the accumulator
+    val mem2 = MemoryStream[(Long, String, Long, Long)]
+    val (hits2, acc3) = graft.streaming.StreamingConversionLag.emissions(
+        mem2.toDS().toDF("user_id", "event_type", "ts_ms", "event_id"))
+    val q3 = hits2
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("convlag2").start()
+    try {
+      mem2.addData(Seq((42L, "purchase", 10L, 1L), (42L, "view", 20L, 2L)))
+      q3.processAllAvailable()
+      mem2.addData((42L, "purchase", 50L, 3L)); q3.processAllAvailable()
+      val lags = spark.table("convlag2").collect().map(_.getLong(0)).toSeq
+      assert(lags == Seq(30L),
+        s"pre-view purchase must not convert; next one must: $lags")
+      mem2.addData((42L, "view", 30L, 4L)); q3.processAllAvailable()
+      assert(acc3.value == 1L,
+        s"reorder must trip the detector: ${acc3.value}")
+    } finally q3.stop()
+  }
+
   test("live Benford screen: streamed digit rows EQUAL the batch " +
       "x_value_benford output across a checkpoint restart (33rd twin)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
