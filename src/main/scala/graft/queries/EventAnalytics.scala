@@ -1204,6 +1204,95 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Cramér–von Mises two-sample drift — the drift family's
+    * INTEGRATED-shape member (KS reads the WORST single level; CvM
+    * reads the L² integral of the ECDF gap under the pooled empirical
+    * measure, so many moderate level gaps register where KS sees only
+    * the one extreme — the classical sup-vs-integral pairing; Cramér
+    * 1928, von Mises 1931, two-sample form Anderson 1962). Same
+    * calendar-midpoint split and cents quantizer as x_drift_ks; with
+    * D = cumE·nl − cumL·ne at each distinct cent level and the level's
+    * pooled weight w = ea + la, the tie-aware statistic is
+    *   T = Σ_levels w·D² / ((ne+nl)²·ne·nl)
+    * (the textbook T = ne·nl/(ne+nl)²·Σ_obs (F_E − F_L)² with the sum
+    * over observations grouped by level and the cross-multiplied gap
+    * substituted — every operand before the one division is an exact
+    * integer).
+    *
+    * Float policy: the x_drift_chi2 envelope verbatim — D is an exact
+    * BIGINT whose DOUBLE image is exact (|D| ≤ ne·nl ≪ 2^53), and the
+    * square lives in DOUBLE because D² would overflow int64 at
+    * (10¹⁰)²; identical operand trees both engines, one ln-free
+    * division per level, round-4 (nonnegative throughout — no
+    * signed-zero term needed). Empty-half types drop identically (the
+    * x_drift_ks rule). Closed forms pinned: identical halves → every
+    * D = 0 → 0.0 exactly; the KS pin's 10-level disjoint shift →
+    * 100·(Σ₁¹⁰k² + Σ₁⁹k²)/(20²·10·10) = 67000/40000 = EXACTLY 1.675.
+    *
+    * Scale shape: identical to x_drift_ks/chi2 — one map-side-combined
+    * (type, cents) aggregate, one type-keyed window over the distinct
+    * levels, a type-cardinality rollup. */
+  private val driftCvm = Q(
+    "x_drift_cvm",
+    Some("""WITH d AS (SELECT event_type,
+                         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                         epoch_ms(ts) // 86400000 AS day FROM events),
+            dr AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+            s AS (SELECT event_type, cents,
+                    CAST(sum(CASE WHEN day <= (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+                    CAST(sum(CASE WHEN day > (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS la
+                  FROM d CROSS JOIN dr GROUP BY 1, 2),
+            c AS (SELECT event_type, ea, la,
+                    CAST(sum(ea) OVER w AS BIGINT) AS cume,
+                    CAST(sum(la) OVER w AS BIGINT) AS cuml,
+                    CAST(sum(ea) OVER t AS BIGINT) AS ne,
+                    CAST(sum(la) OVER t AS BIGINT) AS nl
+                  FROM s
+                  WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   t AS (PARTITION BY event_type))
+            SELECT event_type, CAST(ne AS BIGINT) AS n_early,
+              CAST(nl AS BIGINT) AS n_late,
+              round(sum((ea + la)
+                      * CAST(cume * nl - cuml * ne AS DOUBLE)
+                      * CAST(cume * nl - cuml * ne AS DOUBLE))
+                    / (CAST(ne + nl AS DOUBLE) * (ne + nl) * ne * nl), 4)
+                AS cvm
+            FROM c WHERE ne > 0 AND nl > 0
+            GROUP BY event_type, ne, nl
+            ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .select($"event_type",
+          expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val dr = d.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val s = d.crossJoin(broadcast(dr))
+        .withColumn("early", $"day" <= expr("(d0 + d1) DIV 2"))
+        .groupBy($"event_type", $"cents")
+        .agg(sum(when($"early", 1L).otherwise(0L)).as("ea"),
+          sum(when(!$"early", 1L).otherwise(0L)).as("la"))
+      val wC = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy($"event_type")
+      s.select($"event_type", $"ea", $"la",
+          sum($"ea").over(wC).as("cume"), sum($"la").over(wC).as("cuml"),
+          sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
+        .where($"ne" > 0 && $"nl" > 0)
+        .groupBy($"event_type", $"ne", $"nl")
+        .agg(round(sum(($"ea" + $"la")
+            * ($"cume" * $"nl" - $"cuml" * $"ne").cast("double")
+            * ($"cume" * $"nl" - $"cuml" * $"ne").cast("double"))
+          / (($"ne" + $"nl").cast("double") * ($"ne" + $"nl")
+            * $"ne" * $"nl"), 4).as("cvm"))
+        .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
+          $"cvm")
+        .orderBy($"event_type")
+    })
+
   /** Mann–Whitney rank-sum drift test — the drift family's
     * NONPARAMETRIC LOCATION member (TVD = type mix, KS = worst-point
     * shape gap, PSI = banded score; MW answers the direction question
@@ -3954,5 +4043,5 @@ object EventAnalytics extends QueryModule {
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
     driftChi2, retentionHalflife, markovMfpt, markovEntropy, driftJs,
     sessionGapSweep, forecastHoltWinters, cohortHalflife, forecastHwLog,
-    driftEmd, forecastHoltDamped)
+    driftEmd, forecastHoltDamped, driftCvm)
 }

@@ -280,6 +280,19 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("same") == ((10L, 10L, 0L)), rows("same").toString)
     assert(rows("point") == ((5L, 5L, 7000000L)), rows("point").toString)
     assert(rows("shift") == ((10L, 10L, 100000000L)), rows("shift").toString)
+
+    // x_drift_cvm on the SAME corpora: identical halves → every cross
+    // term 0 → 0.0; the 10-level disjoint shift has D = 10k at the
+    // k-th early level and 10(10−j) at the j-th late level, each with
+    // pooled weight 1 → Σ w·D² = 100·(Σ₁¹⁰k² + Σ₁⁹k²) = 67000 and
+    // T = 67000/(20²·10·10) = EXACTLY 1.675; the point-mass pair has
+    // one nonzero level (w = 5, D = 25) → 3125/2500 = EXACTLY 1.25.
+    val cvm = SparkEntry.queries("x_drift_cvm")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(cvm("same") == ((10L, 10L, 0.0)), cvm("same").toString)
+    assert(cvm("point") == ((5L, 5L, 1.25)), cvm("point").toString)
+    assert(cvm("shift") == ((10L, 10L, 1.675)), cvm("shift").toString)
   }
 
   test("x_drift_mw closed forms: identical halves => EXACTLY 5000 bp " +
