@@ -9,16 +9,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * level), emitted with the one-step absolute forecast error each day
   * so the batch MAE is reproducible from the emissions.
   *
-  * State per type is TWO numbers (level, error count) — constant
-  * regardless of history length, the cheapest state in the twin family.
-  * Same in-order delivery contract as StreamingSpike (a type's later
-  * days arrive in later batches or later within one batch); α = 1/2
-  * keeps every update an exact dyadic halving, so the live levels are
-  * bit-identical to the batch fold at any batch split.
-  */
+  * State per type is THREE numbers (level, error count, last folded
+  * day) — constant regardless of history length, the cheapest state in
+  * the twin family. α = 1/2 keeps every update an exact dyadic
+  * halving, so the live levels are bit-identical to the batch fold at
+  * any batch split.
+  *
+  * CONTRACT ENFORCEMENT (r17, the StreamingHoltWinters rule applied to
+  * its older sibling — this fold is NOT append-only-safe the way the
+  * existence twins are): the rollup contract is one CLOSED (type, day)
+  * row, non-decreasing in day per type; a cross-micro-batch reorder or
+  * a re-delivered closed row would silently and permanently corrupt
+  * the level, so every day ≤ lastDay arrival increments the
+  * accumulator [[levels]] returns and folds/emits NOTHING. */
 object StreamingSes {
 
-  final case class SesState(level: Double, nDays: Long)
+  final case class SesState(level: Double, nDays: Long, lastDay: Long)
 
   /** One emission per closed (type, day): the PRE-update forecast
     * (yesterday's level), the observed count, the absolute error and
@@ -28,10 +34,17 @@ object StreamingSes {
       event_type: String, day: Long, n: Long,
       forecast: Double, abs_err: Double, level: Double)
 
-  /** rollup: (event_type, day, n) with `day` = epoch-ms DIV 86400000. */
-  def levels(rollup: DataFrame): Dataset[SesPoint] = {
+  /** rollup: (event_type, day, n) with `day` = epoch-ms DIV 86400000.
+    * Returns the emission stream paired with its own in-order-contract
+    * accumulator (the [[StreamingGrowthAccounting.emissions]] pairing
+    * rule). */
+  def levels(rollup: DataFrame)
+      : (Dataset[SesPoint], org.apache.spark.util.LongAccumulator) = {
     import rollup.sparkSession.implicits._
-    rollup.select($"event_type", $"day".cast("long"), $"n".cast("long"))
+    val oooAcc = rollup.sparkSession.sparkContext
+      .longAccumulator("graft.ses.outOfOrderArrivals")
+    val points = rollup
+      .select($"event_type", $"day".cast("long"), $"n".cast("long"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SesState, SesPoint](
@@ -44,16 +57,19 @@ object StreamingSes {
             val x = n.toDouble
             if (st == null) {
               out += SesPoint(typ, day, n, x, 0.0, x)
-              st = SesState(x, 1L)
-            } else {
+              st = SesState(x, 1L, day)
+            } else if (day > st.lastDay) {
               val err = math.abs(x - st.level)
               val lv = (st.level + x) / 2
               out += SesPoint(typ, day, n, st.level, err, lv)
-              st = SesState(lv, st.nDays + 1)
+              st = SesState(lv, st.nDays + 1, day)
+            } else {
+              oooAcc.add(1L) // reorder/duplicate: surfaced, never silent
             }
           }
           state.update(st)
           out.iterator
       }
+    (points, oooAcc)
   }
 }

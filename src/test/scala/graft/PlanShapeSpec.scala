@@ -14,6 +14,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     SparkEntry.queries(name)(spark, sf).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
 
+  test("r17 drift/forecast additions keep their declared scale shapes") {
+    // drift pair: one map-side-combined (type, cents) aggregate, the
+    // 1-row dr side broadcast, type-keyed windows — never a sort-merge
+    // join or a row-amplifying Generate
+    Seq("x_drift_emd", "x_drift_cvm").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to SMJ:\n$p")
+      assert(!p.contains("Generate"), s"$q grew a row-amplifier:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$q lost its partial aggregate:\n$p")
+    }
+    // forecast folds: per-type sequential aggregates — no window
+    // operator and no join may ever appear (the fold IS the tail)
+    Seq("x_forecast_hw_log", "x_forecast_holt_damped").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2 ||
+        p.contains("SortAggregate"),
+        s"$q lost its partial aggregate:\n$p")
+    }
+  }
+
   test("r_filter_project: predicates pushed into the parquet scan, schema pruned") {
     val p = plan("r_filter_project")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_shipdate"),

@@ -351,6 +351,47 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("r17 cross-query consistency: w1_bp dominates ks_bp on a shared " +
+      "(type, ne, nl) domain across KS/EMD/CvM; the forecast family " +
+      "shares one (type, n_days) domain") {
+    // W₁ ≥ KS exactly in bp: the sup's level has a ≥1-cent gap to the
+    // next merged level (it is never the last — D there is 0), so
+    // tot ≥ Dmax and floor monotonicity gives w1_bp ≥ ks_bp. A
+    // violation would mean the two walks disagree about the ECDFs.
+    val ks = SparkEntry.queries("x_drift_ks")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    val emd = SparkEntry.queries("x_drift_emd")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val cvm = SparkEntry.queries("x_drift_cvm")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ks.nonEmpty && ks.keySet == emd.keySet && ks.keySet == cvm.keySet,
+      s"drift trio domain split: ${ks.keySet} / ${emd.keySet} / ${cvm.keySet}")
+    ks.foreach { case (t, (ne, nl, ksBp)) =>
+      assert(emd(t)._1 == ne && emd(t)._2 == nl && cvm(t) == ((ne, nl)),
+        s"$t: (ne, nl) drifted across the drift trio")
+      assert(emd(t)._3 >= ksBp,
+        s"$t: w1_bp ${emd(t)._3} < ks_bp $ksBp — the transport distance " +
+          "can never undercut the sup gap on integer-cent levels")
+    }
+
+    // all five exponential-smoothing forecasters fold the SAME
+    // (type, day) rollup — their (type, n_days) domains must be one
+    val fam = Seq("x_forecast_ses", "x_forecast_holt",
+      "x_forecast_holt_damped", "x_forecast_holt_winters",
+      "x_forecast_hw_log").map { q =>
+      q -> SparkEntry.queries(q)(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val ref = fam.head._2
+    assert(ref.nonEmpty, "forecast family empty")
+    fam.tail.foreach { case (q, m) =>
+      assert(m == ref, s"$q: (type, n_days) domain drifted vs ses")
+    }
+  }
+
   test("r16 cross-query consistency: x_markov_entropy's steady_bp is " +
       "LITERALLY x_markov_steady's; gap-sweep sessions are monotone in " +
       "the threshold; drift_js shares KS's type domain and Lin's bound") {

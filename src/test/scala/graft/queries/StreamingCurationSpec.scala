@@ -1776,8 +1776,9 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
 
     val mem = MemoryStream[(String, Long, Long)]
-    val q = graft.streaming.StreamingSes.levels(
+    val (sesPts, sesAcc) = graft.streaming.StreamingSes.levels(
         mem.toDS().toDF("event_type", "day", "n"))
+    val q = sesPts
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("ses1").start()
     try {
@@ -1807,7 +1808,119 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
         val liveMae = errSum(t)._1 / (nDays - 1)
         assert(math.abs(liveMae - mae) < 1e-3, s"$t mae: $liveMae vs $mae")
       }
+      assert(sesAcc.value == 0L,
+        s"clean feed tripped the SES detector: ${sesAcc.value}")
+      // r17: a re-delivered closed (type, day) row must trip the
+      // detector and fold nothing (the StreamingHoltWinters rule,
+      // applied to the older sibling)
+      val before = spark.table("ses1").count()
+      mem.addData(rollup.take(1).toIndexedSeq); q.processAllAvailable()
+      assert(sesAcc.value == 1L,
+        s"duplicate rollup row must trip the SES detector: ${sesAcc.value}")
+      assert(spark.table("ses1").count() == before,
+        "violating row must emit nothing")
     } finally q.stop()
+  }
+
+  test("forecast family live side COMPLETE (38th-40th twins): Holt and " +
+      "damped-Holt last emissions are BIT-identical to their batch rows; " +
+      "HW-log matches round-4 across a checkpoint restart; duplicates " +
+      "trip each detector") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("hwlogrestart")
+
+    val rollup = eventsNanos(sf)
+      .select($"event_type", expr("ts DIV 86400000000000").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"day", $"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val third = rollup.length / 3
+
+    // Holt (38th): exact integers, three-batch split, then a duplicate
+    val memH = MemoryStream[(String, Long, Long)]
+    val (hPts, hAcc) = graft.streaming.StreamingHolt.levels(
+      memH.toDS().toDF("event_type", "day", "n"))
+    val qH = hPts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("holt1").start()
+    try {
+      memH.addData(rollup.take(third).toIndexedSeq); qH.processAllAvailable()
+      memH.addData(rollup.slice(third, 2 * third).toIndexedSeq); qH.processAllAvailable()
+      memH.addData(rollup.drop(2 * third).toIndexedSeq); qH.processAllAvailable()
+      val streamed = spark.table("holt1")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+           r.getLong(6))))
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).maxBy(_._1) }
+      val batch = graft.SparkEntry.queries("x_forecast_holt")(spark, sf)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed Holt != batch: $streamed vs $batch")
+      assert(hAcc.value == 0L, "clean feed tripped the Holt detector")
+      memH.addData(rollup.take(1).toIndexedSeq); qH.processAllAvailable()
+      assert(hAcc.value == 1L, "duplicate must trip the Holt detector")
+    } finally qH.stop()
+
+    // damped Holt (39th): same drill shape
+    val memD = MemoryStream[(String, Long, Long)]
+    val (dPts, dAcc) = graft.streaming.StreamingHoltDamped.levels(
+      memD.toDS().toDF("event_type", "day", "n"))
+    val qD = dPts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("holtdamp1").start()
+    try {
+      memD.addData(rollup.take(third).toIndexedSeq); qD.processAllAvailable()
+      memD.addData(rollup.drop(third).toIndexedSeq); qD.processAllAvailable()
+      val streamed = spark.table("holtdamp1")
+        .collect().map(r => (r.getString(0),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+           r.getLong(6), r.getLong(7), r.getLong(8))))
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).maxBy(_._1) }
+      val batch = graft.SparkEntry
+        .queries("x_forecast_holt_damped")(spark, sf)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed damped != batch: $streamed vs $batch")
+      assert(dAcc.value == 0L, "clean feed tripped the damped detector")
+    } finally qD.stop()
+
+    // HW-log (40th): double state — parquet sink + RESTART drill; the
+    // raw state is bit-identical (same operand trees), emissions
+    // round-4 equal the batch row
+    val memL = MemoryStream[(String, Long, Long)]
+    def startL() = {
+      val (pts, acc) = graft.streaming.StreamingHwLog.levels(
+        memL.toDS().toDF("event_type", "day", "n"))
+      (pts.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start(), acc)
+    }
+    val half = rollup.length / 2
+    val (qL1, lAcc1) = startL()
+    try { memL.addData(rollup.take(half).toIndexedSeq); qL1.processAllAvailable() }
+    finally qL1.stop()
+    val (qL2, lAcc2) = startL()
+    try { memL.addData(rollup.drop(half).toIndexedSeq); qL2.processAllAvailable() }
+    finally qL2.stop()
+    assert(lAcc1.value + lAcc2.value == 0L,
+      "clean feed tripped the HW-log detector")
+    val streamedL = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+         r.getDouble(6), r.getDouble(7), r.getDouble(8))))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).maxBy(_._1) }
+    val batchL = graft.SparkEntry.queries("x_forecast_hw_log")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(streamedL.nonEmpty && streamedL == batchL,
+      s"post-restart HW-log != batch: $streamedL vs $batchL")
   }
 
   test("live Holt-Winters state: last emission per type EQUALS the " +
