@@ -1293,6 +1293,110 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Anderson–Darling two-sample drift — the drift family's
+    * TAIL-WEIGHTED member and the worksheet the r17 candidates list
+    * asked for before it could ship (delivered here): CvM integrates
+    * the squared ECDF gap uniformly; AD divides each level's term by
+    * H(1−H) of the pooled ECDF, so gaps in the TAILS — where H(1−H)
+    * vanishes — are amplified, the property that makes AD the
+    * standard screen for tail drift that CvM/KS under-weight
+    * (Anderson & Darling 1952; two-sample form Pettitt 1976). The
+    * discrete tie-grouped spelling over the same merged cent levels:
+    *   A² = Σ_{levels, cumN < N} w·D² / (ne·nl·cumN·(N−cumN))
+    * with D = cumE·nl − cumL·ne, w = ea + la, N = ne + nl, cumN the
+    * pooled cumulative count — which REDUCES EXACTLY to Pettitt's
+    * per-observation formula (1/(mn))·Σ_j D_j²/(j(N−j)) when every
+    * level is untied (w ≡ 1), the citable anchor. The last merged
+    * level (cumN = N) is excluded structurally (its D is 0 AND its AD
+    * weight is 1/0 — the 0·∞ limit every AD treatment drops).
+    *
+    * FLOAT WORKSHEET (why this is admissible where mid-algebra
+    * division is not): the per-level division is TERMINAL — its
+    * quotient feeds a sum and one round-4, never subsequent integer
+    * state — so the x_drift_chi2 envelope applies verbatim: D and w
+    * are exact BIGINTs with exact double images (≪ 2^53), the square
+    * and the denominator product live in DOUBLE with identical operand
+    * trees in both engines, and the ≤ levels-count sum's ~10⁻¹⁶
+    * relative skew is absorbed by the 10⁻⁴ rounding contract. What
+    * the candidates-list boundary actually protected was quotients
+    * FEEDING the next fold step (the multiplicative-HW failure); a
+    * terminal ratio never was the problem.
+    *
+    * Closed forms pinned: identical halves → 0.0; disjoint point
+    * masses with ne = nl = m → EXACTLY m (one live level: w = m,
+    * D = m², term = m·m⁴/(m²·m·m)); the 10-level disjoint shift →
+    * 7.7509 (the test replays the exact sum). Empty-half types drop
+    * identically (the x_drift_ks rule).
+    *
+    * Scale shape: identical to x_drift_ks/cvm — one map-side-combined
+    * (type, cents) aggregate, one type-keyed window pass, a
+    * type-cardinality rollup. */
+  private val driftAd = Q(
+    "x_drift_ad",
+    Some("""WITH d AS (SELECT event_type,
+                         CAST(floor(value * 100.0) AS BIGINT) AS cents,
+                         epoch_ms(ts) // 86400000 AS day FROM events),
+            dr AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+            s AS (SELECT event_type, cents,
+                    CAST(sum(CASE WHEN day <= (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+                    CAST(sum(CASE WHEN day > (d0 + d1) // 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS la
+                  FROM d CROSS JOIN dr GROUP BY 1, 2),
+            c AS (SELECT event_type, ea, la,
+                    CAST(sum(ea) OVER w AS BIGINT) AS cume,
+                    CAST(sum(la) OVER w AS BIGINT) AS cuml,
+                    CAST(sum(ea) OVER t AS BIGINT) AS ne,
+                    CAST(sum(la) OVER t AS BIGINT) AS nl
+                  FROM s
+                  WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   t AS (PARTITION BY event_type)),
+            m AS (SELECT event_type, ne, nl, ea, la, cume, cuml,
+                    cume + cuml AS cumn
+                  FROM c WHERE ne > 0 AND nl > 0)
+            SELECT event_type, CAST(ne AS BIGINT) AS n_early,
+              CAST(nl AS BIGINT) AS n_late,
+              round(sum((ea + la)
+                      * CAST(cume * nl - cuml * ne AS DOUBLE)
+                      * CAST(cume * nl - cuml * ne AS DOUBLE)
+                    / (CAST(ne AS DOUBLE) * nl * cumn * (ne + nl - cumn))),
+                4) AS ad
+            FROM m WHERE cumn < ne + nl
+            GROUP BY event_type, ne, nl
+            ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .select($"event_type",
+          expr("CAST(floor(value * 100.0) AS BIGINT)").as("cents"),
+          expr("unix_millis(ts) DIV 86400000").as("day"))
+      val dr = d.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val s = d.crossJoin(broadcast(dr))
+        .withColumn("early", $"day" <= expr("(d0 + d1) DIV 2"))
+        .groupBy($"event_type", $"cents")
+        .agg(sum(when($"early", 1L).otherwise(0L)).as("ea"),
+          sum(when(!$"early", 1L).otherwise(0L)).as("la"))
+      val wC = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wT = Window.partitionBy($"event_type")
+      s.select($"event_type", $"ea", $"la",
+          sum($"ea").over(wC).as("cume"), sum($"la").over(wC).as("cuml"),
+          sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
+        .where($"ne" > 0 && $"nl" > 0)
+        .withColumn("cumn", $"cume" + $"cuml")
+        .where($"cumn" < $"ne" + $"nl")
+        .groupBy($"event_type", $"ne", $"nl")
+        .agg(round(sum(($"ea" + $"la")
+            * ($"cume" * $"nl" - $"cuml" * $"ne").cast("double")
+            * ($"cume" * $"nl" - $"cuml" * $"ne").cast("double")
+          / ($"ne".cast("double") * $"nl" * $"cumn"
+            * ($"ne" + $"nl" - $"cumn"))), 4).as("ad"))
+        .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
+          $"ad")
+        .orderBy($"event_type")
+    })
+
   /** Mann–Whitney rank-sum drift test — the drift family's
     * NONPARAMETRIC LOCATION member (TVD = type mix, KS = worst-point
     * shape gap, PSI = banded score; MW answers the direction question
@@ -4043,5 +4147,5 @@ object EventAnalytics extends QueryModule {
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
     driftChi2, retentionHalflife, markovMfpt, markovEntropy, driftJs,
     sessionGapSweep, forecastHoltWinters, cohortHalflife, forecastHwLog,
-    driftEmd, forecastHoltDamped, driftCvm)
+    driftEmd, forecastHoltDamped, driftCvm, driftAd)
 }

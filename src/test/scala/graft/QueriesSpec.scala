@@ -367,11 +367,16 @@ class QueriesSpec extends AnyFunSuite with SparkTestBase {
     val cvm = SparkEntry.queries("x_drift_cvm")(spark, sf)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2)))).toMap
-    assert(ks.nonEmpty && ks.keySet == emd.keySet && ks.keySet == cvm.keySet,
-      s"drift trio domain split: ${ks.keySet} / ${emd.keySet} / ${cvm.keySet}")
+    val adq = SparkEntry.queries("x_drift_ad")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ks.nonEmpty && ks.keySet == emd.keySet &&
+      ks.keySet == cvm.keySet && ks.keySet == adq.keySet,
+      s"drift domain split: ${ks.keySet}/${emd.keySet}/${cvm.keySet}/${adq.keySet}")
     ks.foreach { case (t, (ne, nl, ksBp)) =>
-      assert(emd(t)._1 == ne && emd(t)._2 == nl && cvm(t) == ((ne, nl)),
-        s"$t: (ne, nl) drifted across the drift trio")
+      assert(emd(t)._1 == ne && emd(t)._2 == nl && cvm(t) == ((ne, nl)) &&
+        adq(t) == ((ne, nl)),
+        s"$t: (ne, nl) drifted across the drift family")
       assert(emd(t)._3 >= ksBp,
         s"$t: w1_bp ${emd(t)._3} < ks_bp $ksBp — the transport distance " +
           "can never undercut the sup gap on integer-cent levels")

@@ -293,6 +293,25 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(cvm("same") == ((10L, 10L, 0.0)), cvm("same").toString)
     assert(cvm("point") == ((5L, 5L, 1.25)), cvm("point").toString)
     assert(cvm("shift") == ((10L, 10L, 1.675)), cvm("shift").toString)
+
+    // x_drift_ad on the SAME corpora: identical halves → 0.0; disjoint
+    // point masses with ne = nl = m → EXACTLY m (one live level:
+    // w·D²/(m²·m·m) = m·m⁴/m⁴); the shift replays Pettitt's untied
+    // per-observation sum (w ≡ 1): Σ_{j≤10} j/(20−j) + Σ_{j>10} (20−j)/j
+    val ad = SparkEntry.queries("x_drift_ad")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(ad("same") == ((10L, 10L, 0.0)), ad("same").toString)
+    assert(ad("point") == ((5L, 5L, 5.0)), ad("point").toString)
+    val pettitt =
+      (1 to 10).map(j => 100.0 * j * j / (100.0 * j * (20 - j))).sum +
+      (11 to 19).map(j =>
+        100.0 * (20 - j) * (20 - j) / (100.0 * j * (20 - j))).sum
+    val wantAd = BigDecimal(pettitt)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ad("shift")._1 == 10L && ad("shift")._2 == 10L &&
+      math.abs(ad("shift")._3 - wantAd) <= 1e-4,
+      s"${ad("shift")} vs replayed Pettitt $wantAd")
   }
 
   test("x_drift_mw closed forms: identical halves => EXACTLY 5000 bp " +
