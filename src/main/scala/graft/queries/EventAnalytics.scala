@@ -4058,6 +4058,94 @@ object EventAnalytics extends QueryModule {
         .orderBy($"event_type")
     })
 
+  /** Weekday one-way ANOVA of daily counts — the read that JUSTIFIES
+    * the forecast family's period-7 seasonal state (x_forecast_holt_
+    * winters/hw_log assume a weekly profile BY DECLARATION; this
+    * measures whether the corpus actually has one): per type, η² =
+    * SS_between/SS_total (share of daily-count variance explained by
+    * weekday — the effect size an analyst thresholds) and the fixed-
+    * effects F statistic (Fisher 1925), over the same calendar-aligned
+    * wd = day % 7 groups the HW fold indexes by.
+    *
+    * Arithmetic: every sufficient statistic is an exact int64 — per
+    * (type, weekday): m_g days, S_g = Σn, Q_g = Σn²; per type: N, S,
+    * Q — and the identities N·SS_total = N·Q − S², N·SS_between =
+    * N·Σ_g S_g²/m_g − S², SS_within = Q − Σ_g S_g²/m_g make every
+    * division TERMINAL (the x_drift_ad worksheet rule): Σ S_g²/m_g is
+    * a ≤7-term double sum of exact-image int64 ratios (S_g² ≤ 9·10¹⁴
+    * ≪ 2^53 at daily counts ≤ 10⁵ over ≤300 days), and η²/F are one
+    * rounded division each, identical operand trees in both engines.
+    * DEGENERACY GUARDS ARE INTEGER-EXACT (the DegenerateInputSpec
+    * rule — a float ≈0 test would be run-varying): SS_total = 0 ⟺
+    * tz := N·Q − S² = 0 (constant series → η² = F = 0, the loud
+    * no-variance sentinel) and SS_within = 0 ⟺ wz := Σ_g (m_g·Q_g −
+    * S_g²) = 0 (each term ≥ 0 by Cauchy–Schwarz, so the SUM tests
+    * every group at once; perfectly periodic series → η² = 1.0 with
+    * F = 0 emitted as the infinite-F sentinel); k ≤ 1 or N ≤ k → F 0
+    * (no between/within degrees of freedom).
+    *
+    * Scale shape: one calendar-bounded (type, day) aggregate, a
+    * (type × ≤7) rollup, a type-cardinality final — nothing downstream
+    * of the first aggregate depends on event volume. */
+  private val weekdayAnova = Q(
+    "x_weekday_anova",
+    Some("""WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            g AS (SELECT event_type, day % 7 AS wd,
+                    CAST(count(*) AS BIGINT) AS m,
+                    CAST(sum(n) AS BIGINT) AS sg,
+                    CAST(sum(n * n) AS BIGINT) AS qg
+                  FROM d GROUP BY 1, 2),
+            a AS (SELECT event_type,
+                    CAST(sum(m) AS BIGINT) AS nn,
+                    CAST(count(*) AS BIGINT) AS k,
+                    CAST(sum(sg) AS BIGINT) AS s,
+                    CAST(sum(qg) AS BIGINT) AS q,
+                    sum(CAST(sg AS DOUBLE) * sg / m) AS ssb,
+                    CAST(sum(m * qg - sg * sg) AS BIGINT) AS wz
+                  FROM g GROUP BY 1),
+            b AS (SELECT event_type, nn, k, s, q, ssb, wz,
+                    nn * q - s * s AS tz FROM a)
+            SELECT event_type, CAST(nn AS BIGINT) AS n_days,
+              CAST(k AS BIGINT) AS n_weekdays,
+              round(CASE WHEN tz = 0 THEN 0.0
+                ELSE (CAST(nn AS DOUBLE) * ssb - CAST(s AS DOUBLE) * s)
+                  / tz END, 4) + 0.0 AS eta2,
+              round(CASE WHEN tz = 0 OR wz = 0 OR k <= 1 OR nn <= k
+                THEN 0.0
+                ELSE (CAST(nn AS DOUBLE) * ssb - CAST(s AS DOUBLE) * s)
+                  * (nn - k)
+                  / (CAST(nn AS DOUBLE) * (CAST(q AS DOUBLE) - ssb)
+                    * (k - 1)) END, 4) + 0.0 AS f_stat
+            FROM b ORDER BY event_type"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val d = t(spark, dir, "events")
+        .groupBy($"event_type", expr("unix_millis(ts) DIV 86400000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val g = d.groupBy($"event_type", expr("day % 7").as("wd"))
+        .agg(count(lit(1)).as("m"), sum($"n").as("sg"),
+          sum($"n" * $"n").as("qg"))
+      val a = g.groupBy($"event_type")
+        .agg(sum($"m").as("nn"), count(lit(1)).as("k"),
+          sum($"sg").as("s"), sum($"qg").as("q"),
+          sum(expr("CAST(sg AS DOUBLE) * sg / m")).as("ssb"),
+          sum($"m" * $"qg" - $"sg" * $"sg").as("wz"))
+        .withColumn("tz", $"nn" * $"q" - $"s" * $"s")
+      a.select($"event_type", $"nn".as("n_days"), $"k".as("n_weekdays"),
+          (round(when($"tz" === 0, 0.0)
+            .otherwise(expr("(CAST(nn AS DOUBLE) * ssb"
+              + " - CAST(s AS DOUBLE) * s) / tz")), 4) + 0.0).as("eta2"),
+          (round(when($"tz" === 0 || $"wz" === 0 ||
+              $"k" <= 1 || $"nn" <= $"k", 0.0)
+            .otherwise(expr("(CAST(nn AS DOUBLE) * ssb"
+              + " - CAST(s AS DOUBLE) * s) * (nn - k)"
+              + " / (CAST(nn AS DOUBLE) * (CAST(q AS DOUBLE) - ssb)"
+              + " * (k - 1))")), 4) + 0.0).as("f_stat"))
+        .orderBy($"event_type")
+    })
+
   /** ORACLE-BACKED per-cohort retention half-life — x_retention_halflife
     * UNPOOLED: that query quotes ONE number for the whole corpus; this
     * one fits the same exponential-decay model ln(rate) = a + b·k per
@@ -4147,5 +4235,5 @@ object EventAnalytics extends QueryModule {
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
     driftChi2, retentionHalflife, markovMfpt, markovEntropy, driftJs,
     sessionGapSweep, forecastHoltWinters, cohortHalflife, forecastHwLog,
-    driftEmd, forecastHoltDamped, driftCvm, driftAd)
+    driftEmd, forecastHoltDamped, driftCvm, driftAd, weekdayAnova)
 }

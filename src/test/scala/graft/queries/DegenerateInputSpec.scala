@@ -429,6 +429,44 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
       rows("once").toString)
   }
 
+  test("x_weekday_anova closed forms: constant series trips the " +
+      "integer tz guard (0/0); perfectly periodic series => eta2 " +
+      "EXACTLY 1.0 with the infinite-F sentinel; a hand-built mixed " +
+      "corpus replays eta2 = 2/3 and F = 4.0") {
+    import spark.implicits._
+    val dir = tmpDir("anovadegen")
+    val day = 86400000L
+    // 'flat': 10 days × 5/day → N·Q − S² = 10·250 − 2500 = 0 → both 0
+    val flat = for { d <- 0L until 10L; k <- 0L until 5L } yield
+      (d * 10 + k, new Timestamp(d * day), k, "flat", 1.0, "{}")
+    // 'perfect': 2 full weeks of 2^(d%7)·... use (d%7)+1 counts — every
+    // weekday's two observations identical → wz = 0, eta2 = 1.0, F
+    // emitted as the 0.0 infinite-F sentinel
+    val perfect = for {
+      d <- 0L until 14L
+      k <- 0L until (d % 7L) + 1L
+    } yield (1000 + d * 100 + k, new Timestamp(d * day), k, "perfect",
+      1.0, "{}")
+    // 'mixed': wd0 days {1, 3}, wd1 days {4, 4} (days 0,1 then 7,8):
+    // ssb = 16/2 + 64/2 = 40, S = 12, Q = 42, N = 4, k = 2 →
+    // tz = 4·42 − 144 = 24, num = 4·40 − 144 = 16 → eta2 = 2/3;
+    // wz = (2·10 − 16) + (2·32 − 64) = 4 → F = 16·2/(4·2·1) = 4.0
+    val mixed =
+      (0L until 1L).map(i => (5000L + i, new Timestamp(0L), i, "mixed", 1.0, "{}")) ++
+      (0L until 4L).map(i => (5100L + i, new Timestamp(day), i, "mixed", 1.0, "{}")) ++
+      (0L until 3L).map(i => (5200L + i, new Timestamp(7 * day), i, "mixed", 1.0, "{}")) ++
+      (0L until 4L).map(i => (5300L + i, new Timestamp(8 * day), i, "mixed", 1.0, "{}"))
+    (flat ++ perfect ++ mixed)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("x_weekday_anova")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows("flat") == ((10L, 7L, 0.0, 0.0)), rows("flat").toString)
+    assert(rows("perfect") == ((14L, 7L, 1.0, 0.0)), rows("perfect").toString)
+    assert(rows("mixed") == ((4L, 2L, 0.6667, 4.0)), rows("mixed").toString)
+  }
+
   test("x_forecast_holt_damped closed forms: constant series is a " +
       "fixpoint; two-point series replays by hand with the trend " +
       "VISIBLY damped vs raw Holt; singleton day takes the seed branch") {

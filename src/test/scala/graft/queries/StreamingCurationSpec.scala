@@ -1978,6 +1978,70 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       s"post-restart HW-log != batch: $streamedL vs $batchL")
   }
 
+  test("live weekday ANOVA: last emission per type EQUALS the batch " +
+      "x_weekday_anova row across a checkpoint restart (42nd twin — " +
+      "7x3 longs of sufficient statistics); a duplicate trips the " +
+      "detector") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("anovarestart")
+
+    val rollup = eventsNanos(sf)
+      .select($"event_type", expr("ts DIV 86400000000000").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"day", $"event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val half = rollup.length / 2
+
+    val mem = MemoryStream[(String, Long, Long)]
+    def start() = {
+      val (pts, acc) = graft.streaming.StreamingWeekdayAnova.stats(
+        mem.toDS().toDF("event_type", "day", "n"))
+      (pts.writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start(), acc)
+    }
+    val (q1, acc1) = start()
+    try { mem.addData(rollup.take(half).toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val (q2, acc2) = start()
+    try { mem.addData(rollup.drop(half).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(acc1.value + acc2.value == 0L,
+      s"clean feed tripped the detector: ${acc1.value}/${acc2.value}")
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+         r.getDouble(5))))
+      .groupBy(_._1).map { case (t, xs) =>
+        val last = xs.map(_._2).maxBy(_._1)
+        t -> ((last._2, last._3, last._4, last._5)) }
+    // the batch query is oracle-hash-matched, so this equality chains
+    // stream ≡ batch ≡ DuckDB
+    val batch = graft.SparkEntry.queries("x_weekday_anova")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"post-restart ANOVA != batch: $streamed vs $batch")
+
+    // duplicate detector: re-deliver the feed's first closed rollup row
+    val mem2 = MemoryStream[(String, Long, Long)]
+    val (pts2, acc3) = graft.streaming.StreamingWeekdayAnova.stats(
+      mem2.toDS().toDF("event_type", "day", "n"))
+    val q3 = pts2.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("anova2").start()
+    try {
+      mem2.addData(Seq(("a", 3L, 5L), ("a", 4L, 7L))); q3.processAllAvailable()
+      mem2.addData(("a", 3L, 5L)); q3.processAllAvailable()
+      assert(acc3.value == 1L,
+        s"duplicate must trip the detector: ${acc3.value}")
+    } finally q3.stop()
+  }
+
   test("live Holt-Winters state: last emission per type EQUALS the " +
       "batch x_forecast_holt_winters row across batch splits (31st " +
       "twin); checkpoint restart resumes the 11-long state") {
