@@ -9,6 +9,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // ANSI pinned ON (the Spark 4 default, made explicit): the drift
+      // family's loud-or-exact overflow contract (DriftArith) relies on
+      // decimal/integral overflow RAISING, never wrapping to null.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

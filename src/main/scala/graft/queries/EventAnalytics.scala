@@ -938,14 +938,17 @@ object EventAnalytics extends QueryModule {
     * identically in both engines (the x_hill_tail rule; never a
     * division by zero). (Kolmogorov 1933 / Smirnov 1939.)
     *
-    * Overflow envelope: cum ≤ n ≤ corpus rows per type; cumE·n_late ≤
-    * n² ≈ 1.4·10¹⁰ at sf0.1 and the ×10⁴ scale applies AFTER the max —
-    * the binding constraint is that one scaling multiply, mx·10⁴ with
-    * mx ≤ ne·nl, so the silent-overflow boundary is ne·nl < 2^63/10⁴ ≈
-    * 9.2·10¹⁴, i.e. per-type rows < 3·10⁷ when the halves balance
-    * (guarded by the corpus envelope, not a runtime check — the
-    * cross-multiply is the standard exact-ECDF spelling; beyond the
-    * boundary the scaling multiply needs Math.multiplyHigh/BigInt).
+    * Overflow envelope (r18, the loud-or-exact respelling — see
+    * [[DriftArith]]): the ECDF cross-multiplies run in DECIMAL(38,0)
+    * ↔ DuckDB HUGEINT, so every cross term is EXACT for any BIGINT
+    * count (cumE·nl ≤ ne·nl ≤ 8.5·10³⁷ < 10³⁸ always — the old
+    * Long spelling's ne·nl < 9.2·10¹⁴ boundary is gone). The one
+    * residual boundary is the terminal scaling mx·10⁴, exact while
+    * ne·nl < 10³⁴ (per-type pooled rows ≲ 2·10¹⁷, five orders beyond
+    * a 100 TB corpus); at that boundary BOTH engines raise loudly
+    * (Spark ANSI decimal overflow / DuckDB HUGEINT OutOfRange) —
+    * never a silently wrong number. The straddle pins live in
+    * DegenerateInputSpec ("drift overflow straddle").
     *
     * Scale shape: one (type, cents) aggregate (map-side combined), ONE
     * type-keyed window over the distinct-cent rows (partition size =
@@ -975,14 +978,17 @@ object EventAnalytics extends QueryModule {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                    t AS (PARTITION BY event_type)),
             m AS (SELECT event_type, cents, ne, nl,
-                    abs(cume * nl - cuml * ne) AS term,
-                    max(abs(cume * nl - cuml * ne))
+                    abs(CAST(cume AS HUGEINT) * nl
+                      - CAST(cuml AS HUGEINT) * ne) AS term,
+                    max(abs(CAST(cume AS HUGEINT) * nl
+                      - CAST(cuml AS HUGEINT) * ne))
                       OVER (PARTITION BY event_type) AS mx
                   FROM c WHERE ne > 0 AND nl > 0)
             SELECT event_type, CAST(ne AS BIGINT) AS n_early,
               CAST(nl AS BIGINT) AS n_late,
               CAST(min(cents) AS BIGINT) AS ks_at_cents,
-              CAST(mx * 10000 // (ne * nl) AS BIGINT) AS ks_bp
+              CAST(mx * 10000 // (CAST(ne AS HUGEINT) * nl) AS BIGINT)
+                AS ks_bp
             FROM m WHERE term = mx
             GROUP BY event_type, ne, nl, mx
             ORDER BY event_type"""),
@@ -1005,14 +1011,15 @@ object EventAnalytics extends QueryModule {
         sum($"ea").over(wC).as("cume"), sum($"la").over(wC).as("cuml"),
         sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
         .where($"ne" > 0 && $"nl" > 0)
-        .withColumn("term", abs($"cume" * $"nl" - $"cuml" * $"ne"))
+        .withColumn("term",
+          expr(DriftArith.absCrossTermSql("cume", "nl", "cuml", "ne")))
         .withColumn("mx", max($"term").over(wT))
       c.where($"term" === $"mx")
         .groupBy($"event_type", $"ne", $"nl", $"mx")
         .agg(min($"cents").as("ks_at_cents"))
         .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
           $"ks_at_cents",
-          expr("mx * 10000 DIV (ne * nl)").as("ks_bp"))
+          expr(DriftArith.scaleBpSql("mx", "ne", "nl")).as("ks_bp"))
         .orderBy($"event_type")
     })
 
@@ -1220,7 +1227,11 @@ object EventAnalytics extends QueryModule {
     * integer).
     *
     * Float policy: the x_drift_chi2 envelope verbatim — D is an exact
-    * BIGINT whose DOUBLE image is exact (|D| ≤ ne·nl ≪ 2^53), and the
+    * wide integer (DECIMAL(38,0) ↔ HUGEINT since r18, [[DriftArith]]:
+    * the cross-multiply never wraps at ANY BIGINT count; the old
+    * Long spelling raised past ne·nl ≈ 9.2·10¹⁸) whose DOUBLE image
+    * is exact while |D| ≤ ne·nl ≪ 2^53 — the float envelope, distinct
+    * from and unchanged by the integer respelling — and the
     * square lives in DOUBLE because D² would overflow int64 at
     * (10¹⁰)²; identical operand trees both engines, one ln-free
     * division per level, round-4 (nonnegative throughout — no
@@ -1256,8 +1267,10 @@ object EventAnalytics extends QueryModule {
             SELECT event_type, CAST(ne AS BIGINT) AS n_early,
               CAST(nl AS BIGINT) AS n_late,
               round(sum((ea + la)
-                      * CAST(cume * nl - cuml * ne AS DOUBLE)
-                      * CAST(cume * nl - cuml * ne AS DOUBLE))
+                      * CAST(CAST(cume AS HUGEINT) * nl
+                          - CAST(cuml AS HUGEINT) * ne AS DOUBLE)
+                      * CAST(CAST(cume AS HUGEINT) * nl
+                          - CAST(cuml AS HUGEINT) * ne AS DOUBLE))
                     / (CAST(ne + nl AS DOUBLE) * (ne + nl) * ne * nl), 4)
                 AS cvm
             FROM c WHERE ne > 0 AND nl > 0
@@ -1284,8 +1297,10 @@ object EventAnalytics extends QueryModule {
         .where($"ne" > 0 && $"nl" > 0)
         .groupBy($"event_type", $"ne", $"nl")
         .agg(round(sum(($"ea" + $"la")
-            * ($"cume" * $"nl" - $"cuml" * $"ne").cast("double")
-            * ($"cume" * $"nl" - $"cuml" * $"ne").cast("double"))
+            * expr(DriftArith.crossTermSql("cume", "nl", "cuml", "ne"))
+                .cast("double")
+            * expr(DriftArith.crossTermSql("cume", "nl", "cuml", "ne"))
+                .cast("double"))
           / (($"ne" + $"nl").cast("double") * ($"ne" + $"nl")
             * $"ne" * $"nl"), 4).as("cvm"))
         .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
@@ -1308,7 +1323,12 @@ object EventAnalytics extends QueryModule {
     * per-observation formula (1/(mn))·Σ_j D_j²/(j(N−j)) when every
     * level is untied (w ≡ 1), the citable anchor. The last merged
     * level (cumN = N) is excluded structurally (its D is 0 AND its AD
-    * weight is 1/0 — the 0·∞ limit every AD treatment drops).
+    * weight is 1/0 — the 0·∞ limit every AD treatment drops). Since
+    * r18 (ADVICE fix) the exclusion is PER-TERM (a CASE inside the
+    * sum), not a row filter: a type whose merged early∪late support
+    * is a single cent level keeps its group and emits ad = 0.0,
+    * preserving the drift family's shared-type-domain invariant and
+    * matching StreamingDriftAd, which already emitted the zero row.
     *
     * FLOAT WORKSHEET (why this is admissible where mid-algebra
     * division is not): the per-level division is TERMINAL — its
@@ -1357,12 +1377,17 @@ object EventAnalytics extends QueryModule {
                   FROM c WHERE ne > 0 AND nl > 0)
             SELECT event_type, CAST(ne AS BIGINT) AS n_early,
               CAST(nl AS BIGINT) AS n_late,
-              round(sum((ea + la)
-                      * CAST(cume * nl - cuml * ne AS DOUBLE)
-                      * CAST(cume * nl - cuml * ne AS DOUBLE)
-                    / (CAST(ne AS DOUBLE) * nl * cumn * (ne + nl - cumn))),
+              round(sum(CASE WHEN cumn < ne + nl THEN
+                      (ea + la)
+                      * CAST(CAST(cume AS HUGEINT) * nl
+                          - CAST(cuml AS HUGEINT) * ne AS DOUBLE)
+                      * CAST(CAST(cume AS HUGEINT) * nl
+                          - CAST(cuml AS HUGEINT) * ne AS DOUBLE)
+                      / (CAST(ne AS DOUBLE) * nl * cumn
+                          * (ne + nl - cumn))
+                    ELSE 0.0 END),
                 4) AS ad
-            FROM m WHERE cumn < ne + nl
+            FROM m
             GROUP BY event_type, ne, nl
             ORDER BY event_type"""),
     (spark, dir) => {
@@ -1385,13 +1410,16 @@ object EventAnalytics extends QueryModule {
           sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
         .where($"ne" > 0 && $"nl" > 0)
         .withColumn("cumn", $"cume" + $"cuml")
-        .where($"cumn" < $"ne" + $"nl")
         .groupBy($"event_type", $"ne", $"nl")
-        .agg(round(sum(($"ea" + $"la")
-            * ($"cume" * $"nl" - $"cuml" * $"ne").cast("double")
-            * ($"cume" * $"nl" - $"cuml" * $"ne").cast("double")
+        .agg(round(sum(when($"cumn" < $"ne" + $"nl",
+          ($"ea" + $"la")
+            * expr(DriftArith.crossTermSql("cume", "nl", "cuml", "ne"))
+                .cast("double")
+            * expr(DriftArith.crossTermSql("cume", "nl", "cuml", "ne"))
+                .cast("double")
           / ($"ne".cast("double") * $"nl" * $"cumn"
-            * ($"ne" + $"nl" - $"cumn"))), 4).as("ad"))
+            * ($"ne" + $"nl" - $"cumn"))).otherwise(lit(0.0))), 4)
+          .as("ad"))
         .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
           $"ad")
         .orderBy($"event_type")
@@ -1420,10 +1448,14 @@ object EventAnalytics extends QueryModule {
     * identically in both engines (the x_drift_ks rule).
     * (Mann & Whitney 1947; Wilcoxon 1945.)
     *
-    * Overflow envelope: cb ≤ n per type, so Σ ea·(2cb+c+1) ≤ n·(2n+2)
-    * ≈ 2n² and u2·10⁴ ≤ 2·10⁴·n² — BIGINT-safe while per-type rows
-    * n < 2·10⁷ (the x_drift_ks corpus-envelope class, stated not
-    * runtime-checked).
+    * Overflow envelope (r18, loud-or-exact — [[DriftArith]]): the
+    * rank-sum accumulates in DECIMAL(38,0) ↔ HUGEINT, so r2 ≈ 2n² is
+    * exact to n ≈ 7·10¹⁸ per type (any BIGINT-countable corpus; the
+    * old Long boundary n < 2·10⁷ is gone). Residual boundaries, both
+    * LOUD (ANSI decimal / HUGEINT overflow raise, never a wrap): the
+    * u2 OUTPUT column is BIGINT-wide (binds at u2 = 2·ne·nl ≥ 2⁶³ —
+    * mixed per-type rows ≳ 3·10⁹; the internal value stays exact) and
+    * the cles_bp scaling u2·10⁴ (binds at ne·nl ≈ 5·10³³).
     *
     * Scale shape: identical to x_drift_ks — one map-side-combined
     * (type, cents) aggregate, ONE type-keyed window over the
@@ -1452,10 +1484,12 @@ object EventAnalytics extends QueryModule {
                    t AS (PARTITION BY event_type))
             SELECT event_type, CAST(ne AS BIGINT) AS n_early,
               CAST(nl AS BIGINT) AS n_late,
-              CAST(sum(ea * (2 * cb + ea + la + 1)) - ne * (ne + 1)
-                AS BIGINT) AS u2,
-              CAST((sum(ea * (2 * cb + ea + la + 1)) - ne * (ne + 1))
-                * 10000 // (2 * ne * nl) AS BIGINT) AS cles_bp
+              CAST(sum(CAST(ea AS HUGEINT) * (2 * cb + ea + la + 1))
+                - CAST(ne AS HUGEINT) * (ne + 1) AS BIGINT) AS u2,
+              CAST((sum(CAST(ea AS HUGEINT) * (2 * cb + ea + la + 1))
+                - CAST(ne AS HUGEINT) * (ne + 1))
+                * 10000 // (2 * CAST(ne AS HUGEINT) * nl) AS BIGINT)
+                AS cles_bp
             FROM c WHERE ne > 0 AND nl > 0
             GROUP BY event_type, ne, nl
             ORDER BY event_type"""),
@@ -1479,11 +1513,10 @@ object EventAnalytics extends QueryModule {
           sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
         .where($"ne" > 0 && $"nl" > 0)
         .groupBy($"event_type", $"ne", $"nl")
-        .agg(sum($"ea" * (lit(2) * $"cb" + $"ea" + $"la" + 1)).as("r2"))
+        .agg(sum(expr(DriftArith.mwR2TermSql("ea", "cb", "la"))).as("r2"))
         .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
-          ($"r2" - $"ne" * ($"ne" + 1)).as("u2"),
-          expr("(r2 - ne * (ne + 1)) * 10000 DIV (2 * ne * nl)")
-            .as("cles_bp"))
+          expr(DriftArith.mwU2Sql("r2", "ne")).as("u2"),
+          expr(DriftArith.mwClesBpSql("r2", "ne", "nl")).as("cles_bp"))
         .orderBy($"event_type")
     })
 
@@ -3599,11 +3632,14 @@ object EventAnalytics extends QueryModule {
     * ≡ floor(tot·10⁴/d) for nonnegative operands (tot = q·d + r with
     * r < d ⇒ floor(tot·10⁴/d) = q·10⁴ + floor(r·10⁴/d)) — chosen over
     * the naive tot·10⁴ DIV d because tot ≤ ne·nl·range(cents) carries
-    * the RANGE factor the KS max does not: naive scaling overflows at
-    * ne·nl·range ≥ 2^63/10⁴ while the decomposition only needs
-    * tot < 2^63 AND the KS-class ne·nl < 2^63/10⁴ ≈ 9.2·10¹⁴ bound
-    * (r < d makes r·10⁴ < d·10⁴). At sf0.1: tot ≲ 1.4·10¹⁰·10⁴ =
-    * 1.4·10¹⁴ — four orders inside. The last merged level contributes
+    * the RANGE factor the KS max does not — the decomposition keeps
+    * the scaled factor at r·10⁴ < d·10⁴ (r < d). Since r18 the whole
+    * chain runs wide (DECIMAL(38,0) ↔ HUGEINT, [[DriftArith]]): the
+    * cross terms and tot are exact while tot < 10³⁸ (ne·nl·range —
+    * a 10¹² row corpus with a 10⁶-cent range sits at ~10³⁰), and the
+    * residual remainder-scaling boundary is the family's ne·nl < 10³⁴;
+    * past either, BOTH engines raise loudly (ANSI decimal / HUGEINT
+    * overflow), never wrap. At sf0.1: tot ≲ 1.4·10¹⁴ — way inside. The last merged level contributes
     * 0 twice over (cumE·nl = cuml·ne = ne·nl there, and its gap is
     * COALESCEd to 0) — no off-support tail term exists. Types with an
     * empty half drop identically in both engines (the x_drift_ks
@@ -3639,14 +3675,16 @@ object EventAnalytics extends QueryModule {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                    t AS (PARTITION BY event_type)),
             m AS (SELECT event_type, ne, nl,
-                    CAST(sum(abs(cume * nl - cuml * ne)
-                      * (coalesce(nxt, cents) - cents)) AS BIGINT) AS tot
+                    sum(abs(CAST(cume AS HUGEINT) * nl
+                        - CAST(cuml AS HUGEINT) * ne)
+                      * (coalesce(nxt, cents) - cents)) AS tot
                   FROM c WHERE ne > 0 AND nl > 0
                   GROUP BY event_type, ne, nl)
             SELECT event_type, CAST(ne AS BIGINT) AS n_early,
               CAST(nl AS BIGINT) AS n_late,
-              CAST((tot // (ne * nl)) * 10000
-                + ((tot % (ne * nl)) * 10000) // (ne * nl)
+              CAST((tot // (CAST(ne AS HUGEINT) * nl)) * 10000
+                + ((tot % (CAST(ne AS HUGEINT) * nl)) * 10000)
+                  // (CAST(ne AS HUGEINT) * nl)
                 AS BIGINT) AS w1_bp
             FROM m ORDER BY event_type"""),
     (spark, dir) => {
@@ -3671,11 +3709,11 @@ object EventAnalytics extends QueryModule {
         lead($"cents", 1).over(wL).as("nxt"))
         .where($"ne" > 0 && $"nl" > 0)
       c.groupBy($"event_type", $"ne", $"nl")
-        .agg(sum(abs($"cume" * $"nl" - $"cuml" * $"ne")
-          * (coalesce($"nxt", $"cents") - $"cents")).as("tot"))
+        .agg(sum(
+          expr(DriftArith.absCrossTermSql("cume", "nl", "cuml", "ne"))
+            * (coalesce($"nxt", $"cents") - $"cents")).as("tot"))
         .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
-          expr("""(tot DIV (ne * nl)) * 10000
-            + ((tot % (ne * nl)) * 10000) DIV (ne * nl)""").as("w1_bp"))
+          expr(DriftArith.emdBpSql("tot", "ne", "nl")).as("w1_bp"))
         .orderBy($"event_type")
     })
 

@@ -22,7 +22,7 @@ object StreamingDriftAd {
   final case class AdDrift(event_type: String, n_early: Long,
       n_late: Long, ad: Double)
 
-  private def stat(s: StreamingDriftKs.EarlySide, late: Map[Long, Long],
+  private[streaming] def stat(s: StreamingDriftKs.EarlySide, late: Map[Long, Long],
       nl: Long): Double = {
     val merged = (s.cents ++ late.keysIterator).distinct.sorted
     val n = s.ne + nl
@@ -38,8 +38,9 @@ object StreamingDriftAd {
       val w = (cumE - prevE) + la
       val cumN = cumE + cumL
       if (cumN < n) {
-        val d = cumE * nl - cumL * s.ne
-        sum += w * d.toDouble * d.toDouble /
+        // BigInt cross term (r18 wide spelling, the DriftArith rule)
+        val d = (BigInt(cumE) * nl - BigInt(cumL) * s.ne).toDouble
+        sum += w * d * d /
           (s.ne.toDouble * nl * cumN * (n - cumN))
       }
       prevE = cumE

@@ -27,7 +27,7 @@ object StreamingDriftCvm {
   final case class CvmDrift(event_type: String, n_early: Long,
       n_late: Long, cvm: Double)
 
-  private def stat(s: StreamingDriftKs.EarlySide, late: Map[Long, Long],
+  private[streaming] def stat(s: StreamingDriftKs.EarlySide, late: Map[Long, Long],
       nl: Long): Double = {
     val merged = (s.cents ++ late.keysIterator).distinct.sorted
     var cumL = 0L
@@ -40,8 +40,11 @@ object StreamingDriftCvm {
       val la = late.getOrElse(v, 0L)
       cumL += la
       val w = (cumE - prevE) + la
-      val d = cumE * nl - cumL * s.ne
-      num += w * d.toDouble * d.toDouble
+      // BigInt cross term (r18 wide spelling, the DriftArith rule):
+      // Long would wrap silently past ne·nl ≈ 9.2·10¹⁸; the DOUBLE
+      // image is the float envelope, unchanged
+      val d = (BigInt(cumE) * nl - BigInt(cumL) * s.ne).toDouble
+      num += w * d * d
       prevE = cumE
     }
     val tot = (s.ne + nl).toDouble * (s.ne + nl) * s.ne * nl

@@ -17,11 +17,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * floor-division decomposition w1_bp = (tot DIV d)·10⁴ +
   * ((tot MOD d)·10⁴) DIV d with d = ne·nl.
   *
-  * Integer envelope (the corrected x_drift_ks statement): walk terms ≤
-  * ne·nl·Δ and tot ≤ ne·nl·range(cents) < 2^63; the decomposition's
-  * remainder factor needs ne·nl < 2^63/10⁴ ≈ 9.2·10¹⁴ — both the batch
-  * query's stated bounds, shared because the operand trees are
-  * identical. No tie rule is needed (a sum has no argmax); the last
+  * Integer envelope (r18, loud-or-exact — graft.queries.DriftArith):
+  * the walk, tot, and the decomposition run in BigInt — EXACT at any
+  * BIGINT count, no envelope left (the old Long spelling wrapped
+  * silently past tot ≈ 9.2·10¹⁸ or ne·nl ≈ 9.2·10¹⁴; the batch
+  * query's DECIMAL(38,0)/HUGEINT spelling is the same operand tree,
+  * raising loudly at its own 10³⁴/10³⁸ boundaries). No tie rule is needed (a sum has no argmax); the last
   * merged level has no successor and contributes nothing (its cross
   * term is already 0). The emitted row equals the batch x_drift_emd
   * row computed on (early corpus + late prefix) at ANY stream prefix —
@@ -41,11 +42,14 @@ object StreamingDriftEmd {
   /** The merged-level gap-weighted sum — ascending cents over
     * early ∪ late levels, each level's cross term carried over the gap
     * to the NEXT level (CDFs are constant between levels). */
-  private def w1(s: StreamingDriftKs.EarlySide, late: Map[Long, Long],
-      nl: Long): Long = {
+  private[streaming] def w1(s: StreamingDriftKs.EarlySide,
+      late: Map[Long, Long], nl: Long): BigInt = {
     val merged = (s.cents ++ late.keysIterator).distinct.sorted
     var cumL = 0L
-    var tot = 0L
+    // BigInt cross terms and total (r18 wide spelling, the DriftArith
+    // rule): tot carries the cents-range factor on top of ne·nl, the
+    // first Long casualty in the family — exact at any count here
+    var tot = BigInt(0)
     var ei = 0
     var i = 0
     while (i < merged.length) {
@@ -54,7 +58,8 @@ object StreamingDriftEmd {
       val cumE = if (ei == 0) 0L else s.cumLe(ei - 1)
       cumL += late.getOrElse(v, 0L)
       if (i + 1 < merged.length)
-        tot += math.abs(cumE * nl - cumL * s.ne) * (merged(i + 1) - v)
+        tot += (BigInt(cumE) * nl - BigInt(cumL) * s.ne).abs *
+          (merged(i + 1) - v)
       i += 1
     }
     tot
@@ -86,9 +91,10 @@ object StreamingDriftEmd {
               }
               state.update(st)
               val tot = w1(s, st.late, st.nLate)
-              val d = s.ne * st.nLate
+              val d = BigInt(s.ne) * st.nLate
+              // w1_bp ≤ range(cents)·10⁴ — the narrowing is total
               Iterator.single(EmdDrift(t, s.ne, st.nLate,
-                (tot / d) * 10000L + ((tot % d) * 10000L) / d))
+                ((tot / d) * 10000 + ((tot % d) * 10000) / d).toLong))
           }
       }
   }

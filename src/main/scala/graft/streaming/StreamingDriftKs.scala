@@ -21,14 +21,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * level count, NOT by arrival volume — and each emission re-derives
   * the sup over the merged distinct levels (early ∪ late): one
   * O(levels) walk with two running prefix counts. Integer envelope
-  * (corrected, ADVICE r16): cumE ≤ ne and cumL ≤ nl keep every walk
-  * term ≤ ne·nl, but the binding constraint is the FINAL scaling
-  * ks_bp = mx·10⁴ with mx ≤ ne·nl — the silent-overflow boundary is
-  * ne·nl < 2^63/10⁴ ≈ 9.2·10¹⁴ (≈ 3·10⁷ events per side when the
-  * halves balance), the same envelope the hash-matched batch query
-  * states, shared because both compute the identical operand tree.
-  * Beyond it the fix is Math.multiplyHigh/BigInt on the one scaling
-  * multiply; the corpus sits orders of magnitude inside.
+  * (r18, loud-or-exact — graft.queries.DriftArith): the walk's cross
+  * terms and the final ks_bp = mx·10⁴ DIV (ne·nl) scaling run in
+  * BigInt — EXACT at any BIGINT count, no envelope left at all (the
+  * old Long spelling wrapped silently past ne·nl ≈ 9.2·10¹⁴ on the
+  * scaling; the batch query's DECIMAL(38,0)/HUGEINT spelling is the
+  * same operand tree, raising loudly at its own 10³⁴ boundary). The
+  * straddle pins live in DegenerateInputSpec.
   *
   * Tie/argmax convention replayed from the batch query: the sup walks
   * levels in ASCENDING cents order and keeps the FIRST level achieving
@@ -69,23 +68,33 @@ object StreamingDriftKs {
     }
 
   /** The merged-level sup walk — ascending cents over early ∪ late
-    * levels, first-max tiebreak (the batch min(cents) rule). */
-  private def sup(s: EarlySide, late: Map[Long, Long], nl: Long)
-      : (Long, Long) = {
+    * levels, first-max tiebreak (the batch min(cents) rule). BigInt
+    * cross terms since r18 (the batch DECIMAL(38,0)/HUGEINT wide
+    * spelling's JVM image — plain Long would wrap SILENTLY past
+    * ne·nl ≈ 9.2·10¹⁸; exact at any count here, and the walk runs
+    * once per (type, micro-batch) over quantizer-bounded levels, so
+    * the boxing never touches the per-arrival path). */
+  private[streaming] def sup(s: EarlySide, late: Map[Long, Long],
+      nl: Long): (BigInt, Long) = {
     val merged = (s.cents ++ late.keysIterator).distinct.sorted
     var cumL = 0L
-    var mx = -1L
+    var mx = BigInt(-1)
     var at = 0L
     var ei = 0
     merged.foreach { v =>
       while (ei < s.cents.length && s.cents(ei) <= v) ei += 1
       val cumE = if (ei == 0) 0L else s.cumLe(ei - 1)
       cumL += late.getOrElse(v, 0L)
-      val term = math.abs(cumE * nl - cumL * s.ne)
+      val term = (BigInt(cumE) * nl - BigInt(cumL) * s.ne).abs
       if (term > mx) { mx = term; at = v }
     }
     (mx, at)
   }
+
+  /** mx·10⁴ DIV (ne·nl) in BigInt — the batch scaleBp spelling;
+    * quotient ≤ 10⁴ so the narrowing is total. */
+  private[streaming] def scaleBp(mx: BigInt, ne: Long, nl: Long): Long =
+    (mx * 10000 / (BigInt(ne) * nl)).toLong
 
   /** events: (event_type, cents) — the late-half arrivals; early: the
     * frozen early-half histogram, event_type → (cents level, count). */
@@ -113,7 +122,7 @@ object StreamingDriftKs {
               state.update(st)
               val (mx, at) = sup(s, st.late, st.nLate)
               Iterator.single(KsDrift(t, s.ne, st.nLate, at,
-                mx * 10000L / (s.ne * st.nLate)))
+                scaleBp(mx, s.ne, st.nLate)))
           }
       }
   }

@@ -79,11 +79,20 @@ object StreamingDriftMw {
                 val cumLe = if (i < 0) 0L else s.cumLe(i)
                 val eq = if (isLevel) s.eq(i) else 0L
                 val greater = s.ne - cumLe
-                st = MwState(st.nLate + 1L, st.u2 + 2L * greater + eq)
+                // addExact: u2 ≤ 2·ne·nl is the state's Long-width
+                // envelope (mixed per-type rows ≳ 3·10⁹) — raise
+                // loudly there instead of wrapping (the DriftArith
+                // loud-or-exact rule; the state schema stays a Long,
+                // checkpoint-compatible)
+                st = MwState(st.nLate + 1L,
+                  math.addExact(st.u2, 2L * greater + eq))
               }
               state.update(st)
+              // BigInt scaling (r18 wide spelling): Long wrapped
+              // silently past u2 ≈ 9.2·10¹⁴; quotient ≤ 10⁴
               Iterator.single(MwDrift(t, s.ne, st.nLate, st.u2,
-                st.u2 * 10000L / (2L * s.ne * st.nLate)))
+                (BigInt(st.u2) * 10000 /
+                  (BigInt(2) * s.ne * st.nLate)).toLong))
           }
       }
   }

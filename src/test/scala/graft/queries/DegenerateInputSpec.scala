@@ -1184,4 +1184,93 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
     assert(rows("ratio")._3 == 0.0,
       s"planted zero-growth series must show zero trend: ${rows("ratio")._3}")
   }
+
+  test("drift overflow straddle (r17 verdict task 1): the DriftArith wide " +
+      "spelling is exact just BELOW and just ABOVE the old Long boundary " +
+      "ne*nl ~ 9.2e14 where mx*10^4 wrapped") {
+    import spark.implicits._
+    // One synthetic pre-aggregated (cume, cuml, ne, nl) row per side of
+    // the boundary, pushed through the LITERAL DriftArith fragments the
+    // queries compile (shared operand tree — the pin IS the spelling).
+    // below: ne*nl = 9e12 (mx*10^4 ~ 6e16 fits a Long — old spelling ok)
+    // above: ne*nl = 1e16 (mx*10^4 ~ 1e20 — the old spelling raised in
+    // ANSI batch and WRAPPED in the twins; the wide spelling is exact)
+    val frame = Seq(
+      (2999999L, 1000000L, 3000000L, 3000000L),
+      (99999999L, 1000000L, 100000000L, 100000000L))
+      .toDF("cume", "cuml", "ne", "nl")
+    def want(cume: Long, cuml: Long, ne: Long, nl: Long): Long =
+      ((BigInt(cume) * nl - BigInt(cuml) * ne).abs * 10000 /
+        (BigInt(ne) * nl)).toLong
+    val got = frame
+      .withColumn("mx",
+        expr(DriftArith.absCrossTermSql("cume", "nl", "cuml", "ne")))
+      .select(expr(DriftArith.scaleBpSql("mx", "ne", "nl")).as("bp"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(want(2999999L, 1000000L, 3000000L, 3000000L),
+      want(99999999L, 1000000L, 100000000L, 100000000L)), got.toString)
+    // sanity on the magnitudes: the above-boundary mx really does
+    // exceed the old mx*10^4 Long envelope
+    val mxAbove = (BigInt(99999999L) * 100000000L -
+      BigInt(1000000L) * 100000000L).abs
+    assert(mxAbove * 10000 > BigInt(Long.MaxValue), "straddle too small")
+
+    // EMD decomposition: tot = mx * gap with a 100-cent gap pushes the
+    // remainder term (tot % d)*10^4 past the old Long envelope too
+    val emd = frame
+      .withColumn("tot",
+        expr(DriftArith.absCrossTermSql("cume", "nl", "cuml", "ne"))
+          * lit(100L))
+      .select(expr(DriftArith.emdBpSql("tot", "ne", "nl")).as("bp"))
+      .as[Long].collect().toSeq
+    def wantEmd(cume: Long, cuml: Long, ne: Long, nl: Long): Long = {
+      val tot = (BigInt(cume) * nl - BigInt(cuml) * ne).abs * 100
+      val d = BigInt(ne) * nl
+      ((tot / d) * 10000 + ((tot % d) * 10000) / d).toLong
+    }
+    assert(emd == Seq(wantEmd(2999999L, 1000000L, 3000000L, 3000000L),
+      wantEmd(99999999L, 1000000L, 100000000L, 100000000L)), emd.toString)
+
+    // MW: one all-tied level with ea = la = 1e8 gives r2 = ea*(2*0+ea+la+1),
+    // u2 = r2 - ne*(ne+1) = ne*nl = 1e16 (> 9.2e14), u2*10^4 = 1e20 — above
+    // the old boundary; the tie symmetry pins cles EXACTLY at 5000 bp
+    val mw = Seq((100000000L, 0L, 100000000L))
+      .toDF("ea", "cb", "la")
+      .withColumn("ne", $"ea").withColumn("nl", $"la")
+      .groupBy("ne", "nl")
+      .agg(sum(expr(DriftArith.mwR2TermSql("ea", "cb", "la"))).as("r2"))
+      .select(expr(DriftArith.mwU2Sql("r2", "ne")).as("u2"),
+        expr(DriftArith.mwClesBpSql("r2", "ne", "nl")).as("cles"))
+      .as[(Long, Long)].collect().toSeq
+    assert(mw == Seq((10000000000000000L, 5000L)), mw.toString)
+  }
+
+  test("x_drift_ad: a single-level type keeps its group and emits ad 0.0 " +
+      "(r17 ADVICE — the drift family's shared type domain)") {
+    import spark.implicits._
+    val dir = tmpDir("addegen")
+    // 'mono': the same single value in both calendar halves — merged
+    // early-union-late support is ONE cent level, whose pooled cumN = N;
+    // the excluded-term CASE must keep the group (ad = 0.0), not drop
+    // the type (the pre-r18 WHERE did). 'ctrl' is a non-degenerate
+    // control proving the term exclusion doesn't zero a real statistic.
+    val mono = (1L to 5L).flatMap(i => Seq(
+      (i, new Timestamp(0L), i, "mono", 3.0, "{}"),
+      (100 + i, new Timestamp(864000000L), i, "mono", 3.0, "{}")))
+    val ctrl = (1L to 5L).flatMap(i => Seq(
+      (200 + i, new Timestamp(0L), i, "ctrl", 1.0, "{}"),
+      (300 + i, new Timestamp(864000000L), i, "ctrl", 8.0, "{}")))
+    (mono ++ ctrl)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ad = SparkEntry.queries("x_drift_ad")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(ad("mono") == ((5L, 5L, 0.0)), s"single-level type: ${ad.get("mono")}")
+    assert(ad("ctrl") == ((5L, 5L, 5.0)), s"control: ${ad.get("ctrl")}")
+    // the family's shared type domain: KS sees both types too
+    val ks = SparkEntry.queries("x_drift_ks")(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    assert(ks == ad.keySet, s"AD domain $ad vs KS domain $ks")
+  }
 }
