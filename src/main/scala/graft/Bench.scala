@@ -45,6 +45,28 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       (elapsed, ok)
     }
+    // Fixed-work steal probes (r17 verdict task 2 — the probe gating
+    // moves from ROUND_NOTES prose INTO the artifact): two known-cost
+    // lines timed BEFORE and AFTER the sweep. Ceilings are the r17
+    // measured same-code clean bands (x_pca_oracle 0.149–0.28 s,
+    // x_dedup_incremental 0.196–0.306 s across 12 same-binary runs)
+    // plus ~30% headroom; a probe outside its ceiling means the host
+    // was stealing CPU in that window and the run's totals are NOT
+    // comparable round-over-round. steal_index = max(probe/ceiling)
+    // over all four measurements — a graded run is machine-readably
+    // clean (≤ 1.0) or dirty, ending the per-round noise
+    // re-litigation. Each probe takes one discarded warm-up rep first
+    // (plan+codegen; the pre-probe therefore also pre-warms these two
+    // lines for the sweep — a ~0.1 s downward bias on exactly those
+    // two sweep lines, documented here rather than avoided, since
+    // fixed-work comparability is the probe's whole point).
+    val probeCeilings = Seq("x_pca_oracle" -> 0.40, "x_dedup_incremental" -> 0.45)
+    def runProbes(): Seq[(String, Double)] = probeCeilings.map { case (name, _) =>
+      val fn = SparkEntry.queries(name)
+      timeOne(name, fn) // discarded warm-up rep
+      val (t, ok) = timeOne(name, fn)
+      (name, if (ok) t else -1.0)
+    }
     // Block-manager state probe, printed every 50 queries (stderr, not
     // part of the JSON contract): makes end-of-run storage pressure a
     // measurement instead of a hypothesis.
@@ -69,6 +91,7 @@ object Bench {
     // rep — both slow reps may have landed in one steal window. Bounded
     // extra wall: only lines over the threshold re-run once.
     val slowRepThreshold = 1.2
+    val probePre = runProbes()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
       if (i % 50 == 0) storageProbe(i, name)
@@ -84,6 +107,7 @@ object Bench {
       (name, cold, best, ok)
     }
     storageProbe(results.length, "END")
+    val probePost = runProbes()
     // failed queries are self-describing in the JSON (value -1 + a
     // `failed` list), not just a stderr line a JSON consumer never sees
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
@@ -104,15 +128,25 @@ object Bench {
     // in the working directory: at 118+ queries the detail lines
     // outgrew the stdout tail window (r6: 37 entries unreadable), and a
     // file survives any query-count growth.
+    def probeJson(ps: Seq[(String, Double)]): String =
+      ps.map { case (n, t) =>
+        "\"" + n + "\":" + (if (t < 0) "-1" else f3(t)) }.mkString("{", ",", "}")
+    val ceilByProbe = probeCeilings.toMap
+    val stealIndex = (probePre ++ probePost).map { case (n, t) =>
+      if (t < 0) Double.PositiveInfinity else t / ceilByProbe(n) }.max
+    val benchClean = stealIndex <= 1.0
+    val stealStr = if (stealIndex.isPosInfinity) "-1" else f3(stealIndex)
+    val probeLine =
+      s"""{"metric":"probes","probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)},"steal_index":$stealStr,"bench_clean":$benchClean}"""
     val detailCold = s"""{"metric":"total_cold","value":${f3(totalCold)},"unit":"sec","queries_cold":$qsCold}"""
     val detail = s"""{"metric":"detail","value":${f3(total)},"unit":"sec","queries":$qs}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      detailCold + "\n" + detail + "\n")
+      probeLine + "\n" + detailCold + "\n" + detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail file: $e") }
     println(detailCold)
     println(detail)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)},"steal_index":$stealStr,"bench_clean":$benchClean,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

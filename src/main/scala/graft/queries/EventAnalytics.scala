@@ -4263,6 +4263,154 @@ object EventAnalytics extends QueryModule {
         .orderBy($"cohort_w")
     })
 
+  /** Shared Kemeny–Snell lumpability fold — the batch x_markov_lumpable
+    * tail and StreamingMarkovLumpable.verdictOf run THIS function over
+    * their respective transition-count frames, so stream ≡ batch is
+    * structural, not re-derived. Input c: (prev_type, next_type, n).
+    *
+    * The candidate partition is DECLARED (the behavioral grouping this
+    * corpus's five types invite): engagement = {click, view},
+    * conversion = {purchase, signup}, failure = {error}; any OTHER
+    * type is its own singleton block (total on any corpus — singleton
+    * blocks simply contribute no pairs). The type domain is the types
+    * observed IN THE CHAIN (prev ∪ next); a state with no outgoing
+    * transitions has no empirical row P(i,·) and joins no pair (the
+    * stated exclusion — 0/0 rows cannot be tested for equality).
+    *
+    * Exactness (the SURVEY §7.6.4 documented path, now taken): strong
+    * lumpability asks Σ_{j∈B'} P(i→j) = Σ_{j∈B'} P(i'→j) for every
+    * same-block pair (i,i') and target block B' (Kemeny & Snell 1960,
+    * Finite Markov Chains §6.3). On the EMPIRICAL chain that is a
+    * rational equality s(i,B')/n(i) = s(i',B')/n(i'), cross-multiplied
+    * to the integer test s(i,B')·n(i') = s(i',B')·n(i) — NO quantizer,
+    * no calibrated tolerance (the objection that kept this read out
+    * through r17). Cross-multiplies run wide (DECIMAL(38,0) ↔ HUGEINT,
+    * the DriftArith loud-or-exact rule): eq is exact at any BIGINT
+    * count; the lhs/rhs OUTPUT columns are BIGINT-wide diagnostics
+    * that raise loudly (ANSI cast) past 2⁶³ ≈ n(i)·n(i') at ~3·10⁹
+    * rows per type — the MW u2 precedent.
+    *
+    * Scale shape: everything here is K-bounded (K = chain type
+    * cardinality, guarded at 256 by the family's markovState rule) —
+    * pairs ≤ K², grid ≤ K²·blocks, every join broadcast. The only
+    * volume-dependent work is the caller's transition count. */
+  private[graft] def lumpableFold(c: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val blockOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      ty => when(ty.isin("click", "view"), lit("engagement"))
+        .when(ty.isin("purchase", "signup"), lit("conversion"))
+        .when(ty === "error", lit("failure"))
+        .otherwise(ty)
+    val ty = c.select($"prev_type".as("t"))
+      .union(c.select($"next_type".as("t"))).distinct()
+    val bm = ty.withColumn("blk", blockOf($"t"))
+    val tb = bm.select($"blk".as("to_block")).distinct()
+    val ri = c.groupBy($"prev_type".as("i")).agg(sum($"n").as("ni"))
+    val bs = c.join(broadcast(bm), $"t" === $"next_type")
+      .groupBy($"prev_type", $"blk").agg(sum($"n").as("s"))
+    val sa = ri.join(broadcast(bm), $"t" === $"i")
+      .select($"i".as("state_a"), $"ni".as("na"), $"blk".as("block"))
+    val sb = ri.join(broadcast(bm), $"t" === $"i")
+      .select($"i".as("state_b"), $"ni".as("nb"), $"blk".as("block_b"))
+    val pairs = sa.join(broadcast(sb),
+      $"block" === $"block_b" && $"state_a" < $"state_b").drop("block_b")
+    val grid = pairs.crossJoin(broadcast(tb))
+    val bsA = bs.select($"prev_type".as("pa"), $"blk".as("ba"),
+      $"s".as("sa_raw"))
+    val bsB = bs.select($"prev_type".as("pb"), $"blk".as("bb"),
+      $"s".as("sb_raw"))
+    grid
+      .join(broadcast(bsA),
+        $"pa" === $"state_a" && $"ba" === $"to_block", "left")
+      .join(broadcast(bsB),
+        $"pb" === $"state_b" && $"bb" === $"to_block", "left")
+      .withColumn("s_a", coalesce($"sa_raw", lit(0L)))
+      .withColumn("s_b", coalesce($"sb_raw", lit(0L)))
+      .select($"block", $"state_a", $"state_b", $"to_block",
+        expr("CAST(CAST(s_a AS DECIMAL(38,0)) * nb AS BIGINT)").as("lhs"),
+        expr("CAST(CAST(s_b AS DECIMAL(38,0)) * na AS BIGINT)").as("rhs"),
+        expr("""CAST(CASE WHEN CAST(s_a AS DECIMAL(38,0)) * nb
+                        = CAST(s_b AS DECIMAL(38,0)) * na
+                   THEN 1 ELSE 0 END AS BIGINT)""").as("eq"))
+      .orderBy($"block", $"state_a", $"state_b", $"to_block")
+  }
+
+  /** ORACLE-BACKED Kemeny–Snell strong-lumpability test — the Markov
+    * family's partition-validity read, closing the one "documented
+    * path not taken" (SURVEY §7.6.4): CAN this corpus's behavioral
+    * chain be aggregated to the declared 3-block partition
+    * (engagement/conversion/failure) without losing the Markov
+    * property? One row per (same-block state pair, target block) with
+    * the exact cross-multiplied block sums and an eq ∈ {0,1} verdict —
+    * the partition is lumpable iff every row reads eq = 1. All
+    * semantics, exactness, and scale-shape notes live on
+    * [[lumpableFold]], which both this query and the streaming twin
+    * execute verbatim. The transition frame is the family's standard
+    * one user-keyed lag window → K² count rollup (x_markov_steady's
+    * spelling, (ts_us, event_id) tiebreak). */
+  private val markovLumpable = Q(
+    "x_markov_lumpable",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                         epoch_us(ts) AS ts_us FROM events),
+            p AS (SELECT lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id)
+                    AS prev_type,
+                    event_type AS next_type
+                  FROM e),
+            c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+                  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            ty AS (SELECT DISTINCT t FROM
+                     (SELECT prev_type AS t FROM c
+                      UNION SELECT next_type FROM c)),
+            bm AS (SELECT t, CASE
+                     WHEN t IN ('click', 'view') THEN 'engagement'
+                     WHEN t IN ('purchase', 'signup') THEN 'conversion'
+                     WHEN t = 'error' THEN 'failure'
+                     ELSE t END AS blk FROM ty),
+            tb AS (SELECT DISTINCT blk AS to_block FROM bm),
+            ri AS (SELECT prev_type AS i, CAST(sum(n) AS BIGINT) AS ni
+                   FROM c GROUP BY 1),
+            bs AS (SELECT c.prev_type AS i, bm.blk AS tob,
+                     CAST(sum(c.n) AS BIGINT) AS s
+                   FROM c JOIN bm ON bm.t = c.next_type GROUP BY 1, 2),
+            pr AS (SELECT ba.blk AS block, a.i AS state_a, b.i AS state_b,
+                     a.ni AS na, b.ni AS nb
+                   FROM ri a
+                   JOIN bm ba ON ba.t = a.i
+                   JOIN ri b ON a.i < b.i
+                   JOIN bm bb ON bb.t = b.i AND bb.blk = ba.blk),
+            g AS (SELECT pr.*, tb.to_block FROM pr CROSS JOIN tb),
+            j AS (SELECT g.block, g.state_a, g.state_b, g.to_block,
+                    g.na, g.nb,
+                    coalesce(s1.s, 0) AS s_a, coalesce(s2.s, 0) AS s_b
+                  FROM g
+                  LEFT JOIN bs s1 ON s1.i = g.state_a
+                    AND s1.tob = g.to_block
+                  LEFT JOIN bs s2 ON s2.i = g.state_b
+                    AND s2.tob = g.to_block)
+            SELECT block, state_a, state_b, to_block,
+              CAST(CAST(s_a AS HUGEINT) * nb AS BIGINT) AS lhs,
+              CAST(CAST(s_b AS HUGEINT) * na AS BIGINT) AS rhs,
+              CAST(CASE WHEN CAST(s_a AS HUGEINT) * nb
+                             = CAST(s_b AS HUGEINT) * na
+                        THEN 1 ELSE 0 END AS BIGINT) AS eq
+            FROM j
+            ORDER BY block, state_a, state_b, to_block"""),
+    (spark, dir) => {
+      import spark.implicits._
+      val wU = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val c = t(spark, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          expr("unix_micros(ts)").as("ts_us"))
+        .withColumn("prev_type", lag($"event_type", 1).over(wU))
+        .where($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      lumpableFold(c)
+    })
+
   def all: Seq[Q] = Seq(funnel, retention, spikes, dauRolling, eventPaths,
     userSkew, botBurst, sessionStats, valueOutliers, eventTransitions,
     attribution, changepoint, cohortLtv, autocorr, driftTvd, interarrival,
@@ -4273,5 +4421,6 @@ object EventAnalytics extends QueryModule {
     stickiness, markovReach, rfmProfile, conversionLag, valueBenford,
     driftChi2, retentionHalflife, markovMfpt, markovEntropy, driftJs,
     sessionGapSweep, forecastHoltWinters, cohortHalflife, forecastHwLog,
-    driftEmd, forecastHoltDamped, driftCvm, driftAd, weekdayAnova)
+    driftEmd, forecastHoltDamped, driftCvm, driftAd, weekdayAnova,
+    markovLumpable)
 }

@@ -1273,4 +1273,54 @@ class DegenerateInputSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getString(0)).toSet
     assert(ks == ad.keySet, s"AD domain $ad vs KS domain $ks")
   }
+
+  test("x_markov_lumpable closed forms: a 2-block lumpable toy chain reads " +
+      "all eq = 1; a one-edge perturbation breaks exactly the perturbed " +
+      "block's equalities (r17 verdict task 5)") {
+    import spark.implicits._
+    // Each desired transition i->j is realized as its own 2-event user
+    // (one lag pair per user, nothing else), so the count matrix is
+    // written directly. Lumpable toy over engagement={click,view},
+    // failure={error}:
+    //   click: ->click 1, ->view 1, ->error 2   (n=4; Eng 2/4, Fail 2/4)
+    //   view:  ->click 2,           ->error 2   (n=4; Eng 2/4, Fail 2/4)
+    // Kemeny-Snell holds exactly: s(click,B')*n(view) = s(view,B')*n(click)
+    // for both target blocks (8 = 8).
+    def corpus(edges: Seq[(String, String, Int)]) = {
+      var uid = 0L
+      edges.flatMap { case (a, b, k) => (1 to k).flatMap { _ =>
+        uid += 1
+        Seq((uid * 10, new Timestamp(uid * 100000L), uid, a, 1.0, "{}"),
+          (uid * 10 + 1, new Timestamp(uid * 100000L + 1000L), uid, b, 1.0, "{}"))
+      } }
+    }
+    val lumpable = Seq(("click", "click", 1), ("click", "view", 1),
+      ("click", "error", 2), ("view", "click", 2), ("view", "error", 2))
+    val dir1 = tmpDir("lumpdegen1")
+    corpus(lumpable)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir1/events.parquet")
+    val rows1 = SparkEntry.queries("x_markov_lumpable")(spark, dir1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // error never transitions out -> no empirical row, no pair for the
+    // singleton failure block anyway; ONE pair (click, view) x two
+    // target blocks, both exactly equal
+    assert(rows1 == Seq(
+      ("engagement", "click", "view", "engagement", 8L, 8L, 1L),
+      ("engagement", "click", "view", "failure", 8L, 8L, 1L)), rows1.toString)
+
+    // one extra view->error edge: n(view) = 5 and s(view,Fail) = 3 —
+    // BOTH target-block equalities break (10 != 8 and 10 != 12)
+    val dir2 = tmpDir("lumpdegen2")
+    corpus(lumpable :+ (("view", "error", 1)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val rows2 = SparkEntry.queries("x_markov_lumpable")(spark, dir2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(rows2 == Seq(
+      ("engagement", "click", "view", "engagement", 10L, 8L, 0L),
+      ("engagement", "click", "view", "failure", 10L, 12L, 0L)), rows2.toString)
+  }
 }

@@ -2603,4 +2603,83 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
       assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
     } finally q.stop()
   }
+
+  test("live lumpability: streamed transition hits fold to the batch " +
+      "x_markov_lumpable table across micro-batch splits AND a checkpoint " +
+      "restart (43rd twin — the batch fold run over counted emissions); a " +
+      "clean feed keeps the reorder detector at zero") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmpDir("lumprestart")
+
+    // the exact per-user order the batch lag window uses: (µs, event_id)
+    val prepared = eventsNanos(sf)
+      .select($"user_id", expr("ts DIV 1000").as("ts_us"),
+        $"event_id", $"event_type")
+      .orderBy($"ts_us", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val third = prepared.length / 3
+
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val (hits, acc) = graft.streaming.StreamingMarkovLumpable.emissions(
+      mem.toDS().toDF("user_id", "ts_us", "event_id", "event_type"))
+    def start() = hits
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+
+    // two splits, STOP (checkpoint), restart, third split: a reset
+    // last-type state would drop every split- and restart-crossing
+    // transition and the counted chain would undercount
+    val q1 = start()
+    try {
+      mem.addData(prepared.take(third).toIndexedSeq); q1.processAllAvailable()
+      mem.addData(prepared.slice(third, 2 * third).toIndexedSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try { mem.addData(prepared.drop(2 * third).toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val streamed = graft.streaming.StreamingMarkovLumpable.verdictOf(
+        spark.read.parquet(s"$dir/out"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val batch = graft.SparkEntry.queries("x_markov_lumpable")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed lumpability != batch:\n$streamed\nvs\n$batch")
+    assert(acc.value == 0L, s"clean feed tripped the reorder detector: ${acc.value}")
+  }
+
+  test("live lumpability: an out-of-order arrival (including an equal-µs " +
+      "id reversal) trips the detector and folds nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val (hits, acc) = graft.streaming.StreamingMarkovLumpable.emissions(
+      mem.toDS().toDF("user_id", "ts_us", "event_id", "event_type"))
+    val q = hits.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("lumpooo").start()
+    try {
+      mem.addData(Seq((1L, 1000L, 10L, "view"), (1L, 2000L, 11L, "click")))
+      q.processAllAvailable()
+      // strictly earlier µs AND an equal-µs id reversal — both violate
+      // the batch (ts_us, event_id) order and must fold nothing
+      mem.addData(Seq((1L, 500L, 12L, "error"), (1L, 2000L, 9L, "purchase")))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, 3000L, 13L, "view")))
+      q.processAllAvailable()
+      val got = spark.table("lumpooo")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got == Seq(("view", "click"), ("click", "view")),
+        s"reordered arrivals leaked into the chain: $got")
+      assert(acc.value == 2L, s"detector count: ${acc.value}")
+    } finally q.stop()
+  }
 }
