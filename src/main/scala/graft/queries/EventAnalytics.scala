@@ -809,15 +809,21 @@ object EventAnalytics extends QueryModule {
                     AND b.day = a.day + l.lag_d),
             s AS (SELECT event_type, lag_d, CAST(count(*) AS BIGINT) AS m,
                     CAST(sum(ca) AS BIGINT) AS sa, CAST(sum(cb) AS BIGINT) AS sb,
-                    CAST(sum(ca * ca) AS BIGINT) AS saa,
-                    CAST(sum(cb * cb) AS BIGINT) AS sbb,
-                    CAST(sum(ca * cb) AS BIGINT) AS sab
+                    sum(CAST(ca AS HUGEINT) * ca) AS saa,
+                    sum(CAST(cb AS HUGEINT) * cb) AS sbb,
+                    sum(CAST(ca AS HUGEINT) * cb) AS sab
                   FROM p GROUP BY 1, 2)
             SELECT event_type, lag_d, m AS n_pairs,
-              CASE WHEN m * saa - sa * sa > 0 AND m * sbb - sb * sb > 0
-                THEN CAST(floor((10000.0 * CAST(m * sab - sa * sb AS DOUBLE))
-                  / (sqrt(CAST(m * saa - sa * sa AS DOUBLE))
-                     * sqrt(CAST(m * sbb - sb * sb AS DOUBLE)))) AS BIGINT)
+              CASE WHEN CAST(m AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa > 0
+                    AND CAST(m AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb > 0
+                THEN CAST(floor((10000.0
+                    * CAST(CAST(m AS HUGEINT) * sab
+                         - CAST(sa AS HUGEINT) * sb AS DOUBLE))
+                  / (sqrt(CAST(CAST(m AS HUGEINT) * saa
+                            - CAST(sa AS HUGEINT) * sa AS DOUBLE))
+                     * sqrt(CAST(CAST(m AS HUGEINT) * sbb
+                              - CAST(sb AS HUGEINT) * sb AS DOUBLE))))
+                  AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS autocorr_bp
             FROM s ORDER BY event_type, lag_d"""),
     (spark, dir) => {
@@ -836,14 +842,24 @@ object EventAnalytics extends QueryModule {
         .groupBy($"event_type", $"lag_d")
         .agg(count(lit(1)).as("m"),
           sum($"ca").as("sa"), sum($"cb").as("sb"),
-          sum($"ca" * $"ca").as("saa"), sum($"cb" * $"cb").as("sbb"),
-          sum($"ca" * $"cb").as("sab"))
+          // DECIMAL(38,0) quadratic chain (r18, the x_weekday_anova
+          // widening verbatim): m·saa − sa² reaches 2⁶³ at the
+          // family's 10⁷-events/day envelope — the guard must stay
+          // integer-EXACT there, not wrap or raise
+          sum(expr("CAST(ca AS DECIMAL(38,0)) * ca")).as("saa"),
+          sum(expr("CAST(cb AS DECIMAL(38,0)) * cb")).as("sbb"),
+          sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("sab"))
+        .withColumn("vza", expr("CAST(m AS DECIMAL(38,0)) * saa"
+          + " - CAST(sa AS DECIMAL(38,0)) * sa"))
+        .withColumn("vzb", expr("CAST(m AS DECIMAL(38,0)) * sbb"
+          + " - CAST(sb AS DECIMAL(38,0)) * sb"))
         .select($"event_type", $"lag_d", $"m".as("n_pairs"),
-          when($"m" * $"saa" - $"sa" * $"sa" > 0 &&
-              $"m" * $"sbb" - $"sb" * $"sb" > 0,
-            floor((lit(10000.0) * ($"m" * $"sab" - $"sa" * $"sb").cast("double"))
-              / (sqrt(($"m" * $"saa" - $"sa" * $"sa").cast("double"))
-                 * sqrt(($"m" * $"sbb" - $"sb" * $"sb").cast("double"))))
+          when($"vza" > 0 && $"vzb" > 0,
+            floor((lit(10000.0)
+                * expr("CAST(CAST(m AS DECIMAL(38,0)) * sab"
+                  + " - CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)"))
+              / (sqrt($"vza".cast("double"))
+                 * sqrt($"vzb".cast("double"))))
               .cast("long"))
             .otherwise(lit(0L)).as("autocorr_bp"))
         .orderBy($"event_type", $"lag_d")
@@ -875,10 +891,14 @@ object EventAnalytics extends QueryModule {
                    GROUP BY w),
             term AS (SELECT wc.w - mw.w0 AS week_idx, wc.event_type,
                        wc.c AS obs,
-                       (abs(wc.c * bt.btot - base.bc * wk.wtot) * 10000)
-                         // (wk.wtot * bt.btot) AS abs_drift_bp,
-                       CASE WHEN wc.c * bt.btot > base.bc * wk.wtot THEN 1
-                            WHEN wc.c * bt.btot < base.bc * wk.wtot THEN -1
+                       (abs(CAST(wc.c AS HUGEINT) * bt.btot
+                          - CAST(base.bc AS HUGEINT) * wk.wtot) * 10000)
+                         // (CAST(wk.wtot AS HUGEINT) * bt.btot)
+                         AS abs_drift_bp,
+                       CASE WHEN CAST(wc.c AS HUGEINT) * bt.btot
+                                 > CAST(base.bc AS HUGEINT) * wk.wtot THEN 1
+                            WHEN CAST(wc.c AS HUGEINT) * bt.btot
+                                 < CAST(base.bc AS HUGEINT) * wk.wtot THEN -1
                             ELSE 0 END AS drift_sign
                      FROM wc
                      JOIN base ON base.event_type = wc.event_type
@@ -903,14 +923,18 @@ object EventAnalytics extends QueryModule {
       val bt = base.agg(sum($"bc").as("btot"))
       val wk = wc.groupBy($"w").agg(sum($"c").as("wtot"))
         .select($"w".as("wk_w"), $"wtot")
-      val diff = $"c" * $"btot" - $"bc" * $"wtot"
+      // DECIMAL(38,0) cross terms (r18, the DriftArith rule): c·btot
+      // raises past 9.2·10¹⁸ in Long; wide is exact to 10³⁴ and loud
+      val diff = expr(DriftArith.crossTermSql("c", "btot", "bc", "wtot"))
       val term = wc.crossJoin(broadcast(mw)).where($"w" > $"w0")
         .join(broadcast(base), $"b_type" === $"event_type")
         .join(broadcast(wk), $"wk_w" === $"w")
         .crossJoin(broadcast(bt))
         .select(($"w" - $"w0").as("week_idx"), $"event_type",
           $"c".as("obs"),
-          expr("(abs(c * btot - bc * wtot) * 10000) DIV (wtot * btot)")
+          expr("(abs(CAST(c AS DECIMAL(38,0)) * btot"
+            + " - CAST(bc AS DECIMAL(38,0)) * wtot) * 10000)"
+            + " DIV (CAST(wtot AS DECIMAL(38,0)) * btot)")
             .as("abs_drift_bp"),
           when(diff > 0, 1L).when(diff < 0, -1L).otherwise(0L)
             .as("drift_sign"))
@@ -1071,7 +1095,8 @@ object EventAnalytics extends QueryModule {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                    t AS (PARTITION BY event_type)),
             b AS (SELECT event_type, ne, nl,
-                    least(9, greatest(0, ((cume - 1) * 10) // ne)) AS bin,
+                    least(9, greatest(0,
+                      (CAST(cume - 1 AS HUGEINT) * 10) // ne)) AS bin,
                     CAST(sum(ea) AS BIGINT) AS ce,
                     CAST(sum(la) AS BIGINT) AS cl
                   FROM c WHERE ne > 0 AND nl > 0
@@ -1106,7 +1131,8 @@ object EventAnalytics extends QueryModule {
           sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
         .where($"ne" > 0 && $"nl" > 0)
         .withColumn("bin",
-          expr("least(9, greatest(0, ((cume - 1) * 10) DIV ne))"))
+          expr("least(9, greatest(0,"
+            + " (CAST(cume - 1 AS DECIMAL(38,0)) * 10) DIV ne))"))
         .groupBy($"event_type", $"ne", $"nl", $"bin")
         .agg(sum($"ea").as("ce"), sum($"la").as("cl"))
         .groupBy($"event_type", $"ne", $"nl")
@@ -1162,7 +1188,8 @@ object EventAnalytics extends QueryModule {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                    t AS (PARTITION BY event_type)),
             b AS (SELECT event_type, ne, nl,
-                    least(9, greatest(0, ((cume - 1) * 10) // ne)) AS bin,
+                    least(9, greatest(0,
+                      (CAST(cume - 1 AS HUGEINT) * 10) // ne)) AS bin,
                     CAST(sum(ea) AS BIGINT) AS ce,
                     CAST(sum(la) AS BIGINT) AS cl
                   FROM c WHERE ne > 0 AND nl > 0
@@ -1170,8 +1197,10 @@ object EventAnalytics extends QueryModule {
             SELECT event_type, CAST(ne AS BIGINT) AS n_early,
               CAST(nl AS BIGINT) AS n_late,
               CAST(count(*) - 1 AS BIGINT) AS dof,
-              round(sum(CAST(ce * nl - cl * ne AS DOUBLE)
-                      * CAST(ce * nl - cl * ne AS DOUBLE) * (ne + nl)
+              round(sum(CAST(CAST(ce AS HUGEINT) * nl
+                          - CAST(cl AS HUGEINT) * ne AS DOUBLE)
+                      * CAST(CAST(ce AS HUGEINT) * nl
+                          - CAST(cl AS HUGEINT) * ne AS DOUBLE) * (ne + nl)
                     / (CAST(ne AS DOUBLE) * nl * (ce + cl))), 4) AS chi2
             FROM b GROUP BY event_type, ne, nl
             ORDER BY event_type"""),
@@ -1195,14 +1224,17 @@ object EventAnalytics extends QueryModule {
           sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
         .where($"ne" > 0 && $"nl" > 0)
         .withColumn("bin",
-          expr("least(9, greatest(0, ((cume - 1) * 10) DIV ne))"))
+          expr("least(9, greatest(0,"
+            + " (CAST(cume - 1 AS DECIMAL(38,0)) * 10) DIV ne))"))
         .groupBy($"event_type", $"ne", $"nl", $"bin")
         .agg(sum($"ea").as("ce"), sum($"la").as("cl"))
         .groupBy($"event_type", $"ne", $"nl")
         .agg((count(lit(1)) - 1).as("dof"),
           round(sum(
-            ($"ce" * $"nl" - $"cl" * $"ne").cast("double")
-              * ($"ce" * $"nl" - $"cl" * $"ne").cast("double")
+            expr(DriftArith.crossTermSql("ce", "nl", "cl", "ne"))
+              .cast("double")
+              * expr(DriftArith.crossTermSql("ce", "nl", "cl", "ne"))
+                .cast("double")
               * ($"ne" + $"nl")
               / ($"ne".cast("double") * $"nl" * ($"ce" + $"cl"))), 4)
             .as("chi2"))
@@ -3039,11 +3071,16 @@ object EventAnalytics extends QueryModule {
           $"lag_ms")
         .groupBy($"lag_band")
         .agg(count(lit(1)).as("n_users"), min($"lag_ms").as("min_lag_ms"),
-          sum($"lag_ms").as("sum_lag"), max($"lag_ms").as("max_lag_ms"))
+          // DECIMAL(38,0) lag sum (r18 audit): Σlag over 10¹⁰ users ×
+          // an unbounded top band exceeds 2⁶³; DuckDB's sum(BIGINT)
+          // is already HUGEINT-wide, this matches it exactly
+          sum($"lag_ms".cast("decimal(38,0)")).as("sum_lag"),
+          max($"lag_ms").as("max_lag_ms"))
         .crossJoin(broadcast(n))
         .select($"lag_band", $"n_users",
           expr("n_users * 10000 DIV n_conv").as("share_bp"),
-          $"min_lag_ms", expr("sum_lag DIV n_users").as("avg_lag_ms"),
+          $"min_lag_ms",
+          expr("CAST(sum_lag DIV n_users AS BIGINT)").as("avg_lag_ms"),
           $"max_lag_ms")
         .orderBy($"lag_band")
     })
@@ -3565,13 +3602,19 @@ object EventAnalytics extends QueryModule {
             j AS (SELECT s.event_type, tt.ne, tt.nl,
                     sum(CASE WHEN s.ea > 0 THEN
                       0.5 * (CAST(s.ea AS DOUBLE) / tt.ne)
-                        * ln(CAST(2 * s.ea * tt.nl AS DOUBLE)
-                             / CAST(s.ea * tt.nl + s.la * tt.ne AS DOUBLE))
+                        * ln(CAST(2 * CAST(s.ea AS HUGEINT) * tt.nl
+                               AS DOUBLE)
+                             / CAST(CAST(s.ea AS HUGEINT) * tt.nl
+                                  + CAST(s.la AS HUGEINT) * tt.ne
+                               AS DOUBLE))
                       ELSE 0.0 END
                     + CASE WHEN s.la > 0 THEN
                       0.5 * (CAST(s.la AS DOUBLE) / tt.nl)
-                        * ln(CAST(2 * s.la * tt.ne AS DOUBLE)
-                             / CAST(s.ea * tt.nl + s.la * tt.ne AS DOUBLE))
+                        * ln(CAST(2 * CAST(s.la AS HUGEINT) * tt.ne
+                               AS DOUBLE)
+                             / CAST(CAST(s.ea AS HUGEINT) * tt.nl
+                                  + CAST(s.la AS HUGEINT) * tt.ne
+                               AS DOUBLE))
                       ELSE 0.0 END) AS jsd
                   FROM s JOIN tt USING (event_type)
                   WHERE tt.ne > 0 AND tt.nl > 0
@@ -3599,13 +3642,15 @@ object EventAnalytics extends QueryModule {
         .agg(sum(
           when($"ea" > 0,
             expr("0.5 * (CAST(ea AS DOUBLE) / ne)"
-              + " * ln(CAST(2 * ea * nl AS DOUBLE)"
-              + "      / CAST(ea * nl + la * ne AS DOUBLE))"))
+              + " * ln(CAST(2 * CAST(ea AS DECIMAL(38,0)) * nl AS DOUBLE)"
+              + "      / CAST(CAST(ea AS DECIMAL(38,0)) * nl"
+              + "           + CAST(la AS DECIMAL(38,0)) * ne AS DOUBLE))"))
             .otherwise(0.0)
           + when($"la" > 0,
             expr("0.5 * (CAST(la AS DOUBLE) / nl)"
-              + " * ln(CAST(2 * la * ne AS DOUBLE)"
-              + "      / CAST(ea * nl + la * ne AS DOUBLE))"))
+              + " * ln(CAST(2 * CAST(la AS DECIMAL(38,0)) * ne AS DOUBLE)"
+              + "      / CAST(CAST(ea AS DECIMAL(38,0)) * nl"
+              + "           + CAST(la AS DECIMAL(38,0)) * ne AS DOUBLE))"))
             .otherwise(0.0)).as("jsd"))
         .select($"event_type", $"ne".as("n_early"), $"nl".as("n_late"),
           (round($"jsd", 4) + 0.0).as("jsd_nats"))
@@ -4111,8 +4156,17 @@ object EventAnalytics extends QueryModule {
     * N·Σ_g S_g²/m_g − S², SS_within = Q − Σ_g S_g²/m_g make every
     * division TERMINAL (the x_drift_ad worksheet rule): Σ S_g²/m_g is
     * a ≤7-term double sum of exact-image int64 ratios (S_g² ≤ 9·10¹⁴
-    * ≪ 2^53 at daily counts ≤ 10⁵ over ≤300 days), and η²/F are one
-    * rounded division each, identical operand trees in both engines.
+    * ≪ 2^53 at daily counts ≤ 10⁵ over ≤300 days — the FLOAT image
+    * envelope, which binds ssb only), and η²/F are one rounded
+    * division each, identical operand trees in both engines. The
+    * INTEGER chain runs wide since r18 (DECIMAL(38,0) ↔ HUGEINT, the
+    * DriftArith rule; r17 ADVICE): Q_g = Σn², wz, and the guard
+    * tz = N·Q − S² — which reaches ~9·10¹⁸ ≈ 2⁶³ at the family's
+    * 10⁷-events/day envelope — never wrap; both engines raise loudly
+    * at the 10³⁸ decimal boundary no corpus can reach. The twin runs
+    * the same tree in BigInt over its Long state arrays, whose own
+    * width (Q_g at daily counts ~3·10⁹) is guarded by
+    * multiplyExact/addExact — loud, schema-compatible.
     * DEGENERACY GUARDS ARE INTEGER-EXACT (the DegenerateInputSpec
     * rule — a float ≈0 test would be run-varying): SS_total = 0 ⟺
     * tz := N·Q − S² = 0 (constant series → η² = F = 0, the loud
@@ -4133,18 +4187,20 @@ object EventAnalytics extends QueryModule {
             g AS (SELECT event_type, day % 7 AS wd,
                     CAST(count(*) AS BIGINT) AS m,
                     CAST(sum(n) AS BIGINT) AS sg,
-                    CAST(sum(n * n) AS BIGINT) AS qg
+                    sum(CAST(n AS HUGEINT) * n) AS qg
                   FROM d GROUP BY 1, 2),
             a AS (SELECT event_type,
                     CAST(sum(m) AS BIGINT) AS nn,
                     CAST(count(*) AS BIGINT) AS k,
                     CAST(sum(sg) AS BIGINT) AS s,
-                    CAST(sum(qg) AS BIGINT) AS q,
+                    sum(qg) AS q,
                     sum(CAST(sg AS DOUBLE) * sg / m) AS ssb,
-                    CAST(sum(m * qg - sg * sg) AS BIGINT) AS wz
+                    sum(CAST(m AS HUGEINT) * qg
+                      - CAST(sg AS HUGEINT) * sg) AS wz
                   FROM g GROUP BY 1),
             b AS (SELECT event_type, nn, k, s, q, ssb, wz,
-                    nn * q - s * s AS tz FROM a)
+                    CAST(nn AS HUGEINT) * q
+                      - CAST(s AS HUGEINT) * s AS tz FROM a)
             SELECT event_type, CAST(nn AS BIGINT) AS n_days,
               CAST(k AS BIGINT) AS n_weekdays,
               round(CASE WHEN tz = 0 THEN 0.0
@@ -4164,13 +4220,15 @@ object EventAnalytics extends QueryModule {
         .agg(count(lit(1)).as("n"))
       val g = d.groupBy($"event_type", expr("day % 7").as("wd"))
         .agg(count(lit(1)).as("m"), sum($"n").as("sg"),
-          sum($"n" * $"n").as("qg"))
+          sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("qg"))
       val a = g.groupBy($"event_type")
         .agg(sum($"m").as("nn"), count(lit(1)).as("k"),
           sum($"sg").as("s"), sum($"qg").as("q"),
           sum(expr("CAST(sg AS DOUBLE) * sg / m")).as("ssb"),
-          sum($"m" * $"qg" - $"sg" * $"sg").as("wz"))
-        .withColumn("tz", $"nn" * $"q" - $"s" * $"s")
+          sum(expr("CAST(m AS DECIMAL(38,0)) * qg"
+            + " - CAST(sg AS DECIMAL(38,0)) * sg")).as("wz"))
+        .withColumn("tz", expr("CAST(nn AS DECIMAL(38,0)) * q"
+          + " - CAST(s AS DECIMAL(38,0)) * s"))
       a.select($"event_type", $"nn".as("n_days"), $"k".as("n_weekdays"),
           (round(when($"tz" === 0, 0.0)
             .otherwise(expr("(CAST(nn AS DOUBLE) * ssb"

@@ -83,9 +83,13 @@ object MiningOps extends QueryModule {
     * token — deterministic), so every row downstream of the per-(token,
     * doc) rollup is vocabulary-bounded.
     *
-    * Overflow envelope: n·SS ≤ n·S·c_max and the ×10⁴ applies after
-    * the subtract — BIGINT-safe while n·S·c_max < 9·10¹⁴ (stated; the
-    * gate corpora sit orders of magnitude below).
+    * Overflow envelope (r18, the DriftArith loud-or-exact rule): the
+    * quadratic chain runs wide — SS = Σc² accumulates in
+    * DECIMAL(38,0) ↔ HUGEINT (Σc² ~ 10¹⁸ at 10¹⁰ docs × 10⁴-token
+    * docs was the first Long casualty) and the cross-multiplied VMR
+    * numerator (n·SS − S²)·10⁴ is exact while n·SS < 10³⁴, with both
+    * engines raising loudly beyond (ANSI decimal / HUGEINT overflow)
+    * — the old BIGINT boundary n·S·c_max < 9·10¹⁴ is gone.
     *
     * Scale shape: one (token, doc) aggregate (map-side combined over
     * the explode), one token rollup, a 50-row ranked cap — corpus
@@ -101,14 +105,16 @@ object MiningOps extends QueryModule {
                    FROM tok GROUP BY 1, 2),
             agg AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
                       CAST(sum(c) AS BIGINT) AS s,
-                      CAST(sum(c * c) AS BIGINT) AS ss
+                      sum(CAST(c AS HUGEINT) * c) AS ss
                     FROM pd GROUP BY token),
             v AS (SELECT token, df, s, ss,
                     row_number() OVER (ORDER BY df DESC, token) AS rk
                   FROM agg)
             SELECT token, df, s AS total,
-              CAST(s * 10000 // df AS BIGINT) AS burst_bp,
-              CAST((n_docs * ss - s * s) * 10000 // (n_docs * s)
+              CAST(CAST(s AS HUGEINT) * 10000 // df AS BIGINT) AS burst_bp,
+              CAST((CAST(n_docs AS HUGEINT) * ss
+                  - CAST(s AS HUGEINT) * s) * 10000
+                // (CAST(n_docs AS HUGEINT) * s)
                 AS BIGINT) AS vmr_bp
             FROM v CROSS JOIN n WHERE rk <= 50
             ORDER BY vmr_bp DESC, token"""),
@@ -124,7 +130,7 @@ object MiningOps extends QueryModule {
         .agg(count(lit(1)).as("c"))
       val agg = pd.groupBy($"token")
         .agg(count(lit(1)).as("df"), sum($"c").as("s"),
-          sum($"c" * $"c").as("ss"))
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ss"))
       // TakeOrdered vocab cap (the x_cooccur idiom) — NOT a global
       // row_number window, which would single-partition the full
       // token dictionary at scale
@@ -132,8 +138,11 @@ object MiningOps extends QueryModule {
         .orderBy($"df".desc, $"token").limit(50)
         .crossJoin(broadcast(n))
         .select($"token", $"df", $"s".as("total"),
-          expr("s * 10000 DIV df").as("burst_bp"),
-          expr("(n_docs * ss - s * s) * 10000 DIV (n_docs * s)")
+          expr("CAST(CAST(s AS DECIMAL(38,0)) * 10000 DIV df AS BIGINT)")
+            .as("burst_bp"),
+          expr("""CAST((CAST(n_docs AS DECIMAL(38,0)) * ss
+              - CAST(s AS DECIMAL(38,0)) * s) * 10000
+            DIV (CAST(n_docs AS DECIMAL(38,0)) * s) AS BIGINT)""")
             .as("vmr_bp"))
         .orderBy($"vmr_bp".desc, $"token")
     })

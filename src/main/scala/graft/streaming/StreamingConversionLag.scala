@@ -93,11 +93,14 @@ object StreamingConversionLag {
         col("lag_ms"))
       .groupBy(col("lag_band"))
       .agg(count(lit(1)).as("n_users"), min(col("lag_ms")).as("min_lag_ms"),
-        sum(col("lag_ms")).as("sum_lag"), max(col("lag_ms")).as("max_lag_ms"))
+        // DECIMAL(38,0) lag sum — the batch query's r18 wide spelling
+        sum(col("lag_ms").cast("decimal(38,0)")).as("sum_lag"),
+        max(col("lag_ms")).as("max_lag_ms"))
       .crossJoin(broadcast(n))
       .select(col("lag_band"), col("n_users"),
         expr("n_users * 10000 DIV n_conv").as("share_bp"),
-        col("min_lag_ms"), expr("sum_lag DIV n_users").as("avg_lag_ms"),
+        col("min_lag_ms"),
+        expr("CAST(sum_lag DIV n_users AS BIGINT)").as("avg_lag_ms"),
         col("max_lag_ms"))
       .orderBy(col("lag_band"))
   }

@@ -47,10 +47,14 @@ object StreamingDrift {
           val wtot = m.valuesIterator.sum
           // the batch query's inner join: only types present in BOTH the
           // baseline and the week contribute a term
-          val tvd = baseline.toSeq.sortBy(_._1).collect {
+          // BigInt cross terms (r18 wide spelling, the DriftArith rule):
+          // m(t)·btot and the ×10⁴ scaling wrapped silently in Long past
+          // wtot·btot ≈ 9.2·10¹⁴; exact at any count here
+          val tvd = (baseline.toSeq.sortBy(_._1).collect {
             case (t, bc) if m.contains(t) =>
-              (math.abs(m(t) * btot - bc * wtot) * 10000L) / (wtot * btot)
-          }.sum / 2L
+              ((BigInt(m(t)) * btot - BigInt(bc) * wtot).abs * 10000) /
+                (BigInt(wtot) * btot)
+          }.sum / 2).toLong
           Iterator.single(Drift(week, wtot, tvd))
       }
   }

@@ -115,7 +115,8 @@ object StreamingDriftBands {
                   val pl = math.max(clB.toDouble / nl, 0.0001)
                   val pe = math.max(ceB.toDouble / s.ne, 0.0001)
                   psi += (pl - pe) * math.log(pl / pe)
-                  val cross = (ceB * nl - clB * s.ne).toDouble
+                  // BigInt cross term (r18 wide spelling, DriftArith)
+                  val cross = (BigInt(ceB) * nl - BigInt(clB) * s.ne).toDouble
                   chi2 += cross * cross * (s.ne + nl) /
                     (s.ne.toDouble * nl * (ceB + clB))
                 }

@@ -74,17 +74,20 @@ object StreamingDriftJs {
               merged.foreach { v =>
                 val ea = s.eq.getOrElse(v, 0L)
                 val la = st.late.getOrElse(v, 0L)
-                val mix = (ea * nl + la * s.ne).toDouble
+                // BigInt mixture terms (r18 wide spelling): ea·nl
+                // wrapped silently in Long past ne·nl ≈ 9.2·10¹⁸; the
+                // double images are the float envelope, unchanged
+                val mix = (BigInt(ea) * nl + BigInt(la) * s.ne).toDouble
                 // the batch per-level combined term, operand for operand
                 val tp =
                   if (ea > 0L)
                     0.5 * (ea.toDouble / s.ne) *
-                      math.log((2L * ea * nl).toDouble / mix)
+                      math.log((BigInt(2) * ea * nl).toDouble / mix)
                   else 0.0
                 val tq =
                   if (la > 0L)
                     0.5 * (la.toDouble / nl) *
-                      math.log((2L * la * s.ne).toDouble / mix)
+                      math.log((BigInt(2) * la * s.ne).toDouble / mix)
                   else 0.0
                 jsd += tp + tq
               }

@@ -33,6 +33,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * violation, loudly, never silently skewed. */
 object StreamingHoltWinters {
 
+  // CHECKPOINT BOUNDARY (r17 ADVICE): lastDay was ADDED to this state
+  // in r17 — checkpoints written by the pre-r17 twin carry the old
+  // encoding and CANNOT be resumed (Spark's state-schema check fails
+  // the restart; with stateSchemaCheck disabled it would misread).
+  // Operators upgrading across r17 must start the HW/SES twins from
+  // fresh checkpoints (replaying the rollup feed rebuilds state —
+  // the feed is the durable artifact, the checkpoint is a cache).
   final case class HwState(l: Long, b: Long, s: Array[Long], e: Long,
       nDays: Long, lastDay: Long)
 

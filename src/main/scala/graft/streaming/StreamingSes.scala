@@ -24,6 +24,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * accumulator [[levels]] returns and folds/emits NOTHING. */
 object StreamingSes {
 
+  // CHECKPOINT BOUNDARY (r17 ADVICE): lastDay joined this state in
+  // r17 — pre-r17 checkpoints cannot be resumed (see the HwState note;
+  // start a fresh checkpoint and replay the rollup feed).
   final case class SesState(level: Double, nDays: Long, lastDay: Long)
 
   /** One emission per closed (type, day): the PRE-update forecast

@@ -60,17 +60,23 @@ object StreamingWeekdayAnova {
             val k = st.m.count(_ > 0L)
             val s = st.s.sum
             val q = st.q.sum
-            val tz = nn * q - s * s
+            // BigInt guards (r18, the DriftArith loud-or-exact rule +
+            // r17 ADVICE): tz = N·Q − S² reaches ~9·10^18 ≈ 2^63 at
+            // the family's 10^7-events/day envelope — the batch query
+            // spells it DECIMAL(38,0)/HUGEINT; here the same operand
+            // tree runs in BigInt so the integer-exact degeneracy
+            // tests never wrap at any Long-valued state
+            val tz = BigInt(nn) * q - BigInt(s) * s
             val wz = (0 until 7).map(i =>
-              st.m(i) * st.q(i) - st.s(i) * st.s(i)).sum
+              BigInt(st.m(i)) * st.q(i) - BigInt(st.s(i)) * st.s(i)).sum
             var ssb = 0.0
             (0 until 7).foreach { i =>
               if (st.m(i) > 0L)
                 ssb += st.s(i).toDouble * st.s(i) / st.m(i)
             }
-            val eta2 = if (tz == 0L) 0.0
-              else (nn.toDouble * ssb - s.toDouble * s) / tz
-            val f = if (tz == 0L || wz == 0L || k <= 1 || nn <= k) 0.0
+            val eta2 = if (tz == 0) 0.0
+              else (nn.toDouble * ssb - s.toDouble * s) / tz.toDouble
+            val f = if (tz == 0 || wz == 0 || k <= 1 || nn <= k) 0.0
               else (nn.toDouble * ssb - s.toDouble * s) * (nn - k) /
                 (nn.toDouble * (q.toDouble - ssb) * (k - 1))
             out += AnovaPoint(typ, day, nn, k, r4(eta2) + 0.0,
@@ -79,9 +85,14 @@ object StreamingWeekdayAnova {
           rows.toSeq.sortBy(_._2).foreach { case (_, day, n) =>
             if (day > st.lastDay) {
               val i = (day % 7L).toInt
+              // addExact/multiplyExact: the 7×3-long state array is
+              // the binding width (Q_g wraps at daily counts ~3·10⁹)
+              // — raise loudly there instead of folding a wrapped
+              // value; the state SCHEMA stays checkpoint-compatible
               val m2 = st.m.clone(); m2(i) += 1L
-              val s2 = st.s.clone(); s2(i) += n
-              val q2 = st.q.clone(); q2(i) += n * n
+              val s2 = st.s.clone(); s2(i) = math.addExact(s2(i), n)
+              val q2 = st.q.clone()
+              q2(i) = math.addExact(q2(i), math.multiplyExact(n, n))
               st = AnovaState(m2, s2, q2, day)
               emit(day)
             } else {
