@@ -4350,48 +4350,63 @@ object EventAnalytics extends QueryModule {
     *
     * Scale shape: everything here is K-bounded (K = chain type
     * cardinality, guarded at 256 by the family's markovState rule) —
-    * pairs ≤ K², grid ≤ K²·blocks, every join broadcast. The only
+    * a K²-bounded driver collect + local BigInt fold (the markovState
+    * precedent; the relational spelling's ~8 broadcast joins were a
+    * flat ~1.1 s plan-latency floor at every SF). The only
     * volume-dependent work is the caller's transition count. */
   private[graft] def lumpableFold(c: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val spark = c.sparkSession
     import spark.implicits._
-    val blockOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      ty => when(ty.isin("click", "view"), lit("engagement"))
-        .when(ty.isin("purchase", "signup"), lit("conversion"))
-        .when(ty === "error", lit("failure"))
-        .otherwise(ty)
-    val ty = c.select($"prev_type".as("t"))
-      .union(c.select($"next_type".as("t"))).distinct()
-    val bm = ty.withColumn("blk", blockOf($"t"))
-    val tb = bm.select($"blk".as("to_block")).distinct()
-    val ri = c.groupBy($"prev_type".as("i")).agg(sum($"n").as("ni"))
-    val bs = c.join(broadcast(bm), $"t" === $"next_type")
-      .groupBy($"prev_type", $"blk").agg(sum($"n").as("s"))
-    val sa = ri.join(broadcast(bm), $"t" === $"i")
-      .select($"i".as("state_a"), $"ni".as("na"), $"blk".as("block"))
-    val sb = ri.join(broadcast(bm), $"t" === $"i")
-      .select($"i".as("state_b"), $"ni".as("nb"), $"blk".as("block_b"))
-    val pairs = sa.join(broadcast(sb),
-      $"block" === $"block_b" && $"state_a" < $"state_b").drop("block_b")
-    val grid = pairs.crossJoin(broadcast(tb))
-    val bsA = bs.select($"prev_type".as("pa"), $"blk".as("ba"),
-      $"s".as("sa_raw"))
-    val bsB = bs.select($"prev_type".as("pb"), $"blk".as("bb"),
-      $"s".as("sb_raw"))
-    grid
-      .join(broadcast(bsA),
-        $"pa" === $"state_a" && $"ba" === $"to_block", "left")
-      .join(broadcast(bsB),
-        $"pb" === $"state_b" && $"bb" === $"to_block", "left")
-      .withColumn("s_a", coalesce($"sa_raw", lit(0L)))
-      .withColumn("s_b", coalesce($"sb_raw", lit(0L)))
-      .select($"block", $"state_a", $"state_b", $"to_block",
-        expr("CAST(CAST(s_a AS DECIMAL(38,0)) * nb AS BIGINT)").as("lhs"),
-        expr("CAST(CAST(s_b AS DECIMAL(38,0)) * na AS BIGINT)").as("rhs"),
-        expr("""CAST(CASE WHEN CAST(s_a AS DECIMAL(38,0)) * nb
-                        = CAST(s_b AS DECIMAL(38,0)) * na
-                   THEN 1 ELSE 0 END AS BIGINT)""").as("eq"))
+    // K²-bounded driver fold (the markovState collect rule: the chain
+    // is type-cardinality-bounded by declaration, guarded at 256 —
+    // ≤ 65,536 count rows): the pair × target-block grid folds in
+    // exact BigInt arithmetic on the driver instead of ~8 broadcast
+    // joins of ≤K-row frames, shaving the plan-latency floor the
+    // relational spelling pays at EVERY scale (measured flat ~1.1 s
+    // at sf0.001→0.1 — pure stage scheduling, zero data dependence).
+    // The DuckDB oracle replays the relational spelling, so the two
+    // derivations hash-checking equal is itself a pin; the loud-or-
+    // exact rule holds — BigInt never wraps, and the BIGINT output
+    // narrowing raises (isValidLong) exactly where the old spelling's
+    // ANSI cast did.
+    val rows = c.selectExpr("prev_type", "next_type", "CAST(n AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = (rows.map(_._1) ++ rows.map(_._2)).distinct
+    require(types.length <= 256,
+      s"lumpableFold: ${types.length} chain types exceed the declared " +
+        "bounded type space (the markovState 256 cap)")
+    def block(t: String): String = t match {
+      case "click" | "view" => "engagement"
+      case "purchase" | "signup" => "conversion"
+      case "error" => "failure"
+      case other => other
+    }
+    val ni: Map[String, BigInt] = rows.groupBy(_._1)
+      .map { case (i, xs) => i -> xs.map(x => BigInt(x._3)).sum }
+    val bs: Map[(String, String), BigInt] = rows.groupBy(r => (r._1, block(r._2)))
+      .map { case (k, xs) => k -> xs.map(x => BigInt(x._3)).sum }
+    val toBlocks = types.map(block).distinct.sorted
+    val typed = types.sorted.map(t => (t, block(t)))
+    def narrow(v: BigInt, what: String): Long = {
+      if (!v.isValidLong)
+        throw new ArithmeticException(
+          s"x_markov_lumpable: $what = $v exceeds the BIGINT output " +
+            "width (the MW u2 rule — internal test stays exact)")
+      v.toLong
+    }
+    val out = for {
+      (i, iBlk) <- typed if ni.contains(i)
+      (j, jBlk) <- typed if jBlk == iBlk && i < j && ni.contains(j)
+      tb <- toBlocks
+    } yield {
+      val lhs = bs.getOrElse((i, tb), BigInt(0)) * ni(j)
+      val rhs = bs.getOrElse((j, tb), BigInt(0)) * ni(i)
+      (iBlk, i, j, tb, narrow(lhs, "lhs"), narrow(rhs, "rhs"),
+        if (lhs == rhs) 1L else 0L)
+    }
+    out.toSeq
+      .toDF("block", "state_a", "state_b", "to_block", "lhs", "rhs", "eq")
       .orderBy($"block", $"state_a", $"state_b", $"to_block")
   }
 
