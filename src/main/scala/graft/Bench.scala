@@ -60,12 +60,23 @@ object Bench {
     // lines for the sweep — a ~0.1 s downward bias on exactly those
     // two sweep lines, documented here rather than avoided, since
     // fixed-work comparability is the probe's whole point).
-    val probeCeilings = Seq("x_pca_oracle" -> 0.40, "x_dedup_incremental" -> 0.45)
-    def runProbes(): Seq[(String, Double)] = probeCeilings.map { case (name, _) =>
+    // Position-aware ceilings (r18 calibration, measured over five
+    // same-code runs in one session): the PRE probe runs in a
+    // just-started JVM (partial JIT, cold page cache) and reads
+    // ~1.5–2× the fully-warmed POST position on a clean host — that
+    // is position state, not steal, so each position carries its own
+    // band. pre = observed clean pre band (0.31–0.52) + headroom;
+    // post = the r17 sweep-position clean bands + ~30% headroom.
+    val preCeilings = Map("x_pca_oracle" -> 0.55, "x_dedup_incremental" -> 0.70)
+    val postCeilings = Map("x_pca_oracle" -> 0.40, "x_dedup_incremental" -> 0.45)
+    // min-of-2 measured reps after one discarded warm-up — the same
+    // discipline the sweep lines use
+    def runProbes(): Seq[(String, Double)] = preCeilings.keys.toSeq.sorted.map { name =>
       val fn = SparkEntry.queries(name)
       timeOne(name, fn) // discarded warm-up rep
-      val (t, ok) = timeOne(name, fn)
-      (name, if (ok) t else -1.0)
+      val (t1, ok1) = timeOne(name, fn)
+      val (t2, ok2) = timeOne(name, fn)
+      (name, if (ok1 && ok2) math.min(t1, t2) else -1.0)
     }
     // Block-manager state probe, printed every 50 queries (stderr, not
     // part of the JSON contract): makes end-of-run storage pressure a
@@ -131,9 +142,10 @@ object Bench {
     def probeJson(ps: Seq[(String, Double)]): String =
       ps.map { case (n, t) =>
         "\"" + n + "\":" + (if (t < 0) "-1" else f3(t)) }.mkString("{", ",", "}")
-    val ceilByProbe = probeCeilings.toMap
-    val stealIndex = (probePre ++ probePost).map { case (n, t) =>
-      if (t < 0) Double.PositiveInfinity else t / ceilByProbe(n) }.max
+    val stealIndex = (probePre.map { case (n, t) => (t, preCeilings(n)) }
+        ++ probePost.map { case (n, t) => (t, postCeilings(n)) })
+      .map { case (t, ceil) =>
+        if (t < 0) Double.PositiveInfinity else t / ceil }.max
     val benchClean = stealIndex <= 1.0
     val stealStr = if (stealIndex.isPosInfinity) "-1" else f3(stealIndex)
     val probeLine =
