@@ -67,16 +67,22 @@ object Bench {
     // is position state, not steal, so each position carries its own
     // band. pre = observed clean pre band (0.31–0.52) + headroom;
     // post = the r17 sweep-position clean bands + ~30% headroom.
-    val preCeilings = Map("x_pca_oracle" -> 0.55, "x_dedup_incremental" -> 0.70)
+    // r19 (ADVICE r18 #3): the PRE position gets a third measured rep
+    // and a widened x_dedup_incremental ceiling. The r18 driver run
+    // was graded dirty on pre=0.792 vs a 0.70 ceiling — a value that
+    // cold-JVM variance (not steal) can produce when BOTH of two reps
+    // land in the partial-JIT window; min-of-3 gives a cold start one
+    // more escape without inflating the statistic, and the ceiling
+    // widens to the observed cold-clean band (0.59–0.79) + headroom.
+    val preCeilings = Map("x_pca_oracle" -> 0.60, "x_dedup_incremental" -> 0.85)
     val postCeilings = Map("x_pca_oracle" -> 0.40, "x_dedup_incremental" -> 0.45)
-    // min-of-2 measured reps after one discarded warm-up — the same
-    // discipline the sweep lines use
-    def runProbes(): Seq[(String, Double)] = preCeilings.keys.toSeq.sorted.map { name =>
+    // min of the measured reps after one discarded warm-up — the same
+    // discipline the sweep lines use (3 reps pre, 2 post)
+    def runProbes(reps: Int): Seq[(String, Double)] = preCeilings.keys.toSeq.sorted.map { name =>
       val fn = SparkEntry.queries(name)
       timeOne(name, fn) // discarded warm-up rep
-      val (t1, ok1) = timeOne(name, fn)
-      val (t2, ok2) = timeOne(name, fn)
-      (name, if (ok1 && ok2) math.min(t1, t2) else -1.0)
+      val rs = Seq.fill(reps)(timeOne(name, fn))
+      (name, if (rs.forall(_._2)) rs.map(_._1).min else -1.0)
     }
     // Block-manager state probe, printed every 50 queries (stderr, not
     // part of the JSON contract): makes end-of-run storage pressure a
@@ -102,7 +108,7 @@ object Bench {
     // rep — both slow reps may have landed in one steal window. Bounded
     // extra wall: only lines over the threshold re-run once.
     val slowRepThreshold = 1.2
-    val probePre = runProbes()
+    val probePre = runProbes(3)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
       if (i % 50 == 0) storageProbe(i, name)
@@ -118,7 +124,7 @@ object Bench {
       (name, cold, best, ok)
     }
     storageProbe(results.length, "END")
-    val probePost = runProbes()
+    val probePost = runProbes(2)
     // failed queries are self-describing in the JSON (value -1 + a
     // `failed` list), not just a stderr line a JSON consumer never sees
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
@@ -148,8 +154,58 @@ object Bench {
         if (t < 0) Double.PositiveInfinity else t / ceil }.max
     val benchClean = stealIndex <= 1.0
     val stealStr = if (stealIndex.isPosInfinity) "-1" else f3(stealIndex)
+    // Host-floor index (r18 verdict task 3): the steal probes catch
+    // SPIKES but are blind to broad uniform inflation — a 15% slower
+    // host keeps every probe inside its +30% headroom while shifting
+    // the whole sweep. So at run end the sweep's own per-query map is
+    // compared against a committed clean floor pin
+    // (bench_baselines/floor_pin.json, override SPARK_GRAFT_FLOOR_PIN):
+    // host_floor_index = median(this_run[q] / pin[q]) over all common
+    // lines. The pin is the r17 clean-window run (82.14 s, the
+    // session-best measured floor) — an index ≈ 1.0 means the host is
+    // in that floor class and totals ARE comparable to the 82 s era;
+    // ≈ 1.15 is the documented shifted-floor class. The run_class
+    // field folds both gates: spike-dirty (probe over ceiling) /
+    // floor-shifted (spike-free, index > 1.10) / clean — the
+    // machine-readable classification with no prose needed. The pin
+    // compares CODE+HOST jointly, so a round that genuinely speeds
+    // queries up reads < the host's true floor — fine: the index is a
+    // comparability gate, not a speed grade.
+    val warmByName = results.collect { case (k, c, w, true) => (k, math.min(c, w)) }.toMap
+    val floorPinPath = sys.env.getOrElse("SPARK_GRAFT_FLOOR_PIN",
+      "bench_baselines/floor_pin.json")
+    val hostFloorIndex: Double = try {
+      val src = scala.io.Source.fromFile(floorPinPath)
+      val detailLine = try src.getLines().find(_.contains("\"metric\":\"detail\""))
+        finally src.close()
+      detailLine match {
+        case Some(line) =>
+          val kv = "\"(\\w+)\":(\\d+\\.\\d+)".r.findAllMatchIn(line)
+            .map(m => (m.group(1), m.group(2).toDouble)).toMap - "value"
+          val ratios = kv.keysIterator
+            .filter(k => kv(k) > 0 && warmByName.contains(k))
+            .map(k => warmByName(k) / kv(k)).toSeq.sorted
+          if (ratios.isEmpty) -1.0
+          else {
+            val n = ratios.size
+            if (n % 2 == 1) ratios(n / 2) else (ratios(n / 2 - 1) + ratios(n / 2)) / 2
+          }
+        case None => -1.0
+      }
+    } catch { case _: Throwable => -1.0 }
+    val floorVerdict =
+      if (hostFloorIndex < 0) "unknown"
+      else if (hostFloorIndex > 1.10) "floor-shifted"
+      else "floor-normal"
+    val runClass =
+      if (!benchClean) "spike-dirty"
+      else if (floorVerdict == "floor-shifted") "floor-shifted"
+      else "clean"
+    val floorStr = if (hostFloorIndex < 0) "-1" else f3(hostFloorIndex)
+    val floorJson =
+      s""""host_floor_index":$floorStr,"host_verdict":"$floorVerdict","run_class":"$runClass""""
     val probeLine =
-      s"""{"metric":"probes","probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)},"steal_index":$stealStr,"bench_clean":$benchClean}"""
+      s"""{"metric":"probes","probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)},"steal_index":$stealStr,"bench_clean":$benchClean,$floorJson}"""
     val detailCold = s"""{"metric":"total_cold","value":${f3(totalCold)},"unit":"sec","queries_cold":$qsCold}"""
     val detail = s"""{"metric":"detail","value":${f3(total)},"unit":"sec","queries":$qs}"""
     try java.nio.file.Files.writeString(
@@ -158,7 +214,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] detail file: $e") }
     println(detailCold)
     println(detail)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)},"steal_index":$stealStr,"bench_clean":$benchClean,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)},"steal_index":$stealStr,"bench_clean":$benchClean,$floorJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2125,13 +2125,7 @@ object EventAnalytics extends QueryModule {
           "transform(sort_array(collect_list(struct(day, n))), p -> p.n)")
           .as("xs"))
         .select($"event_type", size($"xs").cast("long").as("n_days"),
-          expr("""aggregate(slice(xs, 2, size(xs) - 1),
-                    named_struct('l', xs[0] * 10000L, 'b', 0L, 'e', 0L),
-                    (acc, x) -> named_struct(
-                      'l', (x * 10000L + acc.l + acc.b) DIV 2,
-                      'b', ((x * 10000L + acc.l + acc.b) DIV 2
-                            - acc.l + acc.b) DIV 2,
-                      'e', acc.e + abs(x * 10000L - acc.l - acc.b)))""")
+          expr(ForecastArith.holtFoldSql)
             .as("st"))
         .select($"event_type", $"n_days",
           $"st.l".as("level_bp"), $"st.b".as("trend_bp"),
@@ -2221,14 +2215,7 @@ object EventAnalytics extends QueryModule {
           "transform(sort_array(collect_list(struct(day, n))), p -> p.n)")
           .as("xs"))
         .select($"event_type", size($"xs").cast("long").as("n_days"),
-          expr("""aggregate(slice(xs, 2, size(xs) - 1),
-                    named_struct('l', xs[0] * 10000L, 'b', 0L, 'e', 0L),
-                    (acc, x) -> named_struct(
-                      'l', (x * 10000L + acc.l + (acc.b * 3L) DIV 4) DIV 2,
-                      'b', ((x * 10000L + acc.l + (acc.b * 3L) DIV 4) DIV 2
-                            - acc.l + (acc.b * 3L) DIV 4) DIV 2,
-                      'e', acc.e + abs(x * 10000L - acc.l
-                            - (acc.b * 3L) DIV 4)))""")
+          expr(ForecastArith.dampedFoldSql)
             .as("st"))
         .select($"event_type", $"n_days",
           $"st.l".as("level_bp"), $"st.b".as("trend_bp"),
@@ -3960,26 +3947,7 @@ object EventAnalytics extends QueryModule {
         .agg(expr("sort_array(collect_list(struct(day, n)))").as("xs"))
         .select($"event_type", size($"xs").cast("long").as("n_days"),
           expr("element_at(xs, -1).day").as("last_day"),
-          expr("""aggregate(slice(xs, 2, size(xs) - 1),
-                    named_struct('l', xs[0].n * 10000L, 'b', 0L,
-                      's', array_repeat(0L, 7), 'e', 0L),
-                    (acc, x) -> named_struct(
-                      'l', (x.n * 10000L
-                        - element_at(acc.s, CAST(x.day % 7 AS INT) + 1)
-                        + acc.l + acc.b) DIV 2,
-                      'b', ((x.n * 10000L
-                        - element_at(acc.s, CAST(x.day % 7 AS INT) + 1)
-                        + acc.l + acc.b) DIV 2 - acc.l + acc.b) DIV 2,
-                      's', transform(acc.s, (v, j) ->
-                        IF(j = CAST(x.day % 7 AS INT),
-                           (x.n * 10000L
-                             - (x.n * 10000L
-                                - element_at(acc.s, CAST(x.day % 7 AS INT) + 1)
-                                + acc.l + acc.b) DIV 2
-                             + v) DIV 2,
-                           v)),
-                      'e', acc.e + abs(x.n * 10000L - acc.l - acc.b
-                        - element_at(acc.s, CAST(x.day % 7 AS INT) + 1))))""")
+          expr(ForecastArith.hwFoldSql)
             .as("st"))
         .select($"event_type", $"n_days",
           $"st.l".as("level_bp"), $"st.b".as("trend_bp"),
