@@ -86,4 +86,40 @@ class CacheGenerationSpec extends AnyFunSuite with SparkTestBase {
     assert(calRegen != calFirst,
       "drill vacuous: the two corpora produced identical calibrations")
   }
+
+  test("cachedIndex regeneration drill for the r19 artifacts: jacpairs " +
+      "(x_threshold_sweep), cappedpost (x_assoc_rules), shpairs-scored " +
+      "(x_simhash_error_oracle)") {
+    // the r19 shave class — same stamp rule, drilled the same way:
+    // warm generation identical, regenerated content rebuilds (fresh
+    // key over the same new content is the rebuild reference)
+    def copyDocs(from: String, to: String): Unit = {
+      val dst = Paths.get(to, "documents.parquet")
+      Files.copy(Paths.get(s"$from/documents.parquet"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      assert(dst.toFile.setLastModified(System.currentTimeMillis() + 5000))
+    }
+    def run(q: String, dir: String): Seq[String] =
+      graft.SparkEntry.queries(q)(spark, dir)
+        .collect().map(_.toString).toSeq
+    val qs = Seq("x_threshold_sweep", "x_assoc_rules",
+      "x_simhash_error_oracle")
+
+    val dir = tmpDir("regen19")
+    copyDocs("/root/testdata/sf0.001", dir)
+    val first = qs.map(q => q -> run(q, dir)).toMap
+    qs.foreach(q => assert(run(q, dir) == first(q),
+      s"$q: warm generation not served identically"))
+
+    copyDocs("/root/testdata/sf0.01", dir)
+    val fresh = tmpDir("fresh19")
+    copyDocs("/root/testdata/sf0.01", fresh)
+    qs.foreach { q =>
+      val regen = run(q, dir)
+      assert(regen == run(q, fresh),
+        s"$q: regenerated table did not rebuild the artifact")
+      assert(regen != first(q),
+        s"$q: drill vacuous — identical output on both corpora")
+    }
+  }
 }
