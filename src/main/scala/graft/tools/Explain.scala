@@ -27,9 +27,11 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // comma-separated list of names, or unset = every declared query
+    val onlySet = only.map(_.split(",").map(_.trim).toSet)
     val sb = new StringBuilder
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only.forall(_ == q._1))
+      .filter(q => onlySet.forall(_.contains(q._1)))
       .foreach { case (name, fn) =>
         sb.append(s"\n\n=================== $name ===================\n")
         try {

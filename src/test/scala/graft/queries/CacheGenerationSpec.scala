@@ -102,8 +102,12 @@ class CacheGenerationSpec extends AnyFunSuite with SparkTestBase {
     def run(q: String, dir: String): Seq[String] =
       graft.SparkEntry.queries(q)(spark, dir)
         .collect().map(_.toString).toSeq
+    // sampledpairs / winnowpairs joined the class in the second r19
+    // shave batch (x_dedup_sampled / x_dedup_winnow are their direct
+    // readers; x_dedup_cross / x_winnow_vs_sampled / x_dedup_compare
+    // consume the same tables)
     val qs = Seq("x_threshold_sweep", "x_assoc_rules",
-      "x_simhash_error_oracle")
+      "x_simhash_error_oracle", "x_dedup_sampled", "x_dedup_winnow")
 
     val dir = tmpDir("regen19")
     copyDocs("/root/testdata/sf0.001", dir)
