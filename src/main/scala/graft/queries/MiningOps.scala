@@ -785,17 +785,25 @@ object MiningOps extends QueryModule {
             "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"))).as("gram"))
       // first occurrence: min doc_id per gram, its source via min_by —
       // doc_id is unique within a gram's (distinct) posting, so the
-      // pick is total-ordered; one aggregate, no join-back
-      val att = grams.groupBy($"gram")
-        .agg(min_by($"source", $"doc_id").as("fsrc"))
-        .groupBy($"fsrc").agg(count(lit(1)).as("n_first"))
-      val tot = grams.select($"source", $"gram").distinct()
-        .groupBy($"source").agg(count(lit(1)).as("n_grams"))
-      tot.join(att, $"source" === $"fsrc", "left")
-        .select($"source", $"n_grams",
-          coalesce($"n_first", lit(0L)).as("n_first"),
-          expr("(coalesce(n_first, CAST(0 AS BIGINT)) * 10000) DIV n_grams")
-            .as("novelty_bp"))
+      // pick is total-ordered; one aggregate, no join-back. The same
+      // gram-keyed aggregate also carries collect_set(source) (bounded
+      // by source cardinality), so the distinct-(source, gram) count
+      // rides the SAME exchange as the attribution: exploding the set
+      // with a source == fsrc tag yields exactly one row per distinct
+      // (source, gram) with each gram tagged once (fsrc ∈ srcs by
+      // construction), and ONE source-keyed rollup produces both
+      // n_grams and n_first (r19: previously two legs each paid the
+      // full tokenize + explode + gram shuffle with different keys —
+      // 2 gram-stream exchanges → 1, join eliminated).
+      val per = grams.groupBy($"gram")
+        .agg(min_by($"source", $"doc_id").as("fsrc"),
+          collect_set($"source").as("srcs"))
+      per.select($"fsrc", explode($"srcs").as("source"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"source" === $"fsrc", 1L).otherwise(0L)).as("n_first"))
+        .select($"source", $"n_grams", $"n_first",
+          expr("(n_first * 10000) DIV n_grams").as("novelty_bp"))
         .orderBy($"source")
     })
 

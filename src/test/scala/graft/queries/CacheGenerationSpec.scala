@@ -107,7 +107,8 @@ class CacheGenerationSpec extends AnyFunSuite with SparkTestBase {
     // readers; x_dedup_cross / x_winnow_vs_sampled / x_dedup_compare
     // consume the same tables)
     val qs = Seq("x_threshold_sweep", "x_assoc_rules",
-      "x_simhash_error_oracle", "x_dedup_sampled", "x_dedup_winnow")
+      "x_simhash_error_oracle", "x_dedup_sampled", "x_dedup_winnow",
+      "x_dsir_weights")
 
     val dir = tmpDir("regen19")
     copyDocs("/root/testdata/sf0.001", dir)
