@@ -627,8 +627,11 @@ object TextOps extends QueryModule {
     spark.read.parquet(s"$path/pairs")
   }
 
-  /** The live posting-join chain behind [[sampledPairs]]' artifact. */
-  private def sampledPairsBuild(spark: SparkSession, dir: String) = {
+  /** The live posting-join chain behind [[sampledPairs]]' artifact
+    * (private[graft]: GraftExtensionsSpec pins its plan shape — the
+    * fp-partitioned df window and the equi-join — where the live join
+    * now lives). */
+  private[graft] def sampledPairsBuild(spark: SparkSession, dir: String) = {
     import spark.implicits._
     graft.functions.SampledFingerprints.register(spark)
     // postings repartitioned on the join key: the boilerplate-df

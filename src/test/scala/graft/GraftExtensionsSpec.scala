@@ -104,16 +104,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
 
   test("x_dedup_sampled: pair invariants and determinism") {
     val sf = "/root/testdata/sf0.001"
-    val df = SparkEntry.queries("x_dedup_sampled")(spark, sf)
-    // plan shape: the boilerplate-df window rides the posting exchange
-    // (partitioned by fp, never a global window), and the pair search
-    // is an equi-join — no cartesian fallback
-    val lp = df.queryExecution.optimizedPlan
+    // plan shape is pinned on the LIVE build chain (the r19 artifact
+    // move: the query itself now reads the persisted pair table): the
+    // boilerplate-df window rides the posting exchange (partitioned by
+    // fp, never a global window), and the pair search is an equi-join
+    // — no cartesian fallback
+    val build = graft.queries.TextOps.sampledPairsBuild(spark, sf)
+    val lp = build.queryExecution.optimizedPlan
     val wins = lp.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty), s"$lp")
-    val pp = df.queryExecution.executedPlan.toString
+    val pp = build.queryExecution.executedPlan.toString
     assert(!pp.contains("CartesianProduct"), pp)
+    val df = SparkEntry.queries("x_dedup_sampled")(spark, sf)
     val rows = df.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
