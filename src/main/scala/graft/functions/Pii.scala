@@ -38,12 +38,19 @@ object Pii {
     size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
 
   /** Total characters covered by matches of `pat` (the redaction
-    * byte-accounting an audit wants: how much text the scrub removed). */
+    * byte-accounting an audit wants: how much text the scrub removed).
+    * Spelled as length(text) − length(text with matches removed) —
+    * exactly the character mass of the leftmost non-overlapping match
+    * set, identical to summing match lengths — because the obvious
+    * aggregate(transform(regexp_extract_all(...))) spelling uses
+    * higher-order functions, which have NO codegen path and drop the
+    * whole enclosing projection to interpreted Expression.eval (the
+    * Shingles.scala lesson; measured on x_pii_scrub in r19: the six
+    * regex kernels of its one-pass projection all fell out of
+    * whole-stage codegen). */
   def matchedChars(text: Column, pat: String): Column =
-    coalesce(aggregate(
-      transform(regexp_extract_all(text, lit(pat), lit(0)),
-        m => length(m).cast("long")),
-      lit(0L), (acc, x) => acc + x), lit(0L))
+    coalesce((length(text) - length(regexp_replace(text, lit(pat), lit(""))))
+      .cast("long"), lit(0L))
 
   /** `text` with every email/phone/IPv4 replaced by its type tag —
     * applied in pattern order; order only matters for overlapping

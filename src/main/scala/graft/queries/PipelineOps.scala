@@ -50,11 +50,16 @@ object PipelineOps extends QueryModule {
         .select($"doc_id", $"source", expr("shingle_hashes(toks, 5)").as("sh"))
       val bench = sh.where($"source" === "src0")
         .select(explode($"sh").as("ng")).distinct()
+      // count(1) ≡ the oracle's count(DISTINCT ng) here: shingle_hashes
+      // returns DISTINCT hashes per doc and the bench side is distinct,
+      // so the inner join cannot duplicate a (doc, ng) row — spelling
+      // it as a plain count drops the two-level distinct aggregate
+      // (one less exchange over the matched stream). r19, §2.4.
       sh.where($"source" =!= "src0")
         .select($"doc_id", $"source", explode($"sh").as("ng"))
         .join(broadcast(bench), "ng")
         .groupBy($"doc_id", $"source")
-        .agg(count_distinct($"ng").as("n_shared"))
+        .agg(count(lit(1)).as("n_shared"))
         .orderBy($"doc_id")
     })
 
@@ -106,12 +111,14 @@ object PipelineOps extends QueryModule {
           .collect().head.getAs[Array[Byte]]("bf")
       }
       graft.functions.BloomSketch.registerSketch(spark, "bench_bloom", bf)
+      // count(1) ≡ count(DISTINCT ng): same argument as x_decontaminate
+      // (distinct-per-doc hashes × distinct bench side). r19, §2.4.
       sh.where($"source" =!= "src0")
         .select($"doc_id", $"source", explode($"sh").as("ng"))
         .where(expr("bench_bloom(ng)")) // per-row codegen prefilter
         .join(broadcast(bench), "ng") // exact verify on survivors
         .groupBy($"doc_id", $"source")
-        .agg(count_distinct($"ng").as("n_shared"))
+        .agg(count(lit(1)).as("n_shared"))
         .orderBy($"doc_id")
     })
 

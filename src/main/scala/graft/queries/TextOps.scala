@@ -1120,17 +1120,54 @@ object TextOps extends QueryModule {
             FROM doc GROUP BY source ORDER BY source"""),
     (spark, dir) => {
       import spark.implicits._
-      val tok = t(spark, dir, "documents")
-        .select($"doc_id", $"source", explode(expr(
-          "filter(split(lower(text), ' +'), x -> x != '')")).as("token"))
-      val dt = tok.groupBy($"doc_id", $"source", $"token")
-        .agg(count(lit(1)).as("occ"))
-      val cf = dt.groupBy($"token".as("cf_token"))
-        .agg(sum($"occ").as("c"))
-      val doc = dt.join(cf, $"cf_token" === $"token")
-        .groupBy($"doc_id", $"source")
-        .agg(expr("(sum(CASE WHEN c <= 2 THEN occ ELSE 0 END) * 10000)" +
-          " DIV sum(occ)").as("rare_bp"))
+      // r19 (§2.3/§2.4, the x_dup_gram_mass recipe at token
+      // granularity): ONE heavy token pass, NO (doc, token)
+      // pre-aggregate and NO corpus-frequency join-back. The pre-r19
+      // plan recomputed the scan+explode+dt aggregate for BOTH of dt's
+      // consumers (pruning divergence defeats ReusedExchange) and
+      // shipped every (doc, token, occ) row through the cf join. Both
+      // levels collapse by enumeration: a token with corpus count
+      // c ≤ 2 has AT MOST TWO occurrence rows, so ONE token-keyed
+      // aggregate over the raw exploded stream recovers everything —
+      // d1 == d2 means one doc holding occ = c, d1 < d2 means two docs
+      // with occ = 1 each (min/max/min_by/max_by over LONGs: primitive
+      // buffers keep the HashAggregate; struct/string min-max would
+      // fall back to SortAggregate). Docs with NO rare token never
+      // leave the aggregate: their rare_bp is exactly 0, so the cheap
+      // frame pass fills them in via the left join. Measured r19
+      // (ScratchVariants A/B, same session, results hash-identical):
+      // this shape 0.61 s vs 0.92 s for the old join-back at sf0.1 —
+      // intermediate variants that kept the (doc, token) level or
+      // barrier-exchanged the token arrays read SLOWER than the old
+      // plan (0.92–1.38 s): at this SF the query is stage-latency-
+      // bound, so removing aggregate LEVELS wins, not parallelizing.
+      val contrib = t(spark, dir, "documents")
+        .select($"doc_id", expr(
+          "filter(split(lower(text), ' +'), x -> x != '')").as("tk"))
+        .select($"doc_id", size($"tk").cast("long").as("n_tok"),
+          explode($"tk").as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("c"),
+          min($"doc_id").as("d1"), max($"doc_id").as("d2"),
+          expr("min_by(n_tok, doc_id)").as("n1"),
+          expr("max_by(n_tok, doc_id)").as("n2"))
+        .where($"c" <= 2)
+        .select(explode(when($"d1" === $"d2",
+            array(struct($"d1".as("doc_id"), $"c".as("r"), $"n1".as("nt"))))
+          .otherwise(array(
+            struct($"d1".as("doc_id"), lit(1L).as("r"), $"n1".as("nt")),
+            struct($"d2".as("doc_id"), lit(1L).as("r"), $"n2".as("nt"))))).as("x"))
+        .groupBy($"x.doc_id".as("r_doc"))
+        .agg(expr("(sum(x.r) * 10000) DIV max(x.nt)").as("r_bp"))
+      // frame: every doc with ≥ 1 token. `text RLIKE '[^ ]'` ⟺ the
+      // split-token array is nonempty (a maximal non-space run IS a
+      // token), with no array allocation at all.
+      val doc = t(spark, dir, "documents")
+        .where($"text".rlike("[^ ]"))
+        .select($"doc_id", $"source")
+        .join(contrib, $"r_doc" === $"doc_id", "left")
+        .select($"doc_id", $"source",
+          coalesce($"r_bp", lit(0L)).as("rare_bp"))
       doc.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           expr("sum(rare_bp) DIV count(1)").cast("long").as("mean_rare_bp"),
@@ -1300,18 +1337,52 @@ object TextOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       graft.functions.Shingles.register(spark)
-      val dg = barrier(t(spark, dir, "documents")
+      // r19 (§2.3/§2.4, the x_novelty recipe): ONE heavy gram pass and
+      // NO df join-back. The pre-r19 plan ran tokenize+shingle+explode
+      // TWICE (once to build the df table, once as the join probe —
+      // pruning divergence defeats ReusedExchange) and shipped every
+      // (doc, gram) row through a broadcast join plus a per-doc hash
+      // aggregate. Two identities remove all of it: per doc,
+      // #grams with df ≥ 2 = n_grams − #grams with df == 1, and a
+      // df == 1 gram names its single owner INSIDE the gram-keyed
+      // aggregate (max(doc_id) / max(n_grams) over one row — primitive
+      // maxes, so the aggregate stays in HashAggregate; struct or
+      // string min/max would fall back to SortAggregate over the full
+      // gram stream). Docs owning NO unique gram never leave the
+      // aggregate: their dup_bp is exactly 10000 regardless of length,
+      // so the cheap frame pass below fills them in via the left join.
+      // No barrier on the heavy branch (measured r19, ScratchVariants
+      // A/B: 0.73 s vs 1.09 s with the barrier, results identical): the
+      // gram aggregate's partial combine parallelizes everything after
+      // the explode anyway, so the round-robin exchange only adds a
+      // stage round-trip — at this SF the single-file scan's lone task
+      // does the shingling either way, and at 100 TB the scan itself
+      // has the parallelism.
+      val uniq = t(spark, dir, "documents")
+        .select($"doc_id",
+          expr("shingle_hashes(filter(split(lower(text), ' +'), x -> x != ''), 3)")
+            .as("sh"))
+        .select($"doc_id", size($"sh").cast("long").as("n_grams"),
+          explode($"sh").as("gram"))
+        .groupBy($"gram")
+        .agg(count(lit(1)).as("d"),
+          max($"doc_id").as("u_doc"), max($"n_grams").as("u_n"))
+        .where($"d" === 1)
+        .groupBy($"u_doc")
+        .agg(count(lit(1)).as("n_uniq"), max($"u_n").as("n_grams"))
+        .select($"u_doc",
+          expr("((n_grams - n_uniq) * 10000) DIV n_grams").as("u_bp"))
+      // cheap frame pass: every doc with ≥ 3 tokens and its source.
+      // `text RLIKE '[^ ]+ +[^ ]+ +[^ ]'` ⟺ ≥ 3 maximal non-space runs
+      // ⟺ len(tk) ≥ 3 — the frame never tokenizes at all. (The inner
+      // `+`s matter: '[^ ] +[^ ] +[^ ]' would force the MIDDLE run to
+      // be a single character — caught by the sf0.001 oracle gate.)
+      val doc = t(spark, dir, "documents")
+        .where($"text".rlike("[^ ]+ +[^ ]+ +[^ ]"))
+        .select($"doc_id", $"source")
+        .join(uniq, $"u_doc" === $"doc_id", "left")
         .select($"doc_id", $"source",
-          expr("filter(split(lower(text), ' +'), x -> x != '')").as("tk"))
-        .where(size($"tk") >= 3))
-        .select($"doc_id", $"source",
-          explode(expr("shingle_hashes(tk, 3)")).as("gram"))
-      val df = dg.groupBy($"gram".as("df_gram"))
-        .agg(count(lit(1)).as("d"))
-      val doc = dg.join(df, $"df_gram" === $"gram")
-        .groupBy($"doc_id", $"source")
-        .agg(expr("(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) * 10000)" +
-          " DIV count(1)").as("dup_bp"))
+          coalesce($"u_bp", lit(10000L)).as("dup_bp"))
       doc.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           expr("sum(dup_bp) DIV count(1)").cast("long").as("mean_dup_bp"),

@@ -384,13 +384,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"no partial aggregate below the exchange:\n$ph")
   }
 
-  test("x_dup_gram_mass: gram-keyed equi-join only — no pair rows, no cartesian") {
+  test("x_dup_gram_mass: one gram pass, no pair rows, hash aggregates only") {
     val p = plan("x_dup_gram_mass")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"gram mass fell back to all-pairs:\n$p")
-    // the join key is the gram hash — a doc-keyed join would mean the
-    // df table was built per doc instead of once
     assert(!p.contains("Window"), s"no window belongs here:\n$p")
+    // r19 shape: the tokenize+shingle+explode pipeline runs ONCE (the
+    // pre-r19 plan paid it twice — df build + join probe); the only
+    // join is the tiny unique-gram-owners table broadcast back onto
+    // the doc frame
+    assert("Generate".r.findAllIn(p).length <= 2, // tree + details sections
+      s"gram explode must run once, not per consumer:\n$p")
+    // the owner recovery must stay primitive (max(doc_id)/max(n_grams))
+    // — a struct/string min-max would sort the full gram stream
+    assert(!p.contains("SortAggregate"),
+      s"gram aggregate fell out of HashAggregate:\n$p")
   }
 
   test("x_split_leakage: one digest aggregate, a scalar rollup, no joins") {
