@@ -471,14 +471,20 @@ object MiningOps extends QueryModule {
             FROM per_doc GROUP BY source ORDER BY source"""),
     (spark, dir) => {
       import spark.implicits._
-      val toks = barrier(t(spark, dir, "documents")
+      // No barriers (r19 batch E lesson, measured here by A/B: 0.63 s
+      // vs 0.99–1.08 s with the old toks+bg double barrier, identical
+      // rows): the live warm path has ONE consumer — broadcast-probe +
+      // per-doc partial aggregate — which runs fine in the scan stage;
+      // each round-robin exchange only added a stage round-trip, and
+      // the second one re-shuffled the full bigram stream.
+      val toks = t(spark, dir, "documents")
         .select($"doc_id", $"source",
           expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
-        .where(size($"toks") >= 2))
-      val bg = barrier(toks.select($"doc_id", $"source",
+        .where(size($"toks") >= 2)
+      val bg = toks.select($"doc_id", $"source",
         explode(expr(
           "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
-          .as("bigram")))
+          .as("bigram"))
       // the 200-row reference table is the TRAINED MODEL here (the
       // docNll precedent) — persisted once per (JVM, generation) via
       // cachedLocal (constant-size by declaration), which also removes

@@ -43,10 +43,15 @@ object PipelineOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       graft.functions.Shingles.register(spark)
-      val sh = barrier(t(spark, dir, "documents")
+      // No barrier (r19 batch E A/B: 0.61 s vs 0.80 s with it, rows
+      // identical): the bench/cand filters push below the exchange
+      // anyway — splitting the pipeline into two disjoint scans — so
+      // the round-robin exchange only added a stage round-trip per
+      // branch.
+      val sh = t(spark, dir, "documents")
         .select($"doc_id", $"source",
           expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
-        .where(size($"toks") >= 5))
+        .where(size($"toks") >= 5)
         .select($"doc_id", $"source", expr("shingle_hashes(toks, 5)").as("sh"))
       val bench = sh.where($"source" === "src0")
         .select(explode($"sh").as("ng")).distinct()
@@ -91,10 +96,11 @@ object PipelineOps extends QueryModule {
       import spark.implicits._
       graft.functions.Shingles.register(spark)
       graft.functions.BloomSketch.register(spark)
-      val sh = barrier(t(spark, dir, "documents")
+      // no barrier — same A/B evidence as x_decontaminate above
+      val sh = t(spark, dir, "documents")
         .select($"doc_id", $"source",
           expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
-        .where(size($"toks") >= 5))
+        .where(size($"toks") >= 5)
         .select($"doc_id", $"source", expr("shingle_hashes(toks, 5)").as("sh"))
       val bench = sh.where($"source" === "src0")
         .select(explode($"sh").as("ng")).distinct()
@@ -175,10 +181,13 @@ object PipelineOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       graft.functions.Shingles.register(spark)
-      barrier(t(spark, dir, "documents")
+      // no barrier (r19 batch E A/B: 0.49 s vs 0.63 s with it, rows
+      // identical) — the per-row kernel runs in the scan stage and the
+      // output sort is the only exchange left
+      t(spark, dir, "documents")
         .select($"doc_id",
           expr("filter(split(lower(text), ' +'), x -> x != '')").as("toks"))
-        .where(size($"toks") >= 2))
+        .where(size($"toks") >= 2)
         .select($"doc_id",
           expr("ngram_top_count(toks, 2)").as("mx"),
           (size($"toks") - 1).cast("long").as("tot"))
