@@ -204,17 +204,35 @@ object Bench {
     val floorStr = if (hostFloorIndex < 0) "-1" else f3(hostFloorIndex)
     val floorJson =
       s""""host_floor_index":$floorStr,"host_verdict":"$floorVerdict","run_class":"$runClass""""
+    // Artifact-build charge (r19 verdict task 1): every per-(JVM,
+    // generation) artifact build runs inside the first consumer's cold
+    // rep, so Σ min(cold, warm) never contained it. QueryModule times
+    // each build thunk where it actually executes; the sum is emitted
+    // here as a graded field so the driver SEES the build cost that the
+    // per-query minimums exclude. Measured directly (not the cold−warm
+    // proxy, which conflates JIT/page-cache warmup with build work).
+    // By this point the sweep + probes have forced every bench-path
+    // artifact, so the map is complete for the run.
+    import scala.jdk.CollectionConverters._
+    val builds = graft.queries.QueryModule.buildTimes.asScala
+      .map { case (k, v) => (k, v.doubleValue) }.toSeq.sortBy(_._1)
+    val artifactBuildTotal = builds.map(_._2).sum
+    val buildsJson = builds.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val buildLine =
+      s"""{"metric":"artifact_builds","value":${f3(artifactBuildTotal)},"unit":"sec","builds":$buildsJson}"""
     val probeLine =
       s"""{"metric":"probes","probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)},"steal_index":$stealStr,"bench_clean":$benchClean,$floorJson}"""
     val detailCold = s"""{"metric":"total_cold","value":${f3(totalCold)},"unit":"sec","queries_cold":$qsCold}"""
     val detail = s"""{"metric":"detail","value":${f3(total)},"unit":"sec","queries":$qs}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      probeLine + "\n" + detailCold + "\n" + detail + "\n")
+      probeLine + "\n" + buildLine + "\n" + detailCold + "\n" + detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail file: $e") }
+    println(buildLine)
     println(detailCold)
     println(detail)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)},"steal_index":$stealStr,"bench_clean":$benchClean,$floorJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"probe_pre":${probeJson(probePre)},"probe_post":${probeJson(probePost)},"steal_index":$stealStr,"bench_clean":$benchClean,$floorJson,"artifact_build":${f3(artifactBuildTotal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

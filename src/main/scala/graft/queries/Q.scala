@@ -152,6 +152,32 @@ object QueryModule {
     new java.util.concurrent.ConcurrentHashMap[
       String, (String, org.apache.spark.sql.types.StructType)]()
 
+  /** Measured wall-clock of every artifact build that actually RAN in
+    * this JVM, keyed by artifact (the cache key's prefix before the
+    * first ':', i.e. with the sfDir/param suffix stripped), seconds
+    * summed across generations. The r19 verdict's structural finding:
+    * per-(JVM, generation) builds run inside the FIRST consumer's cold
+    * rep, and the bench's Σ min(cold, warm) total never charges them —
+    * so the builds are now timed at the ONLY place they execute (the
+    * Box thunks below) and Bench emits the map as `artifact_builds`
+    * plus the scalar `artifact_build` in its graded JSON. This measures
+    * the true build cost directly instead of the cold−warm proxy, which
+    * conflates JIT/page-cache warmup with build work. */
+  private[graft] val buildTimes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private def recordBuild[T](key: String)(thunk: => T): T = {
+    val t0 = System.nanoTime()
+    try thunk
+    finally {
+      val dt = (System.nanoTime() - t0) / 1e9
+      val artifact = key.indexOf(':') match {
+        case -1 => key
+        case i  => key.substring(0, i)
+      }
+      buildTimes.merge(artifact, dt, (a, b) => a + b)
+    }
+  }
+
   /** Memoized-once box: the cache maps hold (stamp, Box) pairs whose
     * BUILD runs on first dereference OUTSIDE the ConcurrentHashMap bin
     * lock — compute() mapping functions must be short (its own javadoc
@@ -213,7 +239,7 @@ object QueryModule {
     cleanupHook
     indexCache.compute(key, { (_, old) =>
       if (old != null && old._1 == stamp) old
-      else (stamp, new Box(() => {
+      else (stamp, new Box(() => recordBuild(key) {
         val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
         allIndexDirs.add(dir)
         try build(dir)
@@ -237,7 +263,7 @@ object QueryModule {
       build: => Array[Byte]): Array[Byte] =
     bytesCache.compute(key, (_, old) =>
       if (old != null && old._1 == stamp) old
-      else (stamp, new Box(() => build)))._2.value
+      else (stamp, new Box(() => recordBuild(key)(build))))._2.value
 
   /** cachedBytes' sibling for small PROVEN-BOUNDED localized relations
     * (the token co-occurrence edge list: ≤ C(100,2) rows by vocabulary
@@ -253,7 +279,7 @@ object QueryModule {
       build: => T): T =
     localCache.compute(key, (_, old) =>
       if (old != null && old._1 == stamp) old
-      else (stamp, new Box[AnyRef](() => {
+      else (stamp, new Box[AnyRef](() => recordBuild(key) {
         localCacheBuilds.incrementAndGet(); build
       })))._2.value.asInstanceOf[T]
 }

@@ -1141,6 +1141,12 @@ object TextOps extends QueryModule {
       // barrier-exchanged the token arrays read SLOWER than the old
       // plan (0.92–1.38 s): at this SF the query is stage-latency-
       // bound, so removing aggregate LEVELS wins, not parallelizing.
+      // LOAD-BEARING INVARIANT (ADVICE r19): doc_id is unique per row in
+      // documents — min/max(doc_id) serves as owner identity here (and in
+      // x_dup_gram_mass), and the frame pass joins without deduping
+      // doc_id. A duplicated doc_id row would double-count docs where the
+      // old group-by-(doc_id, source) plan collapsed them. Asserted once
+      // per testdata generation by DataInvariantSpec.
       val contrib = t(spark, dir, "documents")
         .select($"doc_id", expr(
           "filter(split(lower(text), ' +'), x -> x != '')").as("tk"))

@@ -82,7 +82,7 @@ object VectorOps extends QueryModule {
     // barrier so the float→double transform is materialized once per row
     // instead of being inlined into every pair's dot product
     barrier(t(spark, dir, "embeddings")
-      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+      .select($"vec_id", expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")))
       .withColumn("nrm", sqrt(dotCol("v", "v")))
   }
 
@@ -389,7 +389,7 @@ object VectorOps extends QueryModule {
       graft.functions.VecDot.register(spark)
       val e = barrier(t(spark, dir, "embeddings")
         .select($"vec_id", $"label",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")))
         .withColumn("nrm", sqrt(dotCol("v", "v")))
       val p = broadcast(e.where($"vec_id" % 100 === 0)
         .select($"vec_id".as("p_id"), $"label".as("true_label"),
@@ -466,7 +466,7 @@ object VectorOps extends QueryModule {
       graft.functions.VecDot.register(spark)
       val e = barrier(t(spark, dir, "embeddings")
         .select($"vec_id", $"label",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")))
         .withColumn("nrm", sqrt(dotCol("v", "v")))
       // fixed-k benchmark set: k rows on the driver at any corpus size
       val bench = e.select($"vec_id", $"v",
@@ -517,7 +517,7 @@ object VectorOps extends QueryModule {
       graft.functions.VecDot.register(spark)
       val e = barrier(t(spark, dir, "embeddings")
         .select($"vec_id", $"label",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")))
         .withColumn("nrm", sqrt(dotCol("v", "v")))
       val cents = cachedSeeds32(dir, e)
       val lc = e.withColumn("c_id",
@@ -560,7 +560,7 @@ object VectorOps extends QueryModule {
       graft.functions.VecDot.register(spark)
       val e = barrier(t(spark, dir, "embeddings")
         .select($"vec_id", $"label",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")))
         .withColumn("nrm", sqrt(dotCol("v", "v")))
       val cents = cachedSeeds32(dir, e)
       e.withColumn("mc", graft.functions.Centroids.maxCosCol($"v", $"nrm", cents))
@@ -619,7 +619,7 @@ object VectorOps extends QueryModule {
       graft.functions.VecDot.register(spark)
       val e = barrier(t(spark, dir, "embeddings")
         .select($"vec_id",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v")))
         .withColumn("vt", expr("slice(v, 1, 16)"))
         .withColumn("nrm", sqrt(dotCol("v", "v")))
         .withColumn("nrm_t", sqrt(dotCol("vt", "vt")))
@@ -682,7 +682,7 @@ object VectorOps extends QueryModule {
     (spark, dir) => {
       import spark.implicits._
       t(spark, dir, "embeddings")
-        .select(posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+        .select(posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)")))
         .select(($"pos" + 1).cast("long").as("dim"),
           expr("CAST(floor(col * 10000) AS BIGINT)").as("qv"))
         .groupBy($"dim")
@@ -753,7 +753,7 @@ object VectorOps extends QueryModule {
       val mm = emb.agg(expr("(min(vec_id) + max(vec_id)) DIV 2").as("mid"))
       val q = emb.crossJoin(broadcast(mm))
         .select(($"vec_id" <= $"mid").as("early"),
-          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+          posexplode(expr("CAST(embedding AS ARRAY<DOUBLE>)")))
         .select($"early", ($"pos" + 1).cast("long").as("dim"),
           expr("CAST(floor(col * 10000) AS BIGINT)").as("qv"))
       q.groupBy($"dim")
@@ -895,7 +895,7 @@ object VectorOps extends QueryModule {
       import spark.implicits._
       val e = t(spark, dir, "embeddings")
         .select($"vec_id", $"label",
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
       graft.functions.VecDot.register(spark)
       val n = e.groupBy($"label")
         .agg(count(lit(1)).as("n_vecs"),

@@ -14,9 +14,24 @@ import org.apache.spark.sql.SparkSession
   */
 object ProbeTime {
   def main(args: Array[String]): Unit = {
+    // ADVICE r19: fail with a usage message, not a raw exception, on an
+    // unknown query name, a non-integer rep count, or reps < 1.
+    def usage(msg: String): Nothing = {
+      System.err.println(s"ProbeTime: $msg")
+      System.err.println("usage: ProbeTime q1,q2[,...] [reps>=1]")
+      sys.exit(2)
+    }
     val names = args.headOption.map(_.split(",").map(_.trim).toSeq)
-      .getOrElse(sys.error("usage: ProbeTime q1,q2 [reps]"))
-    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+      .getOrElse(usage("no query names given"))
+    val known = graft.SparkEntry.queries.keySet
+    val unknown = names.filterNot(known)
+    if (unknown.nonEmpty)
+      usage(s"unknown quer${if (unknown.size == 1) "y" else "ies"}: " +
+        unknown.mkString(", "))
+    val reps = args.drop(1).headOption.map { s =>
+      scala.util.Try(s.toInt).getOrElse(usage(s"reps must be an integer, got '$s'"))
+    }.getOrElse(3)
+    if (reps < 1) usage(s"reps must be >= 1, got $reps")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

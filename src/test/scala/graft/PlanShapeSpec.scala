@@ -393,7 +393,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // pre-r19 plan paid it twice — df build + join probe); the only
     // join is the tiny unique-gram-owners table broadcast back onto
     // the doc frame
-    assert("Generate".r.findAllIn(p).length <= 2, // tree + details sections
+    // count tree-section nodes only ("Generate (n)"), same convention as
+    // the Exchange assertions — ADVICE r19: the old "<= 2 substring
+    // occurrences" encoding would let a regression to two Generates pass
+    // if the plan string ever printed one section
+    assert("Generate \\(\\d+\\)".r.findAllIn(p).length == 1,
       s"gram explode must run once, not per consumer:\n$p")
     // the owner recovery must stay primitive (max(doc_id)/max(n_grams))
     // — a struct/string min-max would sort the full gram stream

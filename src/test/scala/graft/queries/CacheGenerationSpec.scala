@@ -40,6 +40,24 @@ class CacheGenerationSpec extends AnyFunSuite with SparkTestBase {
     assert(c1.zip(c3).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("artifact builds are wall-clock-charged: buildTimes records a build " +
+      "that RUNS and is untouched by a warm serve (r20 bench charge)") {
+    val dir = tmpDir("buildtime")
+    val dst = Paths.get(dir, "embeddings.parquet")
+    Files.copy(Paths.get("/root/testdata/sf0.001/embeddings.parquet"), dst,
+      StandardCopyOption.REPLACE_EXISTING)
+    def recorded: Double =
+      Option(QueryModule.buildTimes.get("kmarith")).map(_.doubleValue).getOrElse(0.0)
+    val before = recorded
+    VectorOps.kmeansArithCents(spark, dir) // fresh dir ⇒ a build runs
+    val built = recorded
+    assert(built > before,
+      "a build ran but no wall time landed in QueryModule.buildTimes")
+    VectorOps.kmeansArithCents(spark, dir) // same generation ⇒ warm serve
+    assert(recorded == built,
+      "a warm serve was charged as a build — only executed thunks may record")
+  }
+
   test("cachedIndex regeneration drill: a regenerated documents table " +
       "rebuilds the persisted near-dup pair list (r14 artifact class)") {
     // r14 moved corpus-derived artifacts (ngramPairs, the oracle-twin
