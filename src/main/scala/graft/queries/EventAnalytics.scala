@@ -917,19 +917,31 @@ object EventAnalytics extends QueryModule {
         .select($"event_type", expr("unix_millis(ts) DIV 604800000").as("w"))
         .groupBy($"event_type", $"w")
         .agg(count(lit(1)).as("c"))
-      val mw = wc.agg(min($"w").as("w0"))
-      val base = wc.crossJoin(broadcast(mw)).where($"w" === $"w0")
-        .select($"event_type".as("b_type"), $"c".as("bc"))
-      val bt = base.agg(sum($"bc").as("btot"))
-      val wk = wc.groupBy($"w").agg(sum($"c").as("wtot"))
-        .select($"w".as("wk_w"), $"wtot")
+      // r20 (§2.4): the four tiny derived tables (min week, baseline
+      // counts, baseline total, weekly totals) were each a separate
+      // consumer of wc, and pruning divergence defeats ReusedExchange —
+      // the old plan recomputed the scan + (type, week) aggregate
+      // SEVEN times (17 Exchanges). All four are now windows over ONE
+      // wc frame: w0/btot global (single-partition exchange of the
+      // (type × week)-bounded aggregate — NOT corpus-sized), wtot
+      // week-keyed, bc type-keyed. `bc IS NOT NULL` reproduces the old
+      // INNER join's drop of types absent from the baseline week.
+      // Same-run A/B (ScratchAB, rows hash-identical): 0.354 vs
+      // 0.637 s at sf0.1 (0.56×); a persist() of wc instead read
+      // 0.803 s — materialization overhead loses to windows here.
+      val wG = Window.partitionBy()
+      val wW = Window.partitionBy($"w")
+      val wTy = Window.partitionBy($"event_type")
+      val e = wc
+        .withColumn("w0", min($"w").over(wG))
+        .withColumn("wtot", sum($"c").over(wW))
+        .withColumn("bc", max(when($"w" === $"w0", $"c")).over(wTy))
+        .withColumn("btot", sum(when($"w" === $"w0", $"c")).over(wG))
+        .where($"w" > $"w0" && $"bc".isNotNull)
       // DECIMAL(38,0) cross terms (r18, the DriftArith rule): c·btot
       // raises past 9.2·10¹⁸ in Long; wide is exact to 10³⁴ and loud
       val diff = expr(DriftArith.crossTermSql("c", "btot", "bc", "wtot"))
-      val term = wc.crossJoin(broadcast(mw)).where($"w" > $"w0")
-        .join(broadcast(base), $"b_type" === $"event_type")
-        .join(broadcast(wk), $"wk_w" === $"w")
-        .crossJoin(broadcast(bt))
+      val term = e
         .select(($"w" - $"w0").as("week_idx"), $"event_type",
           $"c".as("obs"),
           expr("(abs(CAST(c AS DECIMAL(38,0)) * btot"
@@ -1030,14 +1042,21 @@ object EventAnalytics extends QueryModule {
           sum(when(!$"early", 1L).otherwise(0L)).as("la"))
       val wC = Window.partitionBy($"event_type").orderBy($"cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wT = Window.partitionBy($"event_type")
+      // r20 (§2.4): totals ride wC's spec with an unbounded-unbounded
+      // frame so cume/cuml/ne/nl fuse into ONE Window operator (same
+      // values — the frame covers the whole partition). mx stays a
+      // second Window by necessity: it aggregates `term`, which is an
+      // output of the first.
+      val wT = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wM = Window.partitionBy($"event_type")
       val c = s.select($"event_type", $"cents",
         sum($"ea").over(wC).as("cume"), sum($"la").over(wC).as("cuml"),
         sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
         .where($"ne" > 0 && $"nl" > 0)
         .withColumn("term",
           expr(DriftArith.absCrossTermSql("cume", "nl", "cuml", "ne")))
-        .withColumn("mx", max($"term").over(wT))
+        .withColumn("mx", max($"term").over(wM))
       c.where($"term" === $"mx")
         .groupBy($"event_type", $"ne", $"nl", $"mx")
         .agg(min($"cents").as("ks_at_cents"))
@@ -1125,7 +1144,14 @@ object EventAnalytics extends QueryModule {
           sum(when(!$"early", 1L).otherwise(0L)).as("la"))
       val wC = Window.partitionBy($"event_type").orderBy($"cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wT = Window.partitionBy($"event_type")
+      // r20 (§2.4, one fewer operator pass): the totals window shares
+      // wC's (partition, order) spec with an unbounded-unbounded frame,
+      // so Spark fuses ALL the frames into ONE Window operator instead
+      // of stacking a second partition-only Window behind the first —
+      // same values (the frame covers the whole partition regardless of
+      // order), one fewer buffered pass over every type partition.
+      val wT = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       s.select($"event_type", $"ea", $"la",
           sum($"ea").over(wC).as("cume"),
           sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
@@ -1218,7 +1244,14 @@ object EventAnalytics extends QueryModule {
           sum(when(!$"early", 1L).otherwise(0L)).as("la"))
       val wC = Window.partitionBy($"event_type").orderBy($"cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wT = Window.partitionBy($"event_type")
+      // r20 (§2.4, one fewer operator pass): the totals window shares
+      // wC's (partition, order) spec with an unbounded-unbounded frame,
+      // so Spark fuses ALL the frames into ONE Window operator instead
+      // of stacking a second partition-only Window behind the first —
+      // same values (the frame covers the whole partition regardless of
+      // order), one fewer buffered pass over every type partition.
+      val wT = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       s.select($"event_type", $"ea", $"la",
           sum($"ea").over(wC).as("cume"),
           sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
@@ -1322,7 +1355,14 @@ object EventAnalytics extends QueryModule {
           sum(when(!$"early", 1L).otherwise(0L)).as("la"))
       val wC = Window.partitionBy($"event_type").orderBy($"cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wT = Window.partitionBy($"event_type")
+      // r20 (§2.4, one fewer operator pass): the totals window shares
+      // wC's (partition, order) spec with an unbounded-unbounded frame,
+      // so Spark fuses ALL the frames into ONE Window operator instead
+      // of stacking a second partition-only Window behind the first —
+      // same values (the frame covers the whole partition regardless of
+      // order), one fewer buffered pass over every type partition.
+      val wT = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       s.select($"event_type", $"ea", $"la",
           sum($"ea").over(wC).as("cume"), sum($"la").over(wC).as("cuml"),
           sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
@@ -1436,7 +1476,14 @@ object EventAnalytics extends QueryModule {
           sum(when(!$"early", 1L).otherwise(0L)).as("la"))
       val wC = Window.partitionBy($"event_type").orderBy($"cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wT = Window.partitionBy($"event_type")
+      // r20 (§2.4, one fewer operator pass): the totals window shares
+      // wC's (partition, order) spec with an unbounded-unbounded frame,
+      // so Spark fuses ALL the frames into ONE Window operator instead
+      // of stacking a second partition-only Window behind the first —
+      // same values (the frame covers the whole partition regardless of
+      // order), one fewer buffered pass over every type partition.
+      val wT = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       s.select($"event_type", $"ea", $"la",
           sum($"ea").over(wC).as("cume"), sum($"la").over(wC).as("cuml"),
           sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
@@ -1539,7 +1586,14 @@ object EventAnalytics extends QueryModule {
           sum(when(!$"early", 1L).otherwise(0L)).as("la"))
       val wC = Window.partitionBy($"event_type").orderBy($"cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wT = Window.partitionBy($"event_type")
+      // r20 (§2.4, one fewer operator pass): the totals window shares
+      // wC's (partition, order) spec with an unbounded-unbounded frame,
+      // so Spark fuses ALL the frames into ONE Window operator instead
+      // of stacking a second partition-only Window behind the first —
+      // same values (the frame covers the whole partition regardless of
+      // order), one fewer buffered pass over every type partition.
+      val wT = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       s.select($"event_type", $"ea", $"la",
           (sum($"ea" + $"la").over(wC) - ($"ea" + $"la")).as("cb"),
           sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
@@ -3621,9 +3675,18 @@ object EventAnalytics extends QueryModule {
         .groupBy($"event_type", $"cents")
         .agg(sum(when($"early", 1L).otherwise(0L)).as("ea"),
           sum(when(!$"early", 1L).otherwise(0L)).as("la"))
-      val tt = s.groupBy($"event_type")
-        .agg(sum($"ea").as("ne"), sum($"la").as("nl"))
-      s.join(broadcast(tt), Seq("event_type"))
+      // r20 (§2.4, the x_drift_ks shape): per-type totals as a window
+      // over the aggregated (type, cents) frame instead of a second
+      // aggregate + join-back — the join-back recomputed the whole
+      // scan + cross-join + aggregate subtree for tt (pruning
+      // divergence defeats ReusedExchange), so the old plan scanned
+      // events 4×; this one scans it 2× (the d/dr split-bounds pass,
+      // which is the family's fundamental two-pass shape). Same-run
+      // A/B (ScratchAB, rows hash-identical): 0.600 vs 0.617 s at
+      // sf0.1 — flat here, but half the scans at scale.
+      val wT = Window.partitionBy($"event_type")
+      s.select($"event_type", $"cents", $"ea", $"la",
+          sum($"ea").over(wT).as("ne"), sum($"la").over(wT).as("nl"))
         .where($"ne" > 0 && $"nl" > 0)
         .groupBy($"event_type", $"ne", $"nl")
         .agg(sum(
@@ -3733,7 +3796,11 @@ object EventAnalytics extends QueryModule {
           sum(when(!$"early", 1L).otherwise(0L)).as("la"))
       val wC = Window.partitionBy($"event_type").orderBy($"cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wT = Window.partitionBy($"event_type")
+      // r20 (§2.4): totals share wC's (partition, order) spec with an
+      // unbounded-unbounded frame — cume/cuml/ne/nl/lead all fuse into
+      // ONE Window operator instead of a stacked second pass.
+      val wT = Window.partitionBy($"event_type").orderBy($"cents")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val wL = Window.partitionBy($"event_type").orderBy($"cents")
       val c = s.select($"event_type", $"cents",
         sum($"ea").over(wC).as("cume"), sum($"la").over(wC).as("cuml"),

@@ -620,12 +620,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"gap frame must be exactly one window pass:\n$p")
   }
 
+  test("x_cooccur / x_dedup_minhash: the self-join legs share a reused " +
+      "exchange in the FINAL (AQE) plan") {
+    // The initial explain shows both legs fully duplicated (AQE only
+    // decides reuse as query stages materialize), so this pin must
+    // EXECUTE the query and inspect the finalized plan — r20, the
+    // VERDICT r19 task-4 pin. A regression here means the live posting
+    // kernels pay their heavy subtree twice.
+    for (q <- Seq("x_cooccur", "x_dedup_minhash")) {
+      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val stageIds = "ShuffleQueryStage (\\d+)".r.findAllMatchIn(p)
+        .map(_.group(1)).toSeq
+      assert(p.contains("ReusedExchange") ||
+          stageIds.distinct.size < stageIds.size,
+        s"$q: self-join legs no longer share an exchange:\n$p")
+    }
+  }
+
   test("x_drift_js shares the drift family's plan shape: one (type, " +
-      "cents) aggregate, broadcast totals, no SMJ") {
+      "cents) aggregate, windowed totals, no join-back") {
     val p = plan("x_drift_js")
-    assert(!p.contains("SortMergeJoin"),
-      s"per-type totals join regressed to SMJ:\n$p")
-    assert(!p.contains("Window"),
-      s"x_drift_js needs no window at all (unlike KS):\n$p")
+    // r20: the per-type totals ride ONE window over the aggregated
+    // frame instead of a second aggregate + broadcast join-back (which
+    // recomputed the scan + aggregate subtree — 4 scans, 10 exchanges;
+    // now 2 scans, 5 exchanges)
+    // the only join left is the 1-row split-bounds broadcast cross join
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"per-type totals must be a window, not a join-back:\n$p")
+    assert("""\(\d+\) Window""".r.findAllIn(p).length == 1,
+      s"totals must be exactly one window pass:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 4, // 2 per section
+      s"the split-bounds two-pass shape regressed to re-scans:\n$p")
   }
 }
