@@ -206,6 +206,183 @@ object ScratchAB {
           .as("drift_sign")))
     }
 
+    // ---------- x_token_kl ----------
+    def tokExpr = "filter(split(lower(text), ' +'), x -> x != '')"
+    def klA(): DataFrame = {
+      val tok = t("documents")
+        .select($"source", explode(expr(tokExpr)).as("token"))
+      val st = tok.groupBy($"source", $"token").agg(count(lit(1)).as("c_st"))
+      val ct = tok.groupBy($"token".as("ct_token")).agg(count(lit(1)).as("c_t"))
+      val ns = st.groupBy($"source".as("ns_source")).agg(sum($"c_st").as("n_s"))
+      val nn = ct.agg(sum($"c_t").as("n"))
+      st.join(ct, $"ct_token" === $"token")
+        .join(broadcast(ns), $"ns_source" === $"source")
+        .crossJoin(broadcast(nn))
+        .groupBy($"source", $"n_s")
+        .agg(round(sum(($"c_st".cast("double") / $"n_s") *
+          log($"c_st".cast("double") * $"n" /
+            ($"n_s".cast("double") * $"c_t"))), 4).as("kl_nats"))
+        .select($"source", $"n_s".as("n_tokens"), $"kl_nats")
+        .orderBy($"source")
+    }
+    def klB(): DataFrame = {
+      val docs = t("documents")
+      val st = docs.select($"source", explode(expr(tokExpr)).as("token"))
+        .groupBy($"source", $"token").agg(count(lit(1)).as("c_st"))
+      val nn = docs
+        .select(expr(s"CAST(size($tokExpr) AS BIGINT)").as("ntok"))
+        .agg(sum($"ntok").as("n"))
+      st.withColumn("c_t", sum($"c_st").over(Window.partitionBy($"token")))
+        .withColumn("n_s", sum($"c_st").over(Window.partitionBy($"source")))
+        .crossJoin(broadcast(nn))
+        .groupBy($"source", $"n_s")
+        .agg(round(sum(($"c_st".cast("double") / $"n_s") *
+          log($"c_st".cast("double") * $"n" /
+            ($"n_s".cast("double") * $"c_t"))), 4).as("kl_nats"))
+        .select($"source", $"n_s".as("n_tokens"), $"kl_nats")
+        .orderBy($"source")
+    }
+
+    // ---------- x_heaps_fit ----------
+    def heapsPts(): DataFrame = {
+      val docs = t("documents")
+      val mx = docs.agg(max($"doc_id").as("maxid"))
+      val lad = spark.range(1, 11).toDF("i")
+        .crossJoin(broadcast(mx))
+        .select($"i", expr("(maxid * i) DIV 10").as("t_i"))
+      val dc = docs.select($"doc_id",
+        expr(s"CAST(size($tokExpr) AS BIGINT)").as("ntok"))
+      val fs = docs.select($"doc_id", explode(expr(tokExpr)).as("token"))
+        .groupBy($"token").agg(min($"doc_id").as("first_seen"))
+      val nn = dc.crossJoin(broadcast(lad)).where($"doc_id" <= $"t_i")
+        .groupBy($"i").agg(sum($"ntok").as("n_tokens"))
+      val vv = fs.crossJoin(broadcast(lad)).where($"first_seen" <= $"t_i")
+        .groupBy($"i".as("v_i")).agg(count(lit(1)).as("n_types"))
+      nn.join(broadcast(vv), $"v_i" === $"i")
+        .select($"i".as("p_idx"), $"n_tokens", $"n_types")
+    }
+    val heapsBetaSql =
+      """CASE WHEN count(DISTINCT n_types) = 1 THEN 0.0
+         ELSE regr_slope(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE))) END"""
+    val heapsR2Sql =
+      """CASE WHEN count(DISTINCT n_types) = 1 THEN 1.0
+         ELSE covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
+              * covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))
+              / (var_pop(ln(CAST(n_tokens AS DOUBLE)))
+                 * var_pop(ln(CAST(n_types AS DOUBLE)))) END"""
+    def heapsA(): DataFrame = {
+      val pts = heapsPts()
+      val fit = pts.agg(
+        (round(expr(heapsBetaSql), 4) + lit(0.0)).as("beta"),
+        (round(expr(heapsR2Sql), 4) + lit(0.0)).as("r2"),
+        (countDistinct($"n_types") === 1).as("saturated"))
+      pts.crossJoin(broadcast(fit))
+        .select($"p_idx", $"n_tokens", $"n_types", $"beta", $"r2", $"saturated")
+        .orderBy($"p_idx")
+    }
+    def heapsB(): DataFrame = {
+      // fit via a global window over the 10-point frame: pts computed
+      // ONCE (the A spelling recomputes the whole corpus subtree for
+      // the fit AND the final cross join). count(DISTINCT) is not a
+      // window function; size(collect_set(...)) over the same frame is
+      // its exact integer equivalent.
+      val wG = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val sat = size(collect_set($"n_types").over(wG)) === 1
+      heapsPts()
+        .withColumn("saturated", sat)
+        .withColumn("beta", round(when($"saturated", lit(0.0))
+          .otherwise(expr("regr_slope(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))")
+            .over(wG)), 4) + lit(0.0))
+        .withColumn("r2", round(when($"saturated", lit(1.0))
+          .otherwise(
+            expr("covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))").over(wG)
+              * expr("covar_pop(ln(CAST(n_types AS DOUBLE)), ln(CAST(n_tokens AS DOUBLE)))").over(wG)
+              / (expr("var_pop(ln(CAST(n_tokens AS DOUBLE)))").over(wG)
+                * expr("var_pop(ln(CAST(n_types AS DOUBLE)))").over(wG))), 4) + lit(0.0))
+        .select($"p_idx", $"n_tokens", $"n_types", $"beta", $"r2", $"saturated")
+        .orderBy($"p_idx")
+    }
+
+    // ---------- x_source_overlap ----------
+    def soA(): DataFrame = {
+      val st = t("documents")
+        .select($"source", explode(expr(tokExpr)).as("token")).distinct()
+      val sz = st.groupBy($"source").agg(count(lit(1)).as("n"))
+      val pr = st.select($"source".as("a_src"), $"token")
+        .join(st.select($"source".as("b_src"), $"token".as("b_tok")),
+          $"token" === $"b_tok" && $"a_src" < $"b_src")
+        .groupBy($"a_src", $"b_src")
+        .agg(count(lit(1)).as("inter"))
+      pr.join(broadcast(sz.select($"source".as("sa_src"), $"n".as("sa_n"))),
+          $"sa_src" === $"a_src")
+        .join(broadcast(sz.select($"source".as("sb_src"), $"n".as("sb_n"))),
+          $"sb_src" === $"b_src")
+        .select($"a_src", $"b_src", $"inter",
+          expr("(inter * 10000) DIV (sa_n + sb_n - inter)").as("jac_bp"),
+          expr("(inter * 10000) DIV least(sa_n, sb_n)").as("cont_bp"))
+        .where($"jac_bp" >= 1000)
+        .orderBy($"a_src", $"b_src")
+    }
+    def soB(): DataFrame = {
+      // set sizes ride the distinct frame as a window column and travel
+      // through the self-join legs (the x_cooccur first() idiom) — the
+      // sz aggregate's separate recompute of the scan+explode+distinct
+      // subtree is gone
+      val st = t("documents")
+        .select($"source", explode(expr(tokExpr)).as("token")).distinct()
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+      st.select($"source".as("a_src"), $"token", $"n".as("na"))
+        .join(st.select($"source".as("b_src"), $"token".as("b_tok"), $"n".as("nb")),
+          $"token" === $"b_tok" && $"a_src" < $"b_src")
+        .groupBy($"a_src", $"b_src")
+        .agg(count(lit(1)).as("inter"),
+          first($"na").as("sa_n"), first($"nb").as("sb_n"))
+        .select($"a_src", $"b_src", $"inter",
+          expr("(inter * 10000) DIV (sa_n + sb_n - inter)").as("jac_bp"),
+          expr("(inter * 10000) DIV least(sa_n, sb_n)").as("cont_bp"))
+        .where($"jac_bp" >= 1000)
+        .orderBy($"a_src", $"b_src")
+    }
+
+    // ---------- x_lang_jsd ----------
+    def jsdFrom(stIn: DataFrame): DataFrame = {
+      val st = stIn
+      val nl = st.groupBy($"lang").agg(sum($"c").as("n"))
+      val u = st.select($"token").distinct()
+      val pr = nl.select($"lang".as("lang_a"), $"n".as("na"))
+        .join(nl.select($"lang".as("lang_b"), $"n".as("nb")),
+          $"lang_a" < $"lang_b")
+      val j = pr.crossJoin(u)
+        .join(broadcast(st.select($"lang".as("la2"), $"token".as("ta2"),
+          $"c".as("ca"))), $"la2" === $"lang_a" && $"ta2" === $"token",
+          "left")
+        .join(broadcast(st.select($"lang".as("lb2"), $"token".as("tb2"),
+          $"c".as("cb"))), $"lb2" === $"lang_b" && $"tb2" === $"token",
+          "left")
+        .na.fill(0L, Seq("ca", "cb"))
+      j.groupBy($"lang_a", $"lang_b", $"na", $"nb")
+        .agg(round(sum(
+          when($"ca" > 0, lit(0.5) * ($"ca".cast("double") / $"na")
+            * log(($"ca".cast("double") / $"na")
+              / (($"ca".cast("double") / $"na"
+                + $"cb".cast("double") / $"nb") / 2))).otherwise(0.0)
+          + when($"cb" > 0, lit(0.5) * ($"cb".cast("double") / $"nb")
+            * log(($"cb".cast("double") / $"nb")
+              / (($"ca".cast("double") / $"na"
+                + $"cb".cast("double") / $"nb") / 2))).otherwise(0.0)), 4)
+          .as("jsd"))
+        .select($"lang_a", $"lang_b", $"na".as("n_a"), $"nb".as("n_b"),
+          $"jsd")
+        .orderBy($"lang_a", $"lang_b")
+    }
+    def jsdSt(): DataFrame = t("documents")
+      .select($"lang", explode(expr(tokExpr)).as("token"))
+      .groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("c"))
+    def jsdA(): DataFrame = jsdFrom(jsdSt())
+    def jsdB(): DataFrame = jsdFrom(jsdSt().persist())
+
     // ---------- skew probes (guide §2.5, VERDICT r19 task 4) ----------
     // Not an A/B: prints the join-key distributions of the two live
     // posting-join kernels so SCALING.md can carry measured skew rows.
@@ -264,8 +441,12 @@ object ScratchAB {
       "js" -> Seq("A_ttjoin" -> (() => jsA()), "B_window" -> (() => jsB())),
       "ks" -> Seq("A_twowin" -> (() => ksOn(false)), "B_mergedframe" -> (() => ksOn(true))),
       "tvd" -> Seq("A_live" -> (() => tvdA()), "B_persist" -> (() => tvdB()),
-        "C_windows" -> (() => tvdC()))
-    ).filter { case (n, _) => target == "all" || target == n }
+        "C_windows" -> (() => tvdC())),
+      "kl" -> Seq("A_joinback" -> (() => klA()), "B_windows" -> (() => klB())),
+      "heaps" -> Seq("A_crossfit" -> (() => heapsA()), "B_windowfit" -> (() => heapsB())),
+      "so" -> Seq("A_szjoin" -> (() => soA()), "B_carried" -> (() => soB())),
+      "jsd" -> Seq("A_live" -> (() => jsdA()), "B_persist" -> (() => jsdB()))
+    ).filter { case (n, _) => target == "all" || target.split(",").contains(n) }
 
     def checksum(df: DataFrame): (Long, String) = {
       val cols = df.columns.sorted.map(c => col(c))
